@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship CDC merge at sf0.001; ``queries`` /
+``oracle_sql`` expose every operator from SURVEY.md §2 for the DuckDB
+correctness gate.
 """
 
 from __future__ import annotations
@@ -13,26 +11,47 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from aws_big_data_blog_dmscdc_walkthrough_spark.plans import analytics, cdc_queries
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the CDC latest-wins merge on sf0.001."""
+    return cdc_queries.cdc_merge(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # CDC engine (SURVEY §2 #1-6)
+        "cdc_initial_stamp": cdc_queries.cdc_initial_stamp,
+        "cdc_dedup_latest": cdc_queries.cdc_dedup_latest,
+        "cdc_insert_only": cdc_queries.cdc_insert_only,
+        "cdc_merge": cdc_queries.cdc_merge,
+        "cdc_impacted": cdc_queries.cdc_impacted,
+        "cdc_merge_soft_delete": cdc_queries.cdc_merge_soft_delete,
+        # Analytics surface (SURVEY §2 #12-18)
+        "q1_pricing_summary": analytics.q1_pricing_summary,
+        "q3_shipping_priority": analytics.q3_shipping_priority,
+        "q5_local_supplier_volume": analytics.q5_local_supplier_volume,
+        "q_top_customers_per_nation": analytics.q_top_customers_per_nation,
+        "q_events_tumbling": analytics.q_events_tumbling,
+        "q_events_sessionize": analytics.q_events_sessionize,
+        "q_events_filter_scan": analytics.q_events_filter_scan,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_initial_stamp": cdc_queries.CDC_INITIAL_STAMP_SQL,
+        "cdc_dedup_latest": cdc_queries.CDC_DEDUP_LATEST_SQL,
+        "cdc_insert_only": cdc_queries.CDC_INSERT_ONLY_SQL,
+        "cdc_merge": cdc_queries.CDC_MERGE_SQL,
+        "cdc_impacted": cdc_queries.CDC_IMPACTED_SQL,
+        "cdc_merge_soft_delete": cdc_queries.CDC_MERGE_SOFT_DELETE_SQL,
+        "q1_pricing_summary": analytics.Q1_SQL,
+        "q3_shipping_priority": analytics.Q3_SQL,
+        "q5_local_supplier_volume": analytics.Q5_SQL,
+        "q_top_customers_per_nation": analytics.Q_TOP_CUSTOMERS_SQL,
+        "q_events_tumbling": analytics.Q_EVENTS_TUMBLING_SQL,
+        "q_events_sessionize": analytics.Q_EVENTS_SESSIONIZE_SQL,
+        "q_events_filter_scan": analytics.Q_EVENTS_FILTER_SCAN_SQL,
+    }

@@ -1,0 +1,172 @@
+"""CDC change-application operators (the engine's core).
+
+Spark-first re-expression of the reference incremental merge
+(/root/reference/DMSCDC_LoadIncremental.py:41-87) and initial load
+(/root/reference/DMSCDC_LoadInitial.py:27-38):
+
+- a change batch is a DataFrame carrying the full row image plus an op
+  column (``I``/``U``/``D``, reference README "Op") and a monotonically
+  increasing sequence column (the reference orders by the DMS file name
+  ``sortpath`` + per-file ``rownum``; any orderable column works here);
+- ``apply_changes`` merges a batch into a target with latest-wins
+  upsert/delete semantics, exactly the reference's
+  ``rank() over (partition by pk order by sortpath desc, rownum desc) = 1
+  and Op != 'D'`` rule (DMSCDC_LoadIncremental.py:71-73);
+- instead of the reference's driver-side ``collect()`` of impacted file
+  names and ``coalesce(1)`` single-file rewrite, the merge prunes the
+  target with a *broadcast semi-join* on the batch's distinct keys: only
+  impacted target rows enter the window shuffle; untouched rows are
+  unioned back untouched (and, in the lake-write path, never rewritten).
+  At 100 TB this is the difference between shuffling the change batch
+  (MBs..GBs) and shuffling the whole table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+OP_COL = "op"
+OP_INSERT = "I"
+OP_UPDATE = "U"
+OP_DELETE = "D"
+
+
+def stamp_initial(df: DataFrame, op_col: str = OP_COL) -> DataFrame:
+    """Add ``op='I'`` to a full load for parity with incremental batches.
+
+    Mirrors DMSCDC_LoadInitial.py:31 (``withColumn("Op", lit("I"))``).
+    """
+    return df.withColumn(op_col, F.lit(OP_INSERT))
+
+
+def sequence_changes(
+    df: DataFrame,
+    primary_keys: Sequence[str],
+    order_by: Sequence[str],
+    rownum_col: str = "_rownum",
+) -> DataFrame:
+    """Number multiple operations on the same key within a batch.
+
+    Mirrors DMSCDC_LoadIncremental.py:62,66 (``row_number`` over
+    ``partition by pk order by sortpath``): the largest rownum is the
+    latest operation for that key.
+    """
+    window = Window.partitionBy(*primary_keys).orderBy(*order_by)
+    return df.withColumn(rownum_col, F.row_number().over(window))
+
+
+def latest_changes(
+    changes: DataFrame, primary_keys: Sequence[str], seq_col: str
+) -> DataFrame:
+    """Collapse a batch to the final operation per key (latest-wins)."""
+    window = Window.partitionBy(*primary_keys).orderBy(F.col(seq_col).desc())
+    return (
+        changes.withColumn("_rn", F.row_number().over(window))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def insert_only(changes: DataFrame, op_col: str = OP_COL) -> DataFrame:
+    """No-PK / first-load path: apply inserts only.
+
+    Mirrors DMSCDC_LoadIncremental.py:57 (``filter(inputfile.Op=='I')``).
+    """
+    return changes.where(F.col(op_col) == OP_INSERT)
+
+
+def impacted_keys(
+    target: DataFrame, changes: DataFrame, primary_keys: Sequence[str]
+) -> DataFrame:
+    """Distinct change keys that exist in the target.
+
+    The scalable analogue of the reference's impacted-file discovery
+    (DMSCDC_LoadIncremental.py:68-70, inner join + ``collect()``): a
+    broadcast left-semi join, nothing on the driver.
+    """
+    keys = changes.select(*primary_keys).distinct()
+    return (
+        target.join(F.broadcast(keys), list(primary_keys), "left_semi")
+        .select(*primary_keys)
+        .distinct()
+    )
+
+
+def apply_changes(
+    target: DataFrame,
+    changes: DataFrame,
+    primary_keys: Sequence[str],
+    seq_col: str,
+    op_col: str = OP_COL,
+    soft_delete: bool = False,
+    deleted_col: str = "deleted",
+    prune_with_broadcast: bool = True,
+) -> DataFrame:
+    """Merge a change batch into a target: latest-wins upsert + delete.
+
+    Semantics (DMSCDC_LoadIncremental.py:60-73):
+      * multiple ops per key in one batch → highest ``seq_col`` wins;
+      * a change beats the existing target row for the same key;
+      * final op ``D`` removes the row (or flags it when ``soft_delete``);
+      * keys untouched by the batch pass through unchanged.
+
+    ``changes`` must contain every target column plus ``op_col`` and
+    ``seq_col`` (full row images, as DMS emits). Output schema = target
+    schema (+ ``deleted_col`` when ``soft_delete``).
+
+    Scale: with ``prune_with_broadcast`` the window shuffle sees only
+    ``changes ∪ impacted(target)``; untouched target rows bypass both the
+    join shuffle (broadcast) and the window shuffle entirely.
+    """
+    pks = list(primary_keys)
+    data_cols = list(target.columns)
+    change_cols = set(changes.columns)
+    missing = [c for c in data_cols if c not in change_cols]
+    if missing:
+        raise ValueError(f"changes missing target columns: {missing}")
+
+    if prune_with_broadcast:
+        keys = changes.select(*pks).distinct()
+        impacted = target.join(F.broadcast(keys), pks, "left_semi")
+        untouched = target.join(F.broadcast(keys), pks, "left_anti")
+    else:
+        impacted, untouched = target, None
+
+    change_side = changes.select(
+        *data_cols,
+        F.col(op_col).alias("_op"),
+        F.lit(1).alias("_src"),
+        F.col(seq_col).alias("_seq"),
+    )
+    target_side = impacted.select(
+        *data_cols,
+        F.lit("T").alias("_op"),
+        F.lit(0).alias("_src"),
+        F.lit(None).cast(change_side.schema["_seq"].dataType).alias("_seq"),
+    )
+
+    window = Window.partitionBy(*pks).orderBy(
+        F.col("_src").desc(), F.col("_seq").desc_nulls_last()
+    )
+    survivors = (
+        change_side.unionByName(target_side)
+        .withColumn("_rnk", F.row_number().over(window))
+        .where(F.col("_rnk") == 1)
+    )
+
+    if soft_delete:
+        merged = survivors.select(
+            *data_cols, (F.col("_op") == OP_DELETE).alias(deleted_col)
+        )
+        if untouched is not None:
+            merged = merged.unionByName(
+                untouched.select(*data_cols, F.lit(False).alias(deleted_col))
+            )
+    else:
+        merged = survivors.where(F.col("_op") != OP_DELETE).select(*data_cols)
+        if untouched is not None:
+            merged = merged.unionByName(untouched.select(*data_cols))
+    return merged

@@ -1,0 +1,196 @@
+"""CDC operators exposed as driver-checkable queries.
+
+The correctness gate replays each operator in DuckDB, so the change batch
+is *synthesized deterministically from the orders table* (key-modulo
+selection — no randomness, no timestamps on the driver's clock):
+
+  * keys with ``o_orderkey % 10 <= 2`` → update (totalprice * 1.1), seq 1
+  * keys with ``o_orderkey % 10 == 3`` → delete, seq 1
+  * keys with ``o_orderkey % 10 == 4`` → insert of a NEW key
+    (``o_orderkey + 10_000_000``), seq 1
+  * keys with ``o_orderkey % 100 == 0`` → a SECOND op (delete, seq 2) on an
+    already-updated key, exercising multi-op-per-key latest-wins
+    (reference rownum semantics, DMSCDC_LoadIncremental.py:62-66)
+
+Every oracle below replays the identical batch in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import cdc
+from ..session import load_table
+
+BASE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+_BASE_SQL = (
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders"
+)
+
+CHANGES_SQL = f"""
+base AS ({_BASE_SQL}),
+changes AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice,
+         o_orderpriority, 'U' AS op, 1 AS seq
+  FROM base WHERE o_orderkey % 10 <= 2
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority, 'D', 1
+  FROM base WHERE o_orderkey % 10 = 3
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice + 0.5,
+         o_orderpriority, 'I', 1
+  FROM base WHERE o_orderkey % 10 = 4
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority, 'D', 2
+  FROM base WHERE o_orderkey % 100 = 0
+)
+"""
+
+
+def base_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(*BASE_COLS)
+
+
+def synth_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic change batch described in the module docstring."""
+    base = base_orders(spark, sf_dir)
+    key = F.col("o_orderkey")
+    upd = (
+        base.where(key % 10 <= 2)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(1))
+    )
+    dele = (
+        base.where(key % 10 == 3)
+        .withColumn("op", F.lit("D"))
+        .withColumn("seq", F.lit(1))
+    )
+    ins = (
+        base.where(key % 10 == 4)
+        .withColumn("o_orderkey", key + 10_000_000)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 0.5)
+        .withColumn("op", F.lit("I"))
+        .withColumn("seq", F.lit(1))
+    )
+    second = (
+        base.where(key % 100 == 0)
+        .withColumn("op", F.lit("D"))
+        .withColumn("seq", F.lit(2))
+    )
+    return upd.unionByName(dele).unionByName(ins).unionByName(second)
+
+
+def cdc_initial_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial-load stamping (DMSCDC_LoadInitial.py:31)."""
+    return cdc.stamp_initial(load_table(spark, sf_dir, "customer"))
+
+
+CDC_INITIAL_STAMP_SQL = "SELECT *, 'I' AS op FROM customer"
+
+
+def cdc_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest op per key within one batch."""
+    changes = synth_changes(spark, sf_dir)
+    return cdc.latest_changes(changes, ["o_orderkey"], "seq").select(
+        "o_orderkey", "op", "seq", "o_totalprice"
+    )
+
+
+CDC_DEDUP_LATEST_SQL = f"""
+WITH {CHANGES_SQL}
+SELECT o_orderkey, op, seq, o_totalprice FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+  FROM changes
+) WHERE rn = 1
+"""
+
+
+def cdc_insert_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-PK path: inserts only (DMSCDC_LoadIncremental.py:57)."""
+    return cdc.insert_only(synth_changes(spark, sf_dir)).select(*BASE_COLS)
+
+
+CDC_INSERT_ONLY_SQL = f"""
+WITH {CHANGES_SQL}
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM changes WHERE op = 'I'
+"""
+
+
+def cdc_impacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impacted-key discovery (scalable form of impacted-file list)."""
+    return cdc.impacted_keys(
+        base_orders(spark, sf_dir), synth_changes(spark, sf_dir), ["o_orderkey"]
+    )
+
+
+CDC_IMPACTED_SQL = f"""
+WITH {CHANGES_SQL}
+SELECT DISTINCT b.o_orderkey FROM base b
+WHERE b.o_orderkey IN (SELECT o_orderkey FROM changes)
+"""
+
+
+_MERGE_CORE_SQL = f"""
+WITH {CHANGES_SQL},
+unioned AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
+         op, seq, 1 AS _src
+  FROM changes
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
+         'T', NULL, 0
+  FROM base
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY o_orderkey ORDER BY _src DESC, seq DESC NULLS LAST
+  ) AS rnk
+  FROM unioned
+)
+"""
+
+
+def cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full merge: latest-wins upsert + delete."""
+    return cdc.apply_changes(
+        base_orders(spark, sf_dir),
+        synth_changes(spark, sf_dir),
+        ["o_orderkey"],
+        seq_col="seq",
+        op_col="op",
+    )
+
+
+CDC_MERGE_SQL = (
+    _MERGE_CORE_SQL
+    + """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM ranked WHERE rnk = 1 AND op <> 'D'
+"""
+)
+
+
+def cdc_merge_soft_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge keeping tombstones as a boolean ``deleted`` flag."""
+    return cdc.apply_changes(
+        base_orders(spark, sf_dir),
+        synth_changes(spark, sf_dir),
+        ["o_orderkey"],
+        seq_col="seq",
+        op_col="op",
+        soft_delete=True,
+    )
+
+
+CDC_MERGE_SOFT_DELETE_SQL = (
+    _MERGE_CORE_SQL
+    + """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
+       (op = 'D') AS deleted
+FROM ranked WHERE rnk = 1
+"""
+)
