@@ -11,7 +11,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from aws_big_data_blog_dmscdc_walkthrough_spark.plans import analytics, cdc_queries
+from aws_big_data_blog_dmscdc_walkthrough_spark.operators import text
+from aws_big_data_blog_dmscdc_walkthrough_spark.plans import (
+    analytics,
+    cdc_queries,
+    llm_queries,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -36,6 +41,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_tumbling": analytics.q_events_tumbling,
         "q_events_sessionize": analytics.q_events_sessionize,
         "q_events_filter_scan": analytics.q_events_filter_scan,
+        # Text analysis (SURVEY §2 #26-29)
+        "text_tokens": text.text_tokens,
+        "text_quality": text.text_quality,
+        "text_langid": text.text_langid,
+        "text_fingerprint": text.text_fingerprint,
+        # Dedup + similarity (SURVEY §2 #19-25)
+        "dedup_exact": llm_queries.dedup_exact,
+        "dedup_ngram_jaccard": llm_queries.dedup_ngram_jaccard,
+        "dedup_minhash_lsh": llm_queries.dedup_minhash_lsh,
+        "dedup_simhash": llm_queries.dedup_simhash,
+        "dedup_embedding_cosine": llm_queries.dedup_embedding_cosine,
+        "ann_cosine_topk": llm_queries.ann_cosine_topk,
+        "ann_lsh_topk": llm_queries.ann_lsh_topk,
     }
 
 
@@ -54,4 +72,15 @@ def oracle_sql() -> dict[str, str]:
         "q_events_tumbling": analytics.Q_EVENTS_TUMBLING_SQL,
         "q_events_sessionize": analytics.Q_EVENTS_SESSIONIZE_SQL,
         "q_events_filter_scan": analytics.Q_EVENTS_FILTER_SCAN_SQL,
+        "text_tokens": text.TEXT_TOKENS_SQL,
+        "text_quality": text.TEXT_QUALITY_SQL,
+        "text_langid": text.TEXT_LANGID_SQL,
+        "text_fingerprint": text.TEXT_FINGERPRINT_SQL,
+        "dedup_exact": llm_queries.DEDUP_EXACT_SQL,
+        "dedup_ngram_jaccard": llm_queries.DEDUP_NGRAM_JACCARD_SQL,
+        "dedup_minhash_lsh": llm_queries.DEDUP_MINHASH_LSH_SQL,
+        "dedup_simhash": llm_queries.DEDUP_SIMHASH_SQL,
+        "dedup_embedding_cosine": llm_queries.DEDUP_EMBEDDING_COSINE_SQL,
+        "ann_cosine_topk": llm_queries.ANN_COSINE_TOPK_SQL,
+        "ann_lsh_topk": llm_queries.ANN_LSH_TOPK_SQL,
     }

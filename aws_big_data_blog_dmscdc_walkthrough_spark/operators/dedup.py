@@ -1,0 +1,325 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All signature computation (shingling, polynomial hashing, minhash,
+simhash bit votes) is built from Spark higher-order functions — JVM-side,
+codegen, map-only. The only shuffles are:
+
+  * exact dedup: one hash aggregation on the normalized text key;
+  * pair generation: one equi-join on the blocking / band / chunk key
+    (never a cross join), followed by a distinct on candidate pairs.
+
+Scale levers: band width and shingle size control candidate volume;
+``bucket_cap`` drops degenerate LSH buckets (stop-shingle effect) before
+the pair join can explode — at 100 TB a handful of hot buckets would
+otherwise dominate the join.
+
+Hash constants are plain Python ints shared with the DuckDB oracle SQL
+generators in plans/llm_queries.py, so both engines compute identical
+signatures (verified bit-for-bit in tests).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+POLY_MOD1 = 1_000_000_007  # < 2^30
+POLY_MUL1 = 31
+POLY_MOD2 = 1_073_741_789  # < 2^30
+POLY_MUL2 = 131
+
+MINHASH_A = [7, 31, 131, 541, 2003, 8111, 32771, 131071]
+MINHASH_B = [3, 17, 89, 389, 1543, 6151, 24593, 98317]
+MINHASH_P = 2_147_483_647
+NUM_MINHASH = len(MINHASH_A)
+
+SIMHASH_HALF_BITS = 30  # two 30-bit halves → 60-bit signature
+SIMHASH_CHUNK_BITS = 15
+SIMHASH_CHUNKS = 4
+
+
+def word_tokens(col):
+    return F.split(F.trim(col), r"\s+")
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition + persist when the input is under-split.
+
+    Signature computation is CPU-bound per row; a small single-file scan
+    arrives as one partition and would serialize it. Repartition alone
+    does NOT fix this: Catalyst pushes projections/filters through the
+    exchange, so the expensive expressions still evaluate in the lone
+    scan task (observed: 47 s single-threaded vs 1.5 s spread). The
+    persist() is the barrier that pins downstream compute onto the
+    post-shuffle partitions. At real scale inputs arrive multi-partition
+    and this is a no-op — no shuffle, no cache.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target).persist()
+    return df
+
+
+def poly_hash(col, mul: int = POLY_MUL1, mod: int = POLY_MOD1):
+    """Deterministic char-level polynomial hash (see text.poly_fingerprint)."""
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * F.lit(mul) + F.ascii(ch)) % F.lit(mod),
+    )
+
+
+SHINGLE_COMBINE = 131  # word-hash → shingle-hash combiner
+
+
+def shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, keep_cols: Sequence[str] = (), k: int = 3
+) -> DataFrame:
+    """(id, *keep_cols, _sh): distinct k-word shingle HASHES per row.
+
+    Two projections on purpose: the per-token hash array materializes in
+    the first, and the shingle combine reads it via element_at (O(1)).
+    Built as ONE expression, Catalyst inlines the token transform into
+    every element_at — O(tokens²·chars) per row, a ~100× blowup observed
+    in the physical plan. Hashing each token once and combining k hashes
+    arithmetically also keeps downstream set ops (intersect for Jaccard,
+    min for MinHash) on int64 arrays instead of strings.
+    """
+    # single-arg wrapper: PySpark derives lambda arity from the callable
+    # signature, and poly_hash's keyword defaults would read as 3-ary
+    th = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.transform(word_tokens(F.col(text_col)), lambda t: poly_hash(t)).alias("_th"),
+    )
+    n = F.size(F.col("_th"))
+
+    def shingle_at(i):
+        h = F.element_at(F.col("_th"), i + 1)
+        for j in range(1, k):
+            h = (h * F.lit(SHINGLE_COMBINE) + F.element_at(F.col("_th"), i + j + 1)) % F.lit(POLY_MOD1)
+        return h
+
+    return th.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.when(
+            n >= k,
+            F.array_distinct(F.transform(F.sequence(F.lit(0), n - k), shingle_at)),
+        )
+        .otherwise(F.array().cast("array<long>"))
+        .alias("_sh"),
+    )
+
+
+def minhash_signature(shingle_hashes_col):
+    """K minhashes over shingle hashes: (a·h + b) mod P, min per row."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingle_hashes_col, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+                )
+            )
+            for a, b in zip(MINHASH_A, MINHASH_B)
+        ]
+    )
+
+
+def normalize_text(col):
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on normalized text: canonical id + group size per row.
+
+    One hash-partition shuffle on the normalized key; at scale, group by
+    ``xxhash64(norm)`` instead of the full text to shrink shuffle width
+    (exposed here as the same plan — Catalyst hashes the key either way).
+    """
+    window = Window.partitionBy(normalize_text(F.col(text_col)))
+    return df.select(
+        F.col(id_col),
+        F.min(id_col).over(window).alias("canonical_id"),
+        F.count(F.lit(1)).over(window).alias("group_size"),
+    )
+
+
+def _with_jaccard(pairs: DataFrame, sh_a: str, sh_b: str) -> DataFrame:
+    """Add a jaccard column, computing the (expensive) intersect ONCE."""
+    return (
+        pairs.withColumn("_inter", F.size(F.array_intersect(F.col(sh_a), F.col(sh_b))))
+        .withColumn(
+            "jaccard",
+            F.col("_inter").cast("double")
+            / (F.size(F.col(sh_a)) + F.size(F.col(sh_b)) - F.col("_inter")),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    threshold: float,
+    k: int = 3,
+) -> DataFrame:
+    """Exact Jaccard over word k-shingles within blocking groups.
+
+    Blocked all-pairs: the join key is the block, so pair volume is
+    Σ block_size² — pick blocks (source, length bucket, …) accordingly.
+    """
+    sh = (
+        shingle_frame(spread(df), id_col, text_col, block_cols, k)
+        .where(F.size("_sh") > 0)
+        .persist()  # feeds both join sides; avoid recomputing the hash chain
+    )
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"), *[F.col(c) for c in block_cols]
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"), *[F.col(c) for c in block_cols]
+    )
+    pairs = a.join(b, list(block_cols)).where(F.col("id_a") < F.col("id_b"))
+    return (
+        _with_jaccard(pairs, "_sh_a", "_sh_b")
+        .select("id_a", "id_b", "jaccard")
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    rows_per_band: int = 2,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification.
+
+    shingle → K minhashes → bands of ``rows_per_band`` → equi-join on
+    (band index, band key) → distinct pairs → verify true Jaccard.
+    ``bucket_cap`` drops band buckets larger than the cap (hot-bucket
+    guard for skewed corpora).
+    """
+    bands = NUM_MINHASH // rows_per_band
+    # persist: the shingle arrays feed band generation AND two verify-join
+    # branches; recomputing the (interpreted) hash chain 3× dominates cost
+    sh = (
+        shingle_frame(spread(df), id_col, text_col)
+        .withColumnRenamed(id_col, "_id")
+        .where(F.size("_sh") > 0)
+        .persist()
+    )
+    sig = sh.select("_id", "_sh", minhash_signature(F.col("_sh")).alias("_sig"))
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(j),
+                *[F.element_at(F.col("_sig"), j * rows_per_band + r + 1) for r in range(rows_per_band)],
+            )
+            for j in range(bands)
+        ]
+    )
+    banded = sig.select("_id", F.explode(band_keys).alias("_bk"))
+    if bucket_cap is not None:
+        counts = banded.groupBy("_bk").count().where(F.col("count") <= bucket_cap)
+        banded = banded.join(counts.select("_bk"), "_bk", "left_semi")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), "_bk")
+        .where(F.col("x._id") < F.col("y._id"))
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa._id"))
+        .join(sh.alias("sb"), F.col("id_b") == F.col("sb._id"))
+        .select("id_a", "id_b", F.col("sa._sh").alias("_sh_a"), F.col("sb._sh").alias("_sh_b"))
+    )
+    return (
+        _with_jaccard(verified, "_sh_a", "_sh_b")
+        .select("id_a", "id_b", "jaccard")
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash: per-token ±1 bit votes, sign of each bit's sum.
+
+    Two 30-bit polynomial hashes supply the bit source; votes are plain
+    SUM(CASE) aggregates after a token explode — one shuffle on id.
+    """
+    toks = spread(df).select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("_tk")
+    )
+    hashed = toks.select(
+        F.col(id_col),
+        poly_hash(F.col("_tk")).alias("_h1"),
+        poly_hash(F.col("_tk"), POLY_MUL2, POLY_MOD2).alias("_h2"),
+    )
+    votes = []
+    for half, col in (("1", "_h1"), ("2", "_h2")):
+        for i in range(SIMHASH_HALF_BITS):
+            bit = F.shiftright(F.col(col), i).bitwiseAND(F.lit(1))
+            votes.append(
+                F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"_v{half}_{i}")
+            )
+    voted = hashed.groupBy(id_col).agg(*votes)
+    lo = sum(
+        (F.when(F.col(f"_v1_{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << i))
+        for i in range(SIMHASH_HALF_BITS)
+    )
+    hi = sum(
+        (F.when(F.col(f"_v2_{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << i))
+        for i in range(SIMHASH_HALF_BITS)
+    )
+    return voted.select(
+        F.col(id_col), (hi * F.lit(1 << SIMHASH_HALF_BITS) + lo).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 20
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band on 15-bit chunks, verify Hamming.
+
+    Any pair within Hamming distance d shares an identical chunk when
+    d < number of chunks (pigeonhole), so 4 chunks guarantee recall for
+    d ≤ 3 and probabilistically catch larger d.
+    """
+    sig = simhash_signatures(df, id_col, text_col)
+    chunks = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(j),
+                F.shiftright(F.col("simhash"), j * SIMHASH_CHUNK_BITS).bitwiseAND(
+                    F.lit((1 << SIMHASH_CHUNK_BITS) - 1)
+                ),
+            )
+            for j in range(SIMHASH_CHUNKS)
+        ]
+    )
+    banded = sig.select(F.col(id_col).alias("_id"), F.col("simhash"), F.explode(chunks).alias("_ck"))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), "_ck")
+        .where(F.col("x._id") < F.col("y._id"))
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            F.col("x.simhash").alias("_sa"),
+            F.col("y.simhash").alias("_sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

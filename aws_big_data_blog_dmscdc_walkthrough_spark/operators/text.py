@@ -1,0 +1,218 @@
+"""Text-analysis operators for LLM-data-pipeline curation.
+
+All four operators are pure JVM-side column expressions (split /
+regexp / higher-order functions) — no Python UDFs — so they run inside
+whole-stage codegen and scale linearly with no shuffle at all: each is a
+map-only pass over the documents table.
+
+Every operator has an exact ANSI-SQL twin (generated from the same
+Python constants) for the DuckDB correctness gate; arithmetic is
+arranged so both engines produce bit-identical doubles (same ops, same
+order, integer counts cast to double once).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_table
+from .dedup import spread
+
+# Small, real stopword lists (shared constants → both engines see the
+# identical sets; priority on score ties is en > es > de > fr).
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "you", "that", "for", "on", "with", "as"],
+    "es": ["el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "es", "por", "con", "para"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von", "mit", "auf"],
+    "fr": ["le", "les", "de", "et", "un", "une", "est", "que", "pour", "dans", "ce", "il"],
+}
+
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+POLY_MOD = 1_000_000_007
+POLY_MUL = 31
+
+
+def _tokens(col):
+    return F.split(F.trim(col), r"\s+")
+
+
+def _stop_count(tokens_col, words: list[str]):
+    """Occurrence count of tokens in a fixed word set (codegen lambda)."""
+    return F.size(F.filter(tokens_col, lambda t: t.isin(*words)))
+
+
+def _sql_stop_count(words: list[str]) -> str:
+    quoted = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(toks, t -> t IN ({quoted})))"
+
+
+def poly_fingerprint(col):
+    """Deterministic 31-base polynomial rolling hash mod 1e9+7.
+
+    Built from F.aggregate over the char array: stays in codegen, and is
+    reproducible in any engine (the DuckDB twin uses list_reduce).
+    """
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * F.lit(POLY_MUL) + F.ascii(ch)) % F.lit(POLY_MOD),
+    )
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach token arrays + counts used by the downstream operators."""
+    return df.withColumn("_toks", _tokens(F.col(text_col))).withColumn(
+        "n_ws_tokens", F.size("_toks")
+    )
+
+
+# ---------------------------------------------------------------- tokens
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), F.lit(0))
+        ).alias("n_bpe_tokens"),
+    )
+
+
+TEXT_TOKENS_SQL = rf"""
+SELECT doc_id,
+  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+  len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------- quality
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / punctuation / stopword / repetition quality signals.
+
+    quality_score is a fixed linear blend — identical expression order in
+    the SQL twin keeps doubles bit-equal.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = _tokens(F.col("text"))
+    n_chars = F.length("text")
+    n_alpha = n_chars - F.length(F.regexp_replace("text", "[a-z]", ""))
+    n_space = n_chars - F.length(F.regexp_replace("text", " ", ""))
+    n_tok = F.size(toks)
+    n_stop = _stop_count(toks, STOPWORDS["en"])
+    n_distinct = F.size(F.array_distinct(toks))
+    alpha_ratio = n_alpha.cast("double") / n_chars.cast("double")
+    space_ratio = n_space.cast("double") / n_chars.cast("double")
+    stop_ratio = n_stop.cast("double") / n_tok.cast("double")
+    distinct_ratio = n_distinct.cast("double") / n_tok.cast("double")
+    score = (
+        alpha_ratio * 0.4 + stop_ratio * 0.3 + distinct_ratio * 0.2 + space_ratio * 0.1
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_obs"),
+        n_tok.alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        space_ratio.alias("space_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+_EN_SQL = _sql_stop_count(STOPWORDS["en"])
+TEXT_QUALITY_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks,
+    length(text) AS n_chars,
+    length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS n_alpha,
+    length(text) - length(regexp_replace(text, ' ', '', 'g')) AS n_space
+  FROM documents
+)
+SELECT doc_id,
+  n_chars AS n_chars_obs,
+  len(toks) AS n_tokens,
+  CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) AS alpha_ratio,
+  CAST(n_space AS DOUBLE) / CAST(n_chars AS DOUBLE) AS space_ratio,
+  CAST({_EN_SQL} AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio,
+  (CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.4
+    + (CAST({_EN_SQL} AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.3
+    + (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.2
+    + (CAST(n_space AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.1 AS quality_score
+FROM t
+"""
+
+
+# ---------------------------------------------------------------- langid
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID with CJK byte-ratio shortcut.
+
+    Non-ASCII detection uses octet_length-vs-length (multibyte excess),
+    avoiding engine-specific regex hex classes entirely.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = _tokens(F.lower(F.col("text")))
+    scored = docs.withColumn("_toks", toks).select(
+        "doc_id",
+        *[
+            _stop_count(F.col("_toks"), STOPWORDS[lang]).alias(f"s_{lang}")
+            for lang in ("en", "es", "de", "fr")
+        ],
+        (F.octet_length("text") - F.length("text")).alias("_byte_excess"),
+        F.length("text").alias("_len"),
+    )
+    s = {k: F.col(f"s_{k}") for k in ("en", "es", "de", "fr")}
+    pred = (
+        F.when(F.col("_byte_excess") * 10 > F.col("_len") * 3, F.lit("zh"))
+        .when((s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]), F.lit("en"))
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]), F.lit("es"))
+        .when(s["de"] >= s["fr"], F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return scored.select("doc_id", pred.alias("lang_pred"), "s_en", "s_es", "s_de", "s_fr")
+
+
+TEXT_LANGID_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS toks,
+    strlen(text) - length(text) AS byte_excess, length(text) AS n_len
+  FROM documents
+), s AS (
+  SELECT doc_id, byte_excess, n_len,
+    {_sql_stop_count(STOPWORDS['en'])} AS s_en,
+    {_sql_stop_count(STOPWORDS['es'])} AS s_es,
+    {_sql_stop_count(STOPWORDS['de'])} AS s_de,
+    {_sql_stop_count(STOPWORDS['fr'])} AS s_fr
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN byte_excess * 10 > n_len * 3 THEN 'zh'
+       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+       WHEN s_de >= s_fr THEN 'de'
+       ELSE 'fr' END AS lang_pred,
+  s_en, s_es, s_de, s_fr
+FROM s
+"""
+
+
+# ------------------------------------------------------------ fingerprint
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", poly_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+TEXT_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(0::BIGINT, [ascii(x)::BIGINT for x in string_split(text, '')]),
+    (a, b) -> (a * {POLY_MUL} + b) % {POLY_MOD}
+  ) AS fingerprint
+FROM documents
+"""

@@ -1,0 +1,284 @@
+"""LLM-data-pipeline operators wired as driver-checkable queries.
+
+Each wrapper fixes the parameters (blocking columns, thresholds, query
+vector) and pairs the Spark plan with a DuckDB oracle GENERATED from the
+same constants in operators/dedup.py — one source of truth for hash
+coefficients, shingle size, band layout, and thresholds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, similarity
+from ..operators.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+    POLY_MOD1,
+    POLY_MOD2,
+    POLY_MUL1,
+    POLY_MUL2,
+    SIMHASH_CHUNK_BITS,
+    SIMHASH_CHUNKS,
+    SIMHASH_HALF_BITS,
+)
+from ..session import load_table
+
+EMB_DIM = 64
+NGRAM_JACCARD_THRESHOLD = 0.2
+MINHASH_JACCARD_THRESHOLD = 0.5
+SIMHASH_MAX_HAMMING = 20
+EMB_COSINE_THRESHOLD = 0.4
+ANN_K = 10
+ANN_LSH_K = 5
+ANN_QUERY_ID = 0
+
+
+# ----------------------------------------------------------- SQL builders
+
+def _sql_poly(expr: str, mul: int = POLY_MUL1, mod: int = POLY_MOD1) -> str:
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in string_split({expr}, '')]), "
+        f"(a, b) -> (a * {mul} + b) % {mod})"
+    )
+
+
+def _shingles_cte() -> str:
+    mul, mod = dedup.SHINGLE_COMBINE, POLY_MOD1
+    return rf"""
+tok AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w FROM documents),
+th AS (SELECT doc_id, source, [{_sql_poly('t')} for t in w] AS hw FROM tok),
+sh AS (
+  SELECT doc_id, source,
+    list_distinct([
+      ((hw[i] * {mul} + hw[i+1]) % {mod} * {mul} + hw[i+2]) % {mod}
+      for i in range(1, len(hw) - 1)
+    ]) AS sh
+  FROM th WHERE len(hw) >= 3
+)
+"""
+
+
+_SHINGLES_CTE = _shingles_cte()
+
+_JACCARD_SQL = (
+    "len(list_intersect(a.sh, b.sh))::DOUBLE"
+    " / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
+)
+
+
+def _dot_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    return " + ".join(f"({a}[{i}]::DOUBLE * {b}[{i}]::DOUBLE)" for i in range(1, dim + 1))
+
+
+# ------------------------------------------------------------ exact dedup
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id", "text")
+
+
+DEDUP_EXACT_SQL = r"""
+WITH n AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents
+)
+SELECT doc_id,
+  MIN(doc_id) OVER (PARTITION BY norm) AS canonical_id,
+  COUNT(*) OVER (PARTITION BY norm) AS group_size
+FROM n
+"""
+
+
+# ---------------------------------------------------------- ngram jaccard
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", ["source"], NGRAM_JACCARD_THRESHOLD
+    )
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH {_SHINGLES_CTE},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_JACCARD_SQL} AS jaccard
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+)
+SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {NGRAM_JACCARD_THRESHOLD}
+"""
+
+
+# ------------------------------------------------------------ minhash LSH
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=MINHASH_JACCARD_THRESHOLD
+    )
+
+
+_MINHASH_LIST_SQL = ", ".join(
+    f"list_min([({a} * x + {b}) % {MINHASH_P} for x in sh])"
+    for a, b in zip(MINHASH_A, MINHASH_B)
+)
+_BANDS = len(MINHASH_A) // 2
+
+DEDUP_MINHASH_LSH_SQL = f"""
+WITH {_SHINGLES_CTE},
+sig AS (SELECT doc_id, sh, [{_MINHASH_LIST_SQL}] AS sig FROM sh WHERE len(sh) > 0),
+banded AS (
+  SELECT doc_id, t.range AS j, sig[2 * t.range + 1] AS m1, sig[2 * t.range + 2] AS m2
+  FROM sig, range({_BANDS}) t
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.j = b.j AND a.m1 = b.m1 AND a.m2 = b.m2
+    AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT id_a, id_b, {_JACCARD_SQL} AS jaccard
+  FROM cand JOIN sh a ON a.doc_id = cand.id_a JOIN sh b ON b.doc_id = cand.id_b
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {MINHASH_JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------- simhash
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "doc_id", "text", SIMHASH_MAX_HAMMING)
+
+
+def _simhash_sql() -> str:
+    votes = []
+    for half, col in (("1", "h1"), ("2", "h2")):
+        for i in range(SIMHASH_HALF_BITS):
+            votes.append(
+                f"SUM(CASE WHEN ({col} >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{half}_{i}"
+            )
+    lo = " + ".join(
+        f"(CASE WHEN v1_{i} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        for i in range(SIMHASH_HALF_BITS)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN v2_{i} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        for i in range(SIMHASH_HALF_BITS)
+    )
+    mask = (1 << SIMHASH_CHUNK_BITS) - 1
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tk FROM documents
+),
+h AS (
+  SELECT doc_id, {_sql_poly('tk')} AS h1,
+         {_sql_poly('tk', POLY_MUL2, POLY_MOD2)} AS h2
+  FROM tok
+),
+votes AS (SELECT doc_id, {', '.join(votes)} FROM h GROUP BY doc_id),
+sig AS (
+  SELECT doc_id, ({hi}) * {1 << SIMHASH_HALF_BITS}::BIGINT + ({lo}) AS simhash FROM votes
+),
+banded AS (
+  SELECT doc_id, simhash, t.range AS j,
+    (simhash >> ({SIMHASH_CHUNK_BITS} * t.range)) & {mask} AS ck
+  FROM sig, range({SIMHASH_CHUNKS}) t
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM banded a JOIN banded b ON a.j = b.j AND a.ck = b.ck AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+DEDUP_SIMHASH_SQL = _simhash_sql()
+
+
+# ------------------------------------------------------- embedding cosine
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(
+        embs, "vec_id", "embedding", ["label"], EMB_COSINE_THRESHOLD
+    )
+
+
+DEDUP_EMBEDDING_COSINE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding,
+    sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    ({_dot_sql('a.embedding', 'b.embedding')}) / (a.nrm * b.nrm) AS cosine
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {EMB_COSINE_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------- ANN topk
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == ANN_QUERY_ID)
+        .select("embedding")
+    )
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(
+        embs, "vec_id", "embedding", _query_vec(spark, sf_dir), ANN_K
+    )
+
+
+ANN_COSINE_TOPK_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {ANN_QUERY_ID}),
+scored AS (
+  SELECT vec_id,
+    ({_dot_sql('embedding', 'qv')})
+      / (sqrt({_dot_sql('embedding', 'embedding')}) * sqrt({_dot_sql('qv', 'qv')})) AS cosine
+  FROM embeddings, q
+)
+SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT {ANN_K}
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(
+        embs, "vec_id", "embedding", _query_vec(spark, sf_dir), ANN_LSH_K
+    )
+
+
+_SIG_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(similarity.LSH_BITS)
+)
+_QSIG_SQL = " + ".join(
+    f"(CASE WHEN qv[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(similarity.LSH_BITS)
+)
+
+ANN_LSH_TOPK_SQL = f"""
+WITH q AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = {ANN_QUERY_ID}
+),
+scored AS (
+  SELECT vec_id,
+    ({_dot_sql('embedding', 'qv')})
+      / (sqrt({_dot_sql('embedding', 'embedding')}) * sqrt({_dot_sql('qv', 'qv')})) AS cosine
+  FROM embeddings, q
+  WHERE ({_SIG_SQL}) = ({_QSIG_SQL})
+)
+SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT {ANN_LSH_K}
+"""

@@ -1,0 +1,61 @@
+"""Dedup operator semantics on planted fixtures."""
+
+from aws_big_data_blog_dmscdc_walkthrough_spark.operators import dedup
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog every single day", "a"),
+    (2, "the quick brown fox jumps over the lazy dog every single day", "a"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog every single day extra", "a"),  # near dup of 1
+    (4, "completely different text about spark query engines and shuffles here", "a"),
+    (5, "unrelated words describing benchmark harness timing measurement loops", "b"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, source string")
+
+
+def test_exact_dedup_groups(spark):
+    out = {r.doc_id: r for r in dedup.exact_dedup(_docs(spark), "doc_id", "text").collect()}
+    assert out[1].canonical_id == 1 and out[2].canonical_id == 1
+    assert out[1].group_size == 2
+    assert out[3].canonical_id == 3 and out[3].group_size == 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            _docs(spark), "doc_id", "text", ["source"], 0.2
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # exact dup
+    assert 0.2 <= pairs[(1, 3)] < 1.0  # near dup
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_finds_dups(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_lsh_pairs(_docs(spark), "doc_id", "text", threshold=0.2).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs  # near dup shares at least one band
+    assert (1, 4) not in pairs
+
+
+def test_minhash_bucket_cap_drops_hot_buckets(spark):
+    # cap=1 means no bucket can pair anything → empty result
+    out = dedup.minhash_lsh_pairs(
+        _docs(spark), "doc_id", "text", threshold=0.0, bucket_cap=1
+    )
+    assert out.count() == 0
+
+
+def test_simhash_near_dup_low_hamming(spark):
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash_signatures(_docs(spark), "doc_id", "text").collect()}
+    ham = lambda a, b: bin(sigs[a] ^ sigs[b]).count("1")
+    assert ham(1, 2) == 0          # identical text → identical signature
+    assert ham(1, 3) < ham(1, 4)   # near dup closer than unrelated
+    pairs = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash_pairs(_docs(spark), "doc_id", "text", 20).collect()}
+    assert pairs[(1, 2)] == 0

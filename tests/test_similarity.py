@@ -1,0 +1,45 @@
+"""Vector similarity semantics on hand-built vectors."""
+
+import math
+
+from aws_big_data_blog_dmscdc_walkthrough_spark.operators import similarity
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0], 0),
+    (1, [1.0, 0.0, 0.0, 0.0], 0),   # identical to query
+    (2, [0.9, 0.1, 0.0, 0.0], 0),   # close
+    (3, [0.0, 1.0, 0.0, 0.0], 0),   # orthogonal
+    (4, [-1.0, 0.0, 0.0, 0.0], 1),  # opposite, other label
+]
+
+
+def _embs(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk_order(spark):
+    embs = _embs(spark)
+    q = embs.where("vec_id = 0").select("embedding")
+    out = similarity.cosine_topk(embs, "vec_id", "embedding", q, 3).collect()
+    assert [r.vec_id for r in out] == [0, 1, 2]
+    assert out[0].cosine == 1.0 and out[1].cosine == 1.0
+    assert math.isclose(out[2].cosine, 0.9 / math.sqrt(0.82), rel_tol=1e-6)
+
+
+def test_cosine_pairs_threshold_and_blocking(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.cosine_pairs(_embs(spark), "vec_id", "embedding", ["label"], 0.9).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs  # orthogonal: below threshold
+    assert (0, 4) not in pairs  # different label block
+
+
+def test_lsh_topk_same_bucket(spark):
+    embs = _embs(spark)
+    q = embs.where("vec_id = 0").select("embedding")
+    out = similarity.lsh_topk(embs, "vec_id", "embedding", q, 5, bits=4).collect()
+    ids = [r.vec_id for r in out]
+    assert 0 in ids and 1 in ids
+    assert 4 not in ids  # sign bit differs → other bucket
