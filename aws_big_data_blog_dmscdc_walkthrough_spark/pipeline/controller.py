@@ -1,0 +1,143 @@
+"""Per-table orchestration: the reference's Controller + ProcessTable
+jobs folded into one idempotent ``run_once`` pass.
+
+Flow per table (/root/reference/DMSCDC_ProcessTable.py):
+  1. register unknown tables inactive (human sets keys + activates);
+  2. initial load if a LOAD file is newer than the stored mark;
+  3. incremental merge of files lexically after the stored high-water
+     mark, then advance the mark.
+
+The reference fans out one Glue job per table
+(DMSCDC_Controller.py:91-94); here tables run on a thread pool sharing
+one SparkSession — Spark schedules their jobs concurrently, which is the
+single-cluster analogue (and at real scale the pool bound keeps the
+driver from queueing thousands of concurrent jobs).
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import lake_writer, landing
+from ..state.store import JsonStateStore, TableState
+
+
+@dataclass
+class TableReport:
+    path: str
+    skipped: bool = False
+    did_initial: bool = False
+    incremental_files: int = 0
+    error: str = ""
+
+
+@dataclass
+class RunReport:
+    tables: list[TableReport] = field(default_factory=list)
+
+
+def prepare_dms_batch(df, primary_keys):
+    """Stamp op/seq the way the reference sequences DMS files: the file
+    name is the major order (lexical = chronological for DMS), the row's
+    position per key within the batch the minor
+    (DMSCDC_LoadIncremental.py:62-66). Rows must carry an ``Op`` column;
+    output carries ``op`` + a struct ``_seq`` usable by apply_changes."""
+    w = Window.partitionBy(*primary_keys).orderBy(F.col("_file"))
+    return (
+        df.withColumn("_file", F.input_file_name())
+        .withColumn("_rownum", F.row_number().over(w))
+        .withColumn("_seq", F.struct(F.col("_file"), F.col("_rownum")))
+        .withColumnRenamed("Op", "op")
+        .drop("_file", "_rownum")
+    )
+
+
+def process_table(
+    spark: SparkSession,
+    folder: landing.TableFolder,
+    state: TableState,
+    store: JsonStateStore,
+    lake_root: str,
+) -> TableReport:
+    report = TableReport(path=folder.path)
+    if not state.active:
+        report.skipped = True
+        return report
+
+    out_path = f"{lake_root.rstrip('/')}/{folder.schema}/{folder.table}"
+
+    # --- initial load (DMSCDC_ProcessTable.py:104-132)
+    if folder.initial_files:
+        load_ts = max(landing.file_mtime(spark, f) for f in folder.initial_files)
+        if load_ts > state.last_full_load_ts:
+            df = spark.read.parquet(*folder.initial_files)
+            lake_writer.write_initial(df, out_path, state.partition_keys)
+            state.last_full_load_ts = load_ts
+            # a fresh full load resets the incremental high-water mark to
+            # the last file already folded into the LOAD snapshot: none
+            store.put(state)
+            report.did_initial = True
+
+    # --- incremental load (DMSCDC_ProcessTable.py:137-168)
+    new_files = landing.new_incremental_files(folder, state.last_incremental_file)
+    if new_files:
+        if not state.primary_keys:
+            # insert-only path needs no sequencing (reference line 56-58)
+            from ..operators import cdc
+
+            raw = spark.read.parquet(*new_files).withColumnRenamed("Op", "op")
+            out = cdc.insert_only(raw).drop("op")
+            writer = out.write.mode("append")
+            if state.partition_keys:
+                writer = writer.partitionBy(*state.partition_keys)
+            writer.parquet(out_path)
+        else:
+            changes = prepare_dms_batch(
+                spark.read.parquet(*new_files), state.primary_keys
+            )
+            lake_writer.merge_incremental(
+                spark,
+                changes,
+                out_path,
+                state.primary_keys,
+                state.partition_keys,
+                seq_col="_seq",
+                op_col="op",
+            )
+        state.last_incremental_file = new_files[-1]
+        store.put(state)
+        report.incremental_files = len(new_files)
+    return report
+
+
+def run_once(
+    spark: SparkSession,
+    landing_root: str,
+    lake_root: str,
+    store: JsonStateStore,
+    max_parallel_tables: int = 4,
+) -> RunReport:
+    """One controller pass: discover, register, load, advance state."""
+    folders = landing.discover_tables(spark, landing_root)
+    states = [
+        store.get_or_create(f.path, schema=f.schema, table=f.table) for f in folders
+    ]
+    report = RunReport()
+    with ThreadPoolExecutor(max_workers=max_parallel_tables) as pool:
+        futures = [
+            pool.submit(process_table, spark, f, s, store, lake_root)
+            for f, s in zip(folders, states)
+        ]
+        for fut in futures:
+            try:
+                report.tables.append(fut.result())
+            except Exception as exc:  # keep other tables going, like the
+                report.tables.append(  # reference's per-job isolation
+                    TableReport(path="?", error=str(exc))
+                )
+    return report

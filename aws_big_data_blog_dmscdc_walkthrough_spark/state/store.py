@@ -1,0 +1,85 @@
+"""Durable per-table pipeline state.
+
+The reference keeps one DynamoDB item per table path
+(/root/reference/DMSCDC_Controller.py:45-54) with PrimaryKey,
+PartitionKey, LastFullLoadDate, LastIncrementalFile and ActiveFlag,
+created inactive so a human reviews keys before the pipeline touches the
+table. Same record shape here, behind a small interface; the default
+backend is an atomically-rewritten JSON file (state is one tiny record
+per table — thousands of tables fit in KBs; a JDBC/dynamo-style backend
+can implement the same three methods).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import asdict, dataclass, field
+
+
+EPOCH = "1900-01-01 00:00:00"  # reference default LastFullLoadDate
+
+
+@dataclass
+class TableState:
+    path: str                      # <root>/<schema>/<table>
+    schema: str = ""
+    table: str = ""
+    primary_key: str = ""          # comma-separated; "" = no change detection
+    partition_key: str = ""        # comma-separated; "" = unpartitioned
+    last_full_load_ts: int = 0     # epoch millis of processed LOAD file
+    last_incremental_file: str = ""
+    active: bool = False           # reference: ActiveFlag gate
+    extra: dict = field(default_factory=dict)
+
+    @property
+    def primary_keys(self) -> list[str]:
+        return [k for k in self.primary_key.split(",") if k]
+
+    @property
+    def partition_keys(self) -> list[str]:
+        return [k for k in self.partition_key.split(",") if k]
+
+
+class JsonStateStore:
+    """{path: TableState} persisted as one JSON document, atomic rename."""
+
+    def __init__(self, file_path: str):
+        self.file_path = file_path
+        self._states: dict[str, TableState] = {}
+        if os.path.exists(file_path):
+            with open(file_path) as fh:
+                raw = json.load(fh)
+            self._states = {p: TableState(**rec) for p, rec in raw.items()}
+
+    def get(self, path: str) -> TableState | None:
+        return self._states.get(path)
+
+    def get_or_create(self, path: str, **defaults) -> TableState:
+        """Register-if-absent, like the reference's put_item on miss
+        (DMSCDC_Controller.py:69-82): new tables land inactive."""
+        if path not in self._states:
+            self._states[path] = TableState(path=path, **defaults)
+            self._flush()
+        return self._states[path]
+
+    def put(self, state: TableState) -> None:
+        self._states[state.path] = state
+        self._flush()
+
+    def all(self) -> list[TableState]:
+        return list(self._states.values())
+
+    def _flush(self) -> None:
+        payload = {p: asdict(s) for p, s in self._states.items()}
+        directory = os.path.dirname(os.path.abspath(self.file_path))
+        os.makedirs(directory, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=directory, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as fh:
+                json.dump(payload, fh, indent=1, sort_keys=True)
+            os.replace(tmp, self.file_path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)

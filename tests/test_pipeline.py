@@ -1,0 +1,164 @@
+"""End-to-end controller flow on a temp landing + lake (the reference's
+sample-DB walkthrough: initial load, then an incremental batch with
+update/delete/insert, re-run idempotency)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_big_data_blog_dmscdc_walkthrough_spark.pipeline import controller
+from aws_big_data_blog_dmscdc_walkthrough_spark.sources import landing
+from aws_big_data_blog_dmscdc_walkthrough_spark.state.store import JsonStateStore
+
+
+@pytest.fixture()
+def env(tmp_path):
+    return {
+        "landing": str(tmp_path / "landing"),
+        "lake": str(tmp_path / "lake"),
+        "state": str(tmp_path / "state.json"),
+    }
+
+
+def _write_initial(spark, env):
+    df = spark.createDataFrame(
+        [(1001, "widget", "tools"), (1002, "gadget", "toys"), (1003, "sprocket", "tools")],
+        "id long, name string, dept string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{env['landing']}/sampledb/product/_tmp"
+    )
+    # DMS names the full-load file LOAD*.parquet
+    import glob, shutil
+
+    src = glob.glob(f"{env['landing']}/sampledb/product/_tmp/part-*.parquet")[0]
+    os.rename(src, f"{env['landing']}/sampledb/product/LOAD00000001.parquet")
+    shutil.rmtree(f"{env['landing']}/sampledb/product/_tmp")
+
+
+def _write_incremental(spark, env, name="20240101-000000001.parquet"):
+    df = spark.createDataFrame(
+        [
+            ("U", 1001, "widget-x", "tools"),   # update
+            ("D", 1002, None, None),              # delete
+            ("I", 1004, "doohickey", "toys"),    # insert
+        ],
+        "Op string, id long, name string, dept string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{env['landing']}/sampledb/product/_tmp2"
+    )
+    import glob, shutil
+
+    src = glob.glob(f"{env['landing']}/sampledb/product/_tmp2/part-*.parquet")[0]
+    os.rename(src, f"{env['landing']}/sampledb/product/{name}")
+    shutil.rmtree(f"{env['landing']}/sampledb/product/_tmp2")
+
+
+def test_discovery_classifies_files(spark, env):
+    _write_initial(spark, env)
+    _write_incremental(spark, env)
+    tables = landing.discover_tables(spark, env["landing"])
+    assert len(tables) == 1
+    t = tables[0]
+    assert (t.schema, t.table) == ("sampledb", "product")
+    assert len(t.initial_files) == 1 and len(t.incremental_files) == 1
+
+
+def test_inactive_table_skipped(spark, env):
+    _write_initial(spark, env)
+    store = JsonStateStore(env["state"])
+    report = controller.run_once(spark, env["landing"], env["lake"], store)
+    assert report.tables[0].skipped  # new tables register inactive
+    assert not os.path.exists(f"{env['lake']}/sampledb/product")
+
+
+def test_full_flow_initial_then_incremental(spark, env):
+    _write_initial(spark, env)
+    store = JsonStateStore(env["state"])
+    controller.run_once(spark, env["landing"], env["lake"], store)  # registers
+    st = store.all()[0]
+    st.active = True
+    st.primary_key = "id"
+    store.put(st)
+
+    r1 = controller.run_once(spark, env["landing"], env["lake"], store)
+    assert r1.tables[0].did_initial
+    lake = spark.read.parquet(f"{env['lake']}/sampledb/product")
+    assert lake.count() == 3 and "op" in lake.columns
+
+    _write_incremental(spark, env)
+    r2 = controller.run_once(spark, env["landing"], env["lake"], store)
+    assert r2.tables[0].incremental_files == 1
+    rows = {
+        r.id: r
+        for r in spark.read.parquet(f"{env['lake']}/sampledb/product").collect()
+    }
+    assert set(rows) == {1001, 1003, 1004}       # 1002 deleted, 1004 inserted
+    assert rows[1001].name == "widget-x"          # updated
+
+    # idempotent re-run: no new files → nothing changes
+    r3 = controller.run_once(spark, env["landing"], env["lake"], store)
+    assert r3.tables[0].incremental_files == 0 and not r3.tables[0].did_initial
+    assert spark.read.parquet(f"{env['lake']}/sampledb/product").count() == 3
+
+
+def test_partitioned_cow_only_touches_impacted_partitions(spark, env):
+    _write_initial(spark, env)
+    store = JsonStateStore(env["state"])
+    controller.run_once(spark, env["landing"], env["lake"], store)
+    st = store.all()[0]
+    st.active, st.primary_key, st.partition_key = True, "id", "dept"
+    store.put(st)
+    controller.run_once(spark, env["landing"], env["lake"], store)
+    toys_dir = f"{env['lake']}/sampledb/product/dept=toys"
+    tools_before = set(os.listdir(f"{env['lake']}/sampledb/product/dept=tools"))
+
+    # incremental touches only 'toys' (delete 1002, insert 1004)
+    import pyspark.sql
+
+    df = spark.createDataFrame(
+        [("D", 1002, None, "toys"), ("I", 1004, "doohickey", "toys")],
+        "Op string, id long, name string, dept string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{env['landing']}/sampledb/product/_t")
+    import glob, shutil
+
+    src = glob.glob(f"{env['landing']}/sampledb/product/_t/part-*.parquet")[0]
+    os.rename(src, f"{env['landing']}/sampledb/product/20240102-000000001.parquet")
+    shutil.rmtree(f"{env['landing']}/sampledb/product/_t")
+
+    controller.run_once(spark, env["landing"], env["lake"], store)
+    rows = {r.id: r for r in spark.read.parquet(f"{env['lake']}/sampledb/product").collect()}
+    assert set(rows) == {1001, 1003, 1004}
+    # dynamic overwrite must not have rewritten the untouched partition
+    tools_after = set(os.listdir(f"{env['lake']}/sampledb/product/dept=tools"))
+    assert tools_before == tools_after
+
+
+def test_multiple_incremental_files_ordered(spark, env):
+    _write_initial(spark, env)
+    store = JsonStateStore(env["state"])
+    controller.run_once(spark, env["landing"], env["lake"], store)
+    st = store.all()[0]
+    st.active, st.primary_key = True, "id"
+    store.put(st)
+    controller.run_once(spark, env["landing"], env["lake"], store)
+
+    _write_incremental(spark, env, name="20240101-000000001.parquet")
+    # second file updates 1001 again — file order must win
+    df = spark.createDataFrame(
+        [("U", 1001, "widget-final", "tools")],
+        "Op string, id long, name string, dept string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{env['landing']}/sampledb/product/_t3")
+    import glob, shutil
+
+    src = glob.glob(f"{env['landing']}/sampledb/product/_t3/part-*.parquet")[0]
+    os.rename(src, f"{env['landing']}/sampledb/product/20240102-000000002.parquet")
+    shutil.rmtree(f"{env['landing']}/sampledb/product/_t3")
+
+    controller.run_once(spark, env["landing"], env["lake"], store)
+    rows = {r.id: r for r in spark.read.parquet(f"{env['lake']}/sampledb/product").collect()}
+    assert rows[1001].name == "widget-final"
