@@ -1,0 +1,3 @@
+"""Reusable JVM-side expression primitives: hashing, vector math."""
+
+from . import hashing, vectors  # noqa: F401

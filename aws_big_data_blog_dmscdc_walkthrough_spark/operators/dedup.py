@@ -25,19 +25,22 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-POLY_MOD1 = 1_000_000_007  # < 2^30
-POLY_MUL1 = 31
-POLY_MOD2 = 1_073_741_789  # < 2^30
-POLY_MUL2 = 131
-
-MINHASH_A = [7, 31, 131, 541, 2003, 8111, 32771, 131071]
-MINHASH_B = [3, 17, 89, 389, 1543, 6151, 24593, 98317]
-MINHASH_P = 2_147_483_647
-NUM_MINHASH = len(MINHASH_A)
-
-SIMHASH_HALF_BITS = 30  # two 30-bit halves → 60-bit signature
-SIMHASH_CHUNK_BITS = 15
-SIMHASH_CHUNKS = 4
+from ..functions.hashing import (  # noqa: F401  (re-exported; plans import from here)
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+    NUM_MINHASH,
+    POLY_MOD1,
+    POLY_MOD2,
+    POLY_MUL1,
+    POLY_MUL2,
+    SHINGLE_COMBINE,
+    SIMHASH_CHUNK_BITS,
+    SIMHASH_CHUNKS,
+    SIMHASH_HALF_BITS,
+    minhash_signature,
+    poly_hash,
+)
 
 
 def word_tokens(col):
@@ -60,18 +63,6 @@ def spread(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target).persist()
     return df
-
-
-def poly_hash(col, mul: int = POLY_MUL1, mod: int = POLY_MOD1):
-    """Deterministic char-level polynomial hash (see text.poly_fingerprint)."""
-    return F.aggregate(
-        F.split(col, ""),
-        F.lit(0).cast("long"),
-        lambda acc, ch: (acc * F.lit(mul) + F.ascii(ch)) % F.lit(mod),
-    )
-
-
-SHINGLE_COMBINE = 131  # word-hash → shingle-hash combiner
 
 
 def shingle_frame(
@@ -111,20 +102,6 @@ def shingle_frame(
         )
         .otherwise(F.array().cast("array<long>"))
         .alias("_sh"),
-    )
-
-
-def minhash_signature(shingle_hashes_col):
-    """K minhashes over shingle hashes: (a·h + b) mod P, min per row."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    shingle_hashes_col, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
-                )
-            )
-            for a, b in zip(MINHASH_A, MINHASH_B)
-        ]
     )
 
 

@@ -19,25 +19,14 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-LSH_BITS = 8
-
-
-def as_double(vec_col):
-    return F.transform(vec_col, lambda x: x.cast("double"))
-
-
-def dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
-
-
-def norm(a):
-    return F.sqrt(dot(a, a))
-
-
-def cosine(a, b):
-    return dot(a, b) / (norm(a) * norm(b))
+from ..functions.vectors import (  # noqa: F401  (re-exported; plans import from here)
+    LSH_BITS,
+    as_double,
+    cosine,
+    dot,
+    norm,
+    sign_bucket,
+)
 
 
 def cosine_pairs(
@@ -86,14 +75,6 @@ def cosine_topk(
         .select(F.col(id_col), cos.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
-    )
-
-
-def sign_bucket(vec_col, bits: int = LSH_BITS):
-    """Axis-aligned random-hyperplane LSH: sign bits of the first dims."""
-    return sum(
-        F.when(F.element_at(vec_col, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i in range(bits)
     )
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import hashing
 from ..session import load_table
 from .dedup import spread
 
@@ -29,8 +30,8 @@ STOPWORDS = {
 }
 
 BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
-POLY_MOD = 1_000_000_007
-POLY_MUL = 31
+POLY_MOD = hashing.POLY_MOD1
+POLY_MUL = hashing.POLY_MUL1
 
 
 def _tokens(col):
@@ -53,11 +54,7 @@ def poly_fingerprint(col):
     Built from F.aggregate over the char array: stays in codegen, and is
     reproducible in any engine (the DuckDB twin uses list_reduce).
     """
-    return F.aggregate(
-        F.split(col, ""),
-        F.lit(0).cast("long"),
-        lambda acc, ch: (acc * F.lit(POLY_MUL) + F.ascii(ch)) % F.lit(POLY_MOD),
-    )
+    return hashing.poly_hash(col, POLY_MUL, POLY_MOD)
 
 
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
