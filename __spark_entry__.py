@@ -41,6 +41,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_tumbling": analytics.q_events_tumbling,
         "q_events_sessionize": analytics.q_events_sessionize,
         "q_events_filter_scan": analytics.q_events_filter_scan,
+        "q_orders_rollup": analytics.q_orders_rollup,
+        "q_events_sliding": analytics.q_events_sliding,
+        "q_customers_no_orders": analytics.q_customers_no_orders,
+        "q_orders_above_avg": analytics.q_orders_above_avg,
         # Text analysis (SURVEY §2 #26-29)
         "text_tokens": text.text_tokens,
         "text_quality": text.text_quality,
@@ -72,6 +76,10 @@ def oracle_sql() -> dict[str, str]:
         "q_events_tumbling": analytics.Q_EVENTS_TUMBLING_SQL,
         "q_events_sessionize": analytics.Q_EVENTS_SESSIONIZE_SQL,
         "q_events_filter_scan": analytics.Q_EVENTS_FILTER_SCAN_SQL,
+        "q_orders_rollup": analytics.Q_ORDERS_ROLLUP_SQL,
+        "q_events_sliding": analytics.Q_EVENTS_SLIDING_SQL,
+        "q_customers_no_orders": analytics.Q_CUSTOMERS_NO_ORDERS_SQL,
+        "q_orders_above_avg": analytics.Q_ORDERS_ABOVE_AVG_SQL,
         "text_tokens": text.TEXT_TOKENS_SQL,
         "text_quality": text.TEXT_QUALITY_SQL,
         "text_langid": text.TEXT_LANGID_SQL,

@@ -248,6 +248,132 @@ GROUP BY user_id, session_id
 """
 
 
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation (status → priority → grand total).
+
+    One shuffle; Spark expands grouping sets map-side (Expand node), so
+    the rollup costs the same single aggregation exchange as a flat
+    groupBy at any scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+    )
+
+
+Q_ORDERS_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows: 1 h size, 30 min hop.
+
+    Each event lands in exactly two overlapping windows; Spark's
+    ``window()`` expands them map-side (epoch-aligned starts), then one
+    aggregation shuffle — the batch shape of the Structured Streaming
+    sliding-window aggregation.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "1 hour", "30 minutes")
+    return (
+        events.groupBy(w.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+Q_EVENTS_SLIDING_SQL = """
+SELECT CAST(to_timestamp(wstart) AS TIMESTAMP) AS w_start, event_type, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS sum_value
+FROM (
+  SELECT event_type, value,
+    unnest([floor(epoch(ts) / 1800) * 1800,
+            floor(epoch(ts) / 1800) * 1800 - 1800]) AS wstart
+  FROM events
+)
+GROUP BY 1, 2
+"""
+
+
+def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers that never ordered, rolled up per nation.
+
+    left_anti against orders' key projection — at scale the right side
+    reduces to distinct o_custkey before the join (Catalyst prunes all
+    other order columns), and the nation dim broadcasts.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum(F.col("c_acctbal")).alias("sum_acctbal"),
+        )
+    )
+
+
+Q_CUSTOMERS_NO_ORDERS_SQL = """
+SELECT n_name, COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE) AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+"""
+
+
+def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders ≥1.5× their customer's average (decorrelated subquery).
+
+    The correlated scalar subquery becomes one window aggregation over
+    orders — a single shuffle on o_custkey, no self-join. The average is
+    an exact decimal sum divided in double, identically in both engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    by_cust = Window.partitionBy("o_custkey")
+    cust_avg = (
+        F.sum(F.col("o_totalprice").cast(DEC)).over(by_cust).cast("double")
+        / F.count(F.lit(1)).over(by_cust)
+    )
+    return (
+        orders.withColumn("cust_avg", cust_avg)
+        .where(F.col("o_totalprice") >= 1.5 * F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    )
+
+
+Q_ORDERS_ABOVE_AVG_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) OVER w AS DOUBLE)
+      / COUNT(*) OVER w AS cust_avg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey)
+)
+WHERE o_totalprice >= 1.5 * cust_avg
+"""
+
+
 def q_events_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selective scan: predicate + projection both push to the parquet scan."""
     events = load_table(spark, sf_dir, "events")
