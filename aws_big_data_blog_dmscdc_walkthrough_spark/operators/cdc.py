@@ -95,6 +95,40 @@ def impacted_keys(
     )
 
 
+def align_schemas(
+    target: DataFrame, changes: DataFrame, extra_cols: Sequence[str] = ()
+) -> tuple[DataFrame, DataFrame]:
+    """Widen both sides to the union of their columns (schema evolution).
+
+    DMS emits new columns when the source table is ALTERed; the reference
+    silently breaks on them (its unionAll at DMSCDC_LoadIncremental.py:67
+    is positional). Here either side gains any missing column as typed
+    NULLs — additive evolution only; a type CHANGE on an existing column
+    raises, because silently casting CDC data corrupts the lake.
+
+    ``extra_cols`` names change-batch bookkeeping columns (op/seq) that
+    should never be added to the target.
+    """
+    skip = set(extra_cols)
+    t_fields = {f.name: f.dataType for f in target.schema.fields}
+    c_fields = {
+        f.name: f.dataType for f in changes.schema.fields if f.name not in skip
+    }
+    for name in t_fields.keys() & c_fields.keys():
+        if t_fields[name] != c_fields[name]:
+            raise ValueError(
+                f"column {name!r} changed type {t_fields[name]} → "
+                f"{c_fields[name]}; CDC schema evolution is additive-only"
+            )
+    for name, dtype in c_fields.items():
+        if name not in t_fields:
+            target = target.withColumn(name, F.lit(None).cast(dtype))
+    for name, dtype in t_fields.items():
+        if name not in c_fields:
+            changes = changes.withColumn(name, F.lit(None).cast(dtype))
+    return target, changes
+
+
 def apply_changes(
     target: DataFrame,
     changes: DataFrame,

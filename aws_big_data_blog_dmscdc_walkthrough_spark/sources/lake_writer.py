@@ -84,9 +84,17 @@ def merge_incremental(
         writer.parquet(out_path)
         return
 
-    target = spark.read.parquet(out_path)
+    # mergeSchema: after additive evolution, partitions written before the
+    # evolution lack the new columns; merged-footer read reconciles them.
+    # (A catalog — Delta/Iceberg/metastore — replaces this at real scale;
+    # the parquet-only lake mirrors the reference's Athena-crawler model.)
+    target = spark.read.option("mergeSchema", "true").parquet(out_path)
     data_cols = [c for c in target.columns if c not in (op_col, seq_col)]
     target = target.select(*data_cols)
+    # additive schema evolution: a batch may carry columns the lake table
+    # doesn't have yet (source ALTER TABLE); widen both sides with typed
+    # NULLs. Type changes raise (see cdc.align_schemas).
+    target, changes = cdc.align_schemas(target, changes, extra_cols=(op_col, seq_col))
 
     if partition_keys:
         # prune the target scan to partitions the batch touches: the

@@ -1,0 +1,158 @@
+"""Salted joins, CDC schema evolution, watermarked streaming windows."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from aws_big_data_blog_dmscdc_walkthrough_spark.operators import cdc, skew
+from aws_big_data_blog_dmscdc_walkthrough_spark.sources import lake_writer
+from aws_big_data_blog_dmscdc_walkthrough_spark.streaming import windows as sw
+
+
+# ------------------------------------------------------------------ skew
+
+
+def test_salted_join_matches_plain_join(spark):
+    # one pathologically hot key (90% of rows) + a long tail
+    big = spark.range(0, 1000).select(
+        F.when(F.col("id") < 900, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.createDataFrame([(7, "hot"), (950, "cold")], ["k", "label"])
+    plain = big.join(small, ["k"]).groupBy("k", "label").count()
+    salted = skew.salted_join(big, small, ["k"], buckets=8).groupBy("k", "label").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    big = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    small = spark.createDataFrame([(1, "x")], ["k", "w"])
+    out = skew.salted_join(big, small, ["k"], buckets=4, how="left")
+    rows = {r.k: r.w for r in out.collect()}
+    assert rows == {1: "x", 2: None}
+
+
+# ------------------------------------------------- schema evolution
+
+
+def test_align_schemas_adds_typed_nulls(spark):
+    target = spark.createDataFrame([(1, "a")], ["id", "name"])
+    changes = spark.createDataFrame([(1, "a2", 9.5, "U", 1)], ["id", "name", "score", "op", "_seq"])
+    t2, c2 = cdc.align_schemas(target, changes, extra_cols=("op", "_seq"))
+    assert "score" in t2.columns and t2.schema["score"].dataType == DoubleType()
+    assert set(c2.columns) == {"id", "name", "score", "op", "_seq"}
+
+
+def test_align_schemas_rejects_type_change(spark):
+    target = spark.createDataFrame([(1, "a")], ["id", "name"])
+    changes = spark.createDataFrame([(1, 2, "U", 1)], ["id", "name", "op", "_seq"])
+    with pytest.raises(ValueError, match="additive-only"):
+        cdc.align_schemas(target, changes, extra_cols=("op", "_seq"))
+
+
+def test_merge_with_new_column_end_to_end(spark, tmp_path):
+    out = str(tmp_path / "lake")
+    spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"]).write.parquet(out)
+    changes = spark.createDataFrame(
+        [(1, "a2", 99.0, "U", 2), (3, "c", 42.0, "I", 1)],
+        ["id", "name", "score", "op", "_seq"],
+    )
+    lake_writer.merge_incremental(spark, changes, out, ["id"], seq_col="_seq")
+    rows = {r.id: (r.name, r.score) for r in spark.read.option("mergeSchema", "true").parquet(out).collect()}
+    assert rows == {1: ("a2", 99.0), 2: ("b", None), 3: ("c", 42.0)}
+
+
+# ------------------------------------------- streaming windowed aggs
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("ts", TimestampType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("event_id", LongType()),
+    ]
+)
+
+
+def _t(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def _write_events(spark, rows, src_dir, name):
+    import glob
+    import os
+    import shutil
+
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    tmp = f"{src_dir}/_tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(f"{tmp}/part-*.parquet")[0]
+    os.makedirs(src_dir, exist_ok=True)
+    os.rename(part, f"{src_dir}/{name}.parquet")
+    shutil.rmtree(tmp)
+
+
+def test_streaming_tumbling_watermark(spark, tmp_path):
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ck")
+    _write_events(
+        spark,
+        [
+            (_t(1, 10), "click", 1.0, 1),
+            (_t(1, 40), "click", 2.0, 2),
+            (_t(2, 5), "view", 3.0, 3),
+            (_t(9, 0), "click", 4.0, 4),  # advances watermark far past hours 1-2
+        ],
+        src,
+        "20240101-a",
+    )
+    stream = sw.stream_events(spark, src, EVENT_SCHEMA)
+    agg = sw.tumbling_counts(stream, "1 hour", "2 hours")
+    q = sw.run_to_sink(agg, ckpt, "tumbling_sink")
+    q.awaitTermination(120)
+    got = {
+        (r.w_start.hour, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("select * from tumbling_sink").collect()
+    }
+    # hours 1 and 2 are closed by the watermark (9:00 - 2h = 7:00); the
+    # 9:00 window stays open and must NOT be emitted in append mode
+    assert got == {(1, "click"): (2, 3.0), (2, "view"): (1, 3.0)}
+
+
+def test_streaming_sliding_late_row_dropped(spark, tmp_path):
+    import time
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ck")
+    # The watermark that FILTERS batch N is the one committed after batch
+    # N-2 (one-batch lag, observed + documented "at least delay" contract):
+    # file a advances it, file b rides the lag, file c is truly dropped.
+    _write_events(spark, [(_t(1, 10), "click", 1.0, 1), (_t(9, 0), "x", 0.0, 2)], src, "a")
+    time.sleep(1.1)  # file-source batches order by mod time
+    _write_events(spark, [(_t(1, 20), "click", 1.0, 3)], src, "b")
+    time.sleep(1.1)
+    _write_events(spark, [(_t(1, 25), "click", 1.0, 4)], src, "c")  # dropped
+    stream = sw.stream_events(spark, src, EVENT_SCHEMA, max_files_per_trigger=1)
+    agg = sw.sliding_counts(stream, "1 hour", "30 minutes", "2 hours")
+    q = sw.run_to_sink(agg, ckpt, "sliding_sink")
+    q.awaitTermination(120)
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    rows = {
+        (r.w_start.hour, r.w_start.minute, r.event_type): r.n_events
+        for r in spark.sql("select * from sliding_sink").collect()
+    }
+    # hopping: each click lands in two windows; the 1:25 row (6 h behind
+    # the 7:00 watermark) was dropped from both of its windows
+    assert dropped == 2
+    assert rows.get((0, 30, "click")) == 2 and rows.get((1, 0, "click")) == 2
