@@ -1,0 +1,74 @@
+"""Physical-plan regression guards.
+
+Correctness tests prove WHAT the operators compute; these pin HOW —
+the plan shapes that make them scale (broadcasts where a dim is small,
+filters reaching the parquet scan, no accidental sort-merge joins or
+cartesian products). A refactor that flips one of these silently turns
+a map-side plan into a 100 TB shuffle; failing here is the alarm.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_big_data_blog_dmscdc_walkthrough_spark.operators import cdc
+from aws_big_data_blog_dmscdc_walkthrough_spark.plans import analytics
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q5_star_join_all_broadcast(spark):
+    plan = plan_of(analytics.q5_local_supplier_volume(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 4  # every dim side broadcast
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q1_filter_reaches_scan(spark):
+    plan = plan_of(analytics.q1_pricing_summary(spark, SF_SMOKE))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_filter_scan_prunes_columns(spark):
+    plan = plan_of(analytics.q_events_filter_scan(spark, SF_SMOKE))
+    assert "PushedFilters" in plan and "EqualTo(event_type,purchase)" in plan
+    # projection pruned: props (the widest column) must not be read
+    assert "props" not in plan
+
+
+def test_merge_prunes_with_broadcast_no_target_shuffle(spark):
+    target = spark.range(0, 10000).select(
+        F.col("id").alias("pk"), (F.col("id") * 2).alias("v")
+    )
+    changes = spark.createDataFrame(
+        [(1, 99, "U", 1), (2, None, "D", 2)], ["pk", "v", "op", "_seq"]
+    )
+    plan = plan_of(cdc.apply_changes(target, changes, ["pk"], "_seq"))
+    # impacted/untouched split must be broadcast semi/anti joins — the
+    # target side must never hash-exchange for the join
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ann_topk_is_broadcast_then_limit(spark):
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import llm_queries
+
+    plan = plan_of(llm_queries.ann_cosine_topk(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+
+
+def test_rollup_is_single_aggregation_exchange(spark):
+    plan = plan_of(analytics.q_orders_rollup(spark, SF_SMOKE))
+    assert "Expand" in plan  # grouping sets expand map-side
+    # one partial + one final agg; no extra shuffles beyond the group-by
+    assert plan.count("Exchange") <= 2
