@@ -213,3 +213,34 @@ SELECT doc_id,
   ) AS fingerprint
 FROM documents
 """
+
+
+# ---------------------------------------------------------- word top-k
+
+def text_word_topk(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame:
+    """Corpus word-frequency top-k (vocabulary head analysis).
+
+    explode → count: partial aggregation combines map-side, so the
+    shuffle carries one row per (partition, word) — vocabulary-bounded,
+    not corpus-bounded. Deterministic tie-break on the word itself.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(k)
+    )
+
+
+TEXT_WORD_TOPK_SQL = r"""
+SELECT word, COUNT(*) AS n
+FROM (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+  FROM documents
+)
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 25
+"""

@@ -374,6 +374,36 @@ WHERE o_totalprice >= 1.5 * cust_avg
 """
 
 
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured: parse the JSON ``props`` column, aggregate a field.
+
+    ``from_json`` with an explicit schema stays JVM-side (Jackson inside
+    codegen); at scale prefer this over ``get_json_object`` per-field
+    calls — one parse serves all extracted fields.
+    """
+    events = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        events.select(k.alias("_k"), "value")
+        .groupBy((F.col("_k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_k").alias("sum_k"),
+            _dsum(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
+Q_EVENTS_JSON_EXTRACT_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+  COUNT(*) AS n_events,
+  SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+  CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+
 def q_events_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selective scan: predicate + projection both push to the parquet scan."""
     events = load_table(spark, sf_dir, "events")

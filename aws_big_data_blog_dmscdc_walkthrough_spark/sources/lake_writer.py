@@ -119,6 +119,44 @@ def merge_incremental(
         _swap_rewrite(spark, merged, out_path)
 
 
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_keys: Sequence[str] = (),
+) -> int:
+    """Bin-pack a table's small files toward ``target_file_bytes``.
+
+    Continuous CDC merges accrete small files (every micro-batch appends
+    or swaps a few); scan cost then degrades to file-open overhead. The
+    reference never compacts (its ``coalesce(1)`` per merge IS its
+    compaction, at the cost of single-writer merges). Here compaction is
+    an explicit maintenance pass, like Delta/Iceberg OPTIMIZE:
+
+      * total bytes come from the filesystem listing (no data job);
+      * the rewrite repartitions to ceil(bytes / target) output files —
+        per PARTITION when partitioned (dynamic overwrite swaps each);
+      * unpartitioned tables swap through staging, same as merges.
+
+    Returns the number of output files requested.
+    """
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    summary = fs.getContentSummary(p)
+    n_files = max(1, int(-(-summary.getLength() // target_file_bytes)))
+
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if partition_keys:
+        # cluster rows of one partition into few tasks; dynamic overwrite
+        # then swaps every partition directory with its compacted files
+        out = df.repartition(n_files, *[F.col(k) for k in partition_keys])
+        out.write.mode("overwrite").partitionBy(*partition_keys).parquet(path)
+    else:
+        _swap_rewrite(spark, df.repartition(n_files), path)
+    return n_files
+
+
 def _swap_rewrite(spark: SparkSession, df: DataFrame, out_path: str) -> None:
     """Full rewrite through staging + rename (unpartitioned tables)."""
     jvm = spark._jvm

@@ -162,3 +162,42 @@ def test_multiple_incremental_files_ordered(spark, env):
     controller.run_once(spark, env["landing"], env["lake"], store)
     rows = {r.id: r for r in spark.read.parquet(f"{env['lake']}/sampledb/product").collect()}
     assert rows[1001].name == "widget-final"
+
+
+def test_compact_table_partitioned(spark, tmp_path):
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import lake_writer
+
+    out = str(tmp_path / "frag")
+    import pyspark.sql.functions as F
+    base = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 4).alias("pk_part")
+    )
+    # fragment: 20 appends of 100 rows → ~80 small files across 4 partitions
+    for i in range(20):
+        base.where((F.col("id") >= i * 100) & (F.col("id") < (i + 1) * 100)) \
+            .write.mode("append").partitionBy("pk_part").parquet(out)
+    import glob
+    before = len(glob.glob(f"{out}/pk_part=*/*.parquet"))
+    lake_writer.compact_table(spark, out, target_file_bytes=64 * 1024 * 1024, partition_keys=["pk_part"])
+    after = len(glob.glob(f"{out}/pk_part=*/*.parquet"))
+    assert after < before
+    got = spark.read.parquet(out)
+    assert got.count() == 2000
+    assert got.select(F.sum("id")).collect()[0][0] == sum(range(2000))
+
+
+def test_compact_table_unpartitioned(spark, tmp_path):
+    import glob
+
+    import pyspark.sql.functions as F
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import lake_writer
+
+    out = str(tmp_path / "frag2")
+    for i in range(10):
+        spark.range(i * 10, (i + 1) * 10).write.mode("append").parquet(out)
+    before = len(glob.glob(f"{out}/*.parquet"))
+    lake_writer.compact_table(spark, out, target_file_bytes=64 * 1024 * 1024)
+    after = len(glob.glob(f"{out}/*.parquet"))
+    assert after < before
+    assert spark.read.parquet(out).count() == 100

@@ -156,3 +156,52 @@ def test_streaming_sliding_late_row_dropped(spark, tmp_path):
     # the 7:00 watermark) was dropped from both of its windows
     assert dropped == 2
     assert rows.get((0, 30, "click")) == 2 and rows.get((1, 0, "click")) == 2
+
+
+# ------------------------------------- stateful streaming sessionization
+
+
+def test_streaming_sessionize_gap_and_timeout(spark, tmp_path):
+    import time
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.streaming import sessions as ss
+
+    src, ckpt = str(tmp_path / "ssrc"), str(tmp_path / "sck")
+    # user 1: two events 10 min apart (one session), then a 2 h gap, then
+    # one more (second session). user 2: a single event.
+    _write_events(
+        spark,
+        [
+            (_t(1, 0), "u", 1.0, 1),
+            (_t(1, 10), "u", 2.0, 1),
+            (_t(3, 30), "u", 4.0, 1),
+            (_t(1, 5), "u", 8.0, 2),
+        ],
+        src,
+        "a",
+    )
+    time.sleep(1.1)
+    # watermark pusher: advances event time far enough that every open
+    # session's timeout fires (batch N filter lag: give it two batches)
+    _write_events(spark, [(_t(20, 0), "u", 0.0, 99)], src, "b")
+    time.sleep(1.1)
+    _write_events(spark, [(_t(21, 0), "u", 0.0, 99)], src, "c")
+
+    stream = sw.stream_events(spark, src, EVENT_SCHEMA, max_files_per_trigger=1)
+    ev = stream.select(
+        F.col("ts"), F.col("event_id").alias("user_id"), F.col("value")
+    )
+    agg = ss.sessionize_stream(ev)
+    q = sw.run_to_sink(agg, ckpt, "sessions_sink", output_mode="append")
+    q.awaitTermination(180)
+    rows = sorted(
+        (r.user_id, r.session_start.hour, r.session_start.minute, r.n_events, r.sum_value)
+        for r in spark.sql("select * from sessions_sink where user_id in (1, 2)").collect()
+    )
+    # user 1 session A: 1:00-1:10, 2 events, sum 3; session B: 3:30, 1 event
+    # user 2: single-event session at 1:05
+    assert rows == [
+        (1, 1, 0, 2, 3.0),
+        (1, 3, 30, 1, 4.0),
+        (2, 1, 5, 1, 8.0),
+    ]
