@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": llm_queries.dedup_embedding_cosine,
         "ann_cosine_topk": llm_queries.ann_cosine_topk,
         "ann_lsh_topk": llm_queries.ann_lsh_topk,
+        "ann_ivf_topk": llm_queries.ann_ivf_topk,
     }
 
 

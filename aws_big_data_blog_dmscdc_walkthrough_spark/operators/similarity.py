@@ -16,8 +16,11 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
 
 from ..functions.vectors import (  # noqa: F401  (re-exported; plans import from here)
     LSH_BITS,
@@ -72,6 +75,104 @@ def cosine_topk(
     cos = cosine(F.col("_v"), F.col("_q"))
     return (
         corpus.crossJoin(F.broadcast(query))
+        .select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_fit_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int = 16,
+    sample_rows: int = 2048,
+    iters: int = 5,
+    seed: int = 42,
+):
+    """Fit IVF coarse-quantizer centroids: k-means on a driver sample.
+
+    Model FITTING is the one legitimately driver-sided step (MLlib does
+    the same reduce): a bounded sample (``sample_rows`` vectors, a few
+    MB) comes to the driver, numpy Lloyd iterations run there, and the
+    resulting (n_centroids × dim) matrix broadcasts back out. Assignment
+    and search — the O(corpus) parts — stay distributed.
+
+    Deterministic: seeded numpy init, fixed iteration count.
+    """
+    sample = np.asarray(
+        df.select(as_double(F.col(vec_col)).alias("v"))
+        .limit(sample_rows)
+        .toPandas()["v"]
+        .tolist()
+    )
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        # cosine k-means: assign by max normalized dot, update by mean
+        norms = np.linalg.norm(sample, axis=1, keepdims=True) * np.linalg.norm(
+            centroids, axis=1
+        )
+        assign = np.argmax((sample @ centroids.T) / np.where(norms == 0, 1, norms), axis=1)
+        for c in range(n_centroids):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_assign(centroids):
+    """pandas_udf: vector → nearest-centroid id (numpy argmax of cosine)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    cnorm = np.linalg.norm(cents, axis=1)
+
+    @F.pandas_udf(IntegerType())
+    def udf(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            a = np.asarray(v, dtype=np.float64)
+            denom = np.linalg.norm(a) * cnorm
+            out.append(int(np.argmax((cents @ a) / np.where(denom == 0, 1, denom))))
+        return pd.Series(out)
+
+    return udf
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    centroids=None,
+) -> DataFrame:
+    """IVF ANN: probe the ``nprobe`` nearest centroid buckets, exact
+    cosine inside them.
+
+    At scale the assignment runs ONCE at ingest (store ``_ivf`` as a
+    table column, partition by it) and each query scans nprobe/n_centroids
+    of the corpus — here assignment is computed inline for self-contained
+    plans. Recall improves with nprobe (= brute force at n_centroids).
+    """
+    from .dedup import spread
+
+    if centroids is None:
+        centroids = ivf_fit_centroids(df, vec_col, n_centroids)
+    assign = ivf_assign(centroids)
+    corpus = spread(df).select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("_v"), assign(F.col(vec_col)).alias("_ivf")
+    )
+    qvec = np.asarray(
+        query_df.select(as_double(F.col(vec_col)).alias("q")).limit(1).toPandas()["q"][0]
+    )
+    denom = np.linalg.norm(centroids, axis=1) * np.linalg.norm(qvec)
+    probes = np.argsort(-(centroids @ qvec) / np.where(denom == 0, 1, denom))[:nprobe]
+    query = query_df.select(as_double(F.col(vec_col)).alias("_q"))
+    cos = cosine(F.col("_v"), F.col("_q"))
+    return (
+        corpus.where(F.col("_ivf").isin([int(p) for p in probes]))
+        .crossJoin(F.broadcast(query))
         .select(F.col(id_col), cos.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)

@@ -253,6 +253,17 @@ SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT {ANN_K}
 """
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the embeddings table (rows-only: the k-means fit has
+    no closed-form SQL twin; recall vs brute force is pinned in
+    tests/test_similarity.py)."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        embs, "vec_id", "embedding", _query_vec(spark, sf_dir), ANN_K,
+        n_centroids=8, nprobe=4,
+    )
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(

@@ -2,6 +2,8 @@
 
 import math
 
+from pyspark.sql import functions as F
+
 from aws_big_data_blog_dmscdc_walkthrough_spark.operators import similarity
 
 VECS = [
@@ -43,3 +45,44 @@ def test_lsh_topk_same_bucket(spark):
     ids = [r.vec_id for r in out]
     assert 0 in ids and 1 in ids
     assert 4 not in ids  # sign bit differs → other bucket
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    from aws_big_data_blog_dmscdc_walkthrough_spark.session import load_table
+    from tests.conftest import SF_SMOKE
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    q = embs.where(F.col("vec_id") == 0).select("embedding")
+    exact = [
+        r.vec_id
+        for r in similarity.cosine_topk(embs, "vec_id", "embedding", q, 10).collect()
+    ]
+    approx = [
+        r.vec_id
+        for r in similarity.ivf_topk(
+            embs, "vec_id", "embedding", q, 10, n_centroids=8, nprobe=4
+        ).collect()
+    ]
+    # probing half the centroids must recover most of the true top-10,
+    # and always the query itself (its own bucket is the nearest probe)
+    assert approx[0] == 0
+    assert len(set(exact) & set(approx)) >= 6
+
+
+def test_ivf_nprobe_full_equals_bruteforce(spark):
+    from aws_big_data_blog_dmscdc_walkthrough_spark.session import load_table
+    from tests.conftest import SF_SMOKE
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    q = embs.where(F.col("vec_id") == 0).select("embedding")
+    exact = [
+        r.vec_id
+        for r in similarity.cosine_topk(embs, "vec_id", "embedding", q, 5).collect()
+    ]
+    full = [
+        r.vec_id
+        for r in similarity.ivf_topk(
+            embs, "vec_id", "embedding", q, 5, n_centroids=8, nprobe=8
+        ).collect()
+    ]
+    assert full == exact  # nprobe = n_centroids degenerates to brute force
