@@ -46,16 +46,21 @@ def cosine_pairs(
     """
     from .dedup import spread
 
+    # norms precompute map-side: each pair then traverses the arrays
+    # ONCE (the dot) instead of three times — same arithmetic, same
+    # result, 3x fewer interpreted higher-order evals at 200k+ pairs
     base = spread(df).select(
         F.col(id_col), *[F.col(c) for c in block_cols], as_double(F.col(vec_col)).alias("_v")
-    )
+    ).withColumn("_n", norm(F.col("_v")))
     a = base.select(
-        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), *[F.col(c) for c in block_cols]
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"),
+        *[F.col(c) for c in block_cols]
     )
     b = base.select(
-        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), *[F.col(c) for c in block_cols]
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
+        *[F.col(c) for c in block_cols]
     )
-    cos = cosine(F.col("_va"), F.col("_vb"))
+    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     return (
         a.join(b, list(block_cols))
         .where(F.col("id_a") < F.col("id_b"))
@@ -70,9 +75,13 @@ def cosine_topk(
     """Brute-force cosine top-k against a single broadcast query vector."""
     from .dedup import spread
 
-    corpus = spread(df).select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
-    query = query_df.select(as_double(F.col(vec_col)).alias("_q"))
-    cos = cosine(F.col("_v"), F.col("_q"))
+    corpus = spread(df).select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_n", norm(F.col("_v")))
+    query = query_df.select(as_double(F.col(vec_col)).alias("_q")).withColumn(
+        "_qn", norm(F.col("_q"))
+    )
+    cos = dot(F.col("_v"), F.col("_q")) / (F.col("_n") * F.col("_qn"))
     return (
         corpus.crossJoin(F.broadcast(query))
         .select(F.col(id_col), cos.alias("cosine"))
@@ -162,14 +171,16 @@ def ivf_topk(
     assign = ivf_assign(centroids)
     corpus = spread(df).select(
         F.col(id_col), as_double(F.col(vec_col)).alias("_v"), assign(F.col(vec_col)).alias("_ivf")
-    )
+    ).withColumn("_n", norm(F.col("_v")))
     qvec = np.asarray(
         query_df.select(as_double(F.col(vec_col)).alias("q")).limit(1).toPandas()["q"][0]
     )
     denom = np.linalg.norm(centroids, axis=1) * np.linalg.norm(qvec)
     probes = np.argsort(-(centroids @ qvec) / np.where(denom == 0, 1, denom))[:nprobe]
-    query = query_df.select(as_double(F.col(vec_col)).alias("_q"))
-    cos = cosine(F.col("_v"), F.col("_q"))
+    query = query_df.select(as_double(F.col(vec_col)).alias("_q")).withColumn(
+        "_qn", norm(F.col("_q"))
+    )
+    cos = dot(F.col("_v"), F.col("_q")) / (F.col("_n") * F.col("_qn"))
     return (
         corpus.where(F.col("_ivf").isin([int(p) for p in probes]))
         .crossJoin(F.broadcast(query))
@@ -190,11 +201,11 @@ def lsh_topk(
     """ANN top-k: scan only the query's LSH bucket, then exact cosine."""
     corpus = df.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("_v"), sign_bucket(F.col(vec_col), bits).alias("_bkt")
-    )
+    ).withColumn("_n", norm(F.col("_v")))
     query = query_df.select(
         as_double(F.col(vec_col)).alias("_q"), sign_bucket(F.col(vec_col), bits).alias("_qbkt")
-    )
-    cos = cosine(F.col("_v"), F.col("_q"))
+    ).withColumn("_qn", norm(F.col("_q")))
+    cos = dot(F.col("_v"), F.col("_q")) / (F.col("_n") * F.col("_qn"))
     return (
         corpus.join(F.broadcast(query), F.col("_bkt") == F.col("_qbkt"))
         .select(F.col(id_col), cos.alias("cosine"))
