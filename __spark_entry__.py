@@ -46,6 +46,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_customers_no_orders": analytics.q_customers_no_orders,
         "q_orders_above_avg": analytics.q_orders_above_avg,
         "q_events_json_extract": analytics.q_events_json_extract,
+        "q_events_daily_users": analytics.q_events_daily_users,
+        "q_orders_median_price": analytics.q_orders_median_price,
         "text_word_topk": text.text_word_topk,
         # Text analysis (SURVEY §2 #26-29)
         "text_tokens": text.text_tokens,
@@ -84,6 +86,8 @@ def oracle_sql() -> dict[str, str]:
         "q_customers_no_orders": analytics.Q_CUSTOMERS_NO_ORDERS_SQL,
         "q_orders_above_avg": analytics.Q_ORDERS_ABOVE_AVG_SQL,
         "q_events_json_extract": analytics.Q_EVENTS_JSON_EXTRACT_SQL,
+        "q_events_daily_users": analytics.Q_EVENTS_DAILY_USERS_SQL,
+        "q_orders_median_price": analytics.Q_ORDERS_MEDIAN_PRICE_SQL,
         "text_word_topk": text.TEXT_WORD_TOPK_SQL,
         "text_tokens": text.TEXT_TOKENS_SQL,
         "text_quality": text.TEXT_QUALITY_SQL,

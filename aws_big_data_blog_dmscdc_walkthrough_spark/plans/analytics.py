@@ -404,6 +404,56 @@ GROUP BY 1
 """
 
 
+def q_events_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count aggregation: daily active users + events per type.
+
+    count(distinct) plans as a two-phase aggregate (partial distinct
+    map-side, exact merge) — one extra shuffle versus a plain count, the
+    canonical exact-cardinality shape. (Approximate HLL variants exist
+    in both engines but aren't bit-comparable across them.)
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+Q_EVENTS_DAILY_USERS_SQL = """
+SELECT date_trunc('day', ts) AS day, event_type,
+  COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_orders_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median order price per status (sort-based percentile).
+
+    Exact percentiles need the group's values together — the expensive
+    exact form kept for when correctness demands it; approx_percentile
+    is the scale path when a bounded error is acceptable.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.median("o_totalprice").alias("median_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+Q_ORDERS_MEDIAN_PRICE_SQL = """
+SELECT o_orderstatus, median(o_totalprice) AS median_price,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 def q_events_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selective scan: predicate + projection both push to the parquet scan."""
     events = load_table(spark, sf_dir, "events")
