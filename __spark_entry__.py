@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": llm_queries.ann_cosine_topk,
         "ann_lsh_topk": llm_queries.ann_lsh_topk,
         "ann_ivf_topk": llm_queries.ann_ivf_topk,
+        "pipeline_curate_corpus": llm_queries.pipeline_curate_corpus,
     }
 
 
@@ -100,4 +101,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": llm_queries.DEDUP_EMBEDDING_COSINE_SQL,
         "ann_cosine_topk": llm_queries.ANN_COSINE_TOPK_SQL,
         "ann_lsh_topk": llm_queries.ANN_LSH_TOPK_SQL,
+        "pipeline_curate_corpus": llm_queries.PIPELINE_CURATE_CORPUS_SQL,
     }

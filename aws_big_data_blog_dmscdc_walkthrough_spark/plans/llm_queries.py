@@ -45,10 +45,10 @@ def _sql_poly(expr: str, mul: int = POLY_MUL1, mod: int = POLY_MOD1) -> str:
     )
 
 
-def _shingles_cte() -> str:
+def _shingles_cte(src: str = "documents") -> str:
     mul, mod = dedup.SHINGLE_COMBINE, POLY_MOD1
     return rf"""
-tok AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w FROM documents),
+tok AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w FROM {src}),
 th AS (SELECT doc_id, source, [{_sql_poly('t')} for t in w] AS hw FROM tok),
 sh AS (
   SELECT doc_id, source,
@@ -292,4 +292,90 @@ scored AS (
   WHERE ({_SIG_SQL}) = ({_QSIG_SQL})
 )
 SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT {ANN_LSH_K}
+"""
+
+
+# ------------------------------------------------- composite curation
+
+CURATE_QUALITY_THRESHOLD = 0.45
+
+
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: quality gate → exact dedup → near-dup
+    drop — the composed form of operators 19/20/27, the shape a real
+    training-data pipeline runs nightly.
+
+    Stages stay lazy: Catalyst fuses the quality filter into the scan
+    feeding BOTH dedup stages; the near-dup pair join only ever sees
+    quality-passing, exact-canonical survivors (smallest possible join).
+    Output: the surviving corpus with its quality score.
+    """
+    from ..operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text_ops.text_quality(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    quality = docs.join(scored, "doc_id").where(
+        F.col("quality_score") >= CURATE_QUALITY_THRESHOLD
+    )
+    exact = dedup.exact_dedup(quality, "doc_id", "text")
+    canonical = quality.join(
+        exact.where(F.col("doc_id") == F.col("canonical_id")).select("doc_id"),
+        "doc_id",
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        canonical, "doc_id", "text", ["source"], NGRAM_JACCARD_THRESHOLD
+    )
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return (
+        canonical.join(drop, "doc_id", "left_anti")
+        .select("doc_id", "source", "quality_score")
+    )
+
+
+_Q_SCORE_SQL = """
+(CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.4
+  + (CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE)) * 0.3
+  + (CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE)) * 0.2
+  + (CAST(n_space AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.1
+"""
+
+_CURATE_STOPS = ", ".join(
+    f"'{w}'" for w in ["the", "a", "and", "of", "to", "in", "is", "it", "you", "that", "for", "on", "with", "as"]
+)
+
+PIPELINE_CURATE_CORPUS_SQL = rf"""
+WITH q AS (
+  SELECT doc_id, source, text, {_Q_SCORE_SQL} AS quality_score
+  FROM (
+    SELECT doc_id, source, text,
+      length(text) AS n_chars,
+      length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS n_alpha,
+      length(text) - length(regexp_replace(text, ' ', '', 'g')) AS n_space,
+      len(string_split_regex(trim(text), '\s+')) AS n_tok,
+      len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ({_CURATE_STOPS}))) AS n_stop,
+      len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_distinct
+    FROM documents
+  )
+  WHERE {_Q_SCORE_SQL} >= {CURATE_QUALITY_THRESHOLD}
+),
+canon AS (
+  SELECT doc_id, source, text, quality_score FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS canonical_id
+    FROM q
+  ) WHERE doc_id = canonical_id
+),
+{_shingles_cte('canon')},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_JACCARD_SQL} AS jaccard
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+),
+drops AS (
+  SELECT DISTINCT id_b AS doc_id FROM pairs WHERE jaccard >= {NGRAM_JACCARD_THRESHOLD}
+)
+SELECT doc_id, source, quality_score
+FROM canon
+WHERE doc_id NOT IN (SELECT doc_id FROM drops)
 """
