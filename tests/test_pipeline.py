@@ -201,3 +201,51 @@ def test_compact_table_unpartitioned(spark, tmp_path):
     after = len(glob.glob(f"{out}/*.parquet"))
     assert after < before
     assert spark.read.parquet(out).count() == 100
+
+
+def test_cli_main_end_to_end(spark, tmp_path):
+    """python -m aws_big_data_blog_dmscdc_walkthrough_spark over a tiny landing zone."""
+    import contextlib
+    import io
+    import json
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.__main__ import main
+    from aws_big_data_blog_dmscdc_walkthrough_spark.state.store import JsonStateStore
+
+    landing = tmp_path / "landing" / "db" / "t1"
+    landing.mkdir(parents=True)
+    spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "ld"))
+    import glob
+    import shutil
+
+    shutil.copy(
+        glob.glob(str(tmp_path / "ld" / "part-*.parquet"))[0],
+        str(landing / "LOAD00000001.parquet"),
+    )
+    state_file = str(tmp_path / "state.json")
+
+    # pass 1: table registers inactive, nothing loads
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--landing", str(tmp_path / "landing"), "--lake", str(tmp_path / "lake"), "--state", state_file])
+    assert rc == 0
+    rep = json.loads(buf.getvalue())
+    assert rep["tables"][0]["skipped"] is True
+
+    # operator activates the table (the reference's DynamoDB edit)
+    store = JsonStateStore(state_file)
+    st = store.all()[0]
+    st.active = True
+    store.put(st)
+
+    # pass 2: initial load runs
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--landing", str(tmp_path / "landing"), "--lake", str(tmp_path / "lake"), "--state", state_file])
+    assert rc == 0
+    rep = json.loads(buf.getvalue())
+    assert rep["tables"][0]["initial"] is True
+    got = spark.read.parquet(str(tmp_path / "lake" / "db" / "t1"))
+    assert got.count() == 2
