@@ -87,6 +87,25 @@ FROM documents
 
 # ---------------------------------------------------------------- quality
 
+def quality_score_col(text_col="text"):
+    """The quality blend as a single column expression (map-side, no
+    join): usable both standalone (text_quality) and inline in composed
+    pipelines (llm_queries.pipeline_curate_corpus)."""
+    toks = _tokens(F.col(text_col) if isinstance(text_col, str) else text_col)
+    n_chars = F.length(text_col)
+    n_alpha = n_chars - F.length(F.regexp_replace(text_col, "[a-z]", ""))
+    n_space = n_chars - F.length(F.regexp_replace(text_col, " ", ""))
+    n_tok = F.size(toks)
+    n_stop = _stop_count(toks, STOPWORDS["en"])
+    n_distinct = F.size(F.array_distinct(toks))
+    return (
+        (n_alpha.cast("double") / n_chars.cast("double")) * 0.4
+        + (n_stop.cast("double") / n_tok.cast("double")) * 0.3
+        + (n_distinct.cast("double") / n_tok.cast("double")) * 0.2
+        + (n_space.cast("double") / n_chars.cast("double")) * 0.1
+    )
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length / punctuation / stopword / repetition quality signals.
 

@@ -313,12 +313,10 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text as text_ops
 
     docs = load_table(spark, sf_dir, "documents")
-    scored = text_ops.text_quality(spark, sf_dir).select(
-        "doc_id", "quality_score"
-    )
-    quality = docs.join(scored, "doc_id").where(
-        F.col("quality_score") >= CURATE_QUALITY_THRESHOLD
-    )
+    # score inline (map-side column, no join): one scan feeds the gate
+    quality = docs.withColumn(
+        "quality_score", text_ops.quality_score_col("text")
+    ).where(F.col("quality_score") >= CURATE_QUALITY_THRESHOLD)
     exact = dedup.exact_dedup(quality, "doc_id", "text")
     canonical = quality.join(
         exact.where(F.col("doc_id") == F.col("canonical_id")).select("doc_id"),
