@@ -45,10 +45,19 @@ def main() -> None:
 
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
+    # best-of-2: this host runs other workloads (observed load spikes to
+    # 15+); the min of two full executions reports the engine's cost, not
+    # a neighbor's. The cache clear keeps both runs equivalent — several
+    # operators persist intermediates, and a warm second run would
+    # otherwise measure a cached re-read instead of the real plan.
     for name, fn in queries.items():
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
