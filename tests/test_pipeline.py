@@ -249,3 +249,29 @@ def test_cli_main_end_to_end(spark, tmp_path):
     assert rep["tables"][0]["initial"] is True
     got = spark.read.parquet(str(tmp_path / "lake" / "db" / "t1"))
     assert got.count() == 2
+
+
+def test_controller_isolates_per_table_failure(spark, env):
+    """One table's corrupt file must not block other tables (the
+    reference's per-job isolation, DMSCDC_Controller.py:91-94)."""
+    _write_initial(spark, env)
+    # second table with a corrupt LOAD file
+    bad_dir = f"{env['landing']}/sampledb/broken"
+    os.makedirs(bad_dir, exist_ok=True)
+    with open(f"{bad_dir}/LOAD00000001.parquet", "wb") as fh:
+        fh.write(b"this is not parquet")
+
+    store = JsonStateStore(env["state"])
+    controller.run_once(spark, env["landing"], env["lake"], store)  # register
+    for st in store.all():
+        st.active = True
+        st.primary_key = "id"
+        store.put(st)
+
+    report = controller.run_once(spark, env["landing"], env["lake"], store)
+    by_path = {t.path: t for t in report.tables if t.path != "?"}
+    errors = [t for t in report.tables if t.error]
+    ok = [t for t in report.tables if not t.error and t.did_initial]
+    assert len(errors) == 1  # broken table reported, not raised
+    assert len(ok) == 1      # healthy table loaded regardless
+    assert spark.read.parquet(f"{env['lake']}/sampledb/product").count() == 3
