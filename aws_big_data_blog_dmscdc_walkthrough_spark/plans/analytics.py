@@ -454,6 +454,43 @@ GROUP BY o_orderstatus
 """
 
 
+def q_events_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each event gets the user's most recent
+    order total as of the event time (operators/temporal.asof_join —
+    union + ordered window, one shuffle; the oracle is DuckDB's native
+    ASOF JOIN, so the window formulation is checked against a reference
+    implementation of the semantics).
+
+    The right side pre-aggregates to one row per (custkey, orderdate):
+    as-of semantics are only well-defined for unique key-time pairs.
+    """
+    from ..operators.temporal import asof_join
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_totalprice").alias("last_order_price"))
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    out = asof_join(
+        events, orders, ["user_id"], "ts", "o_orderdate", ["last_order_price"]
+    )
+    return out.select("event_id", "user_id", "ts", "last_order_price")
+
+
+Q_EVENTS_ASOF_ORDER_SQL = """
+WITH o AS (
+  SELECT o_custkey AS user_id, o_orderdate,
+    MAX(o_totalprice) AS last_order_price
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts, o.last_order_price
+FROM events e
+ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+"""
+
+
 def q_events_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selective scan: predicate + projection both push to the parquet scan."""
     events = load_table(spark, sf_dir, "events")

@@ -1,0 +1,55 @@
+"""as-of join semantics on hand-built fixtures (edge cases the
+table-level oracle can't isolate)."""
+
+from pyspark.sql import functions as F
+
+from aws_big_data_blog_dmscdc_walkthrough_spark.operators.temporal import asof_join
+
+
+def _fixture(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, 5),    # before any right row → NULL
+            (2, 100, 10),   # equal ts → matches the t=10 right row
+            (3, 100, 17),   # between rights → latest preceding (t=10)
+            (4, 100, 25),   # after all → latest (t=20)
+            (5, 200, 50),   # other key, isolated
+            (6, 300, 99),   # key with no right rows at all → NULL
+        ],
+        "event_id long, k long, t long",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, "a"), (100, 20, "b"), (200, 49, "x")],
+        "k long, t long, payload string",
+    )
+    return left, right
+
+
+def test_asof_join_semantics(spark):
+    left, right = _fixture(spark)
+    out = asof_join(left, right, ["k"], "t", "t", ["payload"])
+    got = {r.event_id: r.payload for r in out.collect()}
+    assert got == {1: None, 2: "a", 3: "a", 4: "b", 5: "x", 6: None}
+
+
+def test_asof_join_keeps_all_left_rows_and_columns(spark):
+    left, right = _fixture(spark)
+    out = asof_join(left, right, ["k"], "t", "t", ["payload"])
+    assert out.count() == left.count()
+    assert set(out.columns) == {"event_id", "k", "t", "payload"}
+
+
+def test_asof_join_single_shuffle(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    left, right = _fixture(spark)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        asof_join(left, right, ["k"], "t", "t", ["payload"]).explain("formatted")
+    plan = buf.getvalue()
+    # union + window: one key shuffle (an Exchange node per union branch,
+    # same hashpartitioning) — no range join, no cartesian anything
+    assert plan.count("Exchange") <= 2
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan  # it's a window, not a join at all
