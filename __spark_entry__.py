@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_daily_users": analytics.q_events_daily_users,
         "q_orders_median_price": analytics.q_orders_median_price,
         "q_events_asof_order": analytics.q_events_asof_order,
+        "q_events_range_join": analytics.q_events_range_join,
         "text_word_topk": text.text_word_topk,
         # Text analysis (SURVEY §2 #26-29)
         "text_tokens": text.text_tokens,
@@ -91,6 +92,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_daily_users": analytics.Q_EVENTS_DAILY_USERS_SQL,
         "q_orders_median_price": analytics.Q_ORDERS_MEDIAN_PRICE_SQL,
         "q_events_asof_order": analytics.Q_EVENTS_ASOF_ORDER_SQL,
+        "q_events_range_join": analytics.Q_EVENTS_RANGE_JOIN_SQL,
         "text_word_topk": text.TEXT_WORD_TOPK_SQL,
         "text_tokens": text.TEXT_TOKENS_SQL,
         "text_quality": text.TEXT_QUALITY_SQL,

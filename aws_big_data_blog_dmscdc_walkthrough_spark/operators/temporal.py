@@ -29,6 +29,46 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join without the nested-loop explosion.
+
+    Spark plans ``p >= start AND p < end`` (no equi-key) as a broadcast
+    nested loop — O(points × intervals). Bucketizing turns it into an
+    equi-join: each point maps to ONE bucket (``floor(p / width)``), each
+    interval explodes to every bucket it covers, the join key is the
+    bucket, and the exact containment predicate filters inside the join.
+    Each qualifying pair meets in exactly one bucket — no dedup needed.
+
+    ``bucket_width`` (same units as the columns, e.g. seconds for epoch
+    timestamps) trades replication for selectivity: ~interval span /
+    width copies per interval, points never replicate. Pick it near the
+    typical interval length.
+    """
+    b_pt = F.floor(F.col(point_col) / bucket_width)
+    b_lo = F.floor(F.col(start_col) / bucket_width)
+    # end is exclusive: the end-boundary bucket is only needed when the
+    # interval actually extends into it
+    b_hi = F.floor((F.col(end_col) - 1) / bucket_width)
+
+    p = points.withColumn("_bkt", b_pt)
+    iv = intervals.withColumn(
+        "_bkt", F.explode(F.sequence(b_lo.cast("long"), b_hi.cast("long")))
+    )
+    cond = (
+        (F.col(point_col) >= F.col(start_col))
+        & (F.col(point_col) < F.col(end_col))
+    )
+    return p.join(iv, "_bkt", how).where(cond).drop("_bkt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -491,6 +491,40 @@ ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
 """
 
 
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: events falling inside synthetic 1-day windows
+    (every 1000th order opens one) — operators/temporal.range_join's
+    bucketed equi-join, not the nested-loop plan Spark would pick for a
+    bare inequality join.
+    """
+    from ..operators.temporal import range_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_timestamp("ts").alias("_ep")
+    )
+    # every 997th event opens a 2-hour incident window (keyless
+    # intervals — the case where a bare inequality join would go
+    # nested-loop over the whole corpus)
+    windows = events.where(F.col("event_id") % 997 == 0).select(
+        F.col("event_id").alias("window_id"),
+        F.col("_ep").alias("_start"),
+        (F.col("_ep") + 7200).alias("_end"),
+    )
+    joined = range_join(events, windows, "_ep", "_start", "_end", bucket_width=7200)
+    return joined.groupBy("window_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+Q_EVENTS_RANGE_JOIN_SQL = """
+WITH w AS (
+  SELECT event_id AS window_id, epoch(ts) AS s, epoch(ts) + 7200 AS e
+  FROM events WHERE event_id % 997 = 0
+)
+SELECT window_id, COUNT(*) AS n_events
+FROM events ev JOIN w ON epoch(ev.ts) >= w.s AND epoch(ev.ts) < w.e
+GROUP BY window_id
+"""
+
+
 def q_events_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selective scan: predicate + projection both push to the parquet scan."""
     events = load_table(spark, sf_dir, "events")

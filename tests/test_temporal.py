@@ -53,3 +53,49 @@ def test_asof_join_single_shuffle(spark):
     assert plan.count("Exchange") <= 2
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan  # it's a window, not a join at all
+
+
+# ------------------------------------------------------------ range join
+
+
+def test_range_join_boundaries(spark):
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators.temporal import range_join
+
+    points = spark.createDataFrame(
+        [(1, 9), (2, 10), (3, 15), (4, 19), (5, 20), (6, 35)],
+        "pid long, p long",
+    )
+    intervals = spark.createDataFrame(
+        [(100, 10, 20), (200, 30, 40)], "iid long, s long, e long"
+    )
+    out = range_join(points, intervals, "p", "s", "e", bucket_width=7)
+    got = sorted((r.pid, r.iid) for r in out.collect())
+    # start inclusive, end exclusive; intervals spanning buckets still
+    # match each point exactly once
+    assert got == [(2, 100), (3, 100), (4, 100), (6, 200)]
+
+
+def test_range_join_no_duplicate_pairs_across_buckets(spark):
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators.temporal import range_join
+
+    # interval spans many buckets; each contained point appears once
+    points = spark.createDataFrame([(i, i * 3) for i in range(30)], "pid long, p long")
+    intervals = spark.createDataFrame([(1, 0, 90)], "iid long, s long, e long")
+    out = range_join(points, intervals, "p", "s", "e", bucket_width=5)
+    assert out.count() == 30
+    assert out.select("pid").distinct().count() == 30
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators.temporal import range_join
+
+    points = spark.createDataFrame([(1, 5)], "pid long, p long")
+    intervals = spark.createDataFrame([(1, 0, 10)], "iid long, s long, e long")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        range_join(points, intervals, "p", "s", "e", bucket_width=4).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
