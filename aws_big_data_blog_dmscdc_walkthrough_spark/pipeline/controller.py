@@ -75,7 +75,7 @@ def process_table(
     if folder.initial_files:
         load_ts = max(landing.file_mtime(spark, f) for f in folder.initial_files)
         if load_ts > state.last_full_load_ts:
-            df = spark.read.parquet(*folder.initial_files)
+            df = landing.read_initial(spark, folder, state.schema_ddl)
             lake_writer.write_initial(df, out_path, state.partition_keys)
             state.last_full_load_ts = load_ts
             # a fresh full load resets the incremental high-water mark to
@@ -90,7 +90,9 @@ def process_table(
             # insert-only path needs no sequencing (reference line 56-58)
             from ..operators import cdc
 
-            raw = spark.read.parquet(*new_files).withColumnRenamed("Op", "op")
+            raw = landing.read_incremental(
+                spark, folder, new_files, state.schema_ddl
+            ).withColumnRenamed("Op", "op")
             out = cdc.insert_only(raw).drop("op")
             writer = out.write.mode("append")
             if state.partition_keys:
@@ -98,7 +100,8 @@ def process_table(
             writer.parquet(out_path)
         else:
             changes = prepare_dms_batch(
-                spark.read.parquet(*new_files), state.primary_keys
+                landing.read_incremental(spark, folder, new_files, state.schema_ddl),
+                state.primary_keys,
             )
             lake_writer.merge_incremental(
                 spark,

@@ -10,6 +10,14 @@ Layout (DMS convention, /root/reference/DMSCDC_Controller.py:29-43):
                                                timestamp, lexically
                                                ordered — LoadIncremental
                                                relies on that: line 41)
+
+The reference reads parquet only (the blog's DMS endpoint sets
+DataFormat=parquet), but DMS's *default* S3 target format is headerless
+CSV where full-load files carry the table columns and CDC files prepend
+an ``Op`` column (I/U/D). ``read_initial`` / ``read_incremental`` accept
+both: format is detected per folder from file extensions, and CSV tables
+supply their column DDL from the state store (DMS knows the source
+schema; a file has none).
 """
 
 from __future__ import annotations
@@ -26,6 +34,15 @@ class TableFolder:
     path: str  # <root>/<schema>/<table>
     initial_files: list[str] = field(default_factory=list)
     incremental_files: list[str] = field(default_factory=list)  # lexical order
+
+    @property
+    def format(self) -> str:
+        """"parquet" or "csv", from the files' extension (DMS writes one
+        format per endpoint, so per-folder detection is safe)."""
+        for f in self.initial_files + self.incremental_files:
+            if f.endswith(".csv") or f.endswith(".csv.gz"):
+                return "csv"
+        return "parquet"
 
 
 def _fs_and_path(spark: SparkSession, uri: str):
@@ -89,3 +106,35 @@ def discover_tables(spark: SparkSession, root: str) -> list[TableFolder]:
 def new_incremental_files(folder: TableFolder, last_file: str) -> list[str]:
     """Files lexically after the last processed one (DMSCDC_LoadIncremental.py:41-45)."""
     return [f for f in folder.incremental_files if f > last_file]
+
+
+def _require_ddl(folder: TableFolder, schema_ddl: str) -> str:
+    if not schema_ddl:
+        raise ValueError(
+            f"{folder.path}: CSV landing files need a column DDL in the "
+            "table state (schema_ddl) — DMS CSV is headerless"
+        )
+    return schema_ddl
+
+
+def read_initial(spark: SparkSession, folder: TableFolder, schema_ddl: str = ""):
+    """Read a table's full-load files. Parquet: self-describing
+    (DMSCDC_LoadInitial.py:28). CSV: headerless, columns from the stored
+    DDL — full-load files carry NO Op column in either format."""
+    if folder.format == "parquet":
+        return spark.read.parquet(*folder.initial_files)
+    return spark.read.schema(_require_ddl(folder, schema_ddl)).csv(
+        folder.initial_files
+    )
+
+
+def read_incremental(
+    spark: SparkSession, folder: TableFolder, files: list[str], schema_ddl: str = ""
+):
+    """Read CDC files (already filtered to the new ones). Parquet files
+    carry an ``Op`` column (DMSCDC_LoadIncremental.py:47); DMS CSV CDC
+    files prepend Op as the FIRST field before the table columns."""
+    if folder.format == "parquet":
+        return spark.read.parquet(*files)
+    ddl = "Op STRING, " + _require_ddl(folder, schema_ddl)
+    return spark.read.schema(ddl).csv(files)

@@ -31,6 +31,7 @@ class TableState:
     last_full_load_ts: int = 0     # epoch millis of processed LOAD file
     last_incremental_file: str = ""
     active: bool = False           # reference: ActiveFlag gate
+    schema_ddl: str = ""           # column DDL for headerless CSV landings
     extra: dict = field(default_factory=dict)
 
     @property

@@ -275,3 +275,60 @@ def test_controller_isolates_per_table_failure(spark, env):
     assert len(errors) == 1  # broken table reported, not raised
     assert len(ok) == 1      # healthy table loaded regardless
     assert spark.read.parquet(f"{env['lake']}/sampledb/product").count() == 3
+
+
+# ------------------------------------------------------- CSV landing format
+
+
+def _write_csv_landing(env):
+    """DMS default S3 format: headerless CSV; full-load files carry the
+    table columns, CDC files prepend Op as the first field."""
+    d = f"{env['landing']}/sampledb/product"
+    os.makedirs(d, exist_ok=True)
+    with open(f"{d}/LOAD00000001.csv", "w") as fh:
+        fh.write("1001,widget,tools\n1002,gadget,toys\n1003,sprocket,tools\n")
+
+
+def _write_csv_incremental(env, name="20240101-000000001.csv"):
+    d = f"{env['landing']}/sampledb/product"
+    with open(f"{d}/{name}", "w") as fh:
+        fh.write("U,1001,widget-x,tools\nD,1002,,\nI,1004,doohickey,toys\n")
+
+
+def test_csv_landing_full_flow(spark, env):
+    _write_csv_landing(env)
+    store = JsonStateStore(env["state"])
+    controller.run_once(spark, env["landing"], env["lake"], store)  # registers
+    st = store.all()[0]
+    st.active = True
+    st.primary_key = "id"
+    st.schema_ddl = "id LONG, name STRING, dept STRING"
+    store.put(st)
+
+    r1 = controller.run_once(spark, env["landing"], env["lake"], store)
+    assert r1.tables[0].did_initial
+    lake = spark.read.parquet(f"{env['lake']}/sampledb/product")
+    assert lake.count() == 3 and "op" in lake.columns
+
+    _write_csv_incremental(env)
+    r2 = controller.run_once(spark, env["landing"], env["lake"], store)
+    assert r2.tables[0].incremental_files == 1
+    rows = {
+        r.id: r
+        for r in spark.read.parquet(f"{env['lake']}/sampledb/product").collect()
+    }
+    assert set(rows) == {1001, 1003, 1004}
+    assert rows[1001].name == "widget-x"
+
+
+def test_csv_landing_without_ddl_is_isolated_error(spark, env):
+    """A CSV table missing its DDL fails registration-style, without
+    taking down the controller pass (per-table error isolation)."""
+    _write_csv_landing(env)
+    store = JsonStateStore(env["state"])
+    controller.run_once(spark, env["landing"], env["lake"], store)
+    st = store.all()[0]
+    st.active, st.primary_key = True, "id"   # schema_ddl left empty
+    store.put(st)
+    report = controller.run_once(spark, env["landing"], env["lake"], store)
+    assert "schema_ddl" in report.tables[0].error
