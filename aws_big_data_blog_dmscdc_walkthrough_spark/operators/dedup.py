@@ -65,6 +65,41 @@ def spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def bucket_pair_explode(
+    banded: DataFrame,
+    key_col: str,
+    member_col: str,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """All unordered member pairs per bucket, WITHOUT self-joining.
+
+    A self-join on the bucket key evaluates everything upstream of
+    ``banded`` twice — fatal when upstream is a pandas-UDF signature
+    stage (observed 2× ArrowEval). Instead: collect each bucket's
+    members, pair position i with every later position (slice is
+    1-based, hence i+2), and round-robin repartition between slicing
+    and exploding so one hot bucket's O(k²) pairs spread across the
+    cluster instead of exploding inside a single task (collect_list
+    gets no AQE skew split, unlike a join). Shuffle volume is exactly
+    the candidate-pair count: each row carries only the tail it
+    explodes. Output: ``_a``/``_b`` member pairs, each bucket's pair
+    once (dedup across buckets is the caller's).
+    """
+    bucketed = (
+        banded.groupBy(key_col)
+        .agg(F.collect_list(member_col).alias("_ms"))
+        .where(F.size("_ms") >= 2)
+    )
+    if bucket_cap is not None:
+        bucketed = bucketed.where(F.size("_ms") <= bucket_cap)
+    lhs = bucketed.select(F.posexplode("_ms").alias("_i", "_a"), "_ms")
+    tails = lhs.select("_a", F.expr("slice(_ms, _i + 2, size(_ms))").alias("_tail"))
+    spread_tails = tails.repartition(
+        banded.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread_tails.select("_a", F.explode("_tail").alias("_b"))
+
+
 def shingle_frame(
     df: DataFrame, id_col: str, text_col: str, keep_cols: Sequence[str] = (), k: int = 3
 ) -> DataFrame:
@@ -191,14 +226,15 @@ def minhash_lsh_pairs(
         ]
     )
     banded = sig.select("_id", F.explode(band_keys).alias("_bk"))
-    if bucket_cap is not None:
-        counts = banded.groupBy("_bk").count().where(F.col("count") <= bucket_cap)
-        banded = banded.join(counts.select("_bk"), "_bk", "left_semi")
+    # bucket-group pair generation: the old banded self-join evaluated
+    # the minhash-signature UDF on BOTH sides (persist() above only
+    # covers the shingles, not the signatures)
     cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), "_bk")
-        .where(F.col("x._id") < F.col("y._id"))
-        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        bucket_pair_explode(banded, "_bk", "_id", bucket_cap)
+        .select(
+            F.least("_a", "_b").alias("id_a"),
+            F.greatest("_a", "_b").alias("id_b"),
+        )
         .distinct()
     )
     verified = (
@@ -263,13 +299,27 @@ def _simhash_signatures_hof(df: DataFrame, id_col: str, text_col: str) -> DataFr
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 20
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 20,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band on 15-bit chunks, verify Hamming.
 
     Any pair within Hamming distance d shares an identical chunk when
     d < number of chunks (pigeonhole), so 4 chunks guarantee recall for
     d ≤ 3 and probabilistically catch larger d.
+
+    Pair generation groups signatures into chunk buckets and explodes
+    i<j combinations inside each bucket (posexplode + slice — codegen,
+    no HOF) instead of self-joining: a self-join evaluates the pandas-UDF
+    signature stage on BOTH sides (observed 2× ArrowEval, 6 exchanges),
+    while this computes each signature once and shuffles only the tiny
+    (id, simhash) tuples. The Hamming filter runs before the pair
+    distinct, so the distinct shuffles survivors only. ``bucket_cap``
+    (optional) drops degenerate hot buckets — the quadratic-blowup guard
+    at corpus scale, same lever as the LSH band cap.
     """
     sig = simhash_signatures(df, id_col, text_col)
     chunks = F.array(
@@ -284,20 +334,20 @@ def simhash_pairs(
             for j in range(SIMHASH_CHUNKS)
         ]
     )
-    banded = sig.select(F.col(id_col).alias("_id"), F.col("simhash"), F.explode(chunks).alias("_ck"))
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), "_ck")
-        .where(F.col("x._id") < F.col("y._id"))
-        .select(
-            F.col("x._id").alias("id_a"),
-            F.col("y._id").alias("id_b"),
-            F.col("x.simhash").alias("_sa"),
-            F.col("y.simhash").alias("_sb"),
-        )
-        .distinct()
+    banded = sig.select(
+        F.struct(F.col(id_col).alias("_id"), F.col("simhash")).alias("_m"),
+        F.explode(chunks).alias("_ck"),
     )
-    hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
-    return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
-        F.col("hamming") <= max_hamming
+    pairs = bucket_pair_explode(banded, "_ck", "_m", bucket_cap)
+    hamming = F.bit_count(
+        F.col("_a.simhash").bitwiseXOR(F.col("_b.simhash"))
+    )
+    return (
+        pairs.select(
+            F.least("_a._id", "_b._id").alias("id_a"),
+            F.greatest("_a._id", "_b._id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
