@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_orders_median_price": analytics.q_orders_median_price,
         "q_events_asof_order": analytics.q_events_asof_order,
         "q_events_range_join": analytics.q_events_range_join,
+        "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
+        "q18_large_volume_customers": analytics.q18_large_volume_customers,
         "text_word_topk": text.text_word_topk,
         # Text analysis (SURVEY §2 #26-29)
         "text_tokens": text.text_tokens,
@@ -93,6 +95,8 @@ def oracle_sql() -> dict[str, str]:
         "q_orders_median_price": analytics.Q_ORDERS_MEDIAN_PRICE_SQL,
         "q_events_asof_order": analytics.Q_EVENTS_ASOF_ORDER_SQL,
         "q_events_range_join": analytics.Q_EVENTS_RANGE_JOIN_SQL,
+        "q17_small_quantity_revenue": analytics.Q17_SQL,
+        "q18_large_volume_customers": analytics.Q18_SQL,
         "text_word_topk": text.TEXT_WORD_TOPK_SQL,
         "text_tokens": text.TEXT_TOKENS_SQL,
         "text_quality": text.TEXT_QUALITY_SQL,

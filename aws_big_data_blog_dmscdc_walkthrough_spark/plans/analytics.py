@@ -525,6 +525,85 @@ GROUP BY window_id
 """
 
 
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style: revenue from lineitems under 20% of their part's
+    average quantity, for one brand.
+
+    The correlated scalar subquery (per-part avg) decorrelates into one
+    aggregation over lineitem joined back on partkey. The comparison is
+    cross-multiplied (qty * 5 * cnt < sum) so both engines compare exact
+    decimals — no division, no float rounding at the boundary. The brand
+    dim filter broadcasts; the per-part agg and the join share the
+    l_partkey key, so AQE plans one shuffle for both.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#13")
+    per_part = l.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("_qsum"),
+        F.count(F.lit(1)).alias("_qcnt"),
+    )
+    filtered = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(per_part, "l_partkey")
+        .where(
+            F.col("l_quantity").cast(DEC) * 5 * F.col("_qcnt") < F.col("_qsum")
+        )
+    )
+    return filtered.agg(
+        (_dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly")
+    )
+
+
+Q17_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN part ON p_partkey = l.l_partkey AND p_brand = 'Brand#13'
+JOIN (
+  SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(30,10))) AS qsum, COUNT(*) AS qcnt
+  FROM lineitem GROUP BY l_partkey
+) a ON a.l_partkey = l.l_partkey
+WHERE CAST(l.l_quantity AS DECIMAL(30,10)) * 5 * qcnt < qsum
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: orders whose total quantity exceeds 300, with
+    their customer. The HAVING-IN subquery becomes an aggregate →
+    filter → join pipeline: the tiny qualifying-order set broadcasts
+    into both fact joins, so the big lineitem table never re-shuffles
+    on a second key.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("_q"))
+        .where(F.col("_q") > 300)
+        .select("l_orderkey", F.col("_q").cast("double").alias("total_qty"))
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(q AS DOUBLE) AS total_qty
+FROM (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(30,10))) AS q
+  FROM lineitem GROUP BY l_orderkey HAVING q > 300
+) big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def q_events_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selective scan: predicate + projection both push to the parquet scan."""
     events = load_table(spark, sf_dir, "events")
