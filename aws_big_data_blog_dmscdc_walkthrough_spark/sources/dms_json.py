@@ -83,6 +83,33 @@ def parse_envelopes(df: DataFrame, data_ddl: str, value_col: str = "value") -> D
     )
 
 
+def deduped_envelopes(
+    stream: DataFrame,
+    data_ddl: str,
+    primary_keys: Sequence[str],
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Parse a streaming envelope feed and drop at-least-once
+    redeliveries with BOUNDED state.
+
+    Kinesis/Kafka delivery (and DMS retries) can repeat an envelope; the
+    record identity is (primary key, commit seq). The watermark ages
+    dedup state out after ``delay`` of event time, so state size tracks
+    the redelivery window, not the stream's lifetime — the scale
+    requirement for a continuous CDC feed. Late duplicates beyond the
+    watermark fall back to the merge's latest-wins ranking (same seq →
+    same survivor), so correctness never depends on the dedup.
+    """
+    parsed = parse_envelopes(stream, data_ddl).withColumn(
+        "_event_ts", F.to_timestamp(F.col("_seq.ts"))
+    )
+    return (
+        parsed.withWatermark("_event_ts", delay)
+        .dropDuplicatesWithinWatermark([*primary_keys, "_seq"])
+        .drop("_event_ts")
+    )
+
+
 def start_envelope_stream(
     spark: SparkSession,
     source_dir: str,
@@ -92,6 +119,7 @@ def start_envelope_stream(
     checkpoint_dir: str,
     partition_keys: Sequence[str] = (),
     available_now: bool = True,
+    dedup_within: str | None = None,
 ):
     """Stream DMS envelopes (text files standing in for a Kinesis shard;
     swap the reader for the Kinesis/Kafka connector in production — the
@@ -100,11 +128,20 @@ def start_envelope_stream(
     Envelopes already carry a total commit order (timestamp, txn), so
     unlike the file path there is no per-batch row_number() sequencing —
     latest-wins ranks directly on ``_seq`` inside apply_changes.
+    ``dedup_within`` (e.g. ``"1 hour"``) inserts a watermarked
+    exactly-once dedup of redelivered envelopes before the merge.
     """
     stream = spark.readStream.text(source_dir)
 
+    if dedup_within is not None:
+        # stateful dedup must run on the STREAMING frame (its state lives
+        # in the checkpoint); foreachBatch then sees parsed, deduped rows
+        stream = deduped_envelopes(stream, data_ddl, primary_keys, dedup_within)
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        changes = parse_envelopes(batch_df, data_ddl).drop("_schema", "_table")
+        if dedup_within is None:
+            batch_df = parse_envelopes(batch_df, data_ddl)
+        changes = batch_df.drop("_schema", "_table")
         if changes.isEmpty():
             return
         lake_writer.merge_incremental(

@@ -79,3 +79,29 @@ def test_envelope_stream_merges(spark, tmp_path):
     # replay with same checkpoint: no-op (exactly-once per file)
     run()
     assert {r.id: r.name for r in spark.read.parquet(out).collect()} == got
+
+
+def test_envelope_stream_dedups_redeliveries(spark, tmp_path):
+    """At-least-once redelivery: the same envelope appears in two shard
+    files; watermarked dedup state drops the replay before the merge."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src)
+    first = _env("load", {"id": 1, "name": "a"}, "2024-01-01T00:00:00Z", txn=1)
+    with open(f"{src}/shard-000.json", "w") as fh:
+        fh.write(first + "\n")
+
+    def run():
+        q = dms_json.start_envelope_stream(
+            spark, src, out, ["id"], DDL, ckpt,
+            available_now=True, dedup_within="1 hour",
+        )
+        q.awaitTermination(120)
+
+    run()
+    # redelivered copy of the SAME record + one genuine update
+    with open(f"{src}/shard-001.json", "w") as fh:
+        fh.write(first + "\n")
+        fh.write(_env("update", {"id": 1, "name": "a2"}, "2024-01-01T00:10:00Z", txn=2) + "\n")
+    run()
+    rows = spark.read.parquet(out).collect()
+    assert {(r.id, r.name) for r in rows} == {(1, "a2")}
