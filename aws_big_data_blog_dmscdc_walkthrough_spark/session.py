@@ -37,6 +37,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # runtime row-level filtering: build a Bloom filter from the small
+        # side of a shuffle join and push it into the big side's scan —
+        # prunes target rows in merges/semi-joins beyond what partition
+        # pruning catches (key-level, not file-level)
+        # (do NOT also set runtimeFilter.semiJoinReduction here — setting
+        # it at session build hangs JVM startup on this Spark build)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # the driver's events table carries parquet TIMESTAMP(NANOS), which
         # vanilla Spark rejects; read as long and convert in load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
