@@ -69,6 +69,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    # Self-sufficiency: callers may hand us a vanilla SparkSession (an
+    # external harness, a notebook) that never went through get_spark().
+    # nanosAsLong is a runtime-settable SQLConf, so set it here rather
+    # than relying on the session factory having done it at build time —
+    # without it the events.parquet read dies with PARQUET_TYPE_ILLEGAL
+    # before the LongType branch below is ever reached.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # integer division: exact on int64 and floors like DuckDB's ns→µs read
