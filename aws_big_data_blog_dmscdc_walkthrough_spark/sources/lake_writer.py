@@ -10,13 +10,25 @@ Reference behavior being re-expressed:
 
 Scale-correct replacements:
   * partitioned tables: impacted-PARTITION copy-on-write via dynamic
-    partition overwrite — merged output only contains partitions the
-    change batch touches, and ``partitionOverwriteMode=dynamic`` swaps
-    exactly those directories. No driver-side file list, no manual
-    deletes, untouched partitions never read or written.
-  * unpartitioned tables: full rewrite through a staging directory with
-    an atomic-ish rename swap (at 100 TB an unpartitioned mutable table
-    is a design error — the controller logs this loudly).
+    partition overwrite. Impacted partitions are discovered with a PK
+    semi-join against the target (NOT from the batch's partition values
+    alone), so an update that MOVES a row across partitions rewrites the
+    old partition too, and a partition whose rows are all deleted gets
+    its directory dropped. The target scan is pruned with a broadcast
+    semi-join on the impacted partition values — no driver collect in
+    the prune; the only driver materialization is the emptied-partition
+    directory list (directory deletion is inherently a driver FS op,
+    the analogue of the reference's boto3 delete loop at
+    DMSCDC_LoadIncremental.py:83-87).
+  * unpartitioned tables: FILE-level copy-on-write matching the
+    reference (DMSCDC_LoadIncremental.py:64-87): tag target rows with
+    ``input_file_name()``, broadcast-semi-join on the batch's keys to
+    find impacted files, merge only those files' rows, append the
+    rewritten survivors as new files, then delete the superseded files.
+    Untouched files are never read in full, never rewritten. The only
+    driver materialization is the impacted-file path list (bounded by
+    files actually containing changed keys — the same list the
+    reference's boto3 loop holds).
 """
 
 from __future__ import annotations
@@ -26,8 +38,11 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..operators import cdc
+
+HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
 
 
 def target_exists(spark: SparkSession, path: str) -> bool:
@@ -84,6 +99,39 @@ def merge_incremental(
         writer.parquet(out_path)
         return
 
+    if partition_keys:
+        _merge_partitioned(
+            spark, changes, out_path, primary_keys, partition_keys, seq_col, op_col
+        )
+    else:
+        _merge_unpartitioned_cow(
+            spark, changes, out_path, primary_keys, seq_col, op_col
+        )
+
+
+def _merge_partitioned(
+    spark: SparkSession,
+    changes: DataFrame,
+    out_path: str,
+    primary_keys: Sequence[str],
+    partition_keys: Sequence[str],
+    seq_col: str,
+    op_col: str,
+) -> None:
+    """Impacted-partition copy-on-write via dynamic partition overwrite.
+
+    Impacted partitions = partitions the batch writes into ∪ partitions
+    where the batch's keys CURRENTLY live (PK semi-join; column-pruned
+    scan of pk + partition columns only). The second term is what the
+    batch's own partition values cannot tell you: a row whose partition
+    value changed leaves a stale copy behind, and a fully-deleted
+    partition needs its directory dropped — both cases the reference's
+    PK-join impacted-file discovery (DMSCDC_LoadIncremental.py:68-70)
+    handles and a values-only prune misses.
+    """
+    pks = list(primary_keys)
+    part_cols = list(partition_keys)
+
     # mergeSchema: after additive evolution, partitions written before the
     # evolution lack the new columns; merged-footer read reconciles them.
     # (A catalog — Delta/Iceberg/metastore — replaces this at real scale;
@@ -96,27 +144,155 @@ def merge_incremental(
     # NULLs. Type changes raise (see cdc.align_schemas).
     target, changes = cdc.align_schemas(target, changes, extra_cols=(op_col, seq_col))
 
-    if partition_keys:
-        # prune the target scan to partitions the batch touches: the
-        # IsIn filter on partition columns prunes directories at planning
-        parts = [
-            tuple(r)
-            for r in changes.select(*partition_keys).distinct().collect()
-        ]
+    change_keys = changes.select(*pks).distinct()
+    new_parts = changes.select(*part_cols).distinct()
+    old_parts = (
+        target.join(F.broadcast(change_keys), pks, "left_semi")
+        .select(*part_cols)
+        .distinct()
+    )
+    impacted_parts = new_parts.unionByName(old_parts).distinct()
+
+    # Prune the target scan to impacted partitions with a broadcast
+    # semi-join — no driver collect; dynamic partition pruning skips the
+    # untouched directories. An equi-join never matches NULL partition
+    # values, so when the table actually has a null-partition directory
+    # fall back to a null-safe condition (loses pruning, keeps rows).
+    if _has_null_partition_dir(spark, out_path, part_cols):
         cond = None
-        for col in partition_keys:
-            vals = list({p[partition_keys.index(col)] for p in parts})
-            c = F.col(col).isin(vals)
+        for col in part_cols:
+            c = target[col].eqNullSafe(impacted_parts[col])
             cond = c if cond is None else cond & c
-        impacted_target = target.where(cond)
-        merged = cdc.apply_changes(
-            impacted_target, changes, primary_keys, seq_col, op_col
-        )
-        # dynamic overwrite: only partitions present in `merged` swap
-        merged.write.mode("overwrite").partitionBy(*partition_keys).parquet(out_path)
+        impacted_target = target.join(F.broadcast(impacted_parts), cond, "left_semi")
     else:
-        merged = cdc.apply_changes(target, changes, primary_keys, seq_col, op_col)
-        _swap_rewrite(spark, merged, out_path)
+        impacted_target = target.join(
+            F.broadcast(impacted_parts), part_cols, "left_semi"
+        )
+
+    merged = cdc.apply_changes(
+        impacted_target, changes, pks, seq_col, op_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # dynamic overwrite: only partitions present in `merged` swap
+        merged.write.mode("overwrite").partitionBy(*part_cols).parquet(out_path)
+        # an impacted partition whose rows were ALL deleted (or moved away)
+        # yields zero merged rows, so dynamic overwrite never touches its
+        # directory — drop it explicitly. The anti-join is bounded by the
+        # touched-partition count; this collect is the directory-deletion
+        # list, not a data materialization.
+        emptied = impacted_parts.join(
+            merged.select(*part_cols).distinct(), part_cols, "left_anti"
+        ).collect()
+        if emptied:
+            jvm = spark._jvm
+            base = jvm.org.apache.hadoop.fs.Path(out_path)
+            fs = base.getFileSystem(spark._jsc.hadoopConfiguration())
+            for row in emptied:
+                p = jvm.org.apache.hadoop.fs.Path(
+                    _partition_dir(out_path, part_cols, row)
+                )
+                if fs.exists(p):
+                    fs.delete(p, True)
+    finally:
+        merged.unpersist()
+
+
+def _merge_unpartitioned_cow(
+    spark: SparkSession,
+    changes: DataFrame,
+    out_path: str,
+    primary_keys: Sequence[str],
+    seq_col: str,
+    op_col: str,
+) -> None:
+    """File-level copy-on-write (DMSCDC_LoadIncremental.py:64-87).
+
+    1. discover impacted files: ``input_file_name()`` tag + broadcast
+       semi-join on the batch's distinct keys, column-pruned to pk only;
+    2. merge ONLY those files' rows with the batch;
+    3. append the survivors as new files (the write commits through
+       Spark's ``_temporary`` staging, so readers never see partial
+       files), then delete the superseded originals. A crash between
+       append and delete leaves duplicates — the same non-atomic window
+       the reference has between its coalesce(1) append and boto3
+       deletes; a table format (Delta/Iceberg) is the real fix at scale.
+    """
+    pks = list(primary_keys)
+    tagged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(out_path)
+        .withColumn("_file", F.input_file_name())
+    )
+    change_keys = changes.select(*pks).distinct()
+    impacted_files = [
+        r["_file"]
+        for r in tagged.join(F.broadcast(change_keys), pks, "left_semi")
+        .select("_file")
+        .distinct()
+        .collect()
+    ]
+
+    if impacted_files:
+        old = spark.read.option("mergeSchema", "true").parquet(*impacted_files)
+    else:
+        # pure-insert batch: merge against an empty frame with the
+        # target's schema so collapsed inserts just append
+        full = spark.read.option("mergeSchema", "true").parquet(out_path)
+        old = spark.createDataFrame([], full.schema)
+    data_cols = [c for c in old.columns if c not in (op_col, seq_col)]
+    old = old.select(*data_cols)
+    old, changes = cdc.align_schemas(old, changes, extra_cols=(op_col, seq_col))
+
+    merged = cdc.apply_changes(old, changes, pks, seq_col, op_col)
+    merged.write.mode("append").parquet(out_path)
+
+    if impacted_files:
+        jvm = spark._jvm
+        base = jvm.org.apache.hadoop.fs.Path(out_path)
+        fs = base.getFileSystem(spark._jsc.hadoopConfiguration())
+        for f in impacted_files:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+
+
+# minimal port of Hive's escapePathName character set: these are the
+# bytes Spark %-encodes when it writes partition directory names
+_PART_ESCAPE = set('\\"#%\'*/:=?\x7f{}[]^') | {chr(c) for c in range(32)}
+
+
+def _escape_part_value(value) -> str:
+    s = str(value)
+    return "".join(
+        "%{:02X}".format(ord(ch)) if ch in _PART_ESCAPE else ch for ch in s
+    )
+
+
+def _partition_dir(out_path: str, partition_keys: Sequence[str], row) -> str:
+    segs = []
+    for key in partition_keys:
+        v = row[key]
+        segs.append(
+            f"{key}={HIVE_NULL_PART}" if v is None else f"{key}={_escape_part_value(v)}"
+        )
+    return out_path.rstrip("/") + "/" + "/".join(segs)
+
+
+def _has_null_partition_dir(
+    spark: SparkSession, out_path: str, partition_keys: Sequence[str]
+) -> bool:
+    """True iff any partition level has a ``__HIVE_DEFAULT_PARTITION__``
+    directory (cheap driver glob; no Spark job)."""
+    jvm = spark._jvm
+    base = jvm.org.apache.hadoop.fs.Path(out_path)
+    fs = base.getFileSystem(spark._jsc.hadoopConfiguration())
+    for i, key in enumerate(partition_keys):
+        segs = ["*"] * i + [f"{key}={HIVE_NULL_PART}"]
+        pattern = jvm.org.apache.hadoop.fs.Path(
+            out_path.rstrip("/") + "/" + "/".join(segs)
+        )
+        matches = fs.globStatus(pattern)
+        if matches is not None and len(matches) > 0:
+            return True
+    return False
 
 
 def compact_table(

@@ -1,0 +1,139 @@
+"""Copy-on-write granularity and partition-correctness tests for
+merge_incremental (reference parity: DMSCDC_LoadIncremental.py:64-87
+rewrites only impacted files; PK-join discovery catches partition moves
+and full-partition deletes)."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from aws_big_data_blog_dmscdc_walkthrough_spark.sources import lake_writer
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "op string, _seq long, id long, name string, dept string"
+    )
+
+
+def _file_bytes(path_glob):
+    return {
+        os.path.basename(p): open(p, "rb").read() for p in glob.glob(path_glob)
+    }
+
+
+def test_unpartitioned_cow_touches_only_impacted_files(spark, tmp_path):
+    out = str(tmp_path / "t")
+    # three separate files, 10 rows each
+    for lo in (0, 10, 20):
+        spark.createDataFrame(
+            [(i, f"n{i}", "d") for i in range(lo, lo + 10)],
+            "id long, name string, dept string",
+        ).coalesce(1).write.mode("append").parquet(out)
+    before = _file_bytes(f"{out}/*.parquet")
+    assert len(before) == 3
+
+    # batch touches keys 0 and 5 — both live in the first file only
+    lake_writer.merge_incremental(
+        spark,
+        _changes(spark, [("U", 1, 0, "zero-x", "d"), ("D", 2, 5, None, None)]),
+        out,
+        ["id"],
+    )
+    after = _file_bytes(f"{out}/*.parquet")
+    # exactly one original file was rewritten (replaced by a new file);
+    # the other two survive byte-identical under their original names
+    survivors = set(before) & set(after)
+    assert len(survivors) == 2
+    for name in survivors:
+        assert before[name] == after[name]
+
+    got = {r.id: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == set(range(30)) - {5}
+    assert got[0].name == "zero-x"
+
+
+def test_unpartitioned_insert_only_batch_appends_without_rewrite(spark, tmp_path):
+    out = str(tmp_path / "t2")
+    spark.createDataFrame(
+        [(1, "a", "d"), (2, "b", "d")], "id long, name string, dept string"
+    ).coalesce(1).write.mode("append").parquet(out)
+    before = _file_bytes(f"{out}/*.parquet")
+
+    lake_writer.merge_incremental(
+        spark, _changes(spark, [("I", 1, 3, "c", "d")]), out, ["id"]
+    )
+    after = _file_bytes(f"{out}/*.parquet")
+    # original file untouched, one new file appended
+    for name, body in before.items():
+        assert after[name] == body
+    assert len(after) > len(before)
+    assert spark.read.parquet(out).count() == 3
+
+
+def test_partition_move_leaves_no_stale_row(spark, tmp_path):
+    out = str(tmp_path / "t3")
+    spark.createDataFrame(
+        [(1, "a", "tools"), (2, "b", "tools"), (3, "c", "toys")],
+        "id long, name string, dept string",
+    ).write.mode("overwrite").partitionBy("dept").parquet(out)
+
+    # update moves id=1 from dept=tools to dept=toys
+    lake_writer.merge_incremental(
+        spark,
+        _changes(spark, [("U", 1, 1, "a2", "toys")]),
+        out,
+        ["id"],
+        partition_keys=["dept"],
+    )
+    rows = spark.read.parquet(out).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.id, []).append(r)
+    assert all(len(v) == 1 for v in by_id.values()), f"duplicate PK rows: {rows}"
+    assert by_id[1][0].dept == "toys" and by_id[1][0].name == "a2"
+
+
+def test_fully_deleted_partition_directory_removed(spark, tmp_path):
+    out = str(tmp_path / "t4")
+    spark.createDataFrame(
+        [(1, "a", "tools"), (2, "b", "toys")],
+        "id long, name string, dept string",
+    ).write.mode("overwrite").partitionBy("dept").parquet(out)
+    assert os.path.isdir(f"{out}/dept=toys")
+
+    # delete the only row of dept=toys; DMS delete images may carry NULL
+    # non-key columns, so the partition value comes from the PK join
+    lake_writer.merge_incremental(
+        spark,
+        _changes(spark, [("D", 1, 2, None, None)]),
+        out,
+        ["id"],
+        partition_keys=["dept"],
+    )
+    got = spark.read.parquet(out).collect()
+    assert {r.id for r in got} == {1}
+    assert not os.path.isdir(f"{out}/dept=toys")
+
+
+def test_partitioned_merge_with_null_partition_rows(spark, tmp_path):
+    out = str(tmp_path / "t5")
+    spark.createDataFrame(
+        [(1, "a", "tools"), (2, "b", None)],
+        "id long, name string, dept string",
+    ).write.mode("overwrite").partitionBy("dept").parquet(out)
+    assert os.path.isdir(f"{out}/dept=__HIVE_DEFAULT_PARTITION__")
+
+    # update the row living in the null partition, moving it to a real one
+    lake_writer.merge_incremental(
+        spark,
+        _changes(spark, [("U", 1, 2, "b2", "toys")]),
+        out,
+        ["id"],
+        partition_keys=["dept"],
+    )
+    rows = {r.id: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2].dept == "toys" and rows[2].name == "b2"
+    assert not os.path.isdir(f"{out}/dept=__HIVE_DEFAULT_PARTITION__")
