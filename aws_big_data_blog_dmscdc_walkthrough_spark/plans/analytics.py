@@ -236,8 +236,8 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessions AS (
   SELECT user_id, ts, value,
-    SUM(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS UNBOUNDED PRECEDING) AS session_id
+    CAST(SUM(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -397,7 +397,7 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_EVENTS_JSON_EXTRACT_SQL = """
 SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
   COUNT(*) AS n_events,
-  SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
   CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1

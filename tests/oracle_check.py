@@ -43,6 +43,23 @@ def _norm_rows(df):
     return cols, sorted(rows)
 
 
+def _kind_group(dtype) -> str:
+    """Collapse numpy dtype kinds into the groups the driver's hash sees.
+
+    The driver hashes raw cell values, so an integer-valued column that
+    one engine returns as int64 and the other as float64 (e.g. DuckDB's
+    HUGEINT sums landing in pandas as float) hash-mismatches on every
+    row even when values are numerically identical.  The pre-flight must
+    therefore treat int-vs-float as a failure, not normalize it away.
+    """
+    k = getattr(dtype, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    return "other"
+
+
 def compare(spark_df, oracle_df) -> list[str]:
     """Return a list of mismatch descriptions (empty == pass)."""
     problems = []
@@ -52,6 +69,16 @@ def compare(spark_df, oracle_df) -> list[str]:
     o_cols, o_rows = _norm_rows(o)
     if s_cols != o_cols:
         problems.append(f"columns differ: spark={s_cols} oracle={o_cols}")
+        return problems
+    for c in s_cols:
+        sk, ok = _kind_group(s[c].dtype), _kind_group(o[c].dtype)
+        if sk != ok and "other" not in (sk, ok):
+            problems.append(
+                f"column {c!r} dtype kind differs: spark={s[c].dtype} "
+                f"oracle={o[c].dtype} (driver hashes these differently; "
+                f"CAST the oracle to match)"
+            )
+    if problems:
         return problems
     if len(s_rows) != len(o_rows):
         problems.append(f"row count differs: spark={len(s_rows)} oracle={len(o_rows)}")
