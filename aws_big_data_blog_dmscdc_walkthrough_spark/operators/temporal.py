@@ -51,22 +51,33 @@ def range_join(
     timestamps) trades replication for selectivity: ~interval span /
     width copies per interval, points never replicate. Pick it near the
     typical interval length.
+
+    ``how`` is ``inner`` or ``left`` (left = every point, NULL interval
+    columns when uncovered). Right/full are rejected: the exploded
+    interval side would emit one row per covered bucket for unmatched
+    intervals, which is not a meaningful outer-join result.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join supports how='inner'|'left', got {how!r}")
     b_pt = F.floor(F.col(point_col) / bucket_width)
     b_lo = F.floor(F.col(start_col) / bucket_width)
     # end is exclusive: the end-boundary bucket is only needed when the
     # interval actually extends into it
     b_hi = F.floor((F.col(end_col) - 1) / bucket_width)
 
-    p = points.withColumn("_bkt", b_pt)
+    p = points.withColumn("_bkt_p", b_pt)
     iv = intervals.withColumn(
-        "_bkt", F.explode(F.sequence(b_lo.cast("long"), b_hi.cast("long")))
+        "_bkt_i", F.explode(F.sequence(b_lo.cast("long"), b_hi.cast("long")))
     )
+    # containment lives IN the join condition (not a post-join filter)
+    # so outer semantics hold: a point in a bucket with non-covering
+    # intervals still emits its NULL-padded left row.
     cond = (
-        (F.col(point_col) >= F.col(start_col))
+        (F.col("_bkt_p") == F.col("_bkt_i"))
+        & (F.col(point_col) >= F.col(start_col))
         & (F.col(point_col) < F.col(end_col))
     )
-    return p.join(iv, "_bkt", how).where(cond).drop("_bkt")
+    return p.join(iv, cond, how).drop("_bkt_p", "_bkt_i")
 
 
 def asof_join(

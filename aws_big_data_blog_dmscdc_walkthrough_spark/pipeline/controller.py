@@ -78,8 +78,9 @@ def process_table(
             df = landing.read_initial(spark, folder, state.schema_ddl)
             lake_writer.write_initial(df, out_path, state.partition_keys)
             state.last_full_load_ts = load_ts
-            # a fresh full load resets the incremental high-water mark to
-            # the last file already folded into the LOAD snapshot: none
+            # last_incremental_file is kept: files at-or-before the mark
+            # stay consumed; files after it re-merge idempotently on top
+            # of the fresh snapshot (same as the reference's ordering).
             store.put(state)
             report.did_initial = True
 
@@ -133,14 +134,14 @@ def run_once(
     report = RunReport()
     with ThreadPoolExecutor(max_workers=max_parallel_tables) as pool:
         futures = [
-            pool.submit(process_table, spark, f, s, store, lake_root)
+            (f, pool.submit(process_table, spark, f, s, store, lake_root))
             for f, s in zip(folders, states)
         ]
-        for fut in futures:
+        for folder, fut in futures:
             try:
                 report.tables.append(fut.result())
             except Exception as exc:  # keep other tables going, like the
                 report.tables.append(  # reference's per-job isolation
-                    TableReport(path="?", error=str(exc))
+                    TableReport(path=folder.path, error=str(exc))
                 )
     return report

@@ -65,6 +65,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     above); the data carries no sub-microsecond precision, so converting
     ``ns // 1000`` to a microsecond timestamp is lossless and matches what
     DuckDB reads for the same file.
+
+    Side effect: sets ``spark.sql.legacy.parquet.nanosAsLong`` on the
+    CALLER'S session for the rest of its lifetime (no per-read option
+    exists for this conf). Other nano-timestamp parquet reads in the same
+    session will then yield LongType instead of raising — callers who
+    need the strict error back can restore the conf afterwards.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType

@@ -151,7 +151,14 @@ def _merge_partitioned(
         .select(*part_cols)
         .distinct()
     )
-    impacted_parts = new_parts.unionByName(old_parts).distinct()
+    # Materialize the impacted-partition list BEFORE the overwrite: its
+    # old_parts lineage scans the target's files, which the dynamic
+    # overwrite below replaces — re-evaluating it afterwards would cost a
+    # second full pk+partition scan and can FileNotFound on stale file
+    # listings. The list is bounded by touched-partition count (same
+    # driver-side list the reference's boto3 loop holds).
+    impacted_rows = new_parts.unionByName(old_parts).distinct().collect()
+    impacted_parts = spark.createDataFrame(impacted_rows, new_parts.schema)
 
     # Prune the target scan to impacted partitions with a broadcast
     # semi-join — no driver collect; dynamic partition pruning skips the
@@ -173,16 +180,28 @@ def _merge_partitioned(
         impacted_target, changes, pks, seq_col, op_col
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        # dynamic overwrite: only partitions present in `merged` swap
-        merged.write.mode("overwrite").partitionBy(*part_cols).parquet(out_path)
+        # dynamic overwrite: only partitions present in `merged` swap.
+        # The per-write option (Spark 3.0+) makes this safe under a
+        # caller-owned vanilla session too — static overwrite here would
+        # silently delete every untouched partition.
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*part_cols)
+            .parquet(out_path)
+        )
         # an impacted partition whose rows were ALL deleted (or moved away)
         # yields zero merged rows, so dynamic overwrite never touches its
-        # directory — drop it explicitly. The anti-join is bounded by the
-        # touched-partition count; this collect is the directory-deletion
-        # list, not a data materialization.
-        emptied = impacted_parts.join(
-            merged.select(*part_cols).distinct(), part_cols, "left_anti"
-        ).collect()
+        # directory — drop it explicitly. merged is persisted, so this
+        # reads the cache, not the just-replaced files.
+        merged_parts = {
+            tuple(r[c] for c in part_cols)
+            for r in merged.select(*part_cols).distinct().collect()
+        }
+        emptied = [
+            r for r in impacted_rows
+            if tuple(r[c] for c in part_cols) not in merged_parts
+        ]
         if emptied:
             jvm = spark._jvm
             base = jvm.org.apache.hadoop.fs.Path(out_path)
@@ -254,9 +273,12 @@ def _merge_unpartitioned_cow(
             fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
 
 
-# minimal port of Hive's escapePathName character set: these are the
-# bytes Spark %-encodes when it writes partition directory names
-_PART_ESCAPE = set('\\"#%\'*/:=?\x7f{}[]^') | {chr(c) for c in range(32)}
+# Hive's escapePathName character set: exactly the bytes Spark %-encodes
+# when it writes partition directory names (ExternalCatalogUtils
+# .charToEscape). Note '}' is NOT escaped by Spark — including it here
+# would compute a nonexistent directory for values containing '}' and
+# silently skip deleting the emptied partition.
+_PART_ESCAPE = set('\\"#%\'*/:=?\x7f{[]^') | {chr(c) for c in range(32)}
 
 
 def _escape_part_value(value) -> str:
@@ -327,7 +349,12 @@ def compact_table(
         # cluster rows of one partition into few tasks; dynamic overwrite
         # then swaps every partition directory with its compacted files
         out = df.repartition(n_files, *[F.col(k) for k in partition_keys])
-        out.write.mode("overwrite").partitionBy(*partition_keys).parquet(path)
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_keys)
+            .parquet(path)
+        )
     else:
         _swap_rewrite(spark, df.repartition(n_files), path)
     return n_files

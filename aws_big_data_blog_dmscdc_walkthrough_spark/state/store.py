@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import threading
 from dataclasses import asdict, dataclass, field
 
 
@@ -44,10 +45,18 @@ class TableState:
 
 
 class JsonStateStore:
-    """{path: TableState} persisted as one JSON document, atomic rename."""
+    """{path: TableState} persisted as one JSON document, atomic rename.
+
+    Thread-safe: the controller's table pool calls ``put`` concurrently
+    (the reference gets per-item atomicity for free from DynamoDB,
+    DMSCDC_Controller.py:94-100); here a single process-wide lock
+    serializes mutation + snapshot + rename so a slow flush can never
+    overwrite a newer table's high-water mark with a stale snapshot.
+    """
 
     def __init__(self, file_path: str):
         self.file_path = file_path
+        self._lock = threading.Lock()
         self._states: dict[str, TableState] = {}
         if os.path.exists(file_path):
             with open(file_path) as fh:
@@ -55,24 +64,29 @@ class JsonStateStore:
             self._states = {p: TableState(**rec) for p, rec in raw.items()}
 
     def get(self, path: str) -> TableState | None:
-        return self._states.get(path)
+        with self._lock:
+            return self._states.get(path)
 
     def get_or_create(self, path: str, **defaults) -> TableState:
         """Register-if-absent, like the reference's put_item on miss
         (DMSCDC_Controller.py:69-82): new tables land inactive."""
-        if path not in self._states:
-            self._states[path] = TableState(path=path, **defaults)
-            self._flush()
-        return self._states[path]
+        with self._lock:
+            if path not in self._states:
+                self._states[path] = TableState(path=path, **defaults)
+                self._flush()
+            return self._states[path]
 
     def put(self, state: TableState) -> None:
-        self._states[state.path] = state
-        self._flush()
+        with self._lock:
+            self._states[state.path] = state
+            self._flush()
 
     def all(self) -> list[TableState]:
-        return list(self._states.values())
+        with self._lock:
+            return list(self._states.values())
 
     def _flush(self) -> None:
+        """Write the current snapshot; caller must hold ``self._lock``."""
         payload = {p: asdict(s) for p, s in self._states.items()}
         directory = os.path.dirname(os.path.abspath(self.file_path))
         os.makedirs(directory, exist_ok=True)

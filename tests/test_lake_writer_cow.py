@@ -137,3 +137,26 @@ def test_partitioned_merge_with_null_partition_rows(spark, tmp_path):
     assert set(rows) == {1, 2}
     assert rows[2].dept == "toys" and rows[2].name == "b2"
     assert not os.path.isdir(f"{out}/dept=__HIVE_DEFAULT_PARTITION__")
+
+
+def test_fully_deleted_partition_with_brace_value_removed(spark, tmp_path):
+    # Spark/Hive does NOT escape '}' in partition dir names; the emptied-
+    # partition path computation must match or the stale dir survives
+    # and deleted rows resurrect on the next read.
+    out = str(tmp_path / "t6")
+    spark.createDataFrame(
+        [(1, "a", "keep"), (2, "b", "a}b")],
+        "id long, name string, dept string",
+    ).write.mode("overwrite").partitionBy("dept").parquet(out)
+    assert os.path.isdir(f"{out}/dept=a}}b".replace("}}", "}"))
+
+    lake_writer.merge_incremental(
+        spark,
+        _changes(spark, [("D", 1, 2, None, None)]),
+        out,
+        ["id"],
+        partition_keys=["dept"],
+    )
+    got = spark.read.parquet(out).collect()
+    assert {r.id for r in got} == {1}
+    assert not os.path.isdir(out + "/dept=a}b")

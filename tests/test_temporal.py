@@ -99,3 +99,24 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
         range_join(points, intervals, "p", "s", "e", bucket_width=4).explain("formatted")
     plan = buf.getvalue()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_range_join_left_keeps_uncovered_points(spark):
+    import pytest
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators.temporal import range_join
+
+    points = spark.createDataFrame(
+        [(1, 5), (2, 15), (3, 50)], "pid long, p long"
+    )
+    intervals = spark.createDataFrame(
+        [(100, 10, 20)], "iid long, s long, e long"
+    )
+    out = range_join(points, intervals, "p", "s", "e", bucket_width=4, how="left")
+    got = {r.pid: r.iid for r in out.collect()}
+    # every point survives; only the covered one carries interval cols
+    assert got == {1: None, 2: 100, 3: None}
+    assert out.count() == 3
+
+    with pytest.raises(ValueError):
+        range_join(points, intervals, "p", "s", "e", bucket_width=4, how="right")
