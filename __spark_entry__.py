@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from aws_big_data_blog_dmscdc_walkthrough_spark.operators import text
+from aws_big_data_blog_dmscdc_walkthrough_spark.operators import dedup, text
 from aws_big_data_blog_dmscdc_walkthrough_spark.plans import (
     analytics,
     cdc_queries,
@@ -24,7 +24,25 @@ def entry(spark: SparkSession) -> DataFrame:
     return cdc_queries.cdc_merge(spark, "/root/testdata/sf0.001")
 
 
+def _fresh(fn: Callable) -> Callable:
+    """Release the previous query's persisted intermediates before
+    building the next plan — keeps a long-lived session (the driver runs
+    all ~40 entries in one) from accreting caches. Safe: by the time the
+    next entry is requested, the prior entry's result has been consumed."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        dedup.release_persisted()
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: _fresh(v) for k, v in _queries_raw().items()}
+
+
+def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # CDC engine (SURVEY §2 #1-6)
         "cdc_initial_stamp": cdc_queries.cdc_initial_stamp,

@@ -15,6 +15,8 @@ hashing layer; these primitives power the LLM-data-pipeline operators
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
@@ -74,10 +76,60 @@ def minhash_signature(shingle_hashes_col):
 # optimizer rewrites (filter-pushdown substitution, project collapse) can
 # duplicate the whole char-fold chain — measured 9.4 s vs 1.1 s for the
 # same ngram-jaccard plan at sf0.1. A scalar Pandas UDF computes the
-# identical integer arithmetic (bit-for-bit, Python ints can't overflow),
-# is Arrow-batched, and is structurally evaluated ONCE (the planner
-# extracts it into a single ArrowEvalPython node no rewrite duplicates).
-# These are the default hot paths; the HOF twins remain for parity tests.
+# identical integer arithmetic (bit-for-bit), is Arrow-batched, and is
+# structurally evaluated ONCE (the planner extracts it into a single
+# ArrowEvalPython node no rewrite duplicates). These are the default hot
+# paths; the HOF twins remain for parity tests.
+#
+# Inside the UDFs everything is numpy: the per-token polynomial fold runs
+# column-wise over character positions (one vectorized multiply-add-mod
+# per position across ALL tokens in the Arrow batch), so Python-level
+# work is O(max token length) per batch instead of O(total characters).
+# int64 never overflows: acc < mod < 2^30, mul ≤ 131 (2^8), codepoint
+# < 2^21 → acc*mul + c < 2^39; minhash a·h < 2^17 · 2^31 = 2^48.
+
+
+def _batch_tokens(texts) -> tuple[list[str], np.ndarray]:
+    """Whitespace-split every text; return (flat token list, tokens/doc)."""
+    counts = np.empty(len(texts), dtype=np.int64)
+    flat: list[str] = []
+    for i, t in enumerate(texts):
+        toks = t.split() if t is not None else []
+        counts[i] = len(toks)
+        flat.extend(toks)
+    return flat, counts
+
+
+def _poly_fold_tokens(tokens: list[str], params: Sequence[tuple[int, int]]) -> list[np.ndarray]:
+    """Char poly-hash of every token, one int64 array per (mul, mod).
+
+    Identical arithmetic to ``acc = (acc*mul + ord(ch)) % mod`` per char:
+    all tokens' codepoints are decoded once (UTF-32 → exact ``ord``
+    values), then the fold advances one character position at a time
+    across every still-live token in one vectorized step.
+    """
+    n = len(tokens)
+    if n == 0:
+        return [np.empty(0, dtype=np.int64) for _ in params]
+    lengths = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=n)
+    codes = np.frombuffer(
+        "".join(tokens).encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.int64)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    max_len = int(lengths.max())
+    accs = [np.zeros(n, dtype=np.int64) for _ in params]
+    # iterate once over char positions; each step touches only tokens
+    # that still have a j-th character
+    order = np.argsort(lengths, kind="stable")
+    for j in range(max_len):
+        # tokens with length > j form a suffix of `order`
+        cut = np.searchsorted(lengths[order], j, side="right")
+        live = order[cut:]
+        ch = codes[starts[live] + j]
+        for acc, (mul, mod) in zip(accs, params):
+            acc[live] = (acc[live] * mul + ch) % mod
+    return accs
 
 
 def shingle_hashes_pandas(k: int = 3):
@@ -90,47 +142,92 @@ def shingle_hashes_pandas(k: int = 3):
 
     @F.pandas_udf(ArrayType(LongType()))
     def udf(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            toks = t.strip().split() if t is not None else []
-            hs = []
-            for tok in toks:
-                acc = 0
-                for ch in tok:
-                    acc = (acc * mul + ord(ch)) % mod
-                hs.append(acc)
-            if len(hs) < k:
-                out.append([])
-                continue
-            sset = set()
-            for i in range(len(hs) - k + 1):
-                h = hs[i]
-                for j in range(1, k):
-                    h = (h * comb + hs[i + j]) % mod
-                sset.add(h)
-            out.append(sorted(sset))
-        return pd.Series(out)
+        n_docs = len(texts)
+        if n_docs == 0:
+            return pd.Series([], dtype=object)
+        flat, counts = _batch_tokens(texts)
+        (hs,) = _poly_fold_tokens(flat, [(mul, mod)])
+        doc_of_tok = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        total = hs.size
+        if total >= k:
+            idx = np.arange(total - k + 1)
+            # a shingle is valid iff its k tokens belong to one document
+            starts = idx[doc_of_tok[idx] == doc_of_tok[idx + k - 1]]
+            sh = hs[starts]
+            for j in range(1, k):
+                sh = (sh * comb + hs[starts + j]) % mod
+            sh_doc = doc_of_tok[starts]
+            # distinct + sorted within each doc: one global lexsort
+            order = np.lexsort((sh, sh_doc))
+            sh, sh_doc = sh[order], sh_doc[order]
+            keep = np.ones(sh.size, dtype=bool)
+            keep[1:] = (sh[1:] != sh[:-1]) | (sh_doc[1:] != sh_doc[:-1])
+            sh, sh_doc = sh[keep], sh_doc[keep]
+        else:
+            sh = np.empty(0, dtype=np.int64)
+            sh_doc = np.empty(0, dtype=np.int64)
+        per_doc = np.bincount(sh_doc, minlength=n_docs)
+        bounds = np.cumsum(per_doc)[:-1]
+        return pd.Series([a.tolist() for a in np.split(sh, bounds)])
 
     return udf
 
 
+def _segment_offsets(counts: np.ndarray) -> np.ndarray:
+    """Start offset of each segment given per-segment item counts (>0)."""
+    offs = np.zeros(counts.size, dtype=np.int64)
+    np.cumsum(counts[:-1], out=offs[1:])
+    return offs
+
+
+# Bound the intermediate matrices a single vectorized step materializes
+# ((K × shingles) for minhash, (tokens × bits) for simhash) regardless of
+# Arrow batch size or document length distribution: ~64 MB at int64.
+_MAX_ITEMS_PER_STEP = 1 << 20
+
+
+def _doc_chunks(counts: np.ndarray, max_items: int):
+    """Yield (lo, hi) doc ranges whose summed counts stay ≤ max_items
+    (always ≥1 doc, so one pathological document still processes)."""
+    ends = np.cumsum(counts)
+    lo, base, n = 0, 0, counts.size
+    while lo < n:
+        hi = int(np.searchsorted(ends, base + max_items, side="right"))
+        hi = max(hi, lo + 1)
+        yield lo, hi
+        base = int(ends[hi - 1])
+        lo = hi
+
+
 def minhash_signature_pandas():
-    """pandas_udf: shingle-hash array → K-minhash signature (numpy)."""
-    import numpy as np
+    """pandas_udf: shingle-hash array → K-minhash signature (numpy).
+
+    One (K × shingles-in-chunk) multiply-add-mod, then a segmented min
+    per document (``minimum.reduceat``) — no per-row Python loop.
+    """
     a_vec = np.asarray(MINHASH_A, dtype=np.int64)[:, None]
     b_vec = np.asarray(MINHASH_B, dtype=np.int64)[:, None]
 
     @F.pandas_udf(ArrayType(LongType()))
     def udf(shingles: pd.Series) -> pd.Series:
-        out = []
-        for arr in shingles:
-            h = np.asarray(arr, dtype=np.int64)
-            if h.size == 0:
-                out.append(None)
-                continue
+        vals = shingles.to_numpy()
+        counts = np.fromiter(
+            (0 if a is None else len(a) for a in vals),
+            dtype=np.int64,
+            count=len(vals),
+        )
+        out: list = [None] * len(vals)
+        ne_idx = np.nonzero(counts > 0)[0]
+        ne_counts = counts[ne_idx]
+        for lo, hi in _doc_chunks(ne_counts, _MAX_ITEMS_PER_STEP):
+            docs = ne_idx[lo:hi]
+            flat = np.concatenate([np.asarray(vals[i], dtype=np.int64) for i in docs])
             # a*h < 2^17 * 2^31 < 2^48: no int64 overflow
-            out.append(((a_vec * h + b_vec) % MINHASH_P).min(axis=1).tolist())
-        return pd.Series(out)
+            sigs = (a_vec * flat + b_vec) % MINHASH_P
+            mins = np.minimum.reduceat(sigs, _segment_offsets(ne_counts[lo:hi]), axis=1)
+            for j, i in enumerate(docs):
+                out[i] = mins[:, j].tolist()
+        return pd.Series(out, dtype=object)
 
     return udf
 
@@ -140,36 +237,34 @@ def simhash_pandas():
 
     Identical semantics to the explode + SUM(CASE) formulation: per-token
     ±1 votes on each bit of two char poly-hashes, bit set iff vote sum is
-    strictly positive — but computed map-side per row (numpy bit matrix),
-    removing the token-explode shuffle entirely.
+    strictly positive — but computed map-side (a chunk-wide bit matrix
+    + segmented vote sums), removing the token-explode shuffle entirely.
     """
     bits = np.arange(SIMHASH_HALF_BITS, dtype=np.int64)
-    weights = (np.int64(1) << bits)
+    weights = np.int64(1) << bits
+
+    def _votes(h: np.ndarray, offs: np.ndarray) -> np.ndarray:
+        return np.add.reduceat(2 * ((h[:, None] >> bits) & 1) - 1, offs, axis=0)
 
     @F.pandas_udf(LongType())
     def udf(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            toks = t.strip().split() if t is not None else []
-            if not toks:
-                out.append(0)
-                continue
-            h1s, h2s = [], []
-            for tok in toks:
-                a1 = a2 = 0
-                for ch in tok:
-                    o = ord(ch)
-                    a1 = (a1 * POLY_MUL1 + o) % POLY_MOD1
-                    a2 = (a2 * POLY_MUL2 + o) % POLY_MOD2
-                h1s.append(a1)
-                h2s.append(a2)
-            h1 = np.asarray(h1s, dtype=np.int64)[:, None]
-            h2 = np.asarray(h2s, dtype=np.int64)[:, None]
-            v1 = (2 * ((h1 >> bits) & 1) - 1).sum(axis=0)
-            v2 = (2 * ((h2 >> bits) & 1) - 1).sum(axis=0)
-            lo = int(weights[v1 > 0].sum())
-            hi = int(weights[v2 > 0].sum())
-            out.append(hi * (1 << SIMHASH_HALF_BITS) + lo)
+        flat, counts = _batch_tokens(texts)
+        h1, h2 = _poly_fold_tokens(
+            flat, [(POLY_MUL1, POLY_MOD1), (POLY_MUL2, POLY_MOD2)]
+        )
+        out = np.zeros(len(counts), dtype=np.int64)
+        ne_idx = np.nonzero(counts > 0)[0]
+        ne_counts = counts[ne_idx]
+        tok_ends = np.cumsum(ne_counts)
+        for lo, hi in _doc_chunks(ne_counts, _MAX_ITEMS_PER_STEP // SIMHASH_HALF_BITS):
+            t0 = int(tok_ends[lo - 1]) if lo else 0
+            t1 = int(tok_ends[hi - 1])
+            offs = _segment_offsets(ne_counts[lo:hi])
+            v1 = _votes(h1[t0:t1], offs)
+            v2 = _votes(h2[t0:t1], offs)
+            lo_bits = ((v1 > 0) * weights).sum(axis=1)
+            hi_bits = ((v2 > 0) * weights).sum(axis=1)
+            out[ne_idx[lo:hi]] = hi_bits * (np.int64(1) << SIMHASH_HALF_BITS) + lo_bits
         return pd.Series(out)
 
     return udf

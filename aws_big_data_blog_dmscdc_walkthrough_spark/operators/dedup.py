@@ -47,6 +47,35 @@ def word_tokens(col):
     return F.split(F.trim(col), r"\s+")
 
 
+# Frames persisted by spread()/the pair operators, so long-lived sessions
+# can release them: each queries()-style entry calls release_persisted()
+# before building its plan (the previous entry has been consumed by
+# then), and bench/tests call it after evaluating. Without this the
+# caches accrete for the life of the session.
+_PERSISTED: list[DataFrame] = []
+
+
+def _track(df: DataFrame) -> DataFrame:
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every frame the dedup/similarity ops cached; returns the
+    count released. Safe to call any time AFTER the frames' consumers
+    have been evaluated (unpersisting an un-evaluated frame just unmarks
+    it — correctness is never affected, only recompute cost)."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped
+    return n
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition + persist when the input is under-split.
 
@@ -57,11 +86,12 @@ def spread(df: DataFrame) -> DataFrame:
     scan task (observed: 47 s single-threaded vs 1.5 s spread). The
     persist() is the barrier that pins downstream compute onto the
     post-shuffle partitions. At real scale inputs arrive multi-partition
-    and this is a no-op — no shuffle, no cache.
+    and this is a no-op — no shuffle, no cache. Persisted frames are
+    tracked; call release_persisted() after consuming the result.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
-        return df.repartition(target).persist()
+        return _track(df.repartition(target).persist())
     return df
 
 
@@ -158,27 +188,115 @@ def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    block_cols: Sequence[str],
-    threshold: float,
+    block_cols: Sequence[str] = (),
+    threshold: float = 0.5,
     k: int = 3,
+    block_cap: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word k-shingles within blocking groups.
 
     Blocked all-pairs: the join key is the block, so pair volume is
     Σ block_size² — pick blocks (source, length bucket, …) accordingly.
+
+    Scale guards (both exact — they never drop a pair with
+    jaccard ≥ threshold):
+
+      * with NO ``block_cols``, docs are length-bucketed by
+        floor(log2(shingle-count)) instead of all-pairs'd: J(A,B) ≥ t
+        forces |A|/|B| ≤ 1/t, so each doc joins only its own bucket plus
+        the next ceil(log2(1/t)) (home/guest replication, each pair
+        meeting exactly once at the larger side's home bucket);
+      * a size-ratio predicate inside the join prunes pairs that cannot
+        reach the threshold BEFORE the (expensive) intersect runs.
+
+    ``block_cap`` (optional, lossy like the LSH ``bucket_cap``): drop
+    join groups with more than this many docs — the hard bound against a
+    pathological corpus whose blocks are all one size.
     """
-    sh = (
+    sh = _track(
         shingle_frame(spread(df), id_col, text_col, block_cols, k)
         .where(F.size("_sh") > 0)
         .persist()  # feeds both join sides; avoid recomputing the hash chain
     )
-    a = sh.select(
-        F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"), *[F.col(c) for c in block_cols]
-    )
-    b = sh.select(
-        F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"), *[F.col(c) for c in block_cols]
-    )
-    pairs = a.join(b, list(block_cols)).where(F.col("id_a") < F.col("id_b"))
+    if block_cols:
+        join_cols = list(block_cols)
+        a = sh.select(
+            F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"), *join_cols
+        )
+        b = sh.select(
+            F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"), *join_cols
+        )
+    else:
+        # home/guest length buckets: home = floor(log2(|sh|)); the left
+        # side also joins the next `span` buckets so any pair within
+        # size ratio 1/t meets exactly once — at the LARGER doc's home.
+        import math
+
+        span = max(1, math.ceil(math.log2(1.0 / threshold))) if threshold < 1 else 1
+        join_cols = ["_lb"]
+        home = F.floor(F.log2(F.size("_sh")))
+        a = sh.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_sh").alias("_sh_a"),
+            F.explode(
+                F.array(*[home + F.lit(d) for d in range(span + 1)])
+            ).alias("_lb"),
+        )
+        b = sh.select(
+            F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"), home.alias("_lb")
+        )
+    if block_cap is not None:
+        cap_w = Window.partitionBy(*join_cols)
+        b = (
+            b.withColumn("_bn", F.count(F.lit(1)).over(cap_w))
+            .where(F.col("_bn") <= block_cap)
+            .drop("_bn")
+        )
+        a = (
+            a.withColumn("_bn", F.count(F.lit(1)).over(cap_w))
+            .where(F.col("_bn") <= block_cap)
+            .drop("_bn")
+        )
+    ratio_ok = (
+        F.size("_sh_a") >= F.lit(threshold) * F.size("_sh_b")
+    ) & (F.size("_sh_b") >= F.lit(threshold) * F.size("_sh_a"))
+    if block_cols:
+        pairs = (
+            a.join(b, join_cols)
+            .where(F.col("id_a") < F.col("id_b"))
+            .where(ratio_ok)
+        )
+    else:
+        # Each pair meets exactly once, at the LARGER doc's home bucket:
+        # when both homes equal (a at its own home) dedup by id order;
+        # when a is a guest (bucket above a's home) the orientation is
+        # forced (smaller doc = a side), so every match is unique — then
+        # normalize ids with least/greatest.
+        a_home = F.floor(F.log2(F.size("_sh_a")))
+        once = F.when(
+            F.col("_lb") == a_home, F.col("id_a") < F.col("id_b")
+        ).otherwise(F.lit(True))
+        pairs = (
+            a.join(b, join_cols)
+            .where(F.col("id_a") != F.col("id_b"))
+            .where(once)
+            .where(ratio_ok)
+            .withColumn("_ia", F.least("id_a", "id_b"))
+            .withColumn("_ib", F.greatest("id_a", "id_b"))
+            .withColumn(
+                "_sw",
+                F.when(F.col("_ia") == F.col("id_a"), F.col("_sh_a")).otherwise(F.col("_sh_b")),
+            )
+            .withColumn(
+                "_sh_b", F.when(F.col("_ia") == F.col("id_a"), F.col("_sh_b")).otherwise(F.col("_sh_a"))
+            )
+            .select(
+                F.col("_ia").alias("id_a"),
+                F.col("_ib").alias("id_b"),
+                F.col("_sw").alias("_sh_a"),
+                "_sh_b",
+            )
+        )
     return (
         _with_jaccard(pairs, "_sh_a", "_sh_b")
         .select("id_a", "id_b", "jaccard")
@@ -204,7 +322,7 @@ def minhash_lsh_pairs(
     bands = NUM_MINHASH // rows_per_band
     # persist: the shingle arrays feed band generation AND two verify-join
     # branches; recomputing the (interpreted) hash chain 3× dominates cost
-    sh = (
+    sh = _track(
         shingle_frame(spread(df), id_col, text_col)
         .withColumnRenamed(id_col, "_id")
         .where(F.size("_sh") > 0)

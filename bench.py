@@ -59,19 +59,57 @@ def main() -> None:
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
 
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
-            }
+    result = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    baseline_file, deltas = _baseline_deltas(timings, sf)
+    if deltas:
+        result["baseline"] = baseline_file
+        result["deltas_vs_baseline"] = deltas
+        regressions = {n: r for n, r in deltas.items() if r > 2.0}
+        print(
+            f"[bench] per-query ratio vs {baseline_file} "
+            f"(>1 = slower): {deltas}",
+            file=sys.stderr,
         )
-    )
+        if regressions:
+            print(f"[bench] REGRESSIONS >2x: {regressions}", file=sys.stderr)
+    print(json.dumps(result))
     spark.stop()
+
+
+def _baseline_deltas(timings: dict[str, float], sf: str):
+    """Per-query time ratio vs the newest same-SF BENCH_r*.json record.
+
+    Single-round wall clocks on this shared host swing ±30%, so only
+    ratios well outside that band are signal — the >2x regression line
+    printed to stderr is the actionable one.
+    """
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if str(rec.get("sf")) != sf or not rec.get("queries"):
+            continue
+        base_q = rec["queries"]
+        deltas = {
+            n: round(t / base_q[n], 2)
+            for n, t in timings.items()
+            if base_q.get(n)
+        }
+        return os.path.basename(path), deltas
+    return None, {}
 
 
 if __name__ == "__main__":

@@ -59,3 +59,54 @@ def test_simhash_near_dup_low_hamming(spark):
     assert ham(1, 3) < ham(1, 4)   # near dup closer than unrelated
     pairs = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash_pairs(_docs(spark), "doc_id", "text", 20).collect()}
     assert pairs[(1, 2)] == 0
+
+
+def test_ngram_default_length_blocking_matches_all_pairs(spark):
+    from pyspark.sql import functions as F
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import dedup
+    from aws_big_data_blog_dmscdc_walkthrough_spark.session import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    allp = dedup.ngram_jaccard_pairs(
+        docs.withColumn("_one", F.lit(1)), "doc_id", "text", ["_one"], 0.2
+    )
+    lb = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", (), 0.2)
+    ap = {(r.id_a, r.id_b): round(r.jaccard, 12) for r in allp.collect()}
+    lbp = {(r.id_a, r.id_b): round(r.jaccard, 12) for r in lb.collect()}
+    assert ap == lbp
+
+
+def test_ngram_block_cap_bounds_pathological_corpus(spark):
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import dedup
+
+    # one-block corpus: every doc identical length -> same length bucket
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.ngram_jaccard_pairs(df, "doc_id", "text", (), 0.2, block_cap=50)
+    # overfull group dropped entirely (documented recall tradeoff, same
+    # semantics as the LSH bucket_cap) -> bounded, not O(n^2)
+    assert capped.count() == 0
+    uncapped_small = dedup.ngram_jaccard_pairs(
+        df.limit(20), "doc_id", "text", (), 0.2, block_cap=50
+    )
+    assert uncapped_small.count() == 20 * 19 // 2
+
+
+def test_release_persisted_drains_all_caches(spark):
+    import __spark_entry__ as entry_mod
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import dedup
+    from tests.conftest import SF_SMOKE
+
+    qs = entry_mod.queries()
+    qs["dedup_minhash_lsh"](spark, SF_SMOKE).count()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) > 0
+    dedup.release_persisted()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    # the next queries() entry releases the previous one's caches itself
+    qs["dedup_simhash"](spark, SF_SMOKE).count()
+    n_after_simhash = len(spark.sparkContext._jsc.getPersistentRDDs())
+    qs["dedup_exact"](spark, SF_SMOKE).count()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) < max(n_after_simhash, 1)
+    dedup.release_persisted()
