@@ -85,6 +85,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": llm_queries.ann_cosine_topk,
         "ann_lsh_topk": llm_queries.ann_lsh_topk,
         "ann_ivf_topk": llm_queries.ann_ivf_topk,
+        "ann_batch_topk": llm_queries.ann_batch_topk,
         "pipeline_curate_corpus": llm_queries.pipeline_curate_corpus,
     }
 
@@ -127,5 +128,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": llm_queries.DEDUP_EMBEDDING_COSINE_SQL,
         "ann_cosine_topk": llm_queries.ANN_COSINE_TOPK_SQL,
         "ann_lsh_topk": llm_queries.ANN_LSH_TOPK_SQL,
+        "ann_ivf_topk": llm_queries.ANN_IVF_TOPK_SQL,
+        "ann_batch_topk": llm_queries.ANN_BATCH_TOPK_SQL,
         "pipeline_curate_corpus": llm_queries.PIPELINE_CURATE_CORPUS_SQL,
     }

@@ -190,6 +190,183 @@ def ivf_topk(
     )
 
 
+def _py_dot(a: Sequence[float], b: Sequence[float]) -> float:
+    """Strict left-to-right multiply-add: Python floats are IEEE doubles,
+    so this is bit-identical to the Spark ``dot`` fold and the oracle's
+    explicit term chain."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s = s + x * y
+    return s
+
+
+def ivf_topk_fixed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: Sequence[tuple[int, Sequence[float]]],
+    query_df: "DataFrame | Sequence[float]",
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """IVF ANN with caller-provided (deterministic) centroids.
+
+    Same plan shape as ``ivf_topk`` (assign → probe-prune → exact cosine
+    top-k) but every arithmetic step is the fixed left-to-right fold the
+    DuckDB oracle replays, so the result is gate-checkable bit-for-bit —
+    no k-means sampling, no numpy summation-order ambiguity.
+
+    Plan: the centroid set enters as literals, so assignment is a pure
+    map-side argmax (n_centroids dots + a tie-broken when-chain per
+    row) — no join, no window, no shuffle; the probe filter then prunes
+    assigned cells before the final cosine, and the only reduce is the
+    top-k itself. At real scale assignment runs once at ingest (store
+    the cell id, partition by it); this inline form is the same
+    expressions over one scan.
+    """
+    import math
+
+    from .dedup import spread
+
+    if isinstance(query_df, DataFrame):
+        qrow = query_df.select(as_double(F.col(vec_col)).alias("q")).limit(1).collect()
+        qvec = [float(x) for x in qrow[0]["q"]]
+    else:  # plain vector: saves a driver job when the caller already has it
+        qvec = [float(x) for x in query_df]
+    qn = math.sqrt(_py_dot(qvec, qvec))
+
+    cents = sorted((int(cid), [float(x) for x in cv]) for cid, cv in centroids)
+    # probe selection in plain-Python IEEE arithmetic (same dot chain):
+    # top-nprobe centroids by cosine to the query, ties to lower cid
+    scored = sorted(
+        (
+            (-(_py_dot(cv, qvec) / (math.sqrt(_py_dot(cv, cv)) * qn)), cid)
+            for cid, cv in cents
+        ),
+    )
+    probe_ids = sorted(cid for _, cid in scored[:nprobe])
+
+    # corpus-side math in ONE Arrow-batched UDF: the strict left-to-right
+    # fold runs dimension-by-dimension across the whole batch (numpy
+    # column ops), so every double op — products, the accumulation
+    # order, sqrt, the divides — is bit-identical to the Spark HOF fold
+    # and the oracle's term chain, at ~100x the interpreted-HOF speed.
+    scored = spread(df).select(
+        F.col(id_col),
+        _ivf_score_udf(cents, qvec, qn)(as_double(F.col(vec_col))).alias("_s"),
+    )
+    return (
+        scored.where(F.col("_s.cid").isin(probe_ids))
+        .select(F.col(id_col), F.col("_s.cosine").alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _ivf_score_udf(cents, qvec, qn):
+    """pandas_udf: vector → (nearest-centroid id, query cosine).
+
+    Vectorized over the Arrow batch but sequential over dimensions, so
+    the accumulation order matches the ``dot`` left fold exactly; argmax
+    takes the FIRST maximum, i.e. ties break to the lowest cid (cents
+    are cid-sorted), matching the oracle's ORDER BY cos DESC, cid.
+    """
+    import numpy as np
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    cids = np.asarray([cid for cid, _ in cents], dtype=np.int64)
+    cmat = np.asarray([cv for _, cv in cents], dtype=np.float64)
+    cnorms = np.asarray(
+        [float(np.sqrt(_py_dot(cv, cv))) for _, cv in cents], dtype=np.float64
+    )
+    qarr = np.asarray(qvec, dtype=np.float64)
+    out_type = StructType(
+        [StructField("cid", IntegerType()), StructField("cosine", DoubleType())]
+    )
+
+    def _fold_dot(mat: "np.ndarray", vec: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(mat.shape[0], dtype=np.float64)
+        for j in range(mat.shape[1]):
+            acc = acc + mat[:, j] * vec[j]
+        return acc
+
+    @F.pandas_udf(out_type)
+    def udf(vecs: pd.Series) -> pd.DataFrame:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if m.size == 0:
+            return pd.DataFrame({"cid": [], "cosine": []})
+        acc = np.zeros(m.shape[0], dtype=np.float64)
+        for j in range(m.shape[1]):
+            acc = acc + m[:, j] * m[:, j]
+        norms = np.sqrt(acc)
+        ccos = np.stack(
+            [_fold_dot(m, cmat[i]) / (norms * cnorms[i]) for i in range(len(cids))]
+        )
+        assigned = cids[np.argmax(ccos, axis=0)]
+        qcos = _fold_dot(m, qarr) / (norms * float(qn))
+        return pd.DataFrame({"cid": assigned.astype("int32"), "cosine": qcos})
+
+    return udf
+
+
+def batch_lsh_topk(
+    corpus_df: DataFrame,
+    queries_df: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    vec_col: str,
+    k: int,
+    bits: int = LSH_BITS,
+) -> DataFrame:
+    """Many-query ANN: top-k corpus neighbors for EVERY query row.
+
+    The per-query ``toPandas`` loop of the single-vector operators is the
+    wrong shape for "embed 1M docs, link each to its neighbors" — this is
+    the DataFrame-to-DataFrame form: both sides bucket by sign-LSH, one
+    equi-join on the bucket key (queries side broadcasts when small,
+    shuffles when not — Catalyst/AQE picks), then a per-query-id window
+    keeps the k best by exact cosine. Shuffle volume is candidate pairs
+    only (same-bucket), never |corpus| × |queries|.
+
+    Recall is single-probe (the query's own bucket); raise ``bits``
+    quality via multi-band the way minhash_lsh_pairs does if the bucket
+    population gets too selective. Deterministic ties: (cosine DESC,
+    corpus id ASC).
+    """
+    from pyspark.sql import Window
+
+    from .dedup import spread
+
+    corpus = spread(corpus_df).select(
+        F.col(corpus_id),
+        as_double(F.col(vec_col)).alias("_v"),
+        sign_bucket(F.col(vec_col), bits).alias("_bkt"),
+    ).withColumn("_n", norm(F.col("_v")))
+    queries = queries_df.select(
+        F.col(query_id),
+        as_double(F.col(vec_col)).alias("_q"),
+        sign_bucket(F.col(vec_col), bits).alias("_bkt"),
+    ).withColumn("_qn", norm(F.col("_q")))
+
+    cos = dot(F.col("_v"), F.col("_q")) / (F.col("_n") * F.col("_qn"))
+    per_query = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id)
+    )
+    return (
+        corpus.join(queries, "_bkt")
+        .select(F.col(query_id), F.col(corpus_id), cos.alias("cosine"))
+        .withColumn("_rk", F.row_number().over(per_query))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     id_col: str,

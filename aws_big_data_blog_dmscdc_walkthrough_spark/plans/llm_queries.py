@@ -253,15 +253,128 @@ SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT {ANN_K}
 """
 
 
+IVF_N_CENTROIDS = 8
+IVF_NPROBE = 4
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN over the embeddings table (rows-only: the k-means fit has
-    no closed-form SQL twin; recall vs brute force is pinned in
-    tests/test_similarity.py)."""
+    """IVF ANN with deterministic centroids (the first
+    ``IVF_N_CENTROIDS`` table rows), fully gate-checkable: assignment,
+    probe choice, and scoring all use the fixed-fold arithmetic the
+    DuckDB oracle replays. The sampled-k-means variant
+    (similarity.ivf_topk) stays for real use; its recall is pinned in
+    tests/test_similarity.py."""
     embs = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(
-        embs, "vec_id", "embedding", _query_vec(spark, sf_dir), ANN_K,
-        n_centroids=8, nprobe=4,
+    from ..functions.vectors import as_double
+
+    cents = [
+        (r["vec_id"], r["cv"])
+        for r in embs.where(F.col("vec_id") < IVF_N_CENTROIDS)
+        .select("vec_id", as_double(F.col("embedding")).alias("cv"))
+        .collect()
+    ]
+    # ANN_QUERY_ID < IVF_N_CENTROIDS: the query vector rides along in the
+    # centroid collect — one driver job serves both
+    qvec = dict(cents)[ANN_QUERY_ID]
+    return similarity.ivf_topk_fixed(
+        embs, "vec_id", "embedding", cents, qvec, ANN_K, nprobe=IVF_NPROBE,
     )
+
+
+def _ivf_sql() -> str:
+    de_e = _dot_sql("e.embedding", "e.embedding")
+    de_c = _dot_sql("e.embedding", "c.cv")
+    dc_c = _dot_sql("c.cv", "c.cv")
+    dc_q = _dot_sql("c.cv", "qv")
+    dq_q = _dot_sql("qv", "qv")
+    da_q = _dot_sql("a.embedding", "qv")
+    da_a = _dot_sql("a.embedding", "a.embedding")
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_N_CENTROIDS}
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {ANN_QUERY_ID}),
+probes AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+      ROW_NUMBER() OVER (
+        ORDER BY ({dc_q}) / (sqrt({dc_c}) * sqrt({dq_q})) DESC, c.cid
+      ) AS rk
+    FROM cents c CROSS JOIN q
+  ) WHERE rk <= {IVF_NPROBE}
+),
+assigned AS (
+  SELECT vec_id, embedding FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+      ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY ({de_c}) / (sqrt({de_e}) * sqrt({dc_c})) DESC, c.cid
+      ) AS rk
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rk = 1 AND cid IN (SELECT cid FROM probes)
+)
+SELECT vec_id,
+  ({da_q}) / (sqrt({da_a}) * sqrt({dq_q})) AS cosine
+FROM assigned a CROSS JOIN q
+ORDER BY cosine DESC, vec_id LIMIT {ANN_K}
+"""
+
+
+ANN_IVF_TOPK_SQL = _ivf_sql()
+
+
+# ------------------------------------------------------- batch ANN join
+
+ANN_BATCH_K = 3
+ANN_BATCH_NQ = 20
+
+
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-query ANN: top-k neighbors for every query row at once —
+    the DataFrame-to-DataFrame shape a 'link each document to its
+    neighbors' pipeline needs (one bucket equi-join + per-query window,
+    not a per-query scan loop)."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = (
+        embs.where(F.col("vec_id") < ANN_BATCH_NQ)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return similarity.batch_lsh_topk(
+        embs, queries, "vec_id", "query_id", "embedding", ANN_BATCH_K
+    )
+
+
+def _batch_sql() -> str:
+    sig_c = " + ".join(
+        f"(CASE WHEN c.embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(similarity.LSH_BITS)
+    )
+    sig_q = " + ".join(
+        f"(CASE WHEN s.qv[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(similarity.LSH_BITS)
+    )
+    dc_q = _dot_sql("c.embedding", "s.qv")
+    dc_c = _dot_sql("c.embedding", "c.embedding")
+    dq_q = _dot_sql("s.qv", "s.qv")
+    return f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {ANN_BATCH_NQ}
+),
+scored AS (
+  SELECT s.query_id, c.vec_id,
+    ({dc_q}) / (sqrt({dc_c}) * sqrt({dq_q})) AS cosine
+  FROM embeddings c JOIN qs s
+    ON ({sig_c}) = ({sig_q})
+)
+SELECT query_id, vec_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id
+  ) AS rk FROM scored
+) WHERE rk <= {ANN_BATCH_K}
+"""
+
+
+ANN_BATCH_TOPK_SQL = _batch_sql()
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -100,6 +100,8 @@ def _baseline_deltas(timings: dict[str, float], sf: str):
                 rec = json.load(fh)
         except (OSError, json.JSONDecodeError):
             continue
+        # the driver records bench stdout under "parsed"
+        rec = rec.get("parsed", rec)
         if str(rec.get("sf")) != sf or not rec.get("queries"):
             continue
         base_q = rec["queries"]

@@ -86,3 +86,77 @@ def test_ivf_nprobe_full_equals_bruteforce(spark):
         ).collect()
     ]
     assert full == exact  # nprobe = n_centroids degenerates to brute force
+
+
+def test_batch_lsh_topk_shape_and_self_match(spark):
+    from pyspark.sql import functions as F
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import similarity
+    from aws_big_data_blog_dmscdc_walkthrough_spark.session import load_table
+    from tests.conftest import SF_SMOKE
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    queries = embs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.batch_lsh_topk(
+        embs, queries, "vec_id", "query_id", "embedding", 3
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for qid, rows in by_q.items():
+        assert len(rows) <= 3
+        # a query vector is its own nearest neighbor (cosine 1)
+        best = max(rows, key=lambda r: r.cosine)
+        assert best.vec_id == qid and abs(best.cosine - 1.0) < 1e-9
+
+
+def test_batch_lsh_topk_is_equi_join(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import similarity
+    from aws_big_data_blog_dmscdc_walkthrough_spark.session import load_table
+    from tests.conftest import SF_SMOKE
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    queries = embs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        similarity.batch_lsh_topk(
+            embs, queries, "vec_id", "query_id", "embedding", 3
+        ).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_fixed_matches_brute_force_at_full_probe(spark):
+    from pyspark.sql import functions as F
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import similarity
+    from aws_big_data_blog_dmscdc_walkthrough_spark.functions.vectors import as_double
+    from aws_big_data_blog_dmscdc_walkthrough_spark.session import load_table
+    from tests.conftest import SF_SMOKE
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    query = embs.where(F.col("vec_id") == 0).select("embedding")
+    cents = [
+        (r["vec_id"], r["cv"])
+        for r in embs.where(F.col("vec_id") < 4)
+        .select("vec_id", as_double(F.col("embedding")).alias("cv"))
+        .collect()
+    ]
+    # nprobe == n_centroids -> no pruning -> identical to brute force
+    ivf = similarity.ivf_topk_fixed(
+        embs, "vec_id", "embedding", cents, query, 10, nprobe=4
+    ).collect()
+    brute = similarity.cosine_topk(embs, "vec_id", "embedding", query, 10).collect()
+    assert [(r.vec_id, r.cosine) for r in ivf] == [
+        (r.vec_id, r.cosine) for r in brute
+    ]
