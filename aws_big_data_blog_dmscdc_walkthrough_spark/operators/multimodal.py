@@ -7,30 +7,36 @@ frame-sample / feature step is an Arrow-batched ``mapInPandas`` pass so
 bytes move Python-side once per stage and memory is bounded by the Arrow
 batch size (see ``media_batch_conf``), not the partition size.
 
-Decoders: the real image/audio libraries are NOT installed in this
-environment, so the pixel/sample decode is stubbed two ways:
-  * ``codec="raw"`` — a deterministic fake container (12-byte header:
-    magic ``MMRW``, uint16 width/height/channels/frames, then packed
-    frame bytes). Tests synthesize it; every downstream shape/byte is
-    exactly checkable.
-  * ``codec="real"`` — raises ``NotImplementedError`` unless PIL is
-    importable (clearly-marked stub; the mapInPandas plumbing around it
-    is identical, so swapping in a real decoder changes one function).
+Decoders — three tiers:
+  * REAL stdlib/numpy decoders for uncompressed formats: BMP (24/32-bit
+    uncompressed), PPM/PGM (netpbm binary), and WAV PCM audio (stdlib
+    ``wave``). These parse actual bytes produced by any standard tool.
+  * the deterministic ``MMRW`` raw container (12-byte header: magic,
+    uint16 width/height/channels/frames, packed frame bytes) — the
+    canonical internal representation; resize/sample emit it, and tests
+    synthesize it for byte-exact checks.
+  * compressed codecs (JPEG/PNG/MP4…) require PIL/ffmpeg, absent in
+    this environment — that path is import-gated and raises
+    ``NotImplementedError`` with the reason; the mapInPandas plumbing
+    is identical, so installing the lib changes one function.
 
 Row-count contracts (what the tests pin):
   decode_media:   1 row in → 1 row out  (adds meta, drops nothing)
   resize_images:  1 row in → 1 row out  (content rewritten, w×h×c bytes)
   sample_frames:  1 row in → ceil(frames/every_n) rows out (explode)
   media_features: 1 row in → 1 row out  (adds array<float> embedding)
+  audio_features: 1 row in → 1 row out  (adds rms/zcr/centroid)
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 import math
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -48,6 +54,7 @@ MEDIA_META = T.StructType(
         T.StructField("channels", T.IntegerType()),
         T.StructField("n_frames", T.IntegerType()),
         T.StructField("n_bytes", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),  # audio; NULL for images
     ]
 )
 
@@ -103,25 +110,216 @@ def _decode_header(blob: bytes) -> tuple[int, int, int, int]:
     return w, h, c, fr
 
 
-def _decode_real(blob: bytes):
-    """Real-codec decode — stub: the image/audio libs aren't installed."""
+def encode_bmp(pixels: "np.ndarray") -> bytes:
+    """(h, w, 3) uint8 RGB → standard 24-bit bottom-up BMP bytes."""
+    pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, c = pixels.shape
+    assert c == 3, "24-bit BMP encoder takes RGB"
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    body = rows.tobytes()
+    info = struct.pack("<IiihhIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return header + info + body
+
+
+def encode_ppm(pixels: "np.ndarray") -> bytes:
+    """(h, w, 3) uint8 RGB → binary PPM (P6)."""
+    pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def encode_wav(samples: "np.ndarray", rate: int = 8000) -> bytes:
+    """(n,) or (n, ch) float in [-1, 1] → 16-bit PCM WAV bytes."""
+    import wave
+
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    pcm = np.clip(arr * 32767.0, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(arr.shape[1])
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+# --------------------------------------------------- real stdlib decoders
+
+
+def sniff_mime(blob: bytes) -> str:
+    """Identify a blob by magic bytes (the formats this layer decodes)."""
+    if blob[:4] == MAGIC:
+        return "application/x-mmrw"
+    if blob[:2] == b"BM":
+        return "image/bmp"
+    if blob[:2] == b"P6":
+        return "image/x-portable-pixmap"
+    if blob[:2] == b"P5":
+        return "image/x-portable-graymap"
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        return "audio/wav"
+    if blob[:3] == b"\xff\xd8\xff":
+        return "image/jpeg"
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        return "image/png"
+    return "application/octet-stream"
+
+
+def _decode_bmp(blob: bytes) -> "np.ndarray":
+    """Uncompressed 24/32-bit BMP → (h, w, c) uint8 RGB(A) array.
+
+    Real parser: BITMAPFILEHEADER pixel offset, BITMAPINFOHEADER dims,
+    4-byte row padding, bottom-up row order, BGR(A)→RGB(A) swizzle.
+    """
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (pix_off,) = struct.unpack_from("<I", blob, 10)
+    _hsize, w, h, _planes, bpp, comp = struct.unpack_from("<IiihhI", blob, 14)
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"only uncompressed 24/32-bit BMP (bpp={bpp}, comp={comp})")
+    c = bpp // 8
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * c + 3) & ~3
+    rows = np.frombuffer(blob, np.uint8, h * stride, pix_off).reshape(h, stride)
+    arr = rows[:, : w * c].reshape(h, w, c)
+    if bottom_up:
+        arr = arr[::-1]
+    order = [2, 1, 0] + ([3] if c == 4 else [])
+    return np.ascontiguousarray(arr[:, :, order])
+
+
+def _decode_netpbm(blob: bytes) -> "np.ndarray":
+    """Binary PPM (P6) / PGM (P5), maxval ≤ 255 → (h, w, c) uint8."""
+    if blob[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary netpbm image")
+    channels = 3 if blob[:2] == b"P6" else 1
+    # header: magic, width, height, maxval — whitespace separated with
+    # optional '#' comment lines, then ONE whitespace byte before pixels
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":
+            while pos < len(blob) and blob[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(blob[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm not supported")
+    return np.frombuffer(blob, np.uint8, h * w * channels, pos).reshape(h, w, channels)
+
+
+def _decode_wav(blob: bytes) -> tuple["np.ndarray", int]:
+    """PCM WAV → ((n_samples, channels) float64 in [-1, 1], sample_rate).
+
+    stdlib ``wave`` handles the RIFF chunks; 8/16/32-bit PCM normalized
+    to [-1, 1] doubles for feature math.
+    """
+    with wave_open(io.BytesIO(blob)) as wf:
+        nch, sw, rate, nframes = (
+            wf.getnchannels(),
+            wf.getsampwidth(),
+            wf.getframerate(),
+            wf.getnframes(),
+        )
+        raw = wf.readframes(nframes)
+    if sw == 1:  # unsigned 8-bit
+        samples = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 2:
+        samples = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+    elif sw == 4:
+        samples = np.frombuffer(raw, "<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"sample width {sw}")
+    return samples.reshape(-1, nch), rate
+
+
+def wave_open(fh):
+    import wave
+
+    return wave.open(fh, "rb")
+
+
+def decode_image(blob: bytes) -> "np.ndarray":
+    """Any supported image blob → (frames, h, w, c) uint8 array."""
+    mime = sniff_mime(blob)
+    if mime == "application/x-mmrw":
+        w, h, c, fr = _decode_header(blob)
+        return np.frombuffer(
+            blob, np.uint8, fr * h * w * c, HEADER_SIZE
+        ).reshape(fr, h, w, c)
+    if mime == "image/bmp":
+        return _decode_bmp(blob)[None]
+    if mime in ("image/x-portable-pixmap", "image/x-portable-graymap"):
+        return _decode_netpbm(blob)[None]
+    return _decode_compressed(blob, mime)
+
+
+def _decode_compressed(blob: bytes, mime: str):
+    """Compressed codecs need PIL/ffmpeg — import-gated, absent here."""
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
     except ImportError as exc:  # pragma: no cover - env has no PIL
         raise NotImplementedError(
-            "real media decoding requires PIL/ffmpeg, absent in this "
-            "environment; use codec='raw' (deterministic fake container)"
+            f"decoding {mime} requires PIL/ffmpeg, absent in this "
+            "environment; BMP/PPM/PGM/WAV/MMRW decode natively"
         ) from exc
-    raise NotImplementedError("real codec path not wired yet")
+    arr = np.asarray(Image.open(io.BytesIO(blob)))  # pragma: no cover
+    if arr.ndim == 2:  # pragma: no cover
+        arr = arr[:, :, None]
+    return arr[None]  # pragma: no cover
+
+
+def _blob_meta(blob: bytes) -> dict:
+    """Decode just enough of any supported blob to fill MEDIA_META."""
+    mime = sniff_mime(blob)
+    meta = {
+        "mime": mime,
+        "width": 0,
+        "height": 0,
+        "channels": 0,
+        "n_frames": 0,
+        "n_bytes": len(blob),
+        "sample_rate": None,
+    }
+    if mime == "application/x-mmrw":
+        w, h, c, fr = _decode_header(blob)
+        meta.update(width=w, height=h, channels=c, n_frames=fr)
+    elif mime in ("image/bmp", "image/x-portable-pixmap", "image/x-portable-graymap"):
+        frames = decode_image(blob)
+        _, h, w, c = frames.shape
+        meta.update(width=w, height=h, channels=c, n_frames=1)
+    elif mime == "audio/wav":
+        samples, rate = _decode_wav(blob)
+        meta.update(
+            channels=samples.shape[1], n_frames=samples.shape[0], sample_rate=rate
+        )
+    else:
+        _decode_compressed(blob, mime)
+    return meta
 
 
 # ------------------------------------------------------------------ decode
 
 
-def decode_media(df: DataFrame, codec: str = "raw") -> DataFrame:
-    """Attach the typed ``meta`` struct by decoding each blob's header.
+def decode_media(df: DataFrame, codec: str = "auto") -> DataFrame:
+    """Attach the typed ``meta`` struct by decoding each blob.
 
-    1 row → 1 row; only the header is parsed (cheap), bytes stay opaque.
+    1 row → 1 row. ``codec='auto'`` sniffs the magic bytes and decodes
+    natively (MMRW header-only; BMP/PPM/PGM/WAV real parse);
+    ``codec='raw'`` forces the MMRW header path; compressed formats
+    raise ``NotImplementedError`` naming the missing library.
     """
     out_schema = T.StructType(
         [f for f in df.schema.fields if f.name != "meta"]
@@ -133,19 +331,22 @@ def decode_media(df: DataFrame, codec: str = "raw") -> DataFrame:
         for pdf in batches:
             metas = []
             for blob in pdf["content"]:
-                if codec != "raw":
-                    _decode_real(bytes(blob))
-                w, h, c, fr = _decode_header(bytes(blob))
-                metas.append(
-                    {
-                        "mime": "application/x-mmrw",
-                        "width": w,
-                        "height": h,
-                        "channels": c,
-                        "n_frames": fr,
-                        "n_bytes": len(blob),
-                    }
-                )
+                blob = bytes(blob)
+                if codec == "raw":
+                    w, h, c, fr = _decode_header(blob)
+                    metas.append(
+                        {
+                            "mime": "application/x-mmrw",
+                            "width": w,
+                            "height": h,
+                            "channels": c,
+                            "n_frames": fr,
+                            "n_bytes": len(blob),
+                            "sample_rate": None,
+                        }
+                    )
+                else:
+                    metas.append(_blob_meta(blob))
             out = pdf[cols].copy()
             out["meta"] = metas
             yield out
@@ -153,13 +354,13 @@ def decode_media(df: DataFrame, codec: str = "raw") -> DataFrame:
     return df.mapInPandas(run, out_schema)
 
 
-def resize_images(df: DataFrame, out_w: int, out_h: int, codec: str = "raw") -> DataFrame:
+def resize_images(df: DataFrame, out_w: int, out_h: int, codec: str = "auto") -> DataFrame:
     """Nearest-neighbor resize of every frame; content is rewritten.
 
-    1 row → 1 row; output blob is a valid container with the new dims
-    (w×h×c bytes per frame — byte-exact, tested). Pure-Python nearest
-    neighbor on the fake codec; a real pipeline drops PIL/cv2 into the
-    same loop body.
+    1 row → 1 row. Input may be any supported image format (the decode
+    canonicalizes); output is always an MMRW container with the new
+    dims (w×h×c bytes per frame — byte-exact, tested). The resample is
+    numpy integer-index gather per frame, vectorized over pixels.
     """
     schema = df.schema
 
@@ -167,35 +368,85 @@ def resize_images(df: DataFrame, out_w: int, out_h: int, codec: str = "raw") -> 
         for pdf in batches:
             out_blobs = []
             for blob in pdf["content"]:
-                blob = bytes(blob)
-                if codec != "raw":
-                    _decode_real(blob)
-                w, h, c, fr = _decode_header(blob)
-                frame_len = w * h * c
-                body = memoryview(blob)[HEADER_SIZE :]
-                new = bytearray()
-                for f in range(fr):
-                    frame = body[f * frame_len : (f + 1) * frame_len]
-                    for y in range(out_h):
-                        sy = min(int(y * h / out_h), h - 1)
-                        for x in range(out_w):
-                            sx = min(int(x * w / out_w), w - 1)
-                            off = (sy * w + sx) * c
-                            new += frame[off : off + c]
+                frames = decode_image(bytes(blob))
+                fr, h, w, c = frames.shape
+                # same rounding as the classic loop: src = floor(dst*in/out)
+                ys = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+                xs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+                resized = frames[:, ys[:, None], xs[None, :], :]
                 out_blobs.append(
-                    struct.pack(HEADER_FMT, MAGIC, out_w, out_h, c, fr) + bytes(new)
+                    struct.pack(HEADER_FMT, MAGIC, out_w, out_h, c, fr)
+                    + resized.tobytes()
                 )
             out = pdf.copy()
             out["content"] = out_blobs
             if "meta" in out.columns:
                 out["meta"] = [
-                    {**(m or {}), "width": out_w, "height": out_h,
-                     "n_bytes": len(b)}
+                    {**(m or {}), "mime": "application/x-mmrw",
+                     "width": out_w, "height": out_h, "n_bytes": len(b)}
                     for m, b in zip(out["meta"], out_blobs)
                 ]
             yield out
 
     return df.mapInPandas(run, schema)
+
+
+AUDIO_FEATURES = T.StructType(
+    [
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zcr", T.DoubleType()),
+        T.StructField("spectral_centroid", T.DoubleType()),
+        T.StructField("duration_sec", T.DoubleType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Real audio features from PCM WAV blobs (stdlib decode + numpy).
+
+    1 row → 1 row, adds a struct: RMS level, zero-crossing rate,
+    spectral centroid (rFFT magnitude-weighted mean frequency, Hz), and
+    duration. Channels are mixed down by mean before analysis.
+    """
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("audio", AUDIO_FEATURES)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for blob in pdf["content"]:
+                samples, rate = _decode_wav(bytes(blob))
+                mono = samples.mean(axis=1)
+                n = mono.size
+                if n == 0:
+                    feats.append(
+                        {"rms": 0.0, "zcr": 0.0, "spectral_centroid": 0.0,
+                         "duration_sec": 0.0}
+                    )
+                    continue
+                rms = float(np.sqrt(np.mean(mono * mono)))
+                zcr = (
+                    float(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                    / max(n - 1, 1)
+                )
+                spec = np.abs(np.fft.rfft(mono))
+                freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+                power = float(spec.sum())
+                centroid = float((freqs * spec).sum() / power) if power > 0 else 0.0
+                feats.append(
+                    {
+                        "rms": rms,
+                        "zcr": zcr,
+                        "spectral_centroid": centroid,
+                        "duration_sec": n / rate,
+                    }
+                )
+            out = pdf.copy()
+            out["audio"] = feats
+            yield out
+
+    return df.mapInPandas(run, out_schema)
 
 
 def sample_frames(df: DataFrame, every_n: int, codec: str = "raw") -> DataFrame:
@@ -217,18 +468,14 @@ def sample_frames(df: DataFrame, every_n: int, codec: str = "raw") -> DataFrame:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
-                blob = bytes(blob)
-                if codec != "raw":
-                    _decode_real(blob)
-                w, h, c, fr = _decode_header(blob)
-                frame_len = w * h * c
-                body = memoryview(blob)[HEADER_SIZE :]
+                arr = decode_image(bytes(blob))
+                fr, h, w, c = arr.shape
                 for f in range(0, fr, every_n):
                     ids.append(mid)
                     idxs.append(f)
                     frames.append(
                         struct.pack(HEADER_FMT, MAGIC, w, h, c, 1)
-                        + bytes(body[f * frame_len : (f + 1) * frame_len])
+                        + arr[f].tobytes()
                     )
             yield pd.DataFrame(
                 {"media_id": ids, "frame_index": idxs, "frame": frames}

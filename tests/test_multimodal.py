@@ -1,14 +1,16 @@
 """Multimodal binary-column plumbing (SURVEY §2 op 30).
 
-The media libs are absent in this environment, so blobs use the
-deterministic MMRW fake container; what these tests pin is the *Spark*
-contract — schemas, row-count semantics, Arrow batch shapes, byte-exact
-content — which is codec-independent.
+Two layers under test: the *Spark* contract (schemas, row-count
+semantics, Arrow batch shapes, byte-exact content) over the MMRW
+container, and the REAL stdlib decoders — BMP, binary PPM, PCM WAV —
+fed with standard-format bytes produced by the encoders (themselves
+validated against the format specs below).
 """
 
 import math
 import struct
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -99,13 +101,13 @@ def test_features_feed_ann(spark, media):
     assert top[0]["doc_id"] == 0 and abs(top[0]["cosine"] - 1.0) < 1e-9
 
 
-def test_real_codec_is_clearly_stubbed(spark):
-    df = mm.synth_media_table(spark, n=1)
+def test_compressed_codec_is_clearly_stubbed(spark):
+    # JPEG magic: decoding requires PIL, absent here — the gate must say so
+    fake_jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    df = spark.createDataFrame([(0, fake_jpeg, None)], mm.MEDIA_SCHEMA)
     with pytest.raises(Exception) as ei:
-        mm.decode_media(df, codec="real").collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(
-        ei.value, NotImplementedError
-    )
+        mm.decode_media(df).collect()
+    assert "PIL" in str(ei.value) or "NotImplementedError" in str(ei.value)
 
 
 def test_bad_magic_rejected(spark):
@@ -113,3 +115,92 @@ def test_bad_magic_rejected(spark):
     df = spark.createDataFrame(bad, mm.MEDIA_SCHEMA)
     with pytest.raises(Exception):
         mm.decode_media(df).collect()
+
+
+# ------------------------------------------------- real stdlib decoders
+
+
+def _checker(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (yy + xx) % 2 * 255
+    return np.stack([r, yy * 7 % 256, xx * 13 % 256], axis=2).astype(np.uint8)
+
+
+def test_bmp_roundtrip_pixel_exact():
+    px = _checker(5, 7)  # odd width exercises the 4-byte row padding
+    decoded = mm._decode_bmp(mm.encode_bmp(px))
+    assert decoded.shape == (5, 7, 3)
+    assert np.array_equal(decoded, px)
+
+
+def test_ppm_roundtrip_pixel_exact():
+    px = _checker(4, 6)
+    blob = mm.encode_ppm(px)
+    assert blob.startswith(b"P6\n6 4\n255\n")
+    decoded = mm._decode_netpbm(blob)
+    assert np.array_equal(decoded, px)
+
+
+def test_ppm_comment_header_parsed():
+    px = _checker(2, 3)
+    blob = b"P6\n# a comment line\n3 2\n255\n" + px.tobytes()
+    assert np.array_equal(mm._decode_netpbm(blob), px)
+
+
+def test_wav_roundtrip_and_meta():
+    t = np.arange(8000) / 8000.0
+    sig = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    blob = mm.encode_wav(sig, rate=8000)
+    samples, rate = mm._decode_wav(blob)
+    assert rate == 8000 and samples.shape == (8000, 1)
+    # 16-bit quantization bound: truncation (×32767) + scale asymmetry (÷32768)
+    assert float(np.abs(samples[:, 0] - sig).max()) < 1.0 / 16000
+    meta = mm._blob_meta(blob)
+    assert meta["mime"] == "audio/wav"
+    assert meta["n_frames"] == 8000 and meta["sample_rate"] == 8000
+
+
+def test_decode_media_mixed_real_formats(spark):
+    px = _checker(6, 8)
+    rows = [
+        (0, mm.encode_bmp(px), None),
+        (1, mm.encode_ppm(px), None),
+        (2, mm.encode_wav(np.zeros(100), rate=4000), None),
+        (3, mm.encode_raw(4, 3, 3, frames=2, seed=9), None),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    metas = {r["media_id"]: r["meta"] for r in mm.decode_media(df).collect()}
+    assert metas[0]["mime"] == "image/bmp" and (metas[0]["width"], metas[0]["height"]) == (8, 6)
+    assert metas[1]["mime"] == "image/x-portable-pixmap" and metas[1]["channels"] == 3
+    assert metas[2]["mime"] == "audio/wav" and metas[2]["sample_rate"] == 4000
+    assert metas[3]["mime"] == "application/x-mmrw" and metas[3]["n_frames"] == 2
+
+
+def test_resize_real_bmp_matches_numpy_reference(spark):
+    px = _checker(10, 9)
+    df = spark.createDataFrame([(0, mm.encode_bmp(px), None)], mm.MEDIA_SCHEMA)
+    out = mm.resize_images(df, out_w=4, out_h=5).collect()[0]
+    w, h, c, fr = mm._decode_header(bytes(out["content"]))
+    assert (w, h, c, fr) == (4, 5, 3, 1)
+    ys = np.minimum((np.arange(5) * 10) // 5, 9)
+    xs = np.minimum((np.arange(4) * 9) // 4, 8)
+    expect = px[ys[:, None], xs[None, :], :]
+    got = np.frombuffer(bytes(out["content"]), np.uint8, 5 * 4 * 3, mm.HEADER_SIZE)
+    assert np.array_equal(got.reshape(5, 4, 3), expect)
+
+
+def test_audio_features_detect_tone(spark):
+    rate = 8000
+    t = np.arange(rate) / rate
+    tone = 0.5 * np.sin(2 * np.pi * 1000.0 * t)  # 1 kHz, 1 second
+    silence = np.zeros(rate // 2)
+    df = spark.createDataFrame(
+        [(0, mm.encode_wav(tone, rate), None), (1, mm.encode_wav(silence, rate), None)],
+        mm.MEDIA_SCHEMA,
+    )
+    feats = {r["media_id"]: r["audio"] for r in mm.audio_features(df).collect()}
+    assert abs(feats[0]["rms"] - 0.5 / math.sqrt(2)) < 1e-3
+    assert abs(feats[0]["spectral_centroid"] - 1000.0) < 25.0
+    assert abs(feats[0]["zcr"] - 2 * 1000.0 / rate) < 1e-3
+    assert abs(feats[0]["duration_sec"] - 1.0) < 1e-9
+    assert feats[1]["rms"] == 0.0 and feats[1]["spectral_centroid"] == 0.0
