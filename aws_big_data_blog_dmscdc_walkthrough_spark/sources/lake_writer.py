@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..operators import cdc
+from . import manifest as manifest_mod
 
 HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
 
@@ -53,14 +54,29 @@ def target_exists(spark: SparkSession, path: str) -> bool:
 
 
 def write_initial(
-    df: DataFrame, out_path: str, partition_keys: Sequence[str] = ()
+    df: DataFrame,
+    out_path: str,
+    partition_keys: Sequence[str] = (),
+    use_manifest: bool = False,
 ) -> None:
-    """Full-load overwrite with op stamp (DMSCDC_LoadInitial.py:31-37)."""
+    """Full-load overwrite with op stamp (DMSCDC_LoadInitial.py:31-37).
+
+    ``use_manifest`` (unpartitioned only) publishes the written file
+    list to ``_mmanifest.json`` so manifest readers get atomic commits
+    from the first load on.
+    """
+    if use_manifest and partition_keys:
+        raise ValueError("manifest commits cover unpartitioned tables only")
     stamped = cdc.stamp_initial(df)
     writer = stamped.write.mode("overwrite")
     if partition_keys:
         writer = writer.partitionBy(*partition_keys)
     writer.parquet(out_path)
+    if use_manifest:
+        spark = df.sparkSession
+        manifest_mod.commit_manifest(
+            spark, out_path, manifest_mod.list_data_files(spark, out_path)
+        )
 
 
 def merge_incremental(
@@ -71,19 +87,26 @@ def merge_incremental(
     partition_keys: Sequence[str] = (),
     seq_col: str = "_seq",
     op_col: str = cdc.OP_COL,
+    use_manifest: bool = False,
 ) -> None:
     """Apply a change batch to the lake table at ``out_path``.
 
     No primary keys, or no existing target → insert-only append
     (DMSCDC_LoadIncremental.py:56-58). Otherwise latest-wins merge with
     copy-on-write at partition granularity.
+
+    ``use_manifest`` (unpartitioned only): stage → commit the live-file
+    manifest atomically → delete superseded files, closing the
+    append-then-delete crash window for manifest readers
+    (sources/manifest.py).
     """
+    if use_manifest and partition_keys:
+        raise ValueError("manifest commits cover unpartitioned tables only")
     if not primary_keys:
         out = cdc.insert_only(changes, op_col).drop(op_col, seq_col)
-        writer = out.write.mode("append")
-        if partition_keys:
-            writer = writer.partitionBy(*partition_keys)
-        writer.parquet(out_path)
+        _append_with_optional_manifest(
+            spark, out, out_path, partition_keys, use_manifest
+        )
         return
 
     if not target_exists(spark, out_path):
@@ -93,10 +116,9 @@ def merge_incremental(
         # merge against an empty target — latest op per key, minus deletes
         collapsed = cdc.latest_changes(changes, primary_keys, seq_col)
         out = collapsed.where(F.col(op_col) != cdc.OP_DELETE).drop(op_col, seq_col)
-        writer = out.write.mode("append")
-        if partition_keys:
-            writer = writer.partitionBy(*partition_keys)
-        writer.parquet(out_path)
+        _append_with_optional_manifest(
+            spark, out, out_path, partition_keys, use_manifest
+        )
         return
 
     if partition_keys:
@@ -105,8 +127,32 @@ def merge_incremental(
         )
     else:
         _merge_unpartitioned_cow(
-            spark, changes, out_path, primary_keys, seq_col, op_col
+            spark, changes, out_path, primary_keys, seq_col, op_col, use_manifest
         )
+
+
+def _append_with_optional_manifest(
+    spark: SparkSession,
+    out: DataFrame,
+    out_path: str,
+    partition_keys: Sequence[str],
+    use_manifest: bool,
+) -> None:
+    if use_manifest:
+        # live = previously committed ∪ newly appended — NOT the raw
+        # directory listing, which could resurrect orphans of a crashed
+        # earlier write into the committed set
+        prev = manifest_mod.read_manifest(spark, out_path)
+        before = set(manifest_mod.list_data_files(spark, out_path))
+    writer = out.write.mode("append")
+    if partition_keys:
+        writer = writer.partitionBy(*partition_keys)
+    writer.parquet(out_path)
+    if use_manifest:
+        after = manifest_mod.list_data_files(spark, out_path)
+        added = [f for f in after if f not in before]
+        live = (prev["files"] if prev else sorted(before)) + added
+        manifest_mod.commit_manifest(spark, out_path, live)
 
 
 def _merge_partitioned(
@@ -223,6 +269,7 @@ def _merge_unpartitioned_cow(
     primary_keys: Sequence[str],
     seq_col: str,
     op_col: str,
+    use_manifest: bool = False,
 ) -> None:
     """File-level copy-on-write (DMSCDC_LoadIncremental.py:64-87).
 
@@ -231,17 +278,27 @@ def _merge_unpartitioned_cow(
     2. merge ONLY those files' rows with the batch;
     3. append the survivors as new files (the write commits through
        Spark's ``_temporary`` staging, so readers never see partial
-       files), then delete the superseded originals. A crash between
-       append and delete leaves duplicates — the same non-atomic window
-       the reference has between its coalesce(1) append and boto3
-       deletes; a table format (Delta/Iceberg) is the real fix at scale.
+       files), then delete the superseded originals.
+
+    Without a manifest, a crash between append and delete leaves
+    duplicates for directory readers — the same non-atomic window the
+    reference has between its coalesce(1) append and boto3 deletes.
+    With ``use_manifest`` the new live-file list commits atomically
+    BETWEEN append and delete, so manifest readers (manifest.read_table)
+    see exactly one version at every point; a crash leaves only
+    unlisted orphans that ``manifest.vacuum`` reclaims.
     """
     pks = list(primary_keys)
-    tagged = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(out_path)
-        .withColumn("_file", F.input_file_name())
+    prev_manifest = manifest_mod.read_manifest(spark, out_path) if use_manifest else None
+    before_files = (
+        set(manifest_mod.list_data_files(spark, out_path)) if use_manifest else set()
     )
+    target_df = (
+        manifest_mod.read_table(spark, out_path)
+        if use_manifest
+        else spark.read.option("mergeSchema", "true").parquet(out_path)
+    )
+    tagged = target_df.withColumn("_file", F.input_file_name())
     change_keys = changes.select(*pks).distinct()
     impacted_files = [
         r["_file"]
@@ -256,14 +313,23 @@ def _merge_unpartitioned_cow(
     else:
         # pure-insert batch: merge against an empty frame with the
         # target's schema so collapsed inserts just append
-        full = spark.read.option("mergeSchema", "true").parquet(out_path)
-        old = spark.createDataFrame([], full.schema)
+        old = spark.createDataFrame([], target_df.schema)
     data_cols = [c for c in old.columns if c not in (op_col, seq_col)]
     old = old.select(*data_cols)
     old, changes = cdc.align_schemas(old, changes, extra_cols=(op_col, seq_col))
 
     merged = cdc.apply_changes(old, changes, pks, seq_col, op_col)
     merged.write.mode("append").parquet(out_path)
+
+    impacted_names = {f.rsplit("/", 1)[-1] for f in impacted_files}
+    if use_manifest:
+        after = manifest_mod.list_data_files(spark, out_path)
+        added = [f for f in after if f not in before_files]
+        prev_live = (
+            prev_manifest["files"] if prev_manifest else sorted(before_files)
+        )
+        live = [f for f in prev_live if f not in impacted_names] + added
+        manifest_mod.commit_manifest(spark, out_path, live)
 
     if impacted_files:
         jvm = spark._jvm

@@ -1,0 +1,116 @@
+"""Manifest-gated atomic commits (sources/manifest.py): the reader must
+see exactly one table version at every point of the stage → commit →
+delete sequence, including simulated crashes inside the window the
+reference leaves open (DMSCDC_LoadIncremental.py:68-87)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_big_data_blog_dmscdc_walkthrough_spark.sources import lake_writer, manifest
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "op string, _seq long, id long, name string"
+    )
+
+
+def _init(spark, path, n=3):
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(n)], "id long, name string"
+    ).repartition(3)
+    lake_writer.write_initial(df, path, use_manifest=True)
+    return df
+
+
+def test_manifest_read_matches_directory_read(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _init(spark, out)
+    lake_writer.merge_incremental(
+        spark, _changes(spark, [("U", 1, 1, "n1b"), ("I", 1, 9, "n9")]),
+        out, ["id"], use_manifest=True,
+    )
+    via_manifest = {(r.id, r.name) for r in manifest.read_table(spark, out).collect()}
+    via_dir = {(r.id, r.name) for r in spark.read.parquet(out).collect()}
+    assert via_manifest == via_dir == {(0, "n0"), (1, "n1b"), (2, "n2"), (9, "n9")}
+
+
+def test_crash_before_commit_keeps_old_version(spark, tmp_path, monkeypatch):
+    out = str(tmp_path / "t")
+    _init(spark, out)
+    before = {(r.id, r.name) for r in manifest.read_table(spark, out).collect()}
+
+    # crash AFTER the append but BEFORE the manifest commit
+    def boom(*a, **k):
+        raise RuntimeError("crash before commit")
+
+    monkeypatch.setattr(manifest, "commit_manifest", boom)
+    with pytest.raises(RuntimeError):
+        lake_writer.merge_incremental(
+            spark, _changes(spark, [("U", 1, 1, "n1b")]), out, ["id"],
+            use_manifest=True,
+        )
+    monkeypatch.undo()
+    # manifest reader: unchanged old version, no duplicates; the
+    # directory reader WOULD see both copies of id=1 here
+    after = {(r.id, r.name) for r in manifest.read_table(spark, out).collect()}
+    assert after == before
+    dir_rows = spark.read.parquet(out).collect()
+    assert len(dir_rows) > len(after)  # orphans exist on disk
+    assert manifest.vacuum(spark, out)  # ...and vacuum reclaims them
+    assert {(r.id, r.name) for r in spark.read.parquet(out).collect()} == before
+
+
+def test_crash_after_commit_shows_new_version(spark, tmp_path, monkeypatch):
+    out = str(tmp_path / "t")
+    _init(spark, out)
+
+    # crash AFTER the manifest commit but BEFORE the superseded-file
+    # deletes: new version visible, old copies invisible to the reader
+    jvm_delete = {}
+
+    def fake_merge(spark_, changes, path, pks, **kw):
+        raise AssertionError("unused")
+
+    real_commit = manifest.commit_manifest
+
+    def commit_then_crash(spark_, path, files):
+        real_commit(spark_, path, files)
+        raise RuntimeError("crash after commit")
+
+    monkeypatch.setattr(manifest, "commit_manifest", commit_then_crash)
+    with pytest.raises(RuntimeError):
+        lake_writer.merge_incremental(
+            spark, _changes(spark, [("U", 1, 1, "n1b"), ("D", 2, 0, None)]),
+            out, ["id"], use_manifest=True,
+        )
+    monkeypatch.undo()
+    got = {(r.id, r.name) for r in manifest.read_table(spark, out).collect()}
+    assert got == {(1, "n1b"), (2, "n2")}
+    # superseded originals are still on disk (delete never ran)...
+    assert len(spark.read.parquet(out).collect()) > len(got)
+    # ...and a follow-up merge against the manifest still works
+    lake_writer.merge_incremental(
+        spark, _changes(spark, [("I", 1, 7, "n7")]), out, ["id"],
+        use_manifest=True,
+    )
+    got2 = {(r.id, r.name) for r in manifest.read_table(spark, out).collect()}
+    assert got2 == {(1, "n1b"), (2, "n2"), (7, "n7")}
+
+
+def test_manifest_versions_increase(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _init(spark, out)
+    v1 = manifest.read_manifest(spark, out)["version"]
+    lake_writer.merge_incremental(
+        spark, _changes(spark, [("I", 1, 5, "n5")]), out, ["id"],
+        use_manifest=True,
+    )
+    v2 = manifest.read_manifest(spark, out)["version"]
+    assert v2 == v1 + 1
+
+
+def test_partitioned_manifest_rejected(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a", "x")], "id long, name string, p string")
+    with pytest.raises(ValueError):
+        lake_writer.write_initial(df, str(tmp_path / "t"), ["p"], use_manifest=True)
