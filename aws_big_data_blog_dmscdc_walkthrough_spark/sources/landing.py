@@ -37,11 +37,13 @@ class TableFolder:
 
     @property
     def format(self) -> str:
-        """"parquet" or "csv", from the files' extension (DMS writes one
-        format per endpoint, so per-folder detection is safe)."""
+        """"parquet", "csv" or "json", from the files' extension (DMS
+        writes one format per endpoint, so per-folder detection is safe)."""
         for f in self.initial_files + self.incremental_files:
             if f.endswith(".csv") or f.endswith(".csv.gz"):
                 return "csv"
+            if f.endswith(".json") or f.endswith(".jsonl") or f.endswith(".json.gz"):
+                return "json"
         return "parquet"
 
 
@@ -120,9 +122,15 @@ def _require_ddl(folder: TableFolder, schema_ddl: str) -> str:
 def read_initial(spark: SparkSession, folder: TableFolder, schema_ddl: str = ""):
     """Read a table's full-load files. Parquet: self-describing
     (DMSCDC_LoadInitial.py:28). CSV: headerless, columns from the stored
-    DDL — full-load files carry NO Op column in either format."""
+    DDL. JSON lines: field names in-band, but the stored DDL still fixes
+    the TYPES (schema inference over text is neither stable nor cheap at
+    scale). Full-load files carry NO Op column in any format."""
     if folder.format == "parquet":
         return spark.read.parquet(*folder.initial_files)
+    if folder.format == "json":
+        return spark.read.schema(_require_ddl(folder, schema_ddl)).json(
+            folder.initial_files
+        )
     return spark.read.schema(_require_ddl(folder, schema_ddl)).csv(
         folder.initial_files
     )
@@ -133,8 +141,12 @@ def read_incremental(
 ):
     """Read CDC files (already filtered to the new ones). Parquet files
     carry an ``Op`` column (DMSCDC_LoadIncremental.py:47); DMS CSV CDC
-    files prepend Op as the FIRST field before the table columns."""
+    files prepend Op as the FIRST field before the table columns; JSON
+    CDC records carry an ``Op`` field alongside the data fields."""
     if folder.format == "parquet":
         return spark.read.parquet(*files)
+    if folder.format == "json":
+        ddl = "Op STRING, " + _require_ddl(folder, schema_ddl)
+        return spark.read.schema(ddl).json(files)
     ddl = "Op STRING, " + _require_ddl(folder, schema_ddl)
     return spark.read.schema(ddl).csv(files)

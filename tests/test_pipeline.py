@@ -332,3 +332,52 @@ def test_csv_landing_without_ddl_is_isolated_error(spark, env):
     store.put(st)
     report = controller.run_once(spark, env["landing"], env["lake"], store)
     assert "schema_ddl" in report.tables[0].error
+
+
+def _write_json_landing(env):
+    """DMS JSON-lines S3 format: field names in-band, CDC records carry
+    an Op field; types still come from the stored DDL."""
+    d = f"{env['landing']}/sampledb/product"
+    os.makedirs(d, exist_ok=True)
+    with open(f"{d}/LOAD00000001.json", "w") as fh:
+        fh.write(
+            '{"id": 1001, "name": "widget", "dept": "tools"}\n'
+            '{"id": 1002, "name": "gadget", "dept": "toys"}\n'
+            '{"id": 1003, "name": "sprocket", "dept": "tools"}\n'
+        )
+
+
+def _write_json_incremental(env, name="20240101-000000001.json"):
+    d = f"{env['landing']}/sampledb/product"
+    with open(f"{d}/{name}", "w") as fh:
+        fh.write(
+            '{"Op": "U", "id": 1001, "name": "widget-x", "dept": "tools"}\n'
+            '{"Op": "D", "id": 1002}\n'
+            '{"Op": "I", "id": 1004, "name": "doohickey", "dept": "toys"}\n'
+        )
+
+
+def test_json_landing_full_flow(spark, env):
+    _write_json_landing(env)
+    store = JsonStateStore(env["state"])
+    controller.run_once(spark, env["landing"], env["lake"], store)  # registers
+    st = store.all()[0]
+    st.active = True
+    st.primary_key = "id"
+    st.schema_ddl = "id LONG, name STRING, dept STRING"
+    store.put(st)
+
+    r1 = controller.run_once(spark, env["landing"], env["lake"], store)
+    assert r1.tables[0].did_initial
+    lake = spark.read.parquet(f"{env['lake']}/sampledb/product")
+    assert lake.count() == 3 and "op" in lake.columns
+
+    _write_json_incremental(env)
+    r2 = controller.run_once(spark, env["landing"], env["lake"], store)
+    assert r2.tables[0].incremental_files == 1
+    rows = {
+        r.id: r
+        for r in spark.read.parquet(f"{env['lake']}/sampledb/product").collect()
+    }
+    assert set(rows) == {1001, 1003, 1004}
+    assert rows[1001].name == "widget-x"
