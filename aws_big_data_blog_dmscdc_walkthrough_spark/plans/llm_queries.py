@@ -431,9 +431,14 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_score", text_ops.quality_score_col("text")
     ).where(F.col("quality_score") >= CURATE_QUALITY_THRESHOLD)
     exact = dedup.exact_dedup(quality, "doc_id", "text")
-    canonical = quality.join(
-        exact.where(F.col("doc_id") == F.col("canonical_id")).select("doc_id"),
-        "doc_id",
+    # persist: canonical feeds BOTH the near-dup pair stage and the
+    # final anti-join — without the cache the quality gate and the
+    # exact-dedup window (a full shuffle at scale) evaluate twice
+    canonical = dedup._track(
+        quality.join(
+            exact.where(F.col("doc_id") == F.col("canonical_id")).select("doc_id"),
+            "doc_id",
+        ).persist()
     )
     pairs = dedup.ngram_jaccard_pairs(
         canonical, "doc_id", "text", ["source"], NGRAM_JACCARD_THRESHOLD
