@@ -76,6 +76,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text.text_quality,
         "text_langid": text.text_langid,
         "text_fingerprint": text.text_fingerprint,
+        "text_bigrams": text.text_bigrams,
+        "sample_stratified": text.sample_stratified,
         # Dedup + similarity (SURVEY §2 #19-25)
         "dedup_exact": llm_queries.dedup_exact,
         "dedup_ngram_jaccard": llm_queries.dedup_ngram_jaccard,
@@ -121,6 +123,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": text.TEXT_QUALITY_SQL,
         "text_langid": text.TEXT_LANGID_SQL,
         "text_fingerprint": text.TEXT_FINGERPRINT_SQL,
+        "text_bigrams": text.TEXT_BIGRAMS_SQL,
+        "sample_stratified": text.SAMPLE_STRATIFIED_SQL,
         "dedup_exact": llm_queries.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": llm_queries.DEDUP_NGRAM_JACCARD_SQL,
         "dedup_minhash_lsh": llm_queries.DEDUP_MINHASH_LSH_SQL,

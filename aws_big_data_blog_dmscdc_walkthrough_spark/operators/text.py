@@ -263,3 +263,100 @@ GROUP BY word
 ORDER BY n DESC, word
 LIMIT 25
 """
+
+
+# ---------------------------------------------------------- bigram top-k
+
+def text_bigrams(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame:
+    """Corpus bigram top-k (collocation head analysis).
+
+    Adjacent-token pairs come from zipping the token array with its
+    own tail (slice + arrays_zip — codegen, no UDF); the aggregation is
+    the same vocabulary-bounded shuffle as the unigram top-k.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = _tokens(F.col("text"))
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+    )
+    return (
+        docs.select(F.explode(pairs).alias("_p"))
+        .select(F.concat_ws(" ", F.col("_p.0"), F.col("_p.1")).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(k)
+    )
+
+
+TEXT_BIGRAMS_SQL = r"""
+SELECT bigram, COUNT(*) AS n
+FROM (
+  SELECT unnest([toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))]) AS bigram
+  FROM (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents)
+)
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 25
+"""
+
+
+# ------------------------------------------------- stratified sampling
+
+SAMPLE_MULT = 2654435761  # Knuth multiplicative constant
+SAMPLE_MOD = 1 << 31
+SAMPLE_PCT = 10  # keep ~10%
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample, uniform within every source stratum.
+
+    The keep decision is pure integer arithmetic on the row key
+    ((id * 2654435761) mod 2^31 mod 100 < pct) — reproducible in any
+    engine, no RNG state, stable across reruns and repartitions; at
+    100 TB this is a map-only filter that composes with partition
+    pruning. Per-stratum rates stay uniform because the multiplicative
+    hash decorrelates the key from the stratum.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keep = (F.col("doc_id") * F.lit(SAMPLE_MULT)) % F.lit(SAMPLE_MOD) % 100 < SAMPLE_PCT
+    return docs.where(keep).select("doc_id", "source", "lang", "n_chars")
+
+
+SAMPLE_STRATIFIED_SQL = f"""
+SELECT doc_id, source, lang, n_chars
+FROM documents
+WHERE (doc_id * {SAMPLE_MULT}) % {SAMPLE_MOD} % 100 < {SAMPLE_PCT}
+"""
+
+
+# --------------------------------------------------------- PII scrubbing
+
+PII_PATTERNS = {
+    # common subset of Java regex and RE2 — identical semantics in both
+    "url": r"https?://[^\s]+",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9(][0-9().\s\-]{5,}[0-9]",
+}
+PII_ORDER = ("url", "email", "phone")  # urls first: they may contain '@'
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact URLs, emails, and phone-like numbers from a text column.
+
+    Adds per-kind match counts and a ``text_scrubbed`` column with each
+    match replaced by a <KIND> token. Pure regexp column expressions —
+    map-only, codegen, ordered so URL bodies are consumed before the
+    email pattern can bite into them.
+    """
+    out = df
+    scrubbed = F.col(text_col)
+    for kind in PII_ORDER:
+        pat = PII_PATTERNS[kind]
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0))),
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return out.withColumn("text_scrubbed", scrubbed)
