@@ -88,6 +88,7 @@ def merge_incremental(
     seq_col: str = "_seq",
     op_col: str = cdc.OP_COL,
     use_manifest: bool = False,
+    retain_history: bool = False,
 ) -> None:
     """Apply a change batch to the lake table at ``out_path``.
 
@@ -98,7 +99,10 @@ def merge_incremental(
     ``use_manifest`` (unpartitioned only): stage → commit the live-file
     manifest atomically → delete superseded files, closing the
     append-then-delete crash window for manifest readers
-    (sources/manifest.py).
+    (sources/manifest.py). ``retain_history`` additionally KEEPS the
+    superseded files on disk so earlier commits stay readable via
+    ``manifest.read_table(path, version=N)`` until ``manifest.vacuum``
+    reclaims them (Delta/Iceberg-style time travel, minimal form).
     """
     if use_manifest and partition_keys:
         raise ValueError("manifest commits cover unpartitioned tables only")
@@ -127,7 +131,8 @@ def merge_incremental(
         )
     else:
         _merge_unpartitioned_cow(
-            spark, changes, out_path, primary_keys, seq_col, op_col, use_manifest
+            spark, changes, out_path, primary_keys, seq_col, op_col,
+            use_manifest, retain_history,
         )
 
 
@@ -270,6 +275,7 @@ def _merge_unpartitioned_cow(
     seq_col: str,
     op_col: str,
     use_manifest: bool = False,
+    retain_history: bool = False,
 ) -> None:
     """File-level copy-on-write (DMSCDC_LoadIncremental.py:64-87).
 
@@ -331,6 +337,10 @@ def _merge_unpartitioned_cow(
         live = [f for f in prev_live if f not in impacted_names] + added
         manifest_mod.commit_manifest(spark, out_path, live)
 
+    if use_manifest and retain_history:
+        # superseded files back earlier versions; manifest.vacuum with a
+        # retention window is the deferred delete
+        return
     if impacted_files:
         jvm = spark._jvm
         base = jvm.org.apache.hadoop.fs.Path(out_path)

@@ -44,6 +44,13 @@ def _manifest_path(path: str) -> str:
     return path.rstrip("/") + "/" + MANIFEST_NAME
 
 
+HISTORY_DIR = "_mmanifest_history"
+
+
+def _history_path(path: str, version: int) -> str:
+    return path.rstrip("/") + f"/{HISTORY_DIR}/v{version:012d}.json"
+
+
 def list_data_files(spark: SparkSession, path: str) -> list[str]:
     """Basenames of the table's parquet data files (flat listing)."""
     jvm, fs = _fs(spark, path)
@@ -92,6 +99,15 @@ def commit_manifest(spark: SparkSession, path: str, files: list[str]) -> int:
         out.write(payload)
     finally:
         out.close()
+    # durable per-version copy first (enables time travel), then the
+    # LATEST pointer swap — the rename is still the commit point
+    hist = jvm.org.apache.hadoop.fs.Path(_history_path(path, version))
+    fs.mkdirs(hist.getParent())
+    hout = fs.create(hist, True)
+    try:
+        hout.write(payload)
+    finally:
+        hout.close()
     dst = jvm.org.apache.hadoop.fs.Path(_manifest_path(path))
     # Hadoop rename refuses to clobber; delete-then-rename is safe here
     # because the tmp write is complete — a crash between the two leaves
@@ -103,12 +119,42 @@ def commit_manifest(spark: SparkSession, path: str, files: list[str]) -> int:
     return version
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
+def list_versions(spark: SparkSession, path: str) -> list[int]:
+    """Committed versions with a retained history entry, ascending."""
+    jvm, fs = _fs(spark, path)
+    hist = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + HISTORY_DIR)
+    if not fs.exists(hist):
+        return []
+    out = []
+    for status in fs.listStatus(hist):
+        name = status.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def _read_json_file(spark: SparkSession, uri: str) -> dict:
+    jvm, fs = _fs(spark, uri)
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(uri))
+    baos = jvm.java.io.ByteArrayOutputStream()
+    try:
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 65536, False)
+    finally:
+        stream.close()
+    return json.loads(bytes(baos.toByteArray()).decode("utf-8"))
+
+
+def read_table(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """Manifest-aware read: exactly the committed files, orphans invisible.
 
-    Falls back to a plain directory read when the table has no manifest.
+    ``version`` time-travels to an earlier commit (valid while its data
+    files haven't been vacuumed). Falls back to a plain directory read
+    when the table has no manifest.
     """
-    man = read_manifest(spark, path)
+    if version is not None:
+        man = _read_json_file(spark, _history_path(path, version))
+    else:
+        man = read_manifest(spark, path)
     if man is None:
         return spark.read.option("mergeSchema", "true").parquet(path)
     base = path.rstrip("/")
@@ -118,17 +164,29 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(*files)
 
 
-def vacuum(spark: SparkSession, path: str) -> list[str]:
-    """Delete data files not referenced by the manifest (orphans from an
-    interrupted write). Returns the basenames removed."""
+def vacuum(spark: SparkSession, path: str, retain_versions: int = 1) -> list[str]:
+    """Delete data files not referenced by the newest ``retain_versions``
+    commits, plus the expired history entries (orphans of interrupted
+    writes are unlisted everywhere, so they always go). Returns the
+    data-file basenames removed."""
     man = read_manifest(spark, path)
     if man is None:
         return []
-    live = set(man["files"])
+    versions = list_versions(spark, path)
+    keep = set(versions[-max(retain_versions, 1):]) | {man["version"]}
+    live: set[str] = set(man["files"])
     jvm, fs = _fs(spark, path)
+    for v in sorted(keep):
+        try:
+            live |= set(_read_json_file(spark, _history_path(path, v))["files"])
+        except Exception:
+            pass  # history entry may predate retention or be gone
     removed = []
     for name in list_data_files(spark, path):
         if name not in live:
             fs.delete(jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + name), False)
             removed.append(name)
+    for v in versions:
+        if v not in keep:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(_history_path(path, v)), False)
     return removed

@@ -114,3 +114,42 @@ def test_partitioned_manifest_rejected(spark, tmp_path):
     df = spark.createDataFrame([(1, "a", "x")], "id long, name string, p string")
     with pytest.raises(ValueError):
         lake_writer.write_initial(df, str(tmp_path / "t"), ["p"], use_manifest=True)
+
+
+def test_time_travel_reads_old_versions(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _init(spark, out)  # v1
+    lake_writer.merge_incremental(
+        spark, _changes(spark, [("U", 1, 1, "n1b"), ("D", 2, 0, None)]),
+        out, ["id"], use_manifest=True, retain_history=True,
+    )  # v2
+    lake_writer.merge_incremental(
+        spark, _changes(spark, [("I", 1, 9, "n9")]),
+        out, ["id"], use_manifest=True, retain_history=True,
+    )  # v3
+    assert manifest.list_versions(spark, out) == [1, 2, 3]
+
+    v1 = {(r.id, r.name) for r in manifest.read_table(spark, out, version=1).collect()}
+    v2 = {(r.id, r.name) for r in manifest.read_table(spark, out, version=2).collect()}
+    v3 = {(r.id, r.name) for r in manifest.read_table(spark, out).collect()}
+    assert v1 == {(0, "n0"), (1, "n1"), (2, "n2")}
+    assert v2 == {(1, "n1b"), (2, "n2")}
+    assert v3 == {(1, "n1b"), (2, "n2"), (9, "n9")}
+
+
+def test_vacuum_retention_expires_old_versions(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _init(spark, out)  # v1
+    lake_writer.merge_incremental(
+        spark, _changes(spark, [("U", 1, 1, "n1b")]),
+        out, ["id"], use_manifest=True, retain_history=True,
+    )  # v2
+    removed = manifest.vacuum(spark, out, retain_versions=1)
+    assert removed  # v1-only files reclaimed
+    assert manifest.list_versions(spark, out) == [2]
+    # latest still intact
+    got = {(r.id, r.name) for r in manifest.read_table(spark, out).collect()}
+    assert got == {(0, "n0"), (1, "n1b"), (2, "n2")}
+    # expired version no longer readable
+    with pytest.raises(Exception):
+        manifest.read_table(spark, out, version=1).collect()
