@@ -78,6 +78,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text.text_fingerprint,
         "text_bigrams": text.text_bigrams,
         "sample_stratified": text.sample_stratified,
+        "sketch_count_min": text.sketch_count_min,
         # Dedup + similarity (SURVEY §2 #19-25)
         "dedup_exact": llm_queries.dedup_exact,
         "dedup_ngram_jaccard": llm_queries.dedup_ngram_jaccard,
@@ -125,6 +126,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": text.TEXT_FINGERPRINT_SQL,
         "text_bigrams": text.TEXT_BIGRAMS_SQL,
         "sample_stratified": text.SAMPLE_STRATIFIED_SQL,
+        "sketch_count_min": text.SKETCH_COUNT_MIN_SQL,
         "dedup_exact": llm_queries.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": llm_queries.DEDUP_NGRAM_JACCARD_SQL,
         "dedup_minhash_lsh": llm_queries.DEDUP_MINHASH_LSH_SQL,

@@ -360,3 +360,78 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
     return out.withColumn("text_scrubbed", scrubbed)
+
+
+# ------------------------------------------------- count-min sketch
+
+CMS_WIDTH = 256
+CMS_DEPTH = 4
+# LARGE multipliers (≈2^30): short words hash small (< 2^27), and with
+# small a's the product never wraps mod P — then any word pair whose
+# hash difference is ≡ 0 (mod width) collides in EVERY row (observed:
+# 'agg'/'slow'). A wrapping multiplier destroys that alignment while
+# keeping a·h + b < 2^61 (inside int64 in both engines).
+CMS_A = [1103515245, 1299709043, 1500000041, 2054435761]
+CMS_B = [12345, 98765, 424243, 7077977]
+CMS_P = hashing.MINHASH_P
+
+
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch of the corpus word frequencies (d×w cell sums).
+
+    Sketches are the scale answer when the exact vocabulary no longer
+    fits: the sketch is FIXED SIZE (d·w cells) regardless of corpus
+    width, merges by cell-wise addition (associative — partial
+    aggregation combines map-side, so the shuffle carries ≤ d·w rows per
+    partition), and estimates any word's count as min over its d cells.
+    Everything here is deterministic integer arithmetic — word hash via
+    the polynomial fold, cell via (a·h + b) mod P mod w — so the DuckDB
+    twin reproduces the sketch bit-for-bit; estimator error bounds are
+    pinned in tests.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+    h = hashing.poly_hash(F.col("word"))
+    rows = F.array(
+        *[
+            ((F.lit(a) * h + F.lit(b)) % F.lit(CMS_P) % F.lit(CMS_WIDTH))
+            for a, b in zip(CMS_A, CMS_B)
+        ]
+    )
+    return (
+        words.select(F.posexplode(rows).alias("row", "col"))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_CMS_POLY = (
+    "list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in string_split(word, '')]), "
+    f"(a, b) -> (a * {POLY_MUL} + b) % {POLY_MOD})"
+)
+
+SKETCH_COUNT_MIN_SQL = rf"""
+WITH words AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents
+),
+hashed AS (SELECT {_CMS_POLY} AS h FROM words),
+cells AS (
+  SELECT t.range AS row,
+    ([{', '.join(f'({a} * h + {b}) % {CMS_P} % {CMS_WIDTH}' for a, b in zip(CMS_A, CMS_B))}])[t.range + 1] AS col
+  FROM hashed, range({CMS_DEPTH}) t
+)
+SELECT row, col, COUNT(*) AS n FROM cells GROUP BY row, col
+"""
+
+
+def cms_estimate(sketch_rows, word: str) -> int:
+    """Point-estimate a word's count from collected sketch rows (the min
+    over its d cells) — the client-side read path of the sketch."""
+    h = 0
+    for ch in word:
+        h = (h * POLY_MUL + ord(ch)) % POLY_MOD
+    cells = {(r["row"], r["col"]): r["n"] for r in sketch_rows}
+    return min(
+        cells.get((i, (a * h + b) % CMS_P % CMS_WIDTH), 0)
+        for i, (a, b) in enumerate(zip(CMS_A, CMS_B))
+    )

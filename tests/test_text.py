@@ -76,3 +76,19 @@ def test_sample_stratified_uniform_per_stratum(spark):
     a = {r.doc_id for r in sample.collect()}
     b = {r.doc_id for r in text_ops.sample_stratified(spark, SF_CORRECT).collect()}
     assert a == b
+
+
+def test_count_min_sketch_estimates_bound_exact_counts(spark):
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import text as text_ops
+    from tests.conftest import SF_SMOKE
+
+    sketch = text_ops.sketch_count_min(spark, SF_SMOKE).collect()
+    # fixed size regardless of vocabulary
+    assert len(sketch) <= text_ops.CMS_DEPTH * text_ops.CMS_WIDTH
+    exact = {r.word: r.n for r in text_ops.text_word_topk(spark, SF_SMOKE, 15).collect()}
+    for w, n in exact.items():
+        est = text_ops.cms_estimate(sketch, w)
+        # CMS never underestimates; overestimate bounded by collisions
+        assert n <= est <= n + 3 * (sum(exact.values()) // text_ops.CMS_WIDTH + 1)
+    # absent word estimates only collision noise
+    assert text_ops.cms_estimate(sketch, "zzz-not-a-word") < min(exact.values())
