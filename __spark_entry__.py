@@ -70,6 +70,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_range_join": analytics.q_events_range_join,
         "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
         "q18_large_volume_customers": analytics.q18_large_volume_customers,
+        "q_events_moving_avg": analytics.q_events_moving_avg,
+        "q_events_pivot": analytics.q_events_pivot,
+        "q_orders_set_ops": analytics.q_orders_set_ops,
         "text_word_topk": text.text_word_topk,
         # Text analysis (SURVEY §2 #26-29)
         "text_tokens": text.text_tokens,
@@ -119,6 +122,9 @@ def oracle_sql() -> dict[str, str]:
         "q_events_range_join": analytics.Q_EVENTS_RANGE_JOIN_SQL,
         "q17_small_quantity_revenue": analytics.Q17_SQL,
         "q18_large_volume_customers": analytics.Q18_SQL,
+        "q_events_moving_avg": analytics.Q_EVENTS_MOVING_AVG_SQL,
+        "q_events_pivot": analytics.Q_EVENTS_PIVOT_SQL,
+        "q_orders_set_ops": analytics.Q_ORDERS_SET_OPS_SQL,
         "text_word_topk": text.TEXT_WORD_TOPK_SQL,
         "text_tokens": text.TEXT_TOKENS_SQL,
         "text_quality": text.TEXT_QUALITY_SQL,

@@ -617,3 +617,90 @@ SELECT event_id, user_id, ts, value
 FROM events
 WHERE event_type = 'purchase' AND value > 50.0
 """
+
+
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-event average per user (bounded window FRAME coverage).
+
+    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW over per-user event order —
+    one shuffle on user_id, linear within partitions; the exact-decimal
+    running sum divides in double only at the end so both engines round
+    identically.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    mavg = (
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return events.select(
+        "event_id", "user_id", "value", mavg.alias("moving_avg")
+    )
+
+
+Q_EVENTS_MOVING_AVG_SQL = """
+SELECT event_id, user_id, value,
+  CAST(SUM(CAST(value AS DECIMAL(30,10))) OVER w AS DOUBLE)
+    / COUNT(*) OVER w AS moving_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event types into per-user columns (wide-format export).
+
+    ``pivot`` with an EXPLICIT value list — without it Spark runs an
+    extra distinct job to discover values, and the output schema becomes
+    data-dependent (both wrong at scale). Plans as one Expand-free
+    aggregation: each (user, type) count lands in its column map-side.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+Q_EVENTS_PIVOT_SQL = f"""
+SELECT user_id,
+  {', '.join(f"CAST(COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 END), 0) AS BIGINT) AS {t}" for t in EVENT_TYPES)}
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_orders_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT surface: customers active in 1993 AND 1994,
+    minus any with an open ('O') order — set semantics (distinct rows),
+    planned as semi/anti joins over pre-aggregated key sets.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    y = F.year(F.col("o_orderdate"))
+    k93 = orders.where(y == 1993).select("o_custkey").distinct()
+    k94 = orders.where(y == 1994).select("o_custkey").distinct()
+    open_k = orders.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    return (
+        k93.intersect(k94)
+        .exceptAll(open_k)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+Q_ORDERS_SET_OPS_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1993
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
