@@ -67,3 +67,56 @@ def test_stream_multi_op_within_batch(spark, tmp_path):
     _drop_file(spark, [("U", 1, "later")], src, "20240102-01.parquet")
     _run_stream(spark, src, out, ckpt)
     assert {r.id: r.name for r in spark.read.parquet(out).collect()} == {1: "later"}
+
+
+def test_streaming_tumbling_equals_batch_on_events_table(spark, tmp_path):
+    """The watermarked streaming aggregation must produce exactly the
+    batch answer once the stream is drained (availableNow, complete
+    mode): same windows, same counts, same sums — on the real events
+    table, not a fixture."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.session import load_table
+    from aws_big_data_blog_dmscdc_walkthrough_spark.streaming import windows as sw
+    from tests.conftest import SF_SMOKE
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    shutil.copy(f"{SF_SMOKE}/events.parquet", f"{src}/events.parquet")
+
+    # the raw file carries ts as nanos-long (see session.load_table);
+    # convert inside the stream exactly like the batch reader does
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{src}/events.parquet").schema
+    stream = sw.stream_events(spark, src, raw_schema).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    q = sw.run_to_sink(
+        sw.tumbling_counts(stream),
+        str(tmp_path / "ckpt"),
+        "stream_tumbling_eq",
+        output_mode="complete",
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.w_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM stream_tumbling_eq").collect()
+    }
+    events = load_table(spark, SF_SMOKE, "events")
+    want = {
+        (r.w_start, r.event_type): (r.n_events, r.sum_value)
+        for r in events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n_events", "sum_value")
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, s) in want.items():
+        gn, gs = got[k]
+        assert gn == n
+        assert abs(gs - s) <= 1e-9 * max(abs(s), 1.0)  # double sum order
