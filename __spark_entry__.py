@@ -92,6 +92,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": llm_queries.ann_lsh_topk,
         "ann_ivf_topk": llm_queries.ann_ivf_topk,
         "ann_batch_topk": llm_queries.ann_batch_topk,
+        "emb_label_centroids": llm_queries.emb_label_centroids,
         "pipeline_curate_corpus": llm_queries.pipeline_curate_corpus,
     }
 
@@ -142,5 +143,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": llm_queries.ANN_LSH_TOPK_SQL,
         "ann_ivf_topk": llm_queries.ANN_IVF_TOPK_SQL,
         "ann_batch_topk": llm_queries.ANN_BATCH_TOPK_SQL,
+        "emb_label_centroids": llm_queries.EMB_LABEL_CENTROIDS_SQL,
         "pipeline_curate_corpus": llm_queries.PIPELINE_CURATE_CORPUS_SQL,
     }

@@ -389,3 +389,37 @@ def lsh_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def vector_mean_by(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    dim: int,
+) -> DataFrame:
+    """Element-wise mean vector per group — the distributed k-means
+    UPDATE step (assignment being ``ivf_assign``), and the general
+    "centroid per label" aggregation an embedding pipeline needs.
+
+    posexplode → (group, position) grouped aggregation: one shuffle
+    whose width is |groups| × dim rows (independent of corpus size),
+    with map-side partial sums. Sums go through DECIMAL so the result is
+    order-independent and reproducible across engines; output is long
+    format (group, pos, mean) — pivot back to arrays with
+    ``collect_list over sorted pos`` when an array column is needed.
+    """
+    from .dedup import spread
+
+    exploded = spread(df).select(
+        F.col(group_col), F.posexplode(as_double(F.col(vec_col))).alias("pos", "x")
+    )
+    return (
+        exploded.where(F.col("pos") < dim)
+        .groupBy(group_col, "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(30,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean")
+        )
+    )

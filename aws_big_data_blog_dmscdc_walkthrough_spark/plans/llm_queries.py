@@ -495,3 +495,19 @@ SELECT doc_id, source, quality_score
 FROM canon
 WHERE doc_id NOT IN (SELECT doc_id FROM drops)
 """
+
+
+# ------------------------------------------------- label centroids
+
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (the k-means update step, distributed)."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    return similarity.vector_mean_by(embs, "label", "embedding", EMB_DIM)
+
+
+EMB_LABEL_CENTROIDS_SQL = f"""
+SELECT label, i - 1 AS pos,
+  CAST(SUM(CAST(embedding[i]::DOUBLE AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS mean
+FROM embeddings, range(1, {EMB_DIM} + 1) t(i)
+GROUP BY label, i
+"""
