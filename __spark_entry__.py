@@ -88,6 +88,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": llm_queries.dedup_minhash_lsh,
         "dedup_simhash": llm_queries.dedup_simhash,
         "dedup_embedding_cosine": llm_queries.dedup_embedding_cosine,
+        "dedup_clusters": llm_queries.dedup_clusters,
         "ann_cosine_topk": llm_queries.ann_cosine_topk,
         "ann_lsh_topk": llm_queries.ann_lsh_topk,
         "ann_ivf_topk": llm_queries.ann_ivf_topk,
@@ -139,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": llm_queries.DEDUP_MINHASH_LSH_SQL,
         "dedup_simhash": llm_queries.DEDUP_SIMHASH_SQL,
         "dedup_embedding_cosine": llm_queries.DEDUP_EMBEDDING_COSINE_SQL,
+        "dedup_clusters": llm_queries.DEDUP_CLUSTERS_SQL,
         "ann_cosine_topk": llm_queries.ANN_COSINE_TOPK_SQL,
         "ann_lsh_topk": llm_queries.ANN_LSH_TOPK_SQL,
         "ann_ivf_topk": llm_queries.ANN_IVF_TOPK_SQL,

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, similarity
+from ..operators import dedup, graph, similarity
 from ..operators.dedup import (
     MINHASH_A,
     MINHASH_B,
@@ -221,6 +221,61 @@ pairs AS (
   FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {EMB_COSINE_THRESHOLD}
+"""
+
+
+# ------------------------------------------------------- dedup clusters
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: exact-dup edges ∪ source-blocked
+    n-gram Jaccard pairs → distributed connected components →
+    ``(doc_id, cluster_id, cluster_size)``. ``cluster_id`` is the
+    minimum member id — keep-one-per-cluster dedup keeps rows where
+    ``doc_id == cluster_id``. Singletons are their own cluster."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = dedup.exact_dedup(docs, "doc_id", "text")
+    exact_edges = exact.where(F.col("doc_id") != F.col("canonical_id")).select(
+        F.col("doc_id").alias("src"), F.col("canonical_id").alias("dst")
+    )
+    near = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", ["source"], NGRAM_JACCARD_THRESHOLD
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    clusters = graph.cluster_members(
+        docs.select("doc_id"), exact_edges.unionByName(near), id_col="doc_id"
+    )
+    return clusters.select(
+        F.col("id").alias("doc_id"), "cluster_id", "cluster_size"
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+near AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+    AND {_JACCARD_SQL} >= {NGRAM_JACCARD_THRESHOLD}
+),
+exact_e AS (
+  SELECT doc_id AS id_a, canonical_id AS id_b FROM (
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY norm) AS canonical_id
+    FROM (SELECT doc_id,
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+          FROM documents)
+  ) WHERE doc_id <> canonical_id
+),
+edges AS (SELECT id_a, id_b FROM near UNION SELECT id_a, id_b FROM exact_e),
+sym AS (SELECT id_a AS a, id_b AS b FROM edges
+        UNION SELECT id_b, id_a FROM edges),
+walk AS (
+  SELECT doc_id AS id, doc_id AS comp FROM documents
+  UNION
+  SELECT s.b AS id, w.comp FROM walk w JOIN sym s ON s.a = w.id
+),
+comp AS (SELECT id AS doc_id, MIN(comp) AS cluster_id FROM walk GROUP BY id)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
 """
 
 

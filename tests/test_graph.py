@@ -1,0 +1,96 @@
+"""Connected components: hand-built graphs + random graphs vs union-find."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from aws_big_data_blog_dmscdc_walkthrough_spark.operators import dedup
+from aws_big_data_blog_dmscdc_walkthrough_spark.operators.graph import (
+    cluster_members,
+    connected_components,
+)
+
+
+def _run(spark, node_ids, edge_pairs, **kw):
+    nodes = spark.createDataFrame([(int(n),) for n in node_ids], "id: long")
+    if edge_pairs:
+        edges = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in edge_pairs], "src: long, dst: long"
+        )
+    else:
+        edges = nodes.select(
+            F.col("id").alias("src"), F.col("id").alias("dst")
+        ).limit(0)
+    out = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, edges, **kw).collect()
+    }
+    dedup.release_persisted()
+    return out
+
+
+def _union_find(node_ids, edge_pairs):
+    parent = {n: n for n in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # resolve to min id per component
+    comp = {}
+    groups = {}
+    for n in node_ids:
+        groups.setdefault(find(n), []).append(n)
+    for members in groups.values():
+        m = min(members)
+        for n in members:
+            comp[n] = m
+    return comp
+
+
+def test_chain_converges_past_diameter(spark):
+    # chain 1-2-3-4-5: needs several propagation rounds
+    out = _run(spark, [1, 2, 3, 4, 5], [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_two_components_and_singleton(spark):
+    out = _run(spark, [1, 2, 3, 10, 11, 99], [(2, 1), (2, 3), (11, 10)])
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_no_edges_identity(spark):
+    out = _run(spark, [7, 8, 9], [])
+    assert out == {7: 7, 8: 8, 9: 9}
+
+
+def test_duplicate_and_reversed_edges(spark):
+    out = _run(spark, [1, 2, 3], [(1, 2), (2, 1), (1, 2), (3, 2)])
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(42)
+    nodes = list(range(60))
+    edges = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(45)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    assert _run(spark, nodes, edges) == _union_find(nodes, edges)
+
+
+def test_cluster_members_sizes(spark):
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4]], "id: long")
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src: long, dst: long")
+    rows = {
+        r["id"]: (r["cluster_id"], r["cluster_size"])
+        for r in cluster_members(nodes, edges).collect()
+    }
+    dedup.release_persisted()
+    assert rows == {1: (1, 3), 2: (1, 3), 3: (1, 3), 4: (4, 1)}
