@@ -16,6 +16,7 @@ from aws_big_data_blog_dmscdc_walkthrough_spark.plans import (
     analytics,
     cdc_queries,
     llm_queries,
+    tpch_ext,
 )
 
 
@@ -73,6 +74,16 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_moving_avg": analytics.q_events_moving_avg,
         "q_events_pivot": analytics.q_events_pivot,
         "q_orders_set_ops": analytics.q_orders_set_ops,
+        # Extended TPC-H-style shapes (plans/tpch_ext.py)
+        "q4_order_priority": tpch_ext.q4_order_priority,
+        "q7_volume_shipping": tpch_ext.q7_volume_shipping,
+        "q8_market_share": tpch_ext.q8_market_share,
+        "q10_returned_items": tpch_ext.q10_returned_items,
+        "q14_promo_revenue": tpch_ext.q14_promo_revenue,
+        "q16_parts_supplier_count": tpch_ext.q16_parts_supplier_count,
+        "q19_disjunctive_revenue": tpch_ext.q19_disjunctive_revenue,
+        "q22_idle_customers": tpch_ext.q22_idle_customers,
+        "q_customer_value_ranks": tpch_ext.q_customer_value_ranks,
         "text_word_topk": text.text_word_topk,
         # Text analysis (SURVEY §2 #26-29)
         "text_tokens": text.text_tokens,
@@ -127,6 +138,15 @@ def oracle_sql() -> dict[str, str]:
         "q_events_moving_avg": analytics.Q_EVENTS_MOVING_AVG_SQL,
         "q_events_pivot": analytics.Q_EVENTS_PIVOT_SQL,
         "q_orders_set_ops": analytics.Q_ORDERS_SET_OPS_SQL,
+        "q4_order_priority": tpch_ext.Q4_SQL,
+        "q7_volume_shipping": tpch_ext.Q7_SQL,
+        "q8_market_share": tpch_ext.Q8_SQL,
+        "q10_returned_items": tpch_ext.Q10_SQL,
+        "q14_promo_revenue": tpch_ext.Q14_SQL,
+        "q16_parts_supplier_count": tpch_ext.Q16_SQL,
+        "q19_disjunctive_revenue": tpch_ext.Q19_SQL,
+        "q22_idle_customers": tpch_ext.Q22_SQL,
+        "q_customer_value_ranks": tpch_ext.Q_CUSTOMER_VALUE_RANKS_SQL,
         "text_word_topk": text.TEXT_WORD_TOPK_SQL,
         "text_tokens": text.TEXT_TOKENS_SQL,
         "text_quality": text.TEXT_QUALITY_SQL,

@@ -312,14 +312,19 @@ GROUP BY 1, 2
 
 
 def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-join: customers that never ordered, rolled up per nation.
+    """Anti-join: customers with no order since 2000, rolled up per nation.
 
-    left_anti against orders' key projection — at scale the right side
-    reduces to distinct o_custkey before the join (Catalyst prunes all
-    other order columns), and the nation dim broadcasts.
+    left_anti against orders' filtered key projection — at scale the
+    right side reduces to distinct o_custkey before the join (Catalyst
+    prunes all other order columns and pushes the date predicate to the
+    scan), and the nation dim broadcasts. The date cutoff keeps the
+    result non-empty on the synthetic data (every customer has *some*
+    order, so an unfiltered anti-join would verify nothing).
     """
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    )
     nation = load_table(spark, sf_dir, "nation")
     return (
         customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
@@ -336,7 +341,8 @@ Q_CUSTOMERS_NO_ORDERS_SQL = """
 SELECT n_name, COUNT(*) AS n_customers,
   CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE) AS sum_acctbal
 FROM customer JOIN nation ON c_nationkey = n_nationkey
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY n_name
 """
 
@@ -681,26 +687,26 @@ GROUP BY user_id
 
 
 def q_orders_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT / EXCEPT surface: customers active in 1993 AND 1994,
+    """INTERSECT / EXCEPT surface: customers active in 1995 AND 1996,
     minus any with an open ('O') order — set semantics (distinct rows),
     planned as semi/anti joins over pre-aggregated key sets.
     """
     orders = load_table(spark, sf_dir, "orders")
     y = F.year(F.col("o_orderdate"))
-    k93 = orders.where(y == 1993).select("o_custkey").distinct()
-    k94 = orders.where(y == 1994).select("o_custkey").distinct()
+    k95 = orders.where(y == 1995).select("o_custkey").distinct()
+    k96 = orders.where(y == 1996).select("o_custkey").distinct()
     open_k = orders.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
     return (
-        k93.intersect(k94)
+        k95.intersect(k96)
         .exceptAll(open_k)
         .select(F.col("o_custkey").alias("custkey"))
     )
 
 
 Q_ORDERS_SET_OPS_SQL = """
-SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1993
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
 INTERSECT
-SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
 EXCEPT
 SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
 """
