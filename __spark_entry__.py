@@ -11,7 +11,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from aws_big_data_blog_dmscdc_walkthrough_spark.operators import dedup, text
+from aws_big_data_blog_dmscdc_walkthrough_spark.operators import (
+    corpus_stats,
+    dedup,
+    text,
+)
 from aws_big_data_blog_dmscdc_walkthrough_spark.plans import (
     analytics,
     cdc_queries,
@@ -93,6 +97,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigrams": text.text_bigrams,
         "sample_stratified": text.sample_stratified,
         "sketch_count_min": text.sketch_count_min,
+        "text_tfidf_topk": corpus_stats.text_tfidf_topk,
+        "text_bm25": corpus_stats.text_bm25,
+        "text_chunks": corpus_stats.text_chunks,
         # Dedup + similarity (SURVEY §2 #19-25)
         "dedup_exact": llm_queries.dedup_exact,
         "dedup_ngram_jaccard": llm_queries.dedup_ngram_jaccard,
@@ -155,6 +162,9 @@ def oracle_sql() -> dict[str, str]:
         "text_bigrams": text.TEXT_BIGRAMS_SQL,
         "sample_stratified": text.SAMPLE_STRATIFIED_SQL,
         "sketch_count_min": text.SKETCH_COUNT_MIN_SQL,
+        "text_tfidf_topk": corpus_stats.TEXT_TFIDF_TOPK_SQL,
+        "text_bm25": corpus_stats.TEXT_BM25_SQL,
+        "text_chunks": corpus_stats.TEXT_CHUNKS_SQL,
         "dedup_exact": llm_queries.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": llm_queries.DEDUP_NGRAM_JACCARD_SQL,
         "dedup_minhash_lsh": llm_queries.DEDUP_MINHASH_LSH_SQL,
