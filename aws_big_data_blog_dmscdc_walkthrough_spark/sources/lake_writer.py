@@ -58,12 +58,16 @@ def write_initial(
     out_path: str,
     partition_keys: Sequence[str] = (),
     use_manifest: bool = False,
+    stats_cols: Sequence[str] = (),
 ) -> None:
     """Full-load overwrite with op stamp (DMSCDC_LoadInitial.py:31-37).
 
     ``use_manifest`` (unpartitioned only) publishes the written file
     list to ``_mmanifest.json`` so manifest readers get atomic commits
-    from the first load on.
+    from the first load on. ``stats_cols`` records per-file min/max for
+    those columns in the manifest, enabling file skipping in
+    ``manifest.read_table`` (one extra column-pruned scan of the newly
+    written files per commit).
     """
     if use_manifest and partition_keys:
         raise ValueError("manifest commits cover unpartitioned tables only")
@@ -74,9 +78,11 @@ def write_initial(
     writer.parquet(out_path)
     if use_manifest:
         spark = df.sparkSession
-        manifest_mod.commit_manifest(
-            spark, out_path, manifest_mod.list_data_files(spark, out_path)
+        files = manifest_mod.list_data_files(spark, out_path)
+        stats = manifest_mod.stats_for_commit(
+            spark, out_path, files, list(stats_cols)
         )
+        manifest_mod.commit_manifest(spark, out_path, files, stats=stats)
 
 
 def merge_incremental(
@@ -89,6 +95,7 @@ def merge_incremental(
     op_col: str = cdc.OP_COL,
     use_manifest: bool = False,
     retain_history: bool = False,
+    stats_cols: Sequence[str] = (),
 ) -> None:
     """Apply a change batch to the lake table at ``out_path``.
 
@@ -109,7 +116,7 @@ def merge_incremental(
     if not primary_keys:
         out = cdc.insert_only(changes, op_col).drop(op_col, seq_col)
         _append_with_optional_manifest(
-            spark, out, out_path, partition_keys, use_manifest
+            spark, out, out_path, partition_keys, use_manifest, stats_cols
         )
         return
 
@@ -121,7 +128,7 @@ def merge_incremental(
         collapsed = cdc.latest_changes(changes, primary_keys, seq_col)
         out = collapsed.where(F.col(op_col) != cdc.OP_DELETE).drop(op_col, seq_col)
         _append_with_optional_manifest(
-            spark, out, out_path, partition_keys, use_manifest
+            spark, out, out_path, partition_keys, use_manifest, stats_cols
         )
         return
 
@@ -132,7 +139,7 @@ def merge_incremental(
     else:
         _merge_unpartitioned_cow(
             spark, changes, out_path, primary_keys, seq_col, op_col,
-            use_manifest, retain_history,
+            use_manifest, retain_history, stats_cols,
         )
 
 
@@ -142,6 +149,7 @@ def _append_with_optional_manifest(
     out_path: str,
     partition_keys: Sequence[str],
     use_manifest: bool,
+    stats_cols: Sequence[str] = (),
 ) -> None:
     if use_manifest:
         # live = previously committed ∪ newly appended — NOT the raw
@@ -157,7 +165,10 @@ def _append_with_optional_manifest(
         after = manifest_mod.list_data_files(spark, out_path)
         added = [f for f in after if f not in before]
         live = (prev["files"] if prev else sorted(before)) + added
-        manifest_mod.commit_manifest(spark, out_path, live)
+        stats = manifest_mod.stats_for_commit(
+            spark, out_path, live, list(stats_cols), prev
+        )
+        manifest_mod.commit_manifest(spark, out_path, live, stats=stats)
 
 
 def _merge_partitioned(
@@ -276,6 +287,7 @@ def _merge_unpartitioned_cow(
     op_col: str,
     use_manifest: bool = False,
     retain_history: bool = False,
+    stats_cols: Sequence[str] = (),
 ) -> None:
     """File-level copy-on-write (DMSCDC_LoadIncremental.py:64-87).
 
@@ -335,7 +347,10 @@ def _merge_unpartitioned_cow(
             prev_manifest["files"] if prev_manifest else sorted(before_files)
         )
         live = [f for f in prev_live if f not in impacted_names] + added
-        manifest_mod.commit_manifest(spark, out_path, live)
+        stats = manifest_mod.stats_for_commit(
+            spark, out_path, live, list(stats_cols), prev_manifest
+        )
+        manifest_mod.commit_manifest(spark, out_path, live, stats=stats)
 
     if use_manifest and retain_history:
         # superseded files back earlier versions; manifest.vacuum with a

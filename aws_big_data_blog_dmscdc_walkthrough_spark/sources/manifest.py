@@ -26,10 +26,12 @@ manifest exists.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 MANIFEST_NAME = "_mmanifest.json"
 
@@ -79,17 +81,102 @@ def read_manifest(spark: SparkSession, path: str) -> dict | None:
     return json.loads(bytes(baos.toByteArray()).decode("utf-8"))
 
 
-def commit_manifest(spark: SparkSession, path: str, files: list[str]) -> int:
+def _stat_encode(v):
+    """JSON-encode a min/max bound with enough type info to compare
+    later: ISO strings for temporals (ISO order == chronological order),
+    raw numbers / strings otherwise."""
+    if isinstance(v, _dt.datetime):
+        return {"t": "ts", "v": v.isoformat(sep=" ")}
+    if isinstance(v, _dt.date):
+        return {"t": "ts", "v": v.isoformat()}
+    return v
+
+
+def _stat_value(encoded, probe):
+    """Decode a bound into the comparison domain of ``probe``."""
+    if isinstance(encoded, dict) and encoded.get("t") == "ts":
+        return encoded["v"]
+    return encoded
+
+
+def _probe_value(v):
+    return _stat_encode(v)["v"] if isinstance(v, (_dt.date, _dt.datetime)) else v
+
+
+def compute_file_stats(
+    spark: SparkSession, path: str, files: list[str], cols: list[str]
+) -> dict[str, dict]:
+    """Per-file min/max of ``cols`` — ONE distributed aggregation
+    grouped on ``input_file_name()``, not a driver loop over footers, so
+    stats collection costs a single scan however many files there are.
+    Output rows are bounded by file count (small), so the collect is
+    driver-safe."""
+    base = path.rstrip("/")
+    paths = [posixpath.join(base, f) for f in files]
+    if not paths or not cols:
+        return {}
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"_min_{c}"))
+        aggs.append(F.max(c).alias(f"_max_{c}"))
+    rows = (
+        spark.read.option("mergeSchema", "true").parquet(*paths)
+        .groupBy(F.input_file_name().alias("_f"))
+        .agg(*aggs)
+        .collect()
+    )
+    out: dict[str, dict] = {}
+    for r in rows:
+        name = posixpath.basename(r["_f"].split("?", 1)[0])
+        out[name] = {
+            c: {
+                "min": _stat_encode(r[f"_min_{c}"]),
+                "max": _stat_encode(r[f"_max_{c}"]),
+            }
+            for c in cols
+        }
+    return out
+
+
+def stats_for_commit(
+    spark: SparkSession,
+    path: str,
+    files: list[str],
+    cols: list[str],
+    prev: dict | None = None,
+) -> dict[str, dict] | None:
+    """Stats map for a new commit: reuse the previous manifest's stats
+    for files that are still live (data files are immutable once
+    written), scan ONLY the newly added ones. Keeps per-commit stats
+    cost proportional to the delta, not the table."""
+    if not cols:
+        return None
+    prev_stats = (prev or {}).get("stats", {})
+    have = {f: prev_stats[f] for f in files if f in prev_stats}
+    missing = [f for f in files if f not in have]
+    new = compute_file_stats(spark, path, missing, cols) if missing else {}
+    return {**have, **new}
+
+
+def commit_manifest(
+    spark: SparkSession,
+    path: str,
+    files: list[str],
+    stats: dict[str, dict] | None = None,
+) -> int:
     """Atomically publish the live-file list; returns the new version.
 
     Write-to-temp + rename in the SAME directory — atomic on HDFS and
     POSIX; on S3-style stores swap this for a conditional PUT.
+    ``stats`` (from compute_file_stats) rides along in the manifest and
+    enables file skipping in ``read_table``.
     """
     prev = read_manifest(spark, path)
     version = (prev["version"] + 1) if prev else 1
-    payload = json.dumps(
-        {"version": version, "files": sorted(files)}, sort_keys=True
-    ).encode("utf-8")
+    doc = {"version": version, "files": sorted(files)}
+    if stats:
+        doc["stats"] = stats
+    payload = json.dumps(doc, sort_keys=True).encode("utf-8")
     jvm, fs = _fs(spark, path)
     tmp = jvm.org.apache.hadoop.fs.Path(
         path.rstrip("/") + f"/._mmanifest.v{version}.tmp"
@@ -144,24 +231,89 @@ def _read_json_file(spark: SparkSession, uri: str) -> dict:
     return json.loads(bytes(baos.toByteArray()).decode("utf-8"))
 
 
-def read_table(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+def _file_may_match(fstats: dict | None, col: str, op: str, value) -> bool:
+    """Conservative skip decision from a file's [min, max] for ``col``.
+
+    True (keep the file) unless the stats PROVE no row can satisfy the
+    predicate. Missing stats or None bounds keep the file. Rows with
+    NULL in ``col`` never satisfy a comparison predicate, so a file
+    whose non-null range excludes it is safe to skip even if it also
+    holds nulls (min/max ignore nulls).
+    """
+    if not fstats or col not in fstats:
+        return True
+    lo_e, hi_e = fstats[col].get("min"), fstats[col].get("max")
+    if lo_e is None or hi_e is None:
+        return True
+    probe = _probe_value(value)
+    lo, hi = _stat_value(lo_e, probe), _stat_value(hi_e, probe)
+    if op == "=":
+        return lo <= probe <= hi
+    if op == ">":
+        return hi > probe
+    if op == ">=":
+        return hi >= probe
+    if op == "<":
+        return lo < probe
+    if op == "<=":
+        return lo <= probe
+    raise ValueError(f"unsupported prune op {op!r}")
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    predicate: tuple[str, str, object] | None = None,
+) -> DataFrame:
     """Manifest-aware read: exactly the committed files, orphans invisible.
 
     ``version`` time-travels to an earlier commit (valid while its data
     files haven't been vacuumed). Falls back to a plain directory read
     when the table has no manifest.
+
+    ``predicate`` = (col, op, value) with op in {=, <, <=, >, >=} both
+    PRUNES files whose manifest min/max stats prove they can't match —
+    the planner never even opens them, the metadata-level skipping that
+    makes selective scans at 100 TB cheap — and applies the same filter
+    to the surviving rows, so results are identical with or without
+    stats.
     """
     if version is not None:
         man = _read_json_file(spark, _history_path(path, version))
     else:
         man = read_manifest(spark, path)
     if man is None:
-        return spark.read.option("mergeSchema", "true").parquet(path)
+        df = spark.read.option("mergeSchema", "true").parquet(path)
+        return _apply_predicate(df, predicate)
     base = path.rstrip("/")
-    files = [posixpath.join(base, f) for f in man["files"]]
+    names = list(man["files"])
+    if predicate is not None:
+        stats = man.get("stats", {})
+        col, op, value = predicate
+        names = [n for n in names if _file_may_match(stats.get(n), col, op, value)]
+    files = [posixpath.join(base, f) for f in names]
     if not files:
-        return spark.read.option("mergeSchema", "true").parquet(path).limit(0)
-    return spark.read.option("mergeSchema", "true").parquet(*files)
+        empty = spark.read.option("mergeSchema", "true").parquet(path).limit(0)
+        return _apply_predicate(empty, predicate)
+    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    return _apply_predicate(df, predicate)
+
+
+_OPS = {
+    "=": lambda c, v: c == v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+}
+
+
+def _apply_predicate(df: DataFrame, predicate) -> DataFrame:
+    if predicate is None:
+        return df
+    col, op, value = predicate
+    return df.where(_OPS[op](F.col(col), F.lit(value)))
 
 
 def vacuum(spark: SparkSession, path: str, retain_versions: int = 1) -> list[str]:

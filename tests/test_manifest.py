@@ -74,8 +74,8 @@ def test_crash_after_commit_shows_new_version(spark, tmp_path, monkeypatch):
 
     real_commit = manifest.commit_manifest
 
-    def commit_then_crash(spark_, path, files):
-        real_commit(spark_, path, files)
+    def commit_then_crash(spark_, path, files, **kw):
+        real_commit(spark_, path, files, **kw)
         raise RuntimeError("crash after commit")
 
     monkeypatch.setattr(manifest, "commit_manifest", commit_then_crash)
@@ -153,3 +153,72 @@ def test_vacuum_retention_expires_old_versions(spark, tmp_path):
     # expired version no longer readable
     with pytest.raises(Exception):
         manifest.read_table(spark, out, version=1).collect()
+
+
+# ---------------------------------------------------------- file skipping
+
+def _init_ranged(spark, path):
+    """Three files with disjoint id ranges: [0..9], [100..109], [200..209]."""
+    for lo in (0, 100, 200):
+        df = spark.createDataFrame(
+            [(lo + i, f"n{lo + i}") for i in range(10)], "id long, name string"
+        ).coalesce(1)
+        lake_writer.merge_incremental(
+            spark, df.select(F.lit("I").alias("op"), F.lit(1).alias("_seq"), "id", "name"),
+            path, [], use_manifest=True, stats_cols=["id"],
+        )
+
+
+def test_stats_recorded_per_file(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _init_ranged(spark, out)
+    man = manifest.read_manifest(spark, out)
+    assert len(man["files"]) == 3
+    stats = man["stats"]
+    ranges = sorted((s["id"]["min"], s["id"]["max"]) for s in stats.values())
+    assert ranges == [(0, 9), (100, 109), (200, 209)]
+
+
+def test_predicate_prunes_files_and_matches_full_scan(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _init_ranged(spark, out)
+    pruned = manifest.read_table(spark, out, predicate=("id", ">=", 200))
+    assert len(pruned.inputFiles()) == 1  # two files provably excluded
+    expect = {(r.id, r.name) for r in
+              manifest.read_table(spark, out).where(F.col("id") >= 200).collect()}
+    assert {(r.id, r.name) for r in pruned.collect()} == expect
+
+    eq = manifest.read_table(spark, out, predicate=("id", "=", 105))
+    assert len(eq.inputFiles()) == 1
+    assert [r.id for r in eq.collect()] == [105]
+
+    # predicate excluded by every file's range -> zero files, empty result
+    none = manifest.read_table(spark, out, predicate=("id", ">", 500))
+    assert none.count() == 0
+
+
+def test_predicate_without_stats_reads_everything(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _init(spark, out)  # committed without stats_cols
+    df = manifest.read_table(spark, out, predicate=("id", "=", 1))
+    assert len(df.inputFiles()) == 3  # no stats -> no pruning, still correct
+    assert [r.id for r in df.collect()] == [1]
+
+
+def test_stats_survive_cow_merge(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _init_ranged(spark, out)
+    # update one key in the middle file; other files' stats must carry over
+    lake_writer.merge_incremental(
+        spark, _changes(spark, [("U", 2, 105, "upd")]), out, ["id"],
+        use_manifest=True, stats_cols=["id"],
+    )
+    man = manifest.read_manifest(spark, out)
+    assert set(man["files"]) == set(man["stats"])  # every live file has stats
+    pruned = manifest.read_table(spark, out, predicate=("id", ">=", 200))
+    assert len(pruned.inputFiles()) == 1
+    upd = manifest.read_table(spark, out, predicate=("id", "=", 105))
+    assert {(r.id, r.name) for r in upd.collect()} == {(105, "upd")}
+    # the rewrite may split the impacted file; pruning must still drop
+    # every file whose range excludes 105 (the [0..9] and [200..209] ones)
+    assert len(upd.inputFiles()) < len(man["files"])
