@@ -21,6 +21,7 @@ from aws_big_data_blog_dmscdc_walkthrough_spark.plans import (
     cdc_queries,
     llm_queries,
     tpch_ext,
+    tpch_rest,
 )
 
 
@@ -87,6 +88,16 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_supplier_count": tpch_ext.q16_parts_supplier_count,
         "q19_disjunctive_revenue": tpch_ext.q19_disjunctive_revenue,
         "q22_idle_customers": tpch_ext.q22_idle_customers,
+        # Remaining TPC-H shapes (plans/tpch_rest.py) — completes all 22
+        "q2_min_cost_supplier": tpch_rest.q2_min_cost_supplier,
+        "q6_forecast_revenue": tpch_rest.q6_forecast_revenue,
+        "q9_product_profit": tpch_rest.q9_product_profit,
+        "q11_important_stock": tpch_rest.q11_important_stock,
+        "q12_priority_by_linestatus": tpch_rest.q12_priority_by_linestatus,
+        "q13_customer_distribution": tpch_rest.q13_customer_distribution,
+        "q15_top_supplier": tpch_rest.q15_top_supplier,
+        "q20_part_promotion_suppliers": tpch_rest.q20_part_promotion_suppliers,
+        "q21_waiting_suppliers": tpch_rest.q21_waiting_suppliers,
         "q_customer_value_ranks": tpch_ext.q_customer_value_ranks,
         "text_word_topk": text.text_word_topk,
         # Text analysis (SURVEY §2 #26-29)
@@ -153,6 +164,15 @@ def oracle_sql() -> dict[str, str]:
         "q16_parts_supplier_count": tpch_ext.Q16_SQL,
         "q19_disjunctive_revenue": tpch_ext.Q19_SQL,
         "q22_idle_customers": tpch_ext.Q22_SQL,
+        "q2_min_cost_supplier": tpch_rest.Q2_SQL,
+        "q6_forecast_revenue": tpch_rest.Q6_SQL,
+        "q9_product_profit": tpch_rest.Q9_SQL,
+        "q11_important_stock": tpch_rest.Q11_SQL,
+        "q12_priority_by_linestatus": tpch_rest.Q12_SQL,
+        "q13_customer_distribution": tpch_rest.Q13_SQL,
+        "q15_top_supplier": tpch_rest.Q15_SQL,
+        "q20_part_promotion_suppliers": tpch_rest.Q20_SQL,
+        "q21_waiting_suppliers": tpch_rest.Q21_SQL,
         "q_customer_value_ranks": tpch_ext.Q_CUSTOMER_VALUE_RANKS_SQL,
         "text_word_topk": text.TEXT_WORD_TOPK_SQL,
         "text_tokens": text.TEXT_TOKENS_SQL,
