@@ -413,6 +413,10 @@ def compact_table(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     partition_keys: Sequence[str] = (),
+    cluster_by: Sequence[str] = (),
+    use_manifest: bool = False,
+    stats_cols: Sequence[str] = (),
+    retain_history: bool = False,
 ) -> int:
     """Bin-pack a table's small files toward ``target_file_bytes``.
 
@@ -427,27 +431,75 @@ def compact_table(
         per PARTITION when partitioned (dynamic overwrite swaps each);
       * unpartitioned tables swap through staging, same as merges.
 
+    ``cluster_by`` range-partitions + sorts the rewrite on those
+    columns (Delta/Iceberg ``OPTIMIZE ... ZORDER BY``'s single-column
+    analogue, which range clustering solves optimally): each output
+    file covers a disjoint value range, so the per-file min/max stats
+    recorded via ``stats_cols`` let ``manifest.read_table`` skip all
+    but the matching files — the compaction pass that turns a
+    merge-scrambled table back into a skippable one.
+
+    ``use_manifest`` (unpartitioned only) compacts *through* the
+    manifest: the compacted files append beside the live set, the new
+    manifest version commits atomically, and only then are superseded
+    files dropped (kept when ``retain_history`` — earlier versions stay
+    time-travelable until ``manifest.vacuum`` reclaims them).  The
+    directory-swap path would destroy the manifest and its history with
+    the data files it replaces.
+
     Returns the number of output files requested.
     """
+    if use_manifest and partition_keys:
+        raise ValueError("manifest commits cover unpartitioned tables only")
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     summary = fs.getContentSummary(p)
     n_files = max(1, int(-(-summary.getLength() // target_file_bytes)))
 
-    df = spark.read.option("mergeSchema", "true").parquet(path)
+    df = (
+        manifest_mod.read_table(spark, path)
+        if use_manifest
+        else spark.read.option("mergeSchema", "true").parquet(path)
+    )
+
+    def _clustered(frame: DataFrame) -> DataFrame:
+        cols = [F.col(c) for c in (*partition_keys, *cluster_by)]
+        if cluster_by:
+            return frame.repartitionByRange(n_files, *cols).sortWithinPartitions(
+                *cols
+            )
+        if partition_keys:
+            # cluster rows of one partition into few tasks; dynamic
+            # overwrite then swaps each partition directory
+            return frame.repartition(n_files, *cols)
+        return frame.repartition(n_files)
+
+    out = _clustered(df)
     if partition_keys:
-        # cluster rows of one partition into few tasks; dynamic overwrite
-        # then swaps every partition directory with its compacted files
-        out = df.repartition(n_files, *[F.col(k) for k in partition_keys])
         (
             out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*partition_keys)
             .parquet(path)
         )
+    elif use_manifest:
+        prev = manifest_mod.read_manifest(spark, path)
+        before = set(manifest_mod.list_data_files(spark, path))
+        out.write.mode("append").parquet(path)
+        after = manifest_mod.list_data_files(spark, path)
+        added = [f for f in after if f not in before]
+        stats = manifest_mod.stats_for_commit(
+            spark, path, added, list(stats_cols)
+        )
+        manifest_mod.commit_manifest(spark, path, added, stats=stats)
+        if not retain_history:
+            prev_live = set(prev["files"]) if prev else before
+            base = path.rstrip("/")
+            for name in sorted(prev_live):
+                fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base}/{name}"), False)
     else:
-        _swap_rewrite(spark, df.repartition(n_files), path)
+        _swap_rewrite(spark, out, path)
     return n_files
 
 

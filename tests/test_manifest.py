@@ -222,3 +222,55 @@ def test_stats_survive_cow_merge(spark, tmp_path):
     # the rewrite may split the impacted file; pruning must still drop
     # every file whose range excludes 105 (the [0..9] and [200..209] ones)
     assert len(upd.inputFiles()) < len(man["files"])
+
+
+# ------------------------------------------------------- clustered compaction
+
+def test_compact_through_manifest_clusters_and_skips(spark, tmp_path):
+    out = str(tmp_path / "t")
+    # interleaved ids across commits -> every file spans the full range,
+    # so pre-compaction stats prune nothing
+    for start in (0, 1, 2):
+        df = spark.createDataFrame(
+            [(start + 3 * i, f"n{start + 3 * i}") for i in range(100)],
+            "id long, name string",
+        ).coalesce(1)
+        lake_writer.merge_incremental(
+            spark,
+            df.select(F.lit("I").alias("op"), F.lit(1).alias("_seq"), "id", "name"),
+            out, [], use_manifest=True, stats_cols=["id"],
+        )
+    scrambled = manifest.read_table(spark, out, predicate=("id", "<", 10))
+    assert len(scrambled.inputFiles()) == 3  # no skipping possible yet
+
+    lake_writer.compact_table(
+        spark, out, target_file_bytes=2048, cluster_by=["id"],
+        use_manifest=True, stats_cols=["id"],
+    )
+    man = manifest.read_manifest(spark, out)
+    assert len(man["files"]) > 1  # genuinely multi-file after compaction
+    assert set(man["files"]) == set(man["stats"])
+    # data intact
+    rows = {(r.id, r.name) for r in manifest.read_table(spark, out).collect()}
+    assert rows == {(i, f"n{i}") for i in range(300)}
+    # range clustering -> disjoint per-file ranges -> selective read
+    # touches a strict subset of files
+    pruned = manifest.read_table(spark, out, predicate=("id", "<", 10))
+    assert 0 < len(pruned.inputFiles()) < len(man["files"])
+    assert {r.id for r in pruned.collect()} == set(range(10))
+    # superseded files physically gone (retain_history=False default)
+    assert set(manifest.list_data_files(spark, out)) == set(man["files"])
+
+
+def test_compact_manifest_retain_history_time_travels(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _init_ranged(spark, out)
+    v_before = manifest.read_manifest(spark, out)["version"]
+    lake_writer.compact_table(
+        spark, out, target_file_bytes=1 << 30, cluster_by=["id"],
+        use_manifest=True, stats_cols=["id"], retain_history=True,
+    )
+    # old version still readable (files retained), new version compacted
+    old = manifest.read_table(spark, out, version=v_before)
+    assert old.count() == 30
+    assert manifest.read_table(spark, out).count() == 30
