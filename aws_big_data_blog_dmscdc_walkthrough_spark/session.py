@@ -58,32 +58,38 @@ def get_spark(
     return builder.getOrCreate()
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one driver-provided parquet table from a scale-factor dir.
+def normalize_event_ts(df):
+    """Normalize an events frame's ``ts`` column to a microsecond timestamp.
 
-    Parquet nano-precision timestamps arrive as long (see nanosAsLong
-    above); the data carries no sub-microsecond precision, so converting
-    ``ns // 1000`` to a microsecond timestamp is lossless and matches what
-    DuckDB reads for the same file.
-
-    Side effect: sets ``spark.sql.legacy.parquet.nanosAsLong`` on the
-    CALLER'S session for the rest of its lifetime (no per-read option
-    exists for this conf). Other nano-timestamp parquet reads in the same
-    session will then yield LongType instead of raising — callers who
-    need the strict error back can restore the conf afterwards.
+    The driver's current events.parquet stores ``ts`` as parquet
+    TIMESTAMP(MICROS), which Spark reads directly as a timestamp — this is
+    then a no-op. Earlier testdata generations stored TIMESTAMP(NANOS),
+    which Spark (with ``nanosAsLong``) surfaces as LongType; for that layout
+    the integer division ``ns div 1000`` is exact on int64 and floors like
+    DuckDB's ns→µs read. Both the batch reader (:func:`load_table`) and any
+    streaming reader over the same file must apply this SAME guard — an
+    unconditional cast breaks on whichever layout it wasn't written for.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
-    # Self-sufficiency: callers may hand us a vanilla SparkSession (an
-    # external harness, a notebook) that never went through get_spark().
-    # nanosAsLong is a runtime-settable SQLConf, so set it here rather
-    # than relying on the session factory having done it at build time —
-    # without it the events.parquet read dies with PARQUET_TYPE_ILLEGAL
-    # before the LongType branch below is ever reached.
+    if "ts" in df.columns and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver-provided parquet table from a scale-factor dir.
+
+    Side effect: sets ``spark.sql.legacy.parquet.nanosAsLong`` on the
+    CALLER'S session for the rest of its lifetime (no per-read option
+    exists for this conf). It is harmless for the current MICROS-typed
+    testdata and keeps nano-typed parquet readable instead of raising
+    PARQUET_TYPE_ILLEGAL; runtime-settable, so set here rather than only
+    in the session factory (callers may hand us a vanilla session).
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        # integer division: exact on int64 and floors like DuckDB's ns→µs read
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df

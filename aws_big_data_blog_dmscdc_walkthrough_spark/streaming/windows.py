@@ -26,6 +26,22 @@ def stream_events(spark, source_dir: str, schema, max_files_per_trigger: int | N
     return reader.parquet(source_dir)
 
 
+def _watermarkable(events: DataFrame, ts_col: str) -> DataFrame:
+    """Ensure the event-time column is watermark-eligible.
+
+    ``withWatermark`` requires TIMESTAMP (with local time zone); parquet
+    micros columns read as TIMESTAMP_NTZ and are rejected
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The session pins
+    ``spark.sql.session.timeZone=UTC``, so the NTZ→LTZ cast is
+    wall-clock-lossless and window boundaries match the batch twins.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(events.schema[ts_col].dataType, TimestampNTZType):
+        events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return events
+
+
 def tumbling_counts(
     events: DataFrame,
     window_size: str = "1 hour",
@@ -35,7 +51,8 @@ def tumbling_counts(
 ) -> DataFrame:
     """Watermarked tumbling-window count + sum, keyed by window × group."""
     return (
-        events.withWatermark(ts_col, watermark)
+        _watermarkable(events, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window_size).alias("w"), F.col(group_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -61,7 +78,8 @@ def sliding_counts(
 ) -> DataFrame:
     """Watermarked hopping-window aggregation (each row in size/slide windows)."""
     return (
-        events.withWatermark(ts_col, watermark)
+        _watermarkable(events, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(
             F.window(F.col(ts_col), window_size, slide).alias("w"),
             F.col(group_col),

@@ -68,7 +68,13 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    baseline_file, deltas = _baseline_deltas(timings, sf)
+    # Delta computation is decoration; it must never be able to destroy
+    # the timing record it decorates (round 4 died exactly this way).
+    try:
+        baseline_file, deltas = _baseline_deltas(timings, sf)
+    except Exception as exc:  # noqa: BLE001 - diagnostics only
+        print(f"[bench] baseline delta computation failed: {exc!r}", file=sys.stderr)
+        baseline_file, deltas = None, {}
     if deltas:
         regressions = {n: r for n, r in deltas.items() if r > 2.0}
         print(
@@ -87,11 +93,16 @@ def main() -> None:
     if len(line) > 1900:
         result["queries"] = {n: round(t, 1) for n, t in timings.items()}
         line = json.dumps(result, separators=(",", ":"))
+    if len(line) > 1900:
+        # Last resort: drop per-query detail rather than lose the record.
+        print(f"[bench] WARNING: line {len(line)} chars > 1900; dropping per-query timings", file=sys.stderr)
+        result["queries"] = {}
+        line = json.dumps(result, separators=(",", ":"))
     print(line)
     spark.stop()
 
 
-def _baseline_deltas(timings: dict[str, float], sf: str):
+def _baseline_deltas(timings: dict[str, float], sf: str, bench_dir: str | None = None):
     """Per-query time ratio vs the newest same-SF BENCH_r*.json record.
 
     Single-round wall clocks on this shared host swing ±30%, so only
@@ -100,16 +111,20 @@ def _baseline_deltas(timings: dict[str, float], sf: str):
     """
     import glob
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = bench_dir or os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
         try:
             with open(path) as fh:
                 rec = json.load(fh)
         except (OSError, json.JSONDecodeError):
             continue
-        # the driver records bench stdout under "parsed"
-        rec = rec.get("parsed", rec)
-        if str(rec.get("sf")) != sf or not rec.get("queries"):
+        # The driver records bench stdout under "parsed"; a crashed round
+        # stores "parsed": null, so fall back to the outer record and skip
+        # anything that is not a dict (round 4's bench died on exactly this).
+        rec = rec.get("parsed") or rec
+        if not isinstance(rec, dict):
+            continue
+        if str(rec.get("sf")) != sf or not isinstance(rec.get("queries"), dict) or not rec["queries"]:
             continue
         base_q = rec["queries"]
         deltas = {

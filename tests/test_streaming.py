@@ -78,7 +78,10 @@ def test_streaming_tumbling_equals_batch_on_events_table(spark, tmp_path):
 
     from pyspark.sql import functions as F
 
-    from aws_big_data_blog_dmscdc_walkthrough_spark.session import load_table
+    from aws_big_data_blog_dmscdc_walkthrough_spark.session import (
+        load_table,
+        normalize_event_ts,
+    )
     from aws_big_data_blog_dmscdc_walkthrough_spark.streaming import windows as sw
     from tests.conftest import SF_SMOKE
 
@@ -86,13 +89,11 @@ def test_streaming_tumbling_equals_batch_on_events_table(spark, tmp_path):
     os.makedirs(src)
     shutil.copy(f"{SF_SMOKE}/events.parquet", f"{src}/events.parquet")
 
-    # the raw file carries ts as nanos-long (see session.load_table);
-    # convert inside the stream exactly like the batch reader does
+    # normalize ts exactly like the batch reader does (no-op on the
+    # current MICROS-typed file, ns→µs conversion on the legacy layout)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{src}/events.parquet").schema
-    stream = sw.stream_events(spark, src, raw_schema).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    stream = normalize_event_ts(sw.stream_events(spark, src, raw_schema))
     q = sw.run_to_sink(
         sw.tumbling_counts(stream),
         str(tmp_path / "ckpt"),
