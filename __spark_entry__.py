@@ -48,14 +48,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: _fresh(v) for k, v in _queries_raw().items()}
 
 
+def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Oracle-checked queries NOT in the driver gate registry.
+
+    The driver's correctness gate records at most 50 entries per round
+    (rounds 3-4 silently truncated past the cap), so :func:`queries` is
+    pruned to exactly the 50 first-class capabilities and these TPC-H
+    tail shapes — plan-shape variants of joins/aggs already gated above —
+    live here instead. They keep full DuckDB-oracle verification every
+    round via ``tests/test_queries.py``, which parametrizes over the
+    union of both registries; only the driver-side gate skips them.
+    """
+    return {k: _fresh(v) for k, v in _secondary_raw().items()}
+
+
 def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the round-3 correctness gate recorded exactly the
-    # first 50 entries and dropped the rest (driver cap or time budget),
-    # which silently un-gated every dedup/ANN/LLM-pipeline operator. The
-    # first-class capabilities (CDC engine, dedup families, ANN, text
-    # ops, core analytics) therefore come FIRST; the redundant TPC-H tail
-    # shapes (q2/q4/q6..q22 variants of already-covered join/agg shapes)
-    # sit last so any truncation eats duplicates, not coverage.
+    # EXACTLY 50 entries — the driver gate's per-round cap. Every key here
+    # gets a CORRECTNESS row each round; everything else is pytest-gated
+    # via secondary_queries(). Do not grow past 50: the round-3/4 gates
+    # recorded the first 50 and silently dropped the rest.
     return {
         # CDC engine (SURVEY §2 #1-6)
         "cdc_initial_stamp": cdc_queries.cdc_initial_stamp,
@@ -112,9 +123,14 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_moving_avg": analytics.q_events_moving_avg,
         "q_events_pivot": analytics.q_events_pivot,
         "q_orders_set_ops": analytics.q_orders_set_ops,
+    }
+
+
+def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # TPC-H tail shapes + value-ranks: plan-shape variants of join/agg
+    # shapes gated in _queries_raw (pytest-oracled, outside the driver cap).
+    return {
         "q_customer_value_ranks": tpch_ext.q_customer_value_ranks,
-        # Remaining TPC-H shapes — variants of join/agg shapes already
-        # gated above; safe to lose to gate truncation.
         "q4_order_priority": tpch_ext.q4_order_priority,
         "q7_volume_shipping": tpch_ext.q7_volume_shipping,
         "q8_market_share": tpch_ext.q8_market_share,
@@ -164,24 +180,6 @@ def oracle_sql() -> dict[str, str]:
         "q_events_moving_avg": analytics.Q_EVENTS_MOVING_AVG_SQL,
         "q_events_pivot": analytics.Q_EVENTS_PIVOT_SQL,
         "q_orders_set_ops": analytics.Q_ORDERS_SET_OPS_SQL,
-        "q4_order_priority": tpch_ext.Q4_SQL,
-        "q7_volume_shipping": tpch_ext.Q7_SQL,
-        "q8_market_share": tpch_ext.Q8_SQL,
-        "q10_returned_items": tpch_ext.Q10_SQL,
-        "q14_promo_revenue": tpch_ext.Q14_SQL,
-        "q16_parts_supplier_count": tpch_ext.Q16_SQL,
-        "q19_disjunctive_revenue": tpch_ext.Q19_SQL,
-        "q22_idle_customers": tpch_ext.Q22_SQL,
-        "q2_min_cost_supplier": tpch_rest.Q2_SQL,
-        "q6_forecast_revenue": tpch_rest.Q6_SQL,
-        "q9_product_profit": tpch_rest.Q9_SQL,
-        "q11_important_stock": tpch_rest.Q11_SQL,
-        "q12_priority_by_linestatus": tpch_rest.Q12_SQL,
-        "q13_customer_distribution": tpch_rest.Q13_SQL,
-        "q15_top_supplier": tpch_rest.Q15_SQL,
-        "q20_part_promotion_suppliers": tpch_rest.Q20_SQL,
-        "q21_waiting_suppliers": tpch_rest.Q21_SQL,
-        "q_customer_value_ranks": tpch_ext.Q_CUSTOMER_VALUE_RANKS_SQL,
         "text_word_topk": text.TEXT_WORD_TOPK_SQL,
         "text_tokens": text.TEXT_TOKENS_SQL,
         "text_quality": text.TEXT_QUALITY_SQL,
@@ -205,4 +203,28 @@ def oracle_sql() -> dict[str, str]:
         "ann_batch_topk": llm_queries.ANN_BATCH_TOPK_SQL,
         "emb_label_centroids": llm_queries.EMB_LABEL_CENTROIDS_SQL,
         "pipeline_curate_corpus": llm_queries.PIPELINE_CURATE_CORPUS_SQL,
+    }
+
+
+def secondary_oracle_sql() -> dict[str, str]:
+    """DuckDB oracles for :func:`secondary_queries` (pytest-side gate)."""
+    return {
+        "q_customer_value_ranks": tpch_ext.Q_CUSTOMER_VALUE_RANKS_SQL,
+        "q4_order_priority": tpch_ext.Q4_SQL,
+        "q7_volume_shipping": tpch_ext.Q7_SQL,
+        "q8_market_share": tpch_ext.Q8_SQL,
+        "q10_returned_items": tpch_ext.Q10_SQL,
+        "q14_promo_revenue": tpch_ext.Q14_SQL,
+        "q16_parts_supplier_count": tpch_ext.Q16_SQL,
+        "q19_disjunctive_revenue": tpch_ext.Q19_SQL,
+        "q22_idle_customers": tpch_ext.Q22_SQL,
+        "q2_min_cost_supplier": tpch_rest.Q2_SQL,
+        "q6_forecast_revenue": tpch_rest.Q6_SQL,
+        "q9_product_profit": tpch_rest.Q9_SQL,
+        "q11_important_stock": tpch_rest.Q11_SQL,
+        "q12_priority_by_linestatus": tpch_rest.Q12_SQL,
+        "q13_customer_distribution": tpch_rest.Q13_SQL,
+        "q15_top_supplier": tpch_rest.Q15_SQL,
+        "q20_part_promotion_suppliers": tpch_rest.Q20_SQL,
+        "q21_waiting_suppliers": tpch_rest.Q21_SQL,
     }

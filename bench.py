@@ -43,7 +43,10 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    queries = entry_mod.queries()
+    # Union of the driver-gated registry and the pytest-only secondary
+    # registry: the correctness gate caps at 50 entries, but the bench
+    # keeps timing all 68 so TPC-H tail regressions stay visible.
+    queries = {**entry_mod.queries(), **entry_mod.secondary_queries()}
     timings: dict[str, float] = {}
     # best-of-2: this host runs other workloads (observed load spikes to
     # 15+); the min of two full executions reports the engine's cost, not

@@ -6,8 +6,17 @@ import __spark_entry__ as entry_mod
 from tests.conftest import SF_SMOKE
 from tests.oracle_check import compare, run_oracle
 
-QUERIES = entry_mod.queries()
-ORACLES = entry_mod.oracle_sql()
+# Union of the driver-gated registry (capped at 50 entries) and the
+# pytest-only secondary registry: every query stays oracle-checked here
+# even though the driver gate records only the primary 50.
+QUERIES = {**entry_mod.queries(), **entry_mod.secondary_queries()}
+ORACLES = {**entry_mod.oracle_sql(), **entry_mod.secondary_oracle_sql()}
+
+
+def test_primary_registry_fits_driver_gate_cap():
+    q = entry_mod.queries()
+    assert len(q) <= 50, "driver gate records only the first 50 entries"
+    assert set(entry_mod.oracle_sql()) <= set(q)
 
 
 def test_entry_smoke(spark):
