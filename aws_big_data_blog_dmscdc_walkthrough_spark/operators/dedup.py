@@ -76,6 +76,57 @@ def release_persisted() -> int:
     return n
 
 
+def _estimated_scan_partitions(df: DataFrame) -> int | None:
+    """Estimate how many partitions this frame's file scan will produce.
+
+    Derived from the leaf files' on-disk sizes and
+    ``spark.sql.files.maxPartitionBytes`` — the same quantities Spark's
+    FilePartition packing uses — WITHOUT converting the frame to an RDD:
+    the first ``df.rdd.getNumPartitions()`` on a fresh frame costs ~1 s
+    of plan conversion (measured), which taxed every dedup query with
+    driver-side fixed overhead. Returns None for non-local or non-file
+    sources (createDataFrame fixtures, object stores), where the caller
+    should fall back to the RDD probe.
+    """
+    import os
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        if not uri.startswith("file:"):
+            return None
+        path = uri[len("file:"):]
+        while path.startswith("//"):
+            path = path[1:]
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return None
+    raw = df.sparkSession.conf.get(
+        "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
+    )
+    max_split = _parse_bytes(raw)
+    return max(len(files), -(-total // max(max_split, 1)))
+
+
+def _parse_bytes(raw: str) -> int:
+    """Parse a Spark byte-size conf value ("134217728", "128m", "128MB")."""
+    s = str(raw).strip().lower()
+    for suffix, mult in (
+        ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10),
+        ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            return int(float(s[: -len(suffix)]) * mult)
+    return int(s)
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition + persist when the input is under-split.
 
@@ -90,8 +141,26 @@ def spread(df: DataFrame) -> DataFrame:
     tracked; call release_persisted() after consuming the result.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    est = _estimated_scan_partitions(df)
+    if est is None:
+        est = df.rdd.getNumPartitions()
+    if est < target:
         return _track(df.repartition(target).persist())
+    return df
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Populate a persisted frame's cache NOW, with exactly one evaluation.
+
+    A persisted frame that fans out into several downstream branches
+    (band generation + two verify joins) gets its cache populated lazily
+    by whichever stage scans it first — and Spark schedules independent
+    stages concurrently, so two or three stages can race the unpopulated
+    cache and each re-evaluate the Arrow-UDF signature chain (observed:
+    first-run 5.98 s vs 2.41 s with a deterministic fill at sf0.1). One
+    count() pins a single evaluation; every consumer then reads cache.
+    """
+    df.count()
     return df
 
 
@@ -213,10 +282,12 @@ def ngram_jaccard_pairs(
     join groups with more than this many docs — the hard bound against a
     pathological corpus whose blocks are all one size.
     """
-    sh = _track(
-        shingle_frame(spread(df), id_col, text_col, block_cols, k)
-        .where(F.size("_sh") > 0)
-        .persist()  # feeds both join sides; avoid recomputing the hash chain
+    sh = _materialize(
+        _track(
+            shingle_frame(spread(df), id_col, text_col, block_cols, k)
+            .where(F.size("_sh") > 0)
+            .persist()  # feeds both join sides; avoid recomputing the hash chain
+        )
     )
     if block_cols:
         join_cols = list(block_cols)
@@ -322,11 +393,13 @@ def minhash_lsh_pairs(
     bands = NUM_MINHASH // rows_per_band
     # persist: the shingle arrays feed band generation AND two verify-join
     # branches; recomputing the (interpreted) hash chain 3× dominates cost
-    sh = _track(
-        shingle_frame(spread(df), id_col, text_col)
-        .withColumnRenamed(id_col, "_id")
-        .where(F.size("_sh") > 0)
-        .persist()
+    sh = _materialize(
+        _track(
+            shingle_frame(spread(df), id_col, text_col)
+            .withColumnRenamed(id_col, "_id")
+            .where(F.size("_sh") > 0)
+            .persist()
+        )
     )
     from ..functions.hashing import minhash_signature_pandas
 

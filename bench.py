@@ -54,13 +54,21 @@ def main() -> None:
     # operators persist intermediates, and a warm second run would
     # otherwise measure a cached re-read instead of the real plan.
     for name, fn in queries.items():
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(2):
             spark.catalog.clearCache()
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 2)
+            runs.append(time.perf_counter() - start)
+        # Adaptive third run: when the two samples disagree wildly, at
+        # least one caught a neighbor-tenant load spike — spend one more
+        # run so the min is an engine number, not a lottery ticket.
+        if max(runs) > 1.5 * min(runs):
+            spark.catalog.clearCache()
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - start)
+        timings[name] = round(min(runs), 2)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
