@@ -306,16 +306,29 @@ def _merge_unpartitioned_cow(
     see exactly one version at every point; a crash leaves only
     unlisted orphans that ``manifest.vacuum`` reclaims.
     """
+    import posixpath
+
     pks = list(primary_keys)
     prev_manifest = manifest_mod.read_manifest(spark, out_path) if use_manifest else None
     before_files = (
         set(manifest_mod.list_data_files(spark, out_path)) if use_manifest else set()
     )
-    target_df = (
-        manifest_mod.read_table(spark, out_path)
-        if use_manifest
-        else spark.read.option("mergeSchema", "true").parquet(out_path)
-    )
+    # Impacted-file discovery needs input_file_name(), which requires a
+    # SINGLE-source plan — read_table's DV anti-join is two sources, so
+    # tag a raw read of the live files instead. Skipping the DV filter
+    # here is conservative: a file whose only key matches are DV-deleted
+    # rows still counts as impacted and simply gets rewritten (its
+    # deletes materialize). The DVs ARE applied to the merge input below.
+    if prev_manifest is not None:
+        base = out_path.rstrip("/")
+        live_paths = [posixpath.join(base, f) for f in prev_manifest["files"]]
+        target_df = (
+            spark.read.option("mergeSchema", "true").parquet(*live_paths)
+            if live_paths
+            else spark.read.option("mergeSchema", "true").parquet(out_path).limit(0)
+        )
+    else:
+        target_df = spark.read.option("mergeSchema", "true").parquet(out_path)
     tagged = target_df.withColumn("_file", F.input_file_name())
     change_keys = changes.select(*pks).distinct()
     impacted_files = [
@@ -328,6 +341,14 @@ def _merge_unpartitioned_cow(
 
     if impacted_files:
         old = spark.read.option("mergeSchema", "true").parquet(*impacted_files)
+        if prev_manifest is not None:
+            # the impacted-file re-read bypasses read_table, so apply the
+            # committed deletion vectors here too — otherwise DV-deleted
+            # rows in impacted files would be merged back into the
+            # rewritten output (resurrected)
+            dv = manifest_mod.read_deletion_vectors(spark, out_path, prev_manifest)
+            if dv is not None:
+                old = manifest_mod.apply_deletion_vectors(old, dv)
     else:
         # pure-insert batch: merge against an empty frame with the
         # target's schema so collapsed inserts just append

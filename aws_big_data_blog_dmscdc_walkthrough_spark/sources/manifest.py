@@ -181,6 +181,7 @@ def commit_manifest(
     files: list[str],
     stats: dict[str, dict] | None = None,
     delete_files: list[str] | None = None,
+    dv_targets: dict[str, list[str]] | None = None,
 ) -> int:
     """Atomically publish the live-file list; returns the new version.
 
@@ -188,14 +189,50 @@ def commit_manifest(
     POSIX; on S3-style stores swap this for a conditional PUT.
     ``stats`` (from compute_file_stats) rides along in the manifest and
     enables file skipping in ``read_table``.
+
+    ``delete_files`` (position-delete files under ``_deletes/``):
+
+      * ``None`` (default) **carries forward** the previous manifest's
+        delete files — the Iceberg-v2 rule that position deletes stay in
+        force until the data files they reference are rewritten. An
+        append/merge/compaction that doesn't pass the argument can never
+        silently resurrect DV-deleted rows. Carried entries whose target
+        data files (per ``dv_targets``) ALL left the live set are pruned
+        — their deletes were materialized by the rewrite.
+      * ``[]`` explicitly clears every delete file (a full rewrite that
+        materialized all deletes).
+      * a list sets the delete set exactly (the merge-on-read writer,
+        :func:`delete_where`, passes carried + newly staged names).
+
+    ``dv_targets`` maps a delete-file basename to the data-file
+    basenames its rows reference — recorded at DV-commit time, it is
+    what makes carry-forward pruning possible. Unknown targets keep the
+    DV forever (conservative; harmless because the anti-join matches
+    nothing once the data files are gone).
     """
     prev = read_manifest(spark, path)
     version = (prev["version"] + 1) if prev else 1
+    prev_targets = (prev or {}).get("dv_targets") or {}
+    if delete_files is None:
+        live = set(files)
+        carried = (prev or {}).get("delete_files") or []
+        delete_files = [
+            d
+            for d in carried
+            if not prev_targets.get(d) or any(t in live for t in prev_targets[d])
+        ]
+    targets_doc = {
+        d: sorted({**prev_targets, **(dv_targets or {})}.get(d, []))
+        for d in delete_files
+        if {**prev_targets, **(dv_targets or {})}.get(d)
+    }
     doc = {"version": version, "files": sorted(files)}
     if stats:
         doc["stats"] = stats
     if delete_files:
         doc["delete_files"] = sorted(delete_files)
+    if targets_doc:
+        doc["dv_targets"] = targets_doc
     payload = json.dumps(doc, sort_keys=True).encode("utf-8")
     jvm, fs = _fs(spark, path)
     tmp = jvm.org.apache.hadoop.fs.Path(
@@ -319,7 +356,7 @@ def read_table(
     df = spark.read.option("mergeSchema", "true").parquet(*files)
     dv = read_deletion_vectors(spark, path, man)
     if dv is not None:
-        df = _apply_deletion_vectors(df, dv)
+        df = apply_deletion_vectors(df, dv)
     return _apply_predicate(df, predicate)
 
 
@@ -349,7 +386,10 @@ def read_table_with_positions(spark: SparkSession, path: str) -> DataFrame:
     base = path.rstrip("/")
     files = [posixpath.join(base, f) for f in man["files"]]
     if not files:
-        return None
+        # mirror read_table's empty fallback (plus the address columns)
+        # instead of returning None against the -> DataFrame contract
+        empty = spark.read.option("mergeSchema", "true").parquet(path).limit(0)
+        return _tag_positions(empty)
     df = spark.read.option("mergeSchema", "true").parquet(*files)
     tagged = _tag_positions(df)
     dv = read_deletion_vectors(spark, path, man)
@@ -364,7 +404,74 @@ def _tag_positions(df: DataFrame) -> DataFrame:
     ).withColumn(DV_POS_COL, F.col("_metadata.row_index"))
 
 
-def _apply_deletion_vectors(df: DataFrame, dv: DataFrame) -> DataFrame:
+def delete_where(
+    spark: SparkSession, path: str, predicate: tuple[str, str, object]
+) -> int:
+    """Merge-on-read delete: stage a position-delete file, commit it.
+
+    The Iceberg-v2 position-delete shape, minimal form: rows matching
+    ``predicate`` = (col, op, value) are addressed by (data-file
+    basename, row ordinal) — no data file is rewritten. ``read_table``
+    anti-joins the committed delete files on every read; a later
+    compaction or COW merge of the referenced data files materializes
+    the deletes and the carry-forward pruning in ``commit_manifest``
+    retires the delete file. Returns the new manifest version (or the
+    current one unchanged when nothing matched).
+
+    Cost model at scale: one column-pruned scan to find matches (file
+    skipping applies via the manifest stats), a delete-file write
+    bounded by matched-row count, zero data-file rewrites — the cheap
+    path for low-selectivity deletes that copy-on-write would amplify
+    into full-file rewrites.
+    """
+    man = read_manifest(spark, path)
+    if man is None:
+        raise ValueError(f"{path} has no manifest; merge-on-read needs commits")
+    matches = _apply_predicate(read_table_with_positions(spark, path), predicate)
+    dv_dir = path.rstrip("/") + "/" + DELETES_DIR
+    before = set(list_delete_files(spark, path))
+    matches.select(DV_FILE_COL, DV_POS_COL).write.mode("append").parquet(dv_dir)
+    added = [f for f in list_delete_files(spark, path) if f not in before]
+    if not added:
+        return man["version"]
+    # record each new DV file's referenced data files (bounded by file
+    # count — the same cardinality the manifest itself holds)
+    base = path.rstrip("/") + "/" + DELETES_DIR
+    rows = (
+        spark.read.parquet(*[posixpath.join(base, f) for f in added])
+        .select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_dvf"),
+            F.col(DV_FILE_COL),
+        )
+        .distinct()
+        .collect()
+    )
+    targets: dict[str, list[str]] = {}
+    for r in rows:
+        targets.setdefault(r["_dvf"].split("?", 1)[0], []).append(r[DV_FILE_COL])
+    # a multi-partition write stages one part per task; parts that held
+    # no matching rows are empty — drop them instead of committing
+    # target-less DV files the carry-forward pruner can never retire
+    empty = [f for f in added if f not in targets]
+    if empty:
+        jvm, fs = _fs(spark, path)
+        for f in empty:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(posixpath.join(base, f)), False)
+    added = [f for f in added if f in targets]
+    if not added:
+        return man["version"]
+    carried = man.get("delete_files") or []
+    return commit_manifest(
+        spark,
+        path,
+        man["files"],
+        stats=man.get("stats"),
+        delete_files=carried + added,
+        dv_targets=targets,
+    )
+
+
+def apply_deletion_vectors(df: DataFrame, dv: DataFrame) -> DataFrame:
     """Merge-on-read: drop rows whose (file, position) is deleted.
 
     ``_metadata.row_index`` is the row's ordinal within its parquet

@@ -274,3 +274,95 @@ def test_compact_manifest_retain_history_time_travels(spark, tmp_path):
     old = manifest.read_table(spark, out, version=v_before)
     assert old.count() == 30
     assert manifest.read_table(spark, out).count() == 30
+
+
+# ----------------------------------------------- merge-on-read deletes
+
+
+def test_delete_where_hides_rows_without_rewrites(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _init(spark, out, n=6)
+    files_before = manifest.read_manifest(spark, out)["files"]
+    v = manifest.delete_where(spark, out, ("id", ">=", 4))
+    man = manifest.read_manifest(spark, out)
+    assert man["version"] == v
+    assert man["files"] == files_before  # no data file rewritten
+    assert man.get("delete_files")
+    got = {r.id for r in manifest.read_table(spark, out).collect()}
+    assert got == {0, 1, 2, 3}
+
+
+def test_delete_where_no_matches_keeps_version(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _init(spark, out, n=3)
+    v0 = manifest.read_manifest(spark, out)["version"]
+    assert manifest.delete_where(spark, out, ("id", ">", 99)) == v0
+    assert not manifest.read_manifest(spark, out).get("delete_files")
+
+
+def test_append_after_delete_carries_delete_files_forward(spark, tmp_path):
+    """ADVICE(high): the first commit after a DV-bearing one must not
+    silently resurrect positionally-deleted rows."""
+    out = str(tmp_path / "t")
+    _init(spark, out, n=4)
+    manifest.delete_where(spark, out, ("id", "=", 2))
+    # insert-only append commit (does not pass delete_files)
+    lake_writer.merge_incremental(
+        spark, _changes(spark, [("I", 1, 10, "n10")]), out, ["id"],
+        use_manifest=True,
+    )
+    man = manifest.read_manifest(spark, out)
+    assert man.get("delete_files"), "delete files dropped by append commit"
+    got = {r.id for r in manifest.read_table(spark, out).collect()}
+    assert got == {0, 1, 3, 10}
+
+
+def test_cow_merge_after_delete_does_not_resurrect(spark, tmp_path):
+    """ADVICE(medium): the COW impacted-file re-read must apply DVs."""
+    out = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(6)], "id long, name string"
+    ).coalesce(1)  # ONE data file: the merge rewrite hits the DV'd file
+    lake_writer.write_initial(df, out, use_manifest=True)
+    manifest.delete_where(spark, out, ("id", "=", 5))
+    lake_writer.merge_incremental(
+        spark, _changes(spark, [("U", 1, 0, "n0b")]), out, ["id"],
+        use_manifest=True,
+    )
+    got = {(r.id, r.name) for r in manifest.read_table(spark, out).collect()}
+    assert got == {(0, "n0b"), (1, "n1"), (2, "n2"), (3, "n3"), (4, "n4")}
+    # the rewrite materialized the delete; carry-forward pruned the DV
+    assert not manifest.read_manifest(spark, out).get("delete_files")
+
+
+def test_compaction_materializes_deletes_and_prunes_dvs(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _init(spark, out, n=8)
+    manifest.delete_where(spark, out, ("id", "<", 2))
+    lake_writer.compact_table(spark, out, use_manifest=True)
+    man = manifest.read_manifest(spark, out)
+    assert not man.get("delete_files")
+    got = {r.id for r in manifest.read_table(spark, out).collect()}
+    assert got == set(range(2, 8))
+
+
+def test_read_table_with_positions_empty_manifest(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _init(spark, out, n=2)
+    # commit an empty live set (all files rewritten away elsewhere)
+    manifest.commit_manifest(spark, out, [], delete_files=[])
+    df = manifest.read_table_with_positions(spark, out)
+    assert df is not None
+    assert manifest.DV_FILE_COL in df.columns
+    assert manifest.DV_POS_COL in df.columns
+    assert df.count() == 0
+
+
+def test_delete_where_twice_accumulates(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _init(spark, out, n=6)
+    manifest.delete_where(spark, out, ("id", "=", 0))
+    manifest.delete_where(spark, out, ("id", "=", 5))
+    got = {r.id for r in manifest.read_table(spark, out).collect()}
+    assert got == {1, 2, 3, 4}
+    assert len(manifest.read_manifest(spark, out)["delete_files"]) >= 2
