@@ -23,7 +23,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..sources import lake_writer, landing
+from ..sources import catalog, lake_writer, landing
 from ..state.store import JsonStateStore, TableState
 
 
@@ -63,6 +63,7 @@ def process_table(
     state: TableState,
     store: JsonStateStore,
     lake_root: str,
+    register_catalog: bool = True,
 ) -> TableReport:
     report = TableReport(path=folder.path)
     if not state.active:
@@ -116,6 +117,14 @@ def process_table(
         state.last_incremental_file = new_files[-1]
         store.put(state)
         report.incremental_files = len(new_files)
+
+    if register_catalog and (report.did_initial or report.incremental_files):
+        # the reference's crawler step: after data lands, (re-)register
+        # the folder so SQL users query `schema.table` by name — the
+        # recreate also picks up additive schema evolution
+        catalog.register_table(
+            spark, out_path, folder.schema, folder.table, state.partition_keys
+        )
     return report
 
 
@@ -125,6 +134,7 @@ def run_once(
     lake_root: str,
     store: JsonStateStore,
     max_parallel_tables: int = 4,
+    register_catalog: bool = True,
 ) -> RunReport:
     """One controller pass: discover, register, load, advance state."""
     folders = landing.discover_tables(spark, landing_root)
@@ -134,7 +144,12 @@ def run_once(
     report = RunReport()
     with ThreadPoolExecutor(max_workers=max_parallel_tables) as pool:
         futures = [
-            (f, pool.submit(process_table, spark, f, s, store, lake_root))
+            (
+                f,
+                pool.submit(
+                    process_table, spark, f, s, store, lake_root, register_catalog
+                ),
+            )
             for f, s in zip(folders, states)
         ]
         for folder, fut in futures:

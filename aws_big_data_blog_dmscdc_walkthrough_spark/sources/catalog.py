@@ -1,0 +1,66 @@
+"""Spark-catalog registration of lake tables — the reference's consumer
+step re-expressed.
+
+The reference's walkthrough ends with a Glue crawler registering each
+``<lake>/<schema>/<table>/`` folder so users query it by NAME through
+Athena/Spark SQL (reference README.md, "Query the data lake"). This
+module is the SparkSession-native analogue: an external (LOCATION-based)
+table per lake folder, so ``spark.sql("SELECT * FROM schema.table")``
+works without the user knowing the path. At real scale the same calls
+target a shared Hive metastore / Glue catalog — the SQL is identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import manifest as manifest_mod
+
+
+def _quote(ident: str) -> str:
+    """Backtick-quote a catalog identifier (folder names may carry
+    characters SQL identifiers can't)."""
+    return "`" + ident.replace("`", "``") + "`"
+
+
+def register_table(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    table: str,
+    partition_keys: Sequence[str] = (),
+) -> str:
+    """(Re-)register a lake folder as an external catalog table.
+
+    Drop + recreate is deliberate: the table definition is pure metadata
+    (DROP on an external table never touches data) and recreating picks
+    up additive schema evolution that a stale definition would hide.
+    Partitioned tables get partition recovery (MSCK), the crawler's job
+    in the reference. Returns the qualified name.
+    """
+    db, tbl = _quote(schema), _quote(table)
+    qualified = f"{db}.{tbl}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    spark.sql(f"DROP TABLE IF EXISTS {qualified}")
+    escaped = path.replace("'", "\\'")
+    spark.sql(f"CREATE TABLE {qualified} USING parquet LOCATION '{escaped}'")
+    if partition_keys:
+        spark.sql(f"MSCK REPAIR TABLE {qualified}")
+    else:
+        spark.catalog.refreshTable(qualified)
+    return qualified
+
+
+def register_manifest_view(
+    spark: SparkSession, path: str, name: str
+) -> DataFrame:
+    """Session-scoped view over a manifest table's CURRENT committed
+    version (atomic snapshot + deletion vectors applied — what a raw
+    directory-backed external table cannot give). Temp views are not
+    db-qualified; callers pick a disambiguated name (e.g.
+    ``schema__table``)."""
+    df = manifest_mod.read_table(spark, path)
+    df.createOrReplaceTempView(name)
+    return df

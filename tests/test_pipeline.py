@@ -381,3 +381,32 @@ def test_json_landing_full_flow(spark, env):
     }
     assert set(rows) == {1001, 1003, 1004}
     assert rows[1001].name == "widget-x"
+
+
+def test_catalog_registration_enables_sql_by_name(spark, env):
+    """The reference's crawler/Athena consumer step: after run_once, SQL
+    users query the lake table by NAME, no path knowledge needed."""
+    _write_initial(spark, env)
+    store = JsonStateStore(env["state"])
+    controller.run_once(spark, env["landing"], env["lake"], store)  # registers
+    st = store.all()[0]
+    st.active = True
+    st.primary_key = "id"
+    store.put(st)
+    controller.run_once(spark, env["landing"], env["lake"], store)
+
+    assert spark.sql("SELECT count(*) AS n FROM sampledb.product").collect()[0].n == 3
+
+    # the registration tracks merges: after an incremental pass the named
+    # table serves the merged rows (external table over the same folder)
+    _write_incremental(spark, env)
+    controller.run_once(spark, env["landing"], env["lake"], store)
+    spark.catalog.refreshTable("sampledb.product")
+    rows = {r.id: r.name for r in spark.sql("SELECT id, name FROM sampledb.product").collect()}
+    assert rows == {1001: "widget-x", 1003: "sprocket", 1004: "doohickey"}
+
+    # registration is opt-out for callers that bring their own catalog
+    spark.sql("DROP TABLE sampledb.product")
+    _write_incremental(spark, env, name="20240102-000000001.parquet")
+    controller.run_once(spark, env["landing"], env["lake"], store, register_catalog=False)
+    assert "product" not in [t.name for t in spark.catalog.listTables("sampledb")]
