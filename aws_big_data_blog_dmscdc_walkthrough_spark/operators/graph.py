@@ -48,6 +48,7 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 25,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Label every node with the minimum node id in its component.
 
@@ -55,9 +56,26 @@ def connected_components(
     own id as the component); ``edges`` is undirected (symmetrized
     internally, direction and duplicates don't matter).
 
+    ``algorithm``:
+
+      * ``"label"`` (default) — min-label propagation, O(diameter)
+        rounds, one join + one min-aggregate per round. The right
+        choice for dedup graphs (shallow stars/short chains).
+      * ``"star"`` — large-star/small-star alternation (Kiveris et al.,
+        "Connected Components in MapReduce and Beyond", public
+        algorithm), O(log² n) rounds regardless of diameter. The
+        insurance policy for DEEP graphs (long chains — e.g. temporal
+        near-dup chains of revisions) where propagation's round count,
+        not its per-round cost, is the bottleneck. Two extra shuffles
+        per round, so only worth it when diameter ≫ log² n.
+
     Returns ``(id, component)`` — one row per node, materialized (the
     result does not depend on a persisted lineage).
     """
+    if algorithm == "star":
+        return _star_components(nodes, edges, id_col, src_col, dst_col, max_iter)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     sym = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .unionByName(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
@@ -97,6 +115,70 @@ def connected_components(
     # plan); hand it to the dedup cache tracker anyway so callers share
     # one release discipline with the pair operators.
     return _track(labels)
+
+
+def _star_round(sym: DataFrame, large: bool) -> DataFrame:
+    """One large- or small-star transformation over an undirected edge
+    frame ``(a, b)``. Γ⁺(v) = neighbors(v) ∪ {v}; m(v) = min Γ⁺(v).
+    Large-star connects strictly larger neighbors to m(v); small-star
+    connects not-larger neighbors (and v itself) to m(v). Both preserve
+    connectivity (m(v) ∈ Γ⁺(v), so no edge ever crosses components) and
+    monotonically pull nodes toward the component minimum."""
+    both = sym.unionByName(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    with_self = both.unionByName(
+        both.select("a").distinct().select("a", F.col("a").alias("b"))
+    )
+    m = with_self.groupBy("a").agg(F.min("b").alias("_m"))
+    nbrs = with_self.join(m, "a")
+    cmp_col = F.col("b") > F.col("a") if large else F.col("b") <= F.col("a")
+    emitted = nbrs.where(cmp_col).select(F.col("b").alias("a"), F.col("_m").alias("b"))
+    kept = m.select("a", F.col("_m").alias("b"))
+    return emitted.unionByName(kept).where(F.col("a") != F.col("b")).distinct()
+
+
+def _star_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    src_col: str,
+    dst_col: str,
+    max_iter: int,
+) -> DataFrame:
+    sym = (
+        edges.where(F.col(src_col) != F.col(dst_col))
+        .select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .distinct()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        # one alternation = large-star then small-star; localCheckpoint
+        # truncates the per-round plan growth exactly as in the label
+        # variant (lineage doubles per iteration otherwise)
+        sym = _star_round(_star_round(sym, large=True), large=False).localCheckpoint(
+            eager=True
+        )
+        # fixpoint signature: edge count + exact decimal sum of endpoints
+        # (monotone toward the star fixpoint; equal signature twice in a
+        # row means both transforms are now identities)
+        sig_row = sym.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("a").cast("decimal(38,0)")).alias("sa"),
+            F.sum(F.col("b").cast("decimal(38,0)")).alias("sb"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["sa"], sig_row["sb"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # fixpoint: every edge is (member, component-min). Isolated nodes
+    # (no edges) keep their own id.
+    centers = sym.groupBy("a").agg(F.min("b").alias("_c"))
+    out = (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(centers, F.col("id") == F.col("a"), "left")
+        .select("id", F.coalesce(F.col("_c"), F.col("id")).alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    return _track(out)
 
 
 def cluster_members(

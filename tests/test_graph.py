@@ -94,3 +94,28 @@ def test_cluster_members_sizes(spark):
     }
     dedup.release_persisted()
     assert rows == {1: (1, 3), 2: (1, 3), 3: (1, 3), 4: (4, 1)}
+
+
+def test_star_matches_label_on_random_graph(spark):
+    rng = random.Random(7)
+    nodes = list(range(60))
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(45)]
+    edges = [(a, b) for a, b in edges if a != b]
+    want = _union_find(nodes, edges)
+    assert _run(spark, nodes, edges, algorithm="star") == want
+
+
+def test_star_handles_deep_chain_within_log_rounds(spark):
+    """The deep-graph insurance: a 1,000-node chain has diameter 999 —
+    label propagation needs ~999 rounds, large/small-star alternation
+    O(log² n). max_iter=15 alternations must fully converge."""
+    n = 1000
+    nodes = list(range(n))
+    edges = [(i, i + 1) for i in range(n - 1)]
+    out = _run(spark, nodes, edges, algorithm="star", max_iter=15)
+    assert out == {i: 0 for i in range(n)}
+
+
+def test_star_no_edges_identity(spark):
+    out = _run(spark, [3, 4, 5], [], algorithm="star")
+    assert out == {3: 3, 4: 4, 5: 5}
