@@ -366,3 +366,14 @@ def test_delete_where_twice_accumulates(spark, tmp_path):
     got = {r.id for r in manifest.read_table(spark, out).collect()}
     assert got == {1, 2, 3, 4}
     assert len(manifest.read_manifest(spark, out)["delete_files"]) >= 2
+
+
+def test_register_manifest_view_serves_committed_snapshot(spark, tmp_path):
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import catalog
+
+    out = str(tmp_path / "t")
+    _init(spark, out, n=5)
+    manifest.delete_where(spark, out, ("id", "=", 4))
+    catalog.register_manifest_view(spark, out, "sampledb__t")
+    got = {r.id for r in spark.sql("SELECT id FROM sampledb__t").collect()}
+    assert got == {0, 1, 2, 3}  # DV applied, orphans invisible

@@ -135,6 +135,13 @@ def test_partitioned_cow_only_touches_impacted_partitions(spark, env):
     # dynamic overwrite must not have rewritten the untouched partition
     tools_after = set(os.listdir(f"{env['lake']}/sampledb/product/dept=tools"))
     assert tools_before == tools_after
+    # the partitioned catalog registration (MSCK recovery) serves every
+    # partition by name, including the partition column itself
+    got = {
+        (r.id, r.dept)
+        for r in spark.sql("SELECT id, dept FROM sampledb.product").collect()
+    }
+    assert got == {(1001, "tools"), (1003, "tools"), (1004, "toys")}
 
 
 def test_multiple_incremental_files_ordered(spark, env):
