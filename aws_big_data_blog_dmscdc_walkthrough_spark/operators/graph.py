@@ -88,22 +88,31 @@ def connected_components(
     ).collect()[0]["s"]
 
     for _ in range(max_iter):
-        # Neighbour b hears a's current label; min with own label.
-        prop = sym.join(labels, sym["a"] == labels["id"]).select(
-            F.col("b").alias("id"), F.col("component")
-        )
+        # TWO propagation hops per materialized round: the per-round
+        # fixed cost (checkpoint job + convergence collect — two driver
+        # round-trips) dominates on shallow dedup graphs, so doubling
+        # the hops halves the rounds at identical semantics (min-label
+        # after 2k hops == two fixpoint-free single hops composed).
+        stepped = labels
+        for _hop in range(2):
+            prop = (
+                sym.alias("e")
+                .join(stepped.alias("l"), F.col("e.a") == F.col("l.id"))
+                .select(F.col("e.b").alias("id"), F.col("l.component").alias("component"))
+            )
+            stepped = (
+                stepped.unionByName(prop)
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
+            )
         # localCheckpoint (not persist) each round: the round's plan
-        # references `labels` twice, so without lineage TRUNCATION the
-        # analyzed plan doubles per iteration — exponential analysis
-        # cost and a JVM stack overflow near ~10 rounds. Checkpointing
-        # resets the plan to a constant-size leaf; superseded checkpoint
-        # blocks are freed by the ContextCleaner once unreferenced.
-        labels = (
-            labels.unionByName(prop)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
-        )
+        # references `labels` multiple times, so without lineage
+        # TRUNCATION the analyzed plan doubles per iteration —
+        # exponential analysis cost and a JVM stack overflow near ~10
+        # rounds. Checkpointing resets the plan to a constant-size leaf;
+        # superseded checkpoint blocks are freed by the ContextCleaner
+        # once unreferenced.
+        labels = stepped.localCheckpoint(eager=True)
         cur_sum = labels.agg(
             F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
