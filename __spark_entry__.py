@@ -127,9 +127,11 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # TPC-H tail shapes + value-ranks: plan-shape variants of join/agg
-    # shapes gated in _queries_raw (pytest-oracled, outside the driver cap).
+    # TPC-H tail shapes + value-ranks + decontamination: pytest-oracled,
+    # outside the driver cap (plan-shape variants of gated joins/aggs,
+    # plus ops added after the cap filled).
     return {
+        "corpus_decontaminate": llm_queries.corpus_decontaminate,
         "q_customer_value_ranks": tpch_ext.q_customer_value_ranks,
         "q4_order_priority": tpch_ext.q4_order_priority,
         "q7_volume_shipping": tpch_ext.q7_volume_shipping,
@@ -209,6 +211,7 @@ def oracle_sql() -> dict[str, str]:
 def secondary_oracle_sql() -> dict[str, str]:
     """DuckDB oracles for :func:`secondary_queries` (pytest-side gate)."""
     return {
+        "corpus_decontaminate": llm_queries.CORPUS_DECONTAMINATE_SQL,
         "q_customer_value_ranks": tpch_ext.Q_CUSTOMER_VALUE_RANKS_SQL,
         "q4_order_priority": tpch_ext.Q4_SQL,
         "q7_volume_shipping": tpch_ext.Q7_SQL,

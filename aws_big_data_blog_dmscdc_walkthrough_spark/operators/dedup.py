@@ -440,6 +440,45 @@ def minhash_lsh_pairs(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_text_col: str | None = None,
+    k: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs overlapping an eval set.
+
+    Standard training-data hygiene (the n-gram-overlap method popularized
+    by public LLM reports): a document is contaminated when it shares at
+    least ``min_overlap`` distinct k-word-shingle hashes with the POOLED
+    eval/benchmark corpus. Returns ``(id, overlap_ngrams)`` for flagged
+    docs only.
+
+    Plan shape: the eval side collapses to a distinct shingle-hash set —
+    tiny next to the corpus (benchmarks are small by construction) — so
+    the join broadcasts and the corpus side stays map-only until one
+    groupBy on the doc id. At 100 TB the corpus is never shuffled on the
+    join key; only (id, matched-hash) survivors shuffle into the count.
+    """
+    ev = (
+        shingle_frame(eval_docs, id_col, eval_text_col or text_col, k=k)
+        .select(F.explode("_sh").alias("_h"))
+        .distinct()
+    )
+    corpus = shingle_frame(spread(docs), id_col, text_col, k=k).select(
+        F.col(id_col), F.explode("_sh").alias("_h")
+    )
+    return (
+        corpus.join(F.broadcast(ev), "_h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("overlap_ngrams"))
+        .where(F.col("overlap_ngrams") >= min_overlap)
+    )
+
+
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """60-bit SimHash: per-token ±1 bit votes, sign of each bit's sum.
 

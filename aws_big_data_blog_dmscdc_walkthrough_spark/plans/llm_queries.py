@@ -63,6 +63,25 @@ sh AS (
 
 _SHINGLES_CTE = _shingles_cte()
 
+
+def _shingles_cte_k(k: int, src: str = "documents") -> str:
+    """Generic-k twin of _shingles_cte: the Spark UDF folds
+    sh = reduce(h[i:i+k], (a,b) -> (a*COMB + b) % MOD) with h[i] as the
+    seed — exactly DuckDB's list_reduce over a 1-based inclusive slice."""
+    mul, mod = dedup.SHINGLE_COMBINE, POLY_MOD1
+    return rf"""
+tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM {src}),
+th AS (SELECT doc_id, [{_sql_poly('t')} for t in w] AS hw FROM tok),
+shk AS (
+  SELECT doc_id,
+    list_distinct([
+      list_reduce(hw[i:i+{k - 1}], (a, b) -> (a * {mul} + b) % {mod})
+      for i in range(1, len(hw) - {k - 2})
+    ]) AS sh
+  FROM th WHERE len(hw) >= {k}
+)
+"""
+
 _JACCARD_SQL = (
     "len(list_intersect(a.sh, b.sh))::DOUBLE"
     " / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
@@ -565,4 +584,41 @@ SELECT label, i - 1 AS pos,
   CAST(SUM(CAST(embedding[i]::DOUBLE AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS mean
 FROM embeddings, range(1, {EMB_DIM} + 1) t(i)
 GROUP BY label, i
+"""
+
+
+# ------------------------------------------------- decontamination
+
+DECONTAM_K = 5
+DECONTAM_MIN_OVERLAP = 3
+DECONTAM_EVAL_MOD = 97
+
+
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the documents table: the eval set
+    is the deterministic ~1% slice doc_id % 97 == 0 (stands in for a
+    held-out benchmark corpus); flagged docs share ≥3 distinct 5-gram
+    hashes with it."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+    return dedup.decontaminate(
+        docs,
+        eval_docs,
+        "doc_id",
+        "text",
+        k=DECONTAM_K,
+        min_overlap=DECONTAM_MIN_OVERLAP,
+    )
+
+
+CORPUS_DECONTAMINATE_SQL = f"""
+WITH {_shingles_cte_k(DECONTAM_K)},
+ev AS (
+  SELECT DISTINCT unnest(sh) AS h FROM shk WHERE doc_id % {DECONTAM_EVAL_MOD} = 0
+),
+dg AS (SELECT doc_id, unnest(sh) AS h FROM shk)
+SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS overlap_ngrams
+FROM dg JOIN ev USING (h)
+GROUP BY dg.doc_id
+HAVING count(*) >= {DECONTAM_MIN_OVERLAP}
 """

@@ -110,3 +110,31 @@ def test_release_persisted_drains_all_caches(spark):
     qs["dedup_exact"](spark, SF_SMOKE).count()
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) < max(n_after_simhash, 1)
     dedup.release_persisted()
+
+
+def test_decontaminate_flags_eval_overlap(spark):
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated text about compilers and parsers here"),
+            (3, "the quick brown fox jumps over something else entirely today"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog again")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.overlap_ngrams
+        for r in decontaminate(
+            docs, eval_docs, "doc_id", "text", k=5, min_overlap=3
+        ).collect()
+    }
+    # doc 1 shares many 5-gram windows with the eval doc; doc 3 shares
+    # exactly two ("the quick brown fox jumps", "quick brown fox jumps
+    # over") -> below min_overlap=3; doc 2 shares none
+    assert 1 in out and out[1] >= 3
+    assert 2 not in out and 3 not in out
