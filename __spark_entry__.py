@@ -132,6 +132,7 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # plus ops added after the cap filled).
     return {
         "corpus_decontaminate": llm_queries.corpus_decontaminate,
+        "dedup_keep_best": llm_queries.dedup_keep_best,
         "q_customer_value_ranks": tpch_ext.q_customer_value_ranks,
         "q4_order_priority": tpch_ext.q4_order_priority,
         "q7_volume_shipping": tpch_ext.q7_volume_shipping,
@@ -212,6 +213,7 @@ def secondary_oracle_sql() -> dict[str, str]:
     """DuckDB oracles for :func:`secondary_queries` (pytest-side gate)."""
     return {
         "corpus_decontaminate": llm_queries.CORPUS_DECONTAMINATE_SQL,
+        "dedup_keep_best": llm_queries.DEDUP_KEEP_BEST_SQL,
         "q_customer_value_ranks": tpch_ext.Q_CUSTOMER_VALUE_RANKS_SQL,
         "q4_order_priority": tpch_ext.Q4_SQL,
         "q7_volume_shipping": tpch_ext.Q7_SQL,

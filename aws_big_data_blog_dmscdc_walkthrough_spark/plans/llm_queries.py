@@ -267,8 +267,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE {_SHINGLES_CTE},
+# shared CC pipeline over exact+near edges (used by dedup_clusters and
+# dedup_keep_best): recursive label walk → per-doc min component
+_CLUSTER_CTES = f"""{_SHINGLES_CTE},
 near AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
@@ -291,7 +292,10 @@ walk AS (
   UNION
   SELECT s.b AS id, w.comp FROM walk w JOIN sym s ON s.a = w.id
 ),
-comp AS (SELECT id AS doc_id, MIN(comp) AS cluster_id FROM walk GROUP BY id)
+comp AS (SELECT id AS doc_id, MIN(comp) AS cluster_id FROM walk GROUP BY id)"""
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_CLUSTER_CTES}
 SELECT doc_id, cluster_id,
        COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
 FROM comp
@@ -621,4 +625,74 @@ SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS overlap_ngrams
 FROM dg JOIN ev USING (h)
 GROUP BY dg.doc_id
 HAVING count(*) >= {DECONTAM_MIN_OVERLAP}
+"""
+
+
+# ------------------------------------------------- keep-best curation
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best-per-cluster dedup: the survivor of each near-dup
+    cluster is its HIGHEST-quality member (ties → smallest doc_id), not
+    the minimum id — the survivor policy real curation uses (keep the
+    cleanest copy of a boilerplate-heavy page, not the first-crawled).
+    Output: one row per cluster (survivor doc_id, cluster id/size,
+    survivor quality)."""
+    from pyspark.sql.window import Window
+
+    from ..operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = dedup.exact_dedup(docs, "doc_id", "text")
+    exact_edges = exact.where(F.col("doc_id") != F.col("canonical_id")).select(
+        F.col("doc_id").alias("src"), F.col("canonical_id").alias("dst")
+    )
+    near = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", ["source"], NGRAM_JACCARD_THRESHOLD
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    clusters = graph.cluster_members(
+        docs.select("doc_id"), exact_edges.unionByName(near), id_col="doc_id"
+    ).select(F.col("id").alias("doc_id"), "cluster_id", "cluster_size")
+    scored = docs.select(
+        "doc_id", text_ops.quality_score_col("text").alias("quality_score")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(scored, "doc_id")
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("doc_id", "cluster_id", "cluster_size", "quality_score")
+    )
+
+
+DEDUP_KEEP_BEST_SQL = rf"""
+WITH RECURSIVE {_CLUSTER_CTES},
+cm AS (
+  SELECT doc_id, cluster_id,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM comp
+),
+q AS (
+  SELECT doc_id, {_Q_SCORE_SQL} AS quality_score
+  FROM (
+    SELECT doc_id,
+      length(text) AS n_chars,
+      length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS n_alpha,
+      length(text) - length(regexp_replace(text, ' ', '', 'g')) AS n_space,
+      len(string_split_regex(trim(text), '\s+')) AS n_tok,
+      len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ({_CURATE_STOPS}))) AS n_stop,
+      len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_distinct
+    FROM documents
+  )
+),
+r AS (
+  SELECT cm.doc_id, cm.cluster_id, cm.cluster_size, q.quality_score,
+    ROW_NUMBER() OVER (
+      PARTITION BY cm.cluster_id
+      ORDER BY q.quality_score DESC, cm.doc_id ASC
+    ) AS rk
+  FROM cm JOIN q ON cm.doc_id = q.doc_id
+)
+SELECT doc_id, cluster_id, cluster_size, quality_score FROM r WHERE rk = 1
 """

@@ -109,6 +109,23 @@ def main() -> None:
         print(f"[bench] WARNING: line {len(line)} chars > 1900; dropping per-query timings", file=sys.stderr)
         result["queries"] = {}
         line = json.dumps(result, separators=(",", ":"))
+    # Full-precision sidecar (committed to the repo): survives however
+    # the stdout line had to degrade to fit the driver's 2000-char tail,
+    # and carries the vs-baseline ratios that only went to stderr before.
+    try:
+        sidecar = {
+            "metric": "total_query_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "queries": timings,
+            "baseline": baseline_file,
+            "deltas_vs_baseline": deltas,
+        }
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as fh:
+            json.dump(sidecar, fh, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"[bench] sidecar write failed: {exc}", file=sys.stderr)
     print(line)
     spark.stop()
 
