@@ -133,6 +133,7 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "corpus_decontaminate": llm_queries.corpus_decontaminate,
         "dedup_keep_best": llm_queries.dedup_keep_best,
+        "corpus_source_stats": llm_queries.corpus_source_stats,
         "q_customer_value_ranks": tpch_ext.q_customer_value_ranks,
         "q4_order_priority": tpch_ext.q4_order_priority,
         "q7_volume_shipping": tpch_ext.q7_volume_shipping,
@@ -214,6 +215,7 @@ def secondary_oracle_sql() -> dict[str, str]:
     return {
         "corpus_decontaminate": llm_queries.CORPUS_DECONTAMINATE_SQL,
         "dedup_keep_best": llm_queries.DEDUP_KEEP_BEST_SQL,
+        "corpus_source_stats": llm_queries.CORPUS_SOURCE_STATS_SQL,
         "q_customer_value_ranks": tpch_ext.Q_CUSTOMER_VALUE_RANKS_SQL,
         "q4_order_priority": tpch_ext.Q4_SQL,
         "q7_volume_shipping": tpch_ext.Q7_SQL,

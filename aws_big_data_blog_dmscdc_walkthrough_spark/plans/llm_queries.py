@@ -696,3 +696,51 @@ r AS (
 )
 SELECT doc_id, cluster_id, cluster_size, quality_score FROM r WHERE rk = 1
 """
+
+
+# ------------------------------------------------- per-source corpus card
+
+def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus card: the summary a curation pipeline publishes
+    after each run — document count, token volume, mean quality, exact
+    median length. One scan, map-side derived columns, one groupBy on
+    the (low-cardinality) source key; the exact median is the only
+    sort-bearing aggregate (approx_percentile is the knob at 100 TB)."""
+    from ..operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    derived = docs.select(
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("_n_tok"),
+        text_ops.quality_score_col("text").alias("_q"),
+    )
+    return derived.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n_tok").alias("total_tokens"),
+        F.avg("_q").alias("avg_quality"),
+        F.median(F.col("_n_tok").cast("double")).alias("median_tokens"),
+    )
+
+
+CORPUS_SOURCE_STATS_SQL = rf"""
+WITH d AS (
+  SELECT source, n_tok, {_Q_SCORE_SQL} AS q
+  FROM (
+    SELECT source,
+      length(text) AS n_chars,
+      length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS n_alpha,
+      length(text) - length(regexp_replace(text, ' ', '', 'g')) AS n_space,
+      len(string_split_regex(trim(text), '\s+')) AS n_tok,
+      len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ({_CURATE_STOPS}))) AS n_stop,
+      len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_distinct
+    FROM documents
+  )
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+  AVG(q) AS avg_quality,
+  median(CAST(n_tok AS DOUBLE)) AS median_tokens
+FROM d
+GROUP BY source
+"""
