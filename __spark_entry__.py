@@ -134,6 +134,9 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_decontaminate": llm_queries.corpus_decontaminate,
         "dedup_keep_best": llm_queries.dedup_keep_best,
         "corpus_source_stats": llm_queries.corpus_source_stats,
+        # rows-only (Spark HLL++ and DuckDB HLL are not bit-comparable;
+        # the exact twin q_events_daily_users is the value-level gate)
+        "q_events_daily_users_approx": analytics.q_events_daily_users_approx,
         "q_customer_value_ranks": tpch_ext.q_customer_value_ranks,
         "q4_order_priority": tpch_ext.q4_order_priority,
         "q7_volume_shipping": tpch_ext.q7_volume_shipping,

@@ -710,3 +710,22 @@ SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
 EXCEPT
 SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
 """
+
+
+def q_events_daily_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ variant of q_events_daily_users — the 100 TB scale
+    path. approx_count_distinct keeps a fixed-size sketch per group and
+    merges map-side, so the extra exact-distinct shuffle disappears;
+    rsd=0.01 bounds the relative error at 1%. Gate: rows-only (Spark's
+    HLL++ and DuckDB's HLL are not bit-comparable by design — the exact
+    twin above is the value-level gate)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")
+        )
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

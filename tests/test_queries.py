@@ -34,3 +34,21 @@ def test_query_vs_oracle(spark, name):
     oracle_df = run_oracle(ORACLES[name], SF_SMOKE)
     problems = compare(spark_df, oracle_df)
     assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_approx_daily_users_within_rsd(spark):
+    """The HLL++ sketch variant must track the exact distinct counts
+    within a few multiples of its configured 1% relative error."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import analytics
+
+    exact = {
+        (r.day, r.event_type): r.n_users
+        for r in analytics.q_events_daily_users(spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r.day, r.event_type): r.n_users_approx
+        for r in analytics.q_events_daily_users_approx(spark, SF_SMOKE).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(3, 0.05 * n), (k, n, approx[k])
