@@ -423,3 +423,63 @@ def vector_mean_by(
             ).alias("mean")
         )
     )
+
+
+def write_ivf_partitioned(
+    df: DataFrame, id_col: str, vec_col: str, path: str, centroids
+) -> None:
+    """Ingest-time IVF layout: store vectors PARTITIONED by coarse cell.
+
+    The docstring promise of ivf_topk made real: assignment runs once at
+    write time (one map-side Arrow pass), and each vector lands in its
+    cell's partition directory. ANN probes then prune at PLANNING time —
+    the scan never opens the other n_centroids - nprobe directories. At
+    100 TB this turns every query from a full-corpus scan into
+    nprobe/n_centroids of one.
+    """
+    assign = ivf_assign(centroids)
+    (
+        df.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_ivf", assign(F.col(vec_col)))
+        .write.mode("overwrite")
+        .partitionBy("_ivf")
+        .parquet(path)
+    )
+
+
+def ivf_topk_partitioned(
+    spark,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    centroids,
+    query_vec,
+    k: int,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN over an IVF-partitioned table: directory-pruned probe scan.
+
+    Probe selection (tiny centroid matrix x query) happens driver-side;
+    the `_ivf IN (probes)` filter is a partition predicate, so Catalyst
+    prunes the non-probed directories before any file is opened
+    (PartitionFilters in the scan node — asserted in tests). Inside the
+    probed cells: exact cosine, deterministic top-k.
+    """
+    qvec = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    cents = np.asarray(centroids, dtype=np.float64)
+    denom = np.linalg.norm(cents, axis=1) * np.linalg.norm(qvec)
+    probes = np.argsort(-(cents @ qvec) / np.where(denom == 0, 1, denom))[:nprobe]
+    corpus = (
+        spark.read.parquet(path)
+        .where(F.col("_ivf").isin([int(p) for p in probes]))
+        .select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+        .withColumn("_n", norm(F.col("_v")))
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    qn = float(np.sqrt(qvec @ qvec))
+    cos = dot(F.col("_v"), qlit) / (F.col("_n") * F.lit(qn))
+    return (
+        corpus.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -160,3 +160,45 @@ def test_ivf_fixed_matches_brute_force_at_full_probe(spark):
     assert [(r.vec_id, r.cosine) for r in ivf] == [
         (r.vec_id, r.cosine) for r in brute
     ]
+
+
+def test_ivf_partitioned_prunes_and_matches_inline(spark, tmp_path):
+    """Ingest-time IVF partitioning: the probe scan must carry a
+    partition filter on _ivf (directory pruning at planning time) and
+    return the same top-k as the inline-assignment form."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import similarity
+    from aws_big_data_blog_dmscdc_walkthrough_spark.session import load_table
+    from tests.conftest import SF_SMOKE
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    cents = similarity.ivf_fit_centroids(embs, "embedding", n_centroids=8)
+    path = str(tmp_path / "ivf_table")
+    similarity.write_ivf_partitioned(embs, "vec_id", "embedding", path, cents)
+    # one directory per assigned cell
+    cells = [d for d in os.listdir(path) if d.startswith("_ivf=")]
+    assert 1 < len(cells) <= 8
+
+    qvec = [
+        float(x)
+        for x in embs.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    got = similarity.ivf_topk_partitioned(
+        spark, path, "vec_id", "embedding", cents, qvec, k=10, nprobe=3
+    )
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan and "_ivf" in plan.split("PartitionFilters", 1)[1][:200]
+
+    want = similarity.ivf_topk(
+        embs, "vec_id", "embedding",
+        embs.where(F.col("vec_id") == 0).select("embedding"),
+        k=10, n_centroids=8, nprobe=3, centroids=cents,
+    )
+    got_rows = [(r.vec_id, round(r.cosine, 9)) for r in got.collect()]
+    want_rows = [(r.vec_id, round(r.cosine, 9)) for r in want.collect()]
+    assert got_rows == want_rows
