@@ -1,4 +1,4 @@
-"""CLI: one controller pass over a DMS landing zone.
+"""CLI: controller passes plus table maintenance.
 
 The reference's deploy is CloudFormation + a Glue trigger running the
 controller hourly (/root/reference/README.md); the equivalent here is a
@@ -8,9 +8,20 @@ cron/Airflow/k8s schedule of:
         --landing s3a://bucket/dms/ --lake s3a://bucket/lake/ \
         --state /var/lib/dmscdc/state.json
 
-New tables register inactive; set primary/partition keys in the state
-file and flip ``active`` to true (the reference's DynamoDB editing step,
-DMSCDC_Controller.py:69-82), then the next pass loads them.
+(`run` is implied when the first argument is a flag — the original
+single-command form keeps working.) New tables register inactive; set
+primary/partition keys in the state file and flip ``active`` to true
+(the reference's DynamoDB editing step, DMSCDC_Controller.py:69-82),
+then the next pass loads them.
+
+Maintenance subcommands (the operations a lake operator schedules
+beside the hourly merge):
+
+    ... compact --path <table> [--target-file-bytes N] [--cluster-by c]
+                [--partition-keys a,b] [--manifest]
+    ... vacuum  --path <table> [--retain-versions N]
+    ... delete  --path <table> --col c --op '=' --value v   (manifest tables;
+                merge-on-read position delete, no data files rewritten)
 """
 
 from __future__ import annotations
@@ -24,14 +35,7 @@ from .session import get_spark
 from .state.store import JsonStateStore
 
 
-def main(argv: list[str] | None = None) -> int:
-    ap = argparse.ArgumentParser(prog="dmscdc-spark")
-    ap.add_argument("--landing", required=True, help="landing-zone root (schema/table folders)")
-    ap.add_argument("--lake", required=True, help="lake output root")
-    ap.add_argument("--state", required=True, help="state-store JSON path")
-    ap.add_argument("--max-parallel-tables", type=int, default=4)
-    args = ap.parse_args(argv)
-
+def _run(args) -> int:
     spark = get_spark("dmscdc-controller")
     report = controller.run_once(
         spark,
@@ -39,6 +43,7 @@ def main(argv: list[str] | None = None) -> int:
         args.lake,
         JsonStateStore(args.state),
         max_parallel_tables=args.max_parallel_tables,
+        register_catalog=not args.no_register,
     )
     out = [
         {
@@ -53,6 +58,97 @@ def main(argv: list[str] | None = None) -> int:
     json.dump({"tables": out}, sys.stdout, indent=1)
     print()
     return 1 if any(t.error for t in report.tables) else 0
+
+
+def _split(csv: str | None) -> list[str]:
+    return [c for c in (csv or "").split(",") if c]
+
+
+def _compact(args) -> int:
+    from .sources import lake_writer
+
+    spark = get_spark("dmscdc-compact")
+    n = lake_writer.compact_table(
+        spark,
+        args.path,
+        target_file_bytes=args.target_file_bytes,
+        partition_keys=_split(args.partition_keys),
+        cluster_by=_split(args.cluster_by),
+        use_manifest=args.manifest,
+        stats_cols=_split(args.stats_cols),
+    )
+    json.dump({"path": args.path, "output_files": n}, sys.stdout, indent=1)
+    print()
+    return 0
+
+
+def _vacuum(args) -> int:
+    from .sources import manifest
+
+    spark = get_spark("dmscdc-vacuum")
+    removed = manifest.vacuum(spark, args.path, retain_versions=args.retain_versions)
+    json.dump({"path": args.path, "removed": removed}, sys.stdout, indent=1)
+    print()
+    return 0
+
+
+def _delete(args) -> int:
+    from .sources import manifest
+
+    spark = get_spark("dmscdc-delete")
+    value: object = args.value
+    for cast in (int, float):
+        try:
+            value = cast(args.value)
+            break
+        except ValueError:
+            continue
+    version = manifest.delete_where(spark, args.path, (args.col, args.op, value))
+    json.dump({"path": args.path, "version": version}, sys.stdout, indent=1)
+    print()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # back-compat: the original flag-only invocation means `run`
+    if argv and argv[0].startswith("--"):
+        argv = ["run", *argv]
+
+    ap = argparse.ArgumentParser(prog="dmscdc-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    run_p = sub.add_parser("run", help="one controller pass")
+    run_p.add_argument("--landing", required=True, help="landing-zone root (schema/table folders)")
+    run_p.add_argument("--lake", required=True, help="lake output root")
+    run_p.add_argument("--state", required=True, help="state-store JSON path")
+    run_p.add_argument("--max-parallel-tables", type=int, default=4)
+    run_p.add_argument("--no-register", action="store_true", help="skip catalog registration")
+    run_p.set_defaults(fn=_run)
+
+    c_p = sub.add_parser("compact", help="bin-pack a table's small files")
+    c_p.add_argument("--path", required=True)
+    c_p.add_argument("--target-file-bytes", type=int, default=128 * 1024 * 1024)
+    c_p.add_argument("--partition-keys", default="")
+    c_p.add_argument("--cluster-by", default="")
+    c_p.add_argument("--stats-cols", default="")
+    c_p.add_argument("--manifest", action="store_true")
+    c_p.set_defaults(fn=_compact)
+
+    v_p = sub.add_parser("vacuum", help="reclaim unreferenced files (manifest tables)")
+    v_p.add_argument("--path", required=True)
+    v_p.add_argument("--retain-versions", type=int, default=1)
+    v_p.set_defaults(fn=_vacuum)
+
+    d_p = sub.add_parser("delete", help="merge-on-read position delete (manifest tables)")
+    d_p.add_argument("--path", required=True)
+    d_p.add_argument("--col", required=True)
+    d_p.add_argument("--op", required=True, choices=["=", "<", "<=", ">", ">="])
+    d_p.add_argument("--value", required=True)
+    d_p.set_defaults(fn=_delete)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
 
 
 if __name__ == "__main__":

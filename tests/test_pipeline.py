@@ -417,3 +417,32 @@ def test_catalog_registration_enables_sql_by_name(spark, env):
     _write_incremental(spark, env, name="20240102-000000001.parquet")
     controller.run_once(spark, env["landing"], env["lake"], store, register_catalog=False)
     assert "product" not in [t.name for t in spark.catalog.listTables("sampledb")]
+
+
+def test_cli_maintenance_subcommands(spark, tmp_path, capsys):
+    """compact / delete / vacuum round-trip through the CLI on a
+    manifest table (each subcommand builds its own session — reuse of
+    the fixture's is what getOrCreate gives it)."""
+    import json as _json
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.__main__ import main
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import lake_writer, manifest
+
+    out = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(8)], "id long, name string"
+    ).repartition(4)
+    lake_writer.write_initial(df, out, use_manifest=True)
+
+    assert main(["delete", "--path", out, "--col", "id", "--op", ">=", "--value", "6"]) == 0
+    rep = _json.loads(capsys.readouterr().out)
+    assert rep["version"] == 2
+    assert {r.id for r in manifest.read_table(spark, out).collect()} == set(range(6))
+
+    assert main(["compact", "--path", out, "--manifest"]) == 0
+    rep = _json.loads(capsys.readouterr().out)
+    assert rep["output_files"] >= 1
+    assert {r.id for r in manifest.read_table(spark, out).collect()} == set(range(6))
+    assert not manifest.read_manifest(spark, out).get("delete_files")
+
+    assert main(["vacuum", "--path", out]) == 0  # nothing stale to keep
