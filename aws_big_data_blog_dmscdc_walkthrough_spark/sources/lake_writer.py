@@ -96,6 +96,7 @@ def merge_incremental(
     use_manifest: bool = False,
     retain_history: bool = False,
     stats_cols: Sequence[str] = (),
+    change_feed: bool = False,
 ) -> None:
     """Apply a change batch to the lake table at ``out_path``.
 
@@ -130,6 +131,8 @@ def merge_incremental(
         _append_with_optional_manifest(
             spark, out, out_path, partition_keys, use_manifest, stats_cols
         )
+        if change_feed:
+            append_change_feed(spark, changes, out_path, primary_keys, seq_col, op_col)
         return
 
     if partition_keys:
@@ -141,6 +144,8 @@ def merge_incremental(
             spark, changes, out_path, primary_keys, seq_col, op_col,
             use_manifest, retain_history, stats_cols,
         )
+    if change_feed:
+        append_change_feed(spark, changes, out_path, primary_keys, seq_col, op_col)
 
 
 def _append_with_optional_manifest(
@@ -538,3 +543,70 @@ def _swap_rewrite(spark: SparkSession, df: DataFrame, out_path: str) -> None:
     fs.rename(p_out, trash)
     fs.rename(p_stage, p_out)
     fs.delete(trash, True)
+
+
+# ---------------------------------------------------------- change feed
+
+CHANGE_FEED_DIR = "_change_feed"
+
+
+def _next_feed_batch(spark: SparkSession, out_path: str) -> int:
+    jvm = spark._jvm
+    base = jvm.org.apache.hadoop.fs.Path(out_path.rstrip("/") + "/" + CHANGE_FEED_DIR)
+    fs = base.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(base):
+        return 1
+    top = 0
+    for status in fs.listStatus(base):
+        name = status.getPath().getName()
+        if name.startswith("batch="):
+            try:
+                top = max(top, int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return top + 1
+
+
+def append_change_feed(
+    spark: SparkSession,
+    changes: DataFrame,
+    out_path: str,
+    primary_keys: Sequence[str],
+    seq_col: str = "_seq",
+    op_col: str = cdc.OP_COL,
+) -> int:
+    """Publish one merge batch's collapsed changes to the table's feed.
+
+    Delta-CDF shape, minimal form: `<table>/_change_feed/batch=N/` holds
+    the latest-wins row image per key for that merge (op column kept, so
+    `D` rows are visible tombstones). Downstream consumers replay
+    batches > their high-water mark through the SAME apply_changes
+    merge — the lake becomes a CDC *source*, not just a sink. One
+    writer per table (the controller's per-table thread), so the
+    monotone batch id needs no lock. Cost: one pass over the batch —
+    O(batch), never O(table).
+    """
+    collapsed = (
+        cdc.latest_changes(changes, list(primary_keys), seq_col)
+        if primary_keys
+        else cdc.insert_only(changes, op_col)
+    )
+    batch = _next_feed_batch(spark, out_path)
+    dest = f"{out_path.rstrip('/')}/{CHANGE_FEED_DIR}/batch={batch}"
+    collapsed.drop(seq_col).write.mode("overwrite").parquet(dest)
+    return batch
+
+
+def read_change_feed(
+    spark: SparkSession, out_path: str, since_batch: int = 0
+) -> DataFrame:
+    """Change rows with batch > ``since_batch`` (incremental subscribe).
+
+    The `batch=` directory layout makes the since-filter a partition
+    predicate: unconsumed batches are the only directories opened.
+    """
+    base = out_path.rstrip("/") + "/" + CHANGE_FEED_DIR
+    df = (
+        spark.read.option("basePath", base).parquet(base)
+    )
+    return df.where(F.col("batch") > since_batch)

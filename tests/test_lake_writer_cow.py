@@ -160,3 +160,62 @@ def test_fully_deleted_partition_with_brace_value_removed(spark, tmp_path):
     got = spark.read.parquet(out).collect()
     assert {r.id for r in got} == {1}
     assert not os.path.isdir(out + "/dept=a}b")
+
+
+def test_change_feed_publishes_and_filters_batches(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import lake_writer
+
+    out = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [("I", 1, 1, "a"), ("I", 1, 2, "b")], "op string, _seq long, id long, name string"
+    )
+    b2 = spark.createDataFrame(
+        [("U", 2, 1, "a2"), ("D", 2, 2, None), ("U", 3, 2, "zz"), ("I", 2, 3, "c")],
+        "op string, _seq long, id long, name string",
+    )
+    n1 = lake_writer.append_change_feed(spark, b1, out, ["id"])
+    n2 = lake_writer.append_change_feed(spark, b2, out, ["id"])
+    assert (n1, n2) == (1, 2)
+
+    feed = lake_writer.read_change_feed(spark, out)
+    rows = {(r.batch, r.id): (r.op, r.name) for r in feed.collect()}
+    # batch 2 collapsed: id=2's D(seq2) loses to U(seq3) -> latest wins
+    assert rows == {
+        (1, 1): ("I", "a"),
+        (1, 2): ("I", "b"),
+        (2, 1): ("U", "a2"),
+        (2, 2): ("U", "zz"),
+        (2, 3): ("I", "c"),
+    }
+    # incremental subscribe: only unconsumed batches are read, and the
+    # since-filter is a partition predicate (directory-level pruning)
+    tail = lake_writer.read_change_feed(spark, out, since_batch=1)
+    assert {r.batch for r in tail.collect()} == {2}
+    plan = tail._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+
+
+def test_merge_incremental_emits_change_feed(spark, tmp_path):
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import lake_writer
+
+    out = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [("I", 1, 1, "a"), ("I", 1, 2, "b")], "op string, _seq long, id long, name string"
+    )
+    lake_writer.merge_incremental(spark, b1, out, ["id"], change_feed=True)
+    b2 = spark.createDataFrame(
+        [("U", 2, 1, "a2")], "op string, _seq long, id long, name string"
+    )
+    lake_writer.merge_incremental(spark, b2, out, ["id"], change_feed=True)
+    # table state and feed agree
+    assert {r.id: r.name for r in spark.read.parquet(out).select("id", "name").collect()} == {
+        1: "a2", 2: "b"
+    }
+    feed = lake_writer.read_change_feed(spark, out)
+    assert {(r.batch, r.id, r.op) for r in feed.collect()} == {
+        (1, 1, "I"), (1, 2, "I"), (2, 1, "U")
+    }
