@@ -19,7 +19,7 @@ beside the hourly merge):
 
     ... compact --path <table> [--target-file-bytes N] [--cluster-by c]
                 [--partition-keys a,b] [--manifest]
-    ... vacuum  --path <table> [--retain-versions N]
+    ... vacuum  --path <table> [--retain-versions N] [--keep-feed-batches N]
     ... delete  --path <table> --col c --op '=' --value v   (manifest tables;
                 merge-on-read position delete, no data files rewritten)
 """
@@ -83,11 +83,16 @@ def _compact(args) -> int:
 
 
 def _vacuum(args) -> int:
-    from .sources import manifest
+    from .sources import lake_writer, manifest
 
     spark = get_spark("dmscdc-vacuum")
     removed = manifest.vacuum(spark, args.path, retain_versions=args.retain_versions)
-    json.dump({"path": args.path, "removed": removed}, sys.stdout, indent=1)
+    out = {"path": args.path, "removed": removed}
+    if args.keep_feed_batches is not None:
+        out["feed_batches_removed"] = lake_writer.vacuum_change_feed(
+            spark, args.path, args.keep_feed_batches
+        )
+    json.dump(out, sys.stdout, indent=1)
     print()
     return 0
 
@@ -138,6 +143,12 @@ def main(argv: list[str] | None = None) -> int:
     v_p = sub.add_parser("vacuum", help="reclaim unreferenced files (manifest tables)")
     v_p.add_argument("--path", required=True)
     v_p.add_argument("--retain-versions", type=int, default=1)
+    v_p.add_argument(
+        "--keep-feed-batches",
+        type=int,
+        default=None,
+        help="also prune the _change_feed sidecar to the newest N batches",
+    )
     v_p.set_defaults(fn=_vacuum)
 
     d_p = sub.add_parser("delete", help="merge-on-read position delete (manifest tables)")

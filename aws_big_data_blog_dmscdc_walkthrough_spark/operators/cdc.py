@@ -33,6 +33,45 @@ OP_INSERT = "I"
 OP_UPDATE = "U"
 OP_DELETE = "D"
 
+# Change batches are normally tiny next to the target, so broadcasting
+# their distinct keys is the right default — but a backfill / bulk-reload
+# batch with 10^8+ distinct PKs would OOM the driver if broadcast
+# unconditionally. Above this estimated size the key joins fall back to
+# a plain shuffled semi/anti join (AQE still converts back to broadcast
+# at runtime if the post-distinct set turns out small).
+BROADCAST_KEYS_MAX_BYTES = 64 << 20
+
+# Catalyst reports spark.sql.defaultSizeInBytes (Long.MaxValue, possibly
+# scaled down by projections) for plans with no real statistics source —
+# local/RDD-backed frames. Anything above this sentinel is a placeholder,
+# not a measurement.
+_UNKNOWN_SIZE_SENTINEL = 1 << 59
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for a frame (file-scan bytes propagated
+    through the plan) — no job is run. ``None`` when unavailable."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 - estimate only; caller degrades safely
+        return None
+
+
+def _maybe_broadcast(keys: DataFrame, max_bytes: int) -> DataFrame:
+    """Broadcast-hint ``keys`` only when it is safe.
+
+    File-backed batches (the real CDC/backfill path) carry true size
+    estimates: above ``max_bytes`` the plain frame is returned and the
+    join shuffles instead of OOMing the driver. Frames with no
+    statistics source (placeholder estimate) already originate
+    driver-side (createDataFrame/RDD), so broadcasting them adds no new
+    driver exposure — keep the hint.
+    """
+    est = _plan_size_bytes(keys)
+    if est is None or est >= _UNKNOWN_SIZE_SENTINEL or est <= max_bytes:
+        return F.broadcast(keys)
+    return keys
+
 
 def stamp_initial(df: DataFrame, op_col: str = OP_COL) -> DataFrame:
     """Add ``op='I'`` to a full load for parity with incremental batches.
@@ -79,17 +118,25 @@ def insert_only(changes: DataFrame, op_col: str = OP_COL) -> DataFrame:
 
 
 def impacted_keys(
-    target: DataFrame, changes: DataFrame, primary_keys: Sequence[str]
+    target: DataFrame,
+    changes: DataFrame,
+    primary_keys: Sequence[str],
+    broadcast_max_bytes: int = BROADCAST_KEYS_MAX_BYTES,
 ) -> DataFrame:
     """Distinct change keys that exist in the target.
 
     The scalable analogue of the reference's impacted-file discovery
     (DMSCDC_LoadIncremental.py:68-70, inner join + ``collect()``): a
-    broadcast left-semi join, nothing on the driver.
+    left-semi join, nothing on the driver. The key side is broadcast
+    only while Catalyst's size estimate stays under
+    ``broadcast_max_bytes`` — a bulk-reload batch takes the shuffled
+    semi-join instead of OOMing the driver.
     """
-    keys = changes.select(*primary_keys).distinct()
+    keys = _maybe_broadcast(
+        changes.select(*primary_keys).distinct(), broadcast_max_bytes
+    )
     return (
-        target.join(F.broadcast(keys), list(primary_keys), "left_semi")
+        target.join(keys, list(primary_keys), "left_semi")
         .select(*primary_keys)
         .distinct()
     )
@@ -138,6 +185,7 @@ def apply_changes(
     soft_delete: bool = False,
     deleted_col: str = "deleted",
     prune_with_broadcast: bool = True,
+    broadcast_max_bytes: int = BROADCAST_KEYS_MAX_BYTES,
 ) -> DataFrame:
     """Merge a change batch into a target: latest-wins upsert + delete.
 
@@ -153,7 +201,11 @@ def apply_changes(
 
     Scale: with ``prune_with_broadcast`` the window shuffle sees only
     ``changes ∪ impacted(target)``; untouched target rows bypass both the
-    join shuffle (broadcast) and the window shuffle entirely.
+    join shuffle (broadcast) and the window shuffle entirely. The key
+    set is broadcast only while Catalyst estimates it under
+    ``broadcast_max_bytes`` — a huge backfill batch degrades to a
+    shuffled semi/anti join instead of OOMing the driver (AQE may still
+    re-broadcast at runtime if the post-distinct set is small).
     """
     pks = list(primary_keys)
     data_cols = list(target.columns)
@@ -163,9 +215,11 @@ def apply_changes(
         raise ValueError(f"changes missing target columns: {missing}")
 
     if prune_with_broadcast:
-        keys = changes.select(*pks).distinct()
-        impacted = target.join(F.broadcast(keys), pks, "left_semi")
-        untouched = target.join(F.broadcast(keys), pks, "left_anti")
+        keys = _maybe_broadcast(
+            changes.select(*pks).distinct(), broadcast_max_bytes
+        )
+        impacted = target.join(keys, pks, "left_semi")
+        untouched = target.join(keys, pks, "left_anti")
     else:
         impacted, untouched = target, None
 

@@ -20,6 +20,10 @@ the better fit for dedup graphs and keeps every round a single
 shuffle join + min-aggregate.)
 
 Scale notes:
+- Propagation runs over the ACTIVE node set only (edge endpoints) —
+  isolated nodes can never change label, so the loop's cost is
+  proportional to the sparse near-dup graph, not the corpus; the full
+  node set is touched exactly once (the final re-attach left join).
 - Each round is one shuffled equi-join (edges x labels on the edge
   endpoint) and one min-aggregate — both partition on the node id, so
   AQE coalesces them into a stable partitioning, no driver-side state.
@@ -49,6 +53,7 @@ def connected_components(
     dst_col: str = "dst",
     max_iter: int = 25,
     algorithm: str = "label",
+    local_solve_edges: int = 1_000_000,
 ) -> DataFrame:
     """Label every node with the minimum node id in its component.
 
@@ -69,8 +74,18 @@ def connected_components(
         not its per-round cost, is the bottleneck. Two extra shuffles
         per round, so only worth it when diameter ≫ log² n.
 
-    Returns ``(id, component)`` — one row per node, materialized (the
-    result does not depend on a persisted lineage).
+    ``local_solve_edges``: when the symmetrized edge list has at most
+    this many rows (known from one count over the persisted frame), CC
+    is solved with a driver-side union-find instead of iterated
+    distributed rounds — the classic two-phase shape (distributed only
+    while the graph exceeds driver capacity). Each distributed round
+    costs several fixed-overhead jobs regardless of data volume, so a
+    sparse dedup graph (thousands of edges under a billion-doc corpus)
+    pays seconds of scheduler time for microseconds of work; 1M edges
+    is ~32 MB collected, far under any driver heap. Set to ``0`` to
+    force the fully distributed path.
+
+    Returns ``(id, component)`` — one row per node.
     """
     if algorithm == "star":
         return _star_components(nodes, edges, id_col, src_col, dst_col, max_iter)
@@ -79,10 +94,82 @@ def connected_components(
     sym = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .unionByName(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .where(F.col("a") != F.col("b"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
+    n_edges = sym.count()  # also materializes the persist
+    if n_edges <= local_solve_edges:
+        labels = _local_union_find(nodes.sparkSession, sym)
+    else:
+        labels = _propagate_labels(sym, max_iter)
+    sym.unpersist()
+    # Re-attach isolated nodes (they are their own component). The
+    # label side is small relative to `nodes` (only edge endpoints); no
+    # explicit broadcast hint — AQE sees the materialized size at
+    # runtime and picks broadcast vs shuffle, so a pathological
+    # all-duplicates corpus can't OOM the driver.
+    out = (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(labels.withColumnRenamed("component", "_cc"), "id", "left")
+        .select("id", F.coalesce(F.col("_cc"), F.col("id")).alias("component"))
+    )
+    # Hand the result to the dedup cache tracker so callers share one
+    # release discipline with the pair operators.
+    return _track(out)
+
+
+def _local_union_find(spark, sym: DataFrame) -> DataFrame:
+    """Solve CC for a driver-sized symmetric edge frame ``(a, b)`` with
+    an in-memory union-find; returns ``(id, component)`` for ACTIVE
+    nodes only (edge endpoints), component = min member id — identical
+    semantics to the distributed fixpoint."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in sym.collect():  # bounded by local_solve_edges (~32 MB at 1M)
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in parent]
+    id_type = sym.schema["a"].dataType
+    schema = StructType(
+        [StructField("id", id_type), StructField("component", id_type)]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _propagate_labels(sym: DataFrame, max_iter: int) -> DataFrame:
+    """Distributed min-label propagation over a persisted symmetric
+    edge frame; returns the fixpoint ``(id, component)`` for active
+    nodes (edge endpoints) only."""
+    # Propagate over ACTIVE nodes only (edge endpoints): an isolated
+    # node's label can never change, so shuffling the full node set each
+    # hop — the dominant cost when the corpus is large and the dedup
+    # graph sparse (the 100 TB shape: billions of docs, a few percent in
+    # near-dup pairs) — buys nothing. Isolated nodes are re-attached
+    # with one left join after the fixpoint. `sym` carries both edge
+    # directions, so its `a` column alone covers every endpoint.
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
     prev_sum = labels.agg(
         F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]
@@ -119,11 +206,7 @@ def connected_components(
         if cur_sum == prev_sum:  # labels only decrease: equal sum == fixpoint
             break
         prev_sum = cur_sum
-    sym.unpersist()
-    # The fixpoint frame is checkpoint-backed (materialized, constant
-    # plan); hand it to the dedup cache tracker anyway so callers share
-    # one release discipline with the pair operators.
-    return _track(labels)
+    return labels
 
 
 def _star_round(sym: DataFrame, large: bool) -> DataFrame:
@@ -159,6 +242,7 @@ def _star_components(
         .distinct()
     )
     prev_sig = None
+    prev_sym = None
     for _ in range(max_iter):
         # one alternation = large-star then small-star; localCheckpoint
         # truncates the per-round plan growth exactly as in the label
@@ -166,18 +250,25 @@ def _star_components(
         sym = _star_round(_star_round(sym, large=True), large=False).localCheckpoint(
             eager=True
         )
-        # fixpoint signature: edge count + exact decimal sum of endpoints
-        # (monotone toward the star fixpoint; equal signature twice in a
-        # row means both transforms are now identities)
+        # fixpoint signature: edge count + exact decimal sum of endpoints.
+        # The signature is a cheap PRE-FILTER only — two distinct edge
+        # states can alias to the same (n, sa, sb), so an equal signature
+        # is confirmed with an exact set compare (both frames are small
+        # checkpointed edge lists) before declaring the fixpoint.
         sig_row = sym.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("a").cast("decimal(38,0)")).alias("sa"),
             F.sum(F.col("b").cast("decimal(38,0)")).alias("sb"),
         ).collect()[0]
         sig = (sig_row["n"], sig_row["sa"], sig_row["sb"])
-        if sig == prev_sig:
+        if (
+            sig == prev_sig
+            and prev_sym is not None
+            and sym.exceptAll(prev_sym).limit(1).count() == 0
+        ):
             break
         prev_sig = sig
+        prev_sym = sym
     # fixpoint: every edge is (member, component-min). Isolated nodes
     # (no edges) keep their own id.
     centers = sym.groupBy("a").agg(F.min("b").alias("_c"))
@@ -209,3 +300,32 @@ def cluster_members(
     return comp.select(
         F.col("id"), F.col("component").alias("cluster_id")
     ).withColumn("cluster_size", F.count(F.lit(1)).over(w))
+
+
+def keep_best(
+    clusters: DataFrame,
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Elect one survivor per near-dup cluster: the HIGHEST-``score_col``
+    member, ties broken by smallest ``id_col`` (deterministic).
+
+    Operates on a PRECOMPUTED cluster frame (``cluster_members`` output,
+    or anything with ``id_col`` + ``cluster_col``) joined to a
+    ``(id_col, score_col)`` frame — so a curation run computes connected
+    components once and applies any survivor policy over the result,
+    instead of re-deriving the edge+CC pipeline per policy.
+
+    Returns the surviving rows only, with all of ``clusters``' columns
+    plus ``score_col``. One shuffle join + one window; both partition on
+    the cluster key, so AQE reuses the exchange.
+    """
+    w = Window.partitionBy(cluster_col).orderBy(F.desc(score_col), F.asc(id_col))
+    return (
+        clusters.join(scored, id_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )

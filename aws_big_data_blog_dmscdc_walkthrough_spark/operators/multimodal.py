@@ -8,15 +8,18 @@ bytes move Python-side once per stage and memory is bounded by the Arrow
 batch size (see ``media_batch_conf``), not the partition size.
 
 Decoders — three tiers:
-  * REAL stdlib/numpy decoders for uncompressed formats: BMP (24/32-bit
-    uncompressed), PPM/PGM (netpbm binary), and WAV PCM audio (stdlib
-    ``wave``). These parse actual bytes produced by any standard tool.
+  * REAL stdlib/numpy decoders: BMP (24/32-bit uncompressed), PPM/PGM
+    (netpbm binary), WAV PCM audio (stdlib ``wave``), and PNG (8-bit
+    gray/RGB/±alpha, non-interlaced: stdlib ``zlib`` inflate + full
+    scanline filter reconstruction — None/Sub/Up/Average/Paeth). These
+    parse actual bytes produced by any standard tool.
   * the deterministic ``MMRW`` raw container (12-byte header: magic,
     uint16 width/height/channels/frames, packed frame bytes) — the
     canonical internal representation; resize/sample emit it, and tests
     synthesize it for byte-exact checks.
-  * compressed codecs (JPEG/PNG/MP4…) require PIL/ffmpeg, absent in
-    this environment — that path is import-gated and raises
+  * remaining compressed codecs (JPEG/MP4…, plus PNG's palette /
+    16-bit / interlaced corners) require PIL/ffmpeg, absent in this
+    environment — that path is import-gated and raises
     ``NotImplementedError`` with the reason; the mapInPandas plumbing
     is identical, so installing the lib changes one function.
 
@@ -34,6 +37,7 @@ import hashlib
 import io
 import math
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -220,6 +224,140 @@ def _decode_netpbm(blob: bytes) -> "np.ndarray":
     return np.frombuffer(blob, np.uint8, h * w * channels, pos).reshape(h, w, channels)
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel
+
+
+def encode_png(pixels: "np.ndarray", filter_type: int = 0) -> bytes:
+    """(h, w, c) uint8 → 8-bit non-interlaced PNG (c ∈ {1,2,3,4}).
+
+    ``filter_type`` applies that PNG scanline filter (0..4) to every
+    row before deflate — the decoder's five reconstruction paths get
+    real filtered bytes to chew on, not just filter-0 data.
+    """
+    px = np.asarray(pixels, np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = bytearray()
+    flat = px.reshape(h, w * c).astype(np.int16)
+    prev = np.zeros(w * c, np.int16)
+    for y in range(h):
+        cur = flat[y]
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:  # Sub
+            left = np.concatenate([np.zeros(c, np.int16), cur[:-c]])
+            enc = (cur - left) & 0xFF
+        elif filter_type == 2:  # Up
+            enc = (cur - prev) & 0xFF
+        elif filter_type == 3:  # Average
+            left = np.concatenate([np.zeros(c, np.int16), cur[:-c]])
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        elif filter_type == 4:  # Paeth
+            left = np.concatenate([np.zeros(c, np.int16), cur[:-c]])
+            ul = np.concatenate([np.zeros(c, np.int16), prev[:-c]])
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            enc = (cur - pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter {filter_type}")
+        raw.append(filter_type)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = cur
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_ihdr(blob: bytes) -> tuple[int, int, int, int, int]:
+    """(width, height, bit_depth, color_type, interlace) from IHDR."""
+    if blob[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    if blob[12:16] != b"IHDR":
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, _comp, _filt, interlace = struct.unpack_from(
+        ">IIBBBBB", blob, 16
+    )
+    return w, h, depth, ctype, interlace
+
+
+def _decode_png(blob: bytes) -> "np.ndarray":
+    """8-bit non-interlaced PNG → (h, w, c) uint8 array. Pure stdlib:
+    chunk walk, concatenated-IDAT ``zlib`` inflate, and per-scanline
+    filter reconstruction (None/Sub/Up/Average/Paeth). Palette, 16-bit
+    and interlaced files fall through to the PIL-gated path."""
+    w, h, depth, ctype, interlace = _png_ihdr(blob)
+    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        return _decode_compressed(blob, "image/png")[0]
+    c = _PNG_CHANNELS[ctype]
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(blob):
+        (ln,) = struct.unpack_from(">I", blob, pos)
+        tag = blob[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat += blob[pos + 8 : pos + 8 + ln]
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    raw = zlib.decompress(bytes(idat))
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data truncated")
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = np.frombuffer(raw, np.uint8, stride, off + 1).astype(np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up — vectorized (no intra-row dependency)
+            cur = (line + prev) & 0xFF
+        elif ftype == 1:  # Sub — sequential in x
+            cur = line
+            for x in range(c, stride):
+                cur[x] = (cur[x] + cur[x - c]) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line
+            for x in range(stride):
+                a = cur[x - c] if x >= c else 0
+                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - c]) if x >= c else 0
+                b = int(prev[x])
+                cc = int(prev[x - c]) if x >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, c)
+
+
 def _decode_wav(blob: bytes) -> tuple["np.ndarray", int]:
     """PCM WAV → ((n_samples, channels) float64 in [-1, 1], sample_rate).
 
@@ -263,6 +401,8 @@ def decode_image(blob: bytes) -> "np.ndarray":
         return _decode_bmp(blob)[None]
     if mime in ("image/x-portable-pixmap", "image/x-portable-graymap"):
         return _decode_netpbm(blob)[None]
+    if mime == "image/png":
+        return _decode_png(blob)[None]
     return _decode_compressed(blob, mime)
 
 
@@ -296,6 +436,12 @@ def _blob_meta(blob: bytes) -> dict:
     if mime == "application/x-mmrw":
         w, h, c, fr = _decode_header(blob)
         meta.update(width=w, height=h, channels=c, n_frames=fr)
+    elif mime == "image/png":
+        # header-only: dims come from IHDR, no inflate needed
+        w, h, _depth, ctype, _il = _png_ihdr(blob)
+        meta.update(
+            width=w, height=h, channels=_PNG_CHANNELS.get(ctype, 0), n_frames=1
+        )
     elif mime in ("image/bmp", "image/x-portable-pixmap", "image/x-portable-graymap"):
         frames = decode_image(blob)
         _, h, w, c = frames.shape

@@ -245,13 +245,13 @@ SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {EMB_COSINE_THRESHOLD}
 
 # ------------------------------------------------------- dedup clusters
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup cluster resolution: exact-dup edges ∪ source-blocked
-    n-gram Jaccard pairs → distributed connected components →
-    ``(doc_id, cluster_id, cluster_size)``. ``cluster_id`` is the
-    minimum member id — keep-one-per-cluster dedup keeps rows where
-    ``doc_id == cluster_id``. Singletons are their own cluster."""
-    docs = load_table(spark, sf_dir, "documents")
+def _cluster_frame(docs: DataFrame) -> DataFrame:
+    """Shared CC substrate: exact-dup edges ∪ source-blocked n-gram
+    Jaccard pairs → distributed connected components →
+    ``(doc_id, cluster_id, cluster_size)``. Both cluster-consuming
+    queries (``dedup_clusters``, ``dedup_keep_best``) derive from this
+    one frame — a real curation run computes clusters ONCE and applies
+    each survivor policy over the result."""
     exact = dedup.exact_dedup(docs, "doc_id", "text")
     exact_edges = exact.where(F.col("doc_id") != F.col("canonical_id")).select(
         F.col("doc_id").alias("src"), F.col("canonical_id").alias("dst")
@@ -262,9 +262,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = graph.cluster_members(
         docs.select("doc_id"), exact_edges.unionByName(near), id_col="doc_id"
     )
-    return clusters.select(
-        F.col("id").alias("doc_id"), "cluster_id", "cluster_size"
-    )
+    return clusters.select(F.col("id").alias("doc_id"), "cluster_id", "cluster_size")
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution over the documents table.
+    ``cluster_id`` is the minimum member id — keep-one-per-cluster
+    dedup keeps rows where ``doc_id == cluster_id``. Singletons are
+    their own cluster."""
+    return _cluster_frame(load_table(spark, sf_dir, "documents"))
 
 
 # shared CC pipeline over exact+near edges (used by dedup_clusters and
@@ -636,33 +642,18 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     the minimum id — the survivor policy real curation uses (keep the
     cleanest copy of a boilerplate-heavy page, not the first-crawled).
     Output: one row per cluster (survivor doc_id, cluster id/size,
-    survivor quality)."""
-    from pyspark.sql.window import Window
-
+    survivor quality). Survivor election is the reusable
+    ``graph.keep_best`` operator over the shared ``_cluster_frame``
+    substrate — the same cluster frame ``dedup_clusters`` publishes."""
     from ..operators import text as text_ops
 
     docs = load_table(spark, sf_dir, "documents")
-    exact = dedup.exact_dedup(docs, "doc_id", "text")
-    exact_edges = exact.where(F.col("doc_id") != F.col("canonical_id")).select(
-        F.col("doc_id").alias("src"), F.col("canonical_id").alias("dst")
-    )
-    near = dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", ["source"], NGRAM_JACCARD_THRESHOLD
-    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    clusters = graph.cluster_members(
-        docs.select("doc_id"), exact_edges.unionByName(near), id_col="doc_id"
-    ).select(F.col("id").alias("doc_id"), "cluster_id", "cluster_size")
+    clusters = _cluster_frame(docs)
     scored = docs.select(
         "doc_id", text_ops.quality_score_col("text").alias("quality_score")
     )
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.desc("quality_score"), F.asc("doc_id")
-    )
-    return (
-        clusters.join(scored, "doc_id")
-        .withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") == 1)
-        .select("doc_id", "cluster_id", "cluster_size", "quality_score")
+    return graph.keep_best(clusters, scored).select(
+        "doc_id", "cluster_id", "cluster_size", "quality_score"
     )
 
 

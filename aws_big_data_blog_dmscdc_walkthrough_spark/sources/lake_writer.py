@@ -47,10 +47,23 @@ HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
 
 
 def target_exists(spark: SparkSession, path: str) -> bool:
+    """True iff the table has DATA — at least one non-hidden entry.
+
+    A bare directory test would misfire after a crash that wrote only
+    hidden sidecars (``_change_feed`` write-ahead, ``_mmanifest`` stage,
+    ``_SUCCESS``): the retry would take the merge branch against a
+    data-less table and fail schema inference.
+    """
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs.exists(p)
+    if not fs.exists(p):
+        return False
+    for status in fs.listStatus(p):
+        name = status.getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            return True
+    return False
 
 
 def write_initial(
@@ -128,13 +141,22 @@ def merge_incremental(
         # merge against an empty target — latest op per key, minus deletes
         collapsed = cdc.latest_changes(changes, primary_keys, seq_col)
         out = collapsed.where(F.col(op_col) != cdc.OP_DELETE).drop(op_col, seq_col)
+        # WRITE-AHEAD feed: publish the batch BEFORE the table commit.
+        # A crash in the window then leaves a feed batch the table lacks;
+        # the controller's retry re-merges AND re-publishes, so consumers
+        # see at-least-once delivery (replay through apply_changes is
+        # idempotent — identical full row images, latest-wins). The
+        # reverse order would silently LOSE a feed batch on crash, with
+        # contiguous batch ids hiding the gap from every consumer.
+        if change_feed:
+            append_change_feed(spark, changes, out_path, primary_keys, seq_col, op_col)
         _append_with_optional_manifest(
             spark, out, out_path, partition_keys, use_manifest, stats_cols
         )
-        if change_feed:
-            append_change_feed(spark, changes, out_path, primary_keys, seq_col, op_col)
         return
 
+    if change_feed:  # write-ahead: see comment above
+        append_change_feed(spark, changes, out_path, primary_keys, seq_col, op_col)
     if partition_keys:
         _merge_partitioned(
             spark, changes, out_path, primary_keys, partition_keys, seq_col, op_col
@@ -144,8 +166,6 @@ def merge_incremental(
             spark, changes, out_path, primary_keys, seq_col, op_col,
             use_manifest, retain_history, stats_cols,
         )
-    if change_feed:
-        append_change_feed(spark, changes, out_path, primary_keys, seq_col, op_col)
 
 
 def _append_with_optional_manifest(
@@ -211,10 +231,14 @@ def _merge_partitioned(
     # NULLs. Type changes raise (see cdc.align_schemas).
     target, changes = cdc.align_schemas(target, changes, extra_cols=(op_col, seq_col))
 
-    change_keys = changes.select(*pks).distinct()
+    # size-guarded broadcast: a backfill batch with 10^8+ distinct PKs
+    # degrades to a shuffled semi-join instead of OOMing the driver
+    change_keys = cdc._maybe_broadcast(
+        changes.select(*pks).distinct(), cdc.BROADCAST_KEYS_MAX_BYTES
+    )
     new_parts = changes.select(*part_cols).distinct()
     old_parts = (
-        target.join(F.broadcast(change_keys), pks, "left_semi")
+        target.join(change_keys, pks, "left_semi")
         .select(*part_cols)
         .distinct()
     )
@@ -335,10 +359,12 @@ def _merge_unpartitioned_cow(
     else:
         target_df = spark.read.option("mergeSchema", "true").parquet(out_path)
     tagged = target_df.withColumn("_file", F.input_file_name())
-    change_keys = changes.select(*pks).distinct()
+    change_keys = cdc._maybe_broadcast(
+        changes.select(*pks).distinct(), cdc.BROADCAST_KEYS_MAX_BYTES
+    )
     impacted_files = [
         r["_file"]
-        for r in tagged.join(F.broadcast(change_keys), pks, "left_semi")
+        for r in tagged.join(change_keys, pks, "left_semi")
         .select("_file")
         .distinct()
         .collect()
@@ -530,13 +556,27 @@ def compact_table(
 
 
 def _swap_rewrite(spark: SparkSession, df: DataFrame, out_path: str) -> None:
-    """Full rewrite through staging + rename (unpartitioned tables)."""
+    """Full rewrite through staging + rename (unpartitioned tables).
+
+    Underscore-prefixed sidecar DIRECTORIES (``_change_feed`` — hidden
+    from parquet reads, so absent from ``df``) are carried from the old
+    directory into the staged one before the swap; otherwise a compact
+    pass would silently destroy the feed and restart batch numbering,
+    making subscribers holding a high-water mark skip all later changes.
+    """
     jvm = spark._jvm
     staging = out_path.rstrip("/") + f"__staging_{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(staging)
     p_out = jvm.org.apache.hadoop.fs.Path(out_path)
     p_stage = jvm.org.apache.hadoop.fs.Path(staging)
     fs = p_out.getFileSystem(spark._jsc.hadoopConfiguration())
+    for status in fs.listStatus(p_out):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("_"):
+            fs.rename(
+                status.getPath(),
+                jvm.org.apache.hadoop.fs.Path(staging.rstrip("/") + "/" + name),
+            )
     trash = jvm.org.apache.hadoop.fs.Path(out_path.rstrip("/") + "__old")
     if fs.exists(trash):
         fs.delete(trash, True)
@@ -598,15 +638,67 @@ def append_change_feed(
 
 
 def read_change_feed(
-    spark: SparkSession, out_path: str, since_batch: int = 0
+    spark: SparkSession, out_path: str, since_batch: int = 0, op_col: str = cdc.OP_COL
 ) -> DataFrame:
     """Change rows with batch > ``since_batch`` (incremental subscribe).
 
     The `batch=` directory layout makes the since-filter a partition
     predicate: unconsumed batches are the only directories opened.
+
+    A subscriber polling BEFORE the first ``change_feed=True`` merge
+    gets an empty frame in the feed's shape (table columns + ``op_col``
+    + ``batch``), derived from the table schema — not an error.
     """
+    jvm = spark._jvm
     base = out_path.rstrip("/") + "/" + CHANGE_FEED_DIR
+    p = jvm.org.apache.hadoop.fs.Path(base)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        empty = spark.read.option("mergeSchema", "true").parquet(out_path).limit(0)
+        return empty.withColumn(op_col, F.lit(None).cast("string")).withColumn(
+            "batch", F.lit(None).cast("int")
+        )
     df = (
         spark.read.option("basePath", base).parquet(base)
     )
     return df.where(F.col("batch") > since_batch)
+
+
+def vacuum_change_feed(
+    spark: SparkSession, out_path: str, keep_batches: int
+) -> list[int]:
+    """Retention for the change feed: keep only the newest
+    ``keep_batches`` batch directories, delete the rest.
+
+    Feed batches otherwise accumulate forever (every merge adds one).
+    Batch ids stay monotone — vacuum never renumbers — so a subscriber's
+    high-water mark keeps working for the retained range; a subscriber
+    further behind than the retention window must re-bootstrap from the
+    table (the same contract as Delta CDF / Kafka retention).
+
+    Returns the deleted batch ids (driver-side directory ops only).
+
+    ``keep_batches`` must be >= 1: the newest batch directory is what
+    carries the monotone numbering forward (``_next_feed_batch`` reads
+    it) — deleting everything would silently restart ids at 1.
+    """
+    if keep_batches < 1:
+        raise ValueError("keep_batches must be >= 1")
+    jvm = spark._jvm
+    base = jvm.org.apache.hadoop.fs.Path(out_path.rstrip("/") + "/" + CHANGE_FEED_DIR)
+    fs = base.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(base):
+        return []
+    batches: list[tuple[int, object]] = []
+    for status in fs.listStatus(base):
+        name = status.getPath().getName()
+        if name.startswith("batch="):
+            try:
+                batches.append((int(name.split("=", 1)[1]), status.getPath()))
+            except ValueError:
+                continue
+    batches.sort(key=lambda t: t[0])
+    doomed = batches[: max(0, len(batches) - keep_batches)]
+    for _, path in doomed:
+        fs.delete(path, True)
+    return [b for b, _ in doomed]

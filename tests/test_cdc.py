@@ -84,3 +84,78 @@ def test_merge_no_pruning_same_result(spark):
         _target(spark), changes, ["id"], "seq", prune_with_broadcast=False
     )
     assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, full.collect()))
+
+
+def _plan_str(df):
+    spark = df.sparkSession
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "extended"
+    ).lower()
+
+
+def _parquet_changes(spark, tmp_path, rows):
+    """File-backed change batch: only file sources carry real Catalyst
+    size estimates, so only they can trip the broadcast guard — exactly
+    the real backfill shape (a parquet landing batch)."""
+    path = str(tmp_path / "changes.parquet")
+    _changes(spark, rows).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _no_auto_broadcast(spark):
+    """Context: disable Catalyst's own size-based auto-broadcast so the
+    test observes what OUR hint (or its absence) does. A genuinely huge
+    batch exceeds autoBroadcastJoinThreshold anyway; a test-sized one
+    doesn't, so Catalyst would (correctly) broadcast it regardless."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    return ctx()
+
+
+def test_huge_batch_falls_back_to_shuffle_join(spark, tmp_path):
+    """A file-backed change batch whose estimated key volume exceeds the
+    broadcast threshold must take the shuffled semi/anti join path (no
+    FORCED broadcast of the key set) and still produce the identical
+    merge result."""
+    changes = _parquet_changes(
+        spark,
+        tmp_path,
+        [(2, "bob2", 21.0, "U", 1), (3, None, 0.0, "D", 1), (4, "dave", 40.0, "I", 1)],
+    )
+    with _no_auto_broadcast(spark):
+        small = cdc.apply_changes(_target(spark), changes, ["id"], "seq")
+        huge = cdc.apply_changes(
+            _target(spark), changes, ["id"], "seq", broadcast_max_bytes=0
+        )
+        # default path hint-broadcasts the key set; above-threshold must not
+        assert "broadcastexchange" in _plan_str(small)
+        assert "broadcastexchange" not in _plan_str(huge)
+        # identical merge semantics on both paths
+        assert sorted(map(tuple, small.collect())) == sorted(
+            map(tuple, huge.collect())
+        )
+
+
+def test_impacted_keys_shuffle_fallback_matches(spark, tmp_path):
+    changes = _parquet_changes(
+        spark, tmp_path, [(2, "x", 0.0, "U", 1), (9, "y", 0.0, "I", 1)]
+    )
+    with _no_auto_broadcast(spark):
+        bc = cdc.impacted_keys(_target(spark), changes, ["id"])
+        sh = cdc.impacted_keys(_target(spark), changes, ["id"], broadcast_max_bytes=0)
+        assert "broadcastexchange" in _plan_str(bc)
+        assert "broadcastexchange" not in _plan_str(sh)
+        assert (
+            sorted(r.id for r in bc.collect())
+            == sorted(r.id for r in sh.collect())
+            == [2]
+        )

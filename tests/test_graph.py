@@ -8,6 +8,7 @@ from aws_big_data_blog_dmscdc_walkthrough_spark.operators import dedup
 from aws_big_data_blog_dmscdc_walkthrough_spark.operators.graph import (
     cluster_members,
     connected_components,
+    keep_best,
 )
 
 
@@ -85,6 +86,27 @@ def test_random_graph_matches_union_find(spark):
     assert _run(spark, nodes, edges) == _union_find(nodes, edges)
 
 
+def test_distributed_path_matches_local_solve(spark):
+    """local_solve_edges=0 forces the iterated distributed rounds; both
+    paths must agree with the reference union-find."""
+    rng = random.Random(99)
+    nodes = list(range(40))
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(30)]
+    edges = [(a, b) for a, b in edges if a != b]
+    want = _union_find(nodes, edges)
+    assert _run(spark, nodes, edges, local_solve_edges=0) == want
+    assert _run(spark, nodes, edges) == want
+
+
+def test_distributed_chain_converges(spark):
+    # chain via the distributed loop: needs several propagation rounds
+    out = _run(
+        spark, [1, 2, 3, 4, 5], [(1, 2), (2, 3), (3, 4), (4, 5)],
+        local_solve_edges=0,
+    )
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
 def test_cluster_members_sizes(spark):
     nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4]], "id: long")
     edges = spark.createDataFrame([(1, 2), (2, 3)], "src: long, dst: long")
@@ -119,3 +141,28 @@ def test_star_handles_deep_chain_within_log_rounds(spark):
 def test_star_no_edges_identity(spark):
     out = _run(spark, [3, 4, 5], [], algorithm="star")
     assert out == {3: 3, 4: 4, 5: 5}
+
+
+def test_self_loop_edges_are_isolated(spark):
+    # a node whose only edge is a self-loop stays its own component
+    out = _run(spark, [1, 2, 3], [(1, 1), (2, 3)])
+    assert out == {1: 1, 2: 2, 3: 2}
+
+
+def test_keep_best_over_precomputed_clusters(spark):
+    """keep_best is an operator over a PRECOMPUTED cluster frame — no
+    edge-gen or CC re-run: highest score wins, ties -> smallest id,
+    singletons survive with their own score."""
+    clusters = spark.createDataFrame(
+        [(1, 1, 3), (2, 1, 3), (3, 1, 3), (4, 4, 1)],
+        "doc_id: long, cluster_id: long, cluster_size: long",
+    )
+    scored = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5)],
+        "doc_id: long, quality_score: double",
+    )
+    rows = {
+        r["cluster_id"]: (r["doc_id"], r["cluster_size"], r["quality_score"])
+        for r in keep_best(clusters, scored).collect()
+    }
+    assert rows == {1: (2, 3, 0.9), 4: (4, 1, 0.5)}

@@ -219,3 +219,79 @@ def test_merge_incremental_emits_change_feed(spark, tmp_path):
     assert {(r.batch, r.id, r.op) for r in feed.collect()} == {
         (1, 1, "I"), (1, 2, "I"), (2, 1, "U")
     }
+
+
+def test_read_change_feed_before_first_batch_is_empty(spark, tmp_path):
+    """A subscriber polling before the first change_feed=True merge gets
+    an empty frame in the feed's shape, not PATH_NOT_FOUND."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import lake_writer
+
+    out = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [("I", 1, 1, "a")], "op string, _seq long, id long, name string"
+    )
+    lake_writer.merge_incremental(spark, b1, out, ["id"])  # no feed
+    feed = lake_writer.read_change_feed(spark, out)
+    assert feed.count() == 0
+    assert {"id", "name", "op", "batch"} <= set(feed.columns)
+
+
+def test_compact_preserves_change_feed_sidecar(spark, tmp_path):
+    """compact_table on an unpartitioned non-manifest table must carry
+    the _change_feed sidecar through the directory swap — and batch
+    numbering must continue, not restart, afterwards."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import lake_writer
+
+    out = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [("I", 1, 1, "a"), ("I", 1, 2, "b")], "op string, _seq long, id long, name string"
+    )
+    lake_writer.merge_incremental(spark, b1, out, ["id"], change_feed=True)
+    b2 = spark.createDataFrame(
+        [("U", 2, 1, "a2")], "op string, _seq long, id long, name string"
+    )
+    lake_writer.merge_incremental(spark, b2, out, ["id"], change_feed=True)
+
+    lake_writer.compact_table(spark, out)
+
+    # feed survived the swap; table data intact
+    feed = lake_writer.read_change_feed(spark, out)
+    assert {r.batch for r in feed.collect()} == {1, 2}
+    assert {r.id: r.name for r in spark.read.parquet(out).select("id", "name").collect()} == {
+        1: "a2", 2: "b"
+    }
+    # numbering continues after compaction (no high-water-mark skip)
+    b3 = spark.createDataFrame(
+        [("I", 3, 3, "c")], "op string, _seq long, id long, name string"
+    )
+    lake_writer.merge_incremental(spark, b3, out, ["id"], change_feed=True)
+    assert {r.batch for r in lake_writer.read_change_feed(spark, out).collect()} == {1, 2, 3}
+
+
+def test_vacuum_change_feed_retention(spark, tmp_path):
+    import pytest
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import lake_writer
+
+    out = str(tmp_path / "t")
+    for seq, (op, rid, name) in enumerate(
+        [("I", 1, "a"), ("U", 1, "b"), ("U", 1, "c"), ("U", 1, "d")], start=1
+    ):
+        b = spark.createDataFrame(
+            [(op, seq, rid, name)], "op string, _seq long, id long, name string"
+        )
+        lake_writer.merge_incremental(spark, b, out, ["id"], change_feed=True)
+
+    removed = lake_writer.vacuum_change_feed(spark, out, keep_batches=2)
+    assert removed == [1, 2]
+    # retained range still serves incremental subscribes
+    tail = lake_writer.read_change_feed(spark, out, since_batch=2)
+    assert {(r.batch, r.name) for r in tail.collect()} == {(3, "c"), (4, "d")}
+    # numbering continues from the retained high-water mark
+    b5 = spark.createDataFrame(
+        [("U", 5, 1, "e")], "op string, _seq long, id long, name string"
+    )
+    lake_writer.merge_incremental(spark, b5, out, ["id"], change_feed=True)
+    assert {r.batch for r in lake_writer.read_change_feed(spark, out, since_batch=2).collect()} == {3, 4, 5}
+    with pytest.raises(ValueError):
+        lake_writer.vacuum_change_feed(spark, out, keep_batches=0)

@@ -204,3 +204,46 @@ def test_audio_features_detect_tone(spark):
     assert abs(feats[0]["zcr"] - 2 * 1000.0 / rate) < 1e-3
     assert abs(feats[0]["duration_sec"] - 1.0) < 1e-9
     assert feats[1]["rms"] == 0.0 and feats[1]["spectral_centroid"] == 0.0
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_all_filters_pixel_exact(filter_type):
+    """Every PNG scanline filter (None/Sub/Up/Average/Paeth) must
+    reconstruct pixel-exactly through the stdlib decoder."""
+    px = _checker(9, 7)
+    blob = mm.encode_png(px, filter_type=filter_type)
+    assert mm.sniff_mime(blob) == "image/png"
+    out = mm.decode_image(blob)
+    assert out.shape == (1, 9, 7, 3)
+    np.testing.assert_array_equal(out[0], px)
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_color_types_roundtrip(channels):
+    rng = np.random.default_rng(42)
+    px = rng.integers(0, 256, size=(5, 6, channels), dtype=np.uint8)
+    for f in (0, 4):  # unfiltered + the hardest filter
+        out = mm.decode_image(mm.encode_png(px, filter_type=f))
+        np.testing.assert_array_equal(out[0], px)
+
+
+def test_png_decode_media_auto_detects(spark):
+    px = _checker(4, 5)
+    df = spark.createDataFrame(
+        [(0, mm.encode_png(px, filter_type=2), None)], mm.MEDIA_SCHEMA
+    )
+    meta = mm.decode_media(df).collect()[0]["meta"]
+    assert meta["mime"] == "image/png"
+    assert (meta["width"], meta["height"], meta["channels"]) == (5, 4, 3)
+
+
+def test_png_unsupported_variants_fall_to_gate():
+    # 16-bit depth PNG: stdlib path refuses, PIL gate raises clearly
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    blob = (
+        mm.PNG_SIG
+        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\x00" * 4
+    )
+    with pytest.raises(Exception) as ei:
+        mm.decode_image(blob)
+    assert "PIL" in str(ei.value) or "NotImplementedError" in str(ei.value)
