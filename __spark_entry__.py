@@ -94,7 +94,6 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text.text_quality,
         "text_langid": text.text_langid,
         "text_fingerprint": text.text_fingerprint,
-        "text_bigrams": text.text_bigrams,
         "sample_stratified": text.sample_stratified,
         "sketch_count_min": text.sketch_count_min,
         "text_tfidf_topk": corpus_stats.text_tfidf_topk,
@@ -108,9 +107,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_customers_per_nation": analytics.q_top_customers_per_nation,
         "q_events_tumbling": analytics.q_events_tumbling,
         "q_events_sessionize": analytics.q_events_sessionize,
-        "q_events_filter_scan": analytics.q_events_filter_scan,
         "q_orders_rollup": analytics.q_orders_rollup,
-        "q_events_sliding": analytics.q_events_sliding,
         "q_customers_no_orders": analytics.q_customers_no_orders,
         "q_orders_above_avg": analytics.q_orders_above_avg,
         "q_events_json_extract": analytics.q_events_json_extract,
@@ -120,9 +117,19 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_range_join": analytics.q_events_range_join,
         "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
         "q18_large_volume_customers": analytics.q18_large_volume_customers,
-        "q_events_moving_avg": analytics.q_events_moving_avg,
-        "q_events_pivot": analytics.q_events_pivot,
-        "q_orders_set_ops": analytics.q_orders_set_ops,
+        # ROUND-6 GATE ROTATION: the six distinct TPC-H tail plan shapes
+        # (q2/q9/q11/q13/q15/q21) take driver-gate slots for one round so
+        # every registered query gets a driver-side hash row at least once
+        # per two rounds. Displaced for this round (still DuckDB-oracled
+        # every round via tests/test_queries.py): q_events_sliding,
+        # q_events_filter_scan, q_events_moving_avg, q_events_pivot,
+        # q_orders_set_ops, text_bigrams. Swap back next round.
+        "q2_min_cost_supplier": tpch_rest.q2_min_cost_supplier,
+        "q9_product_profit": tpch_rest.q9_product_profit,
+        "q11_important_stock": tpch_rest.q11_important_stock,
+        "q13_customer_distribution": tpch_rest.q13_customer_distribution,
+        "q15_top_supplier": tpch_rest.q15_top_supplier,
+        "q21_waiting_suppliers": tpch_rest.q21_waiting_suppliers,
     }
 
 
@@ -146,15 +153,20 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_supplier_count": tpch_ext.q16_parts_supplier_count,
         "q19_disjunctive_revenue": tpch_ext.q19_disjunctive_revenue,
         "q22_idle_customers": tpch_ext.q22_idle_customers,
-        "q2_min_cost_supplier": tpch_rest.q2_min_cost_supplier,
         "q6_forecast_revenue": tpch_rest.q6_forecast_revenue,
-        "q9_product_profit": tpch_rest.q9_product_profit,
-        "q11_important_stock": tpch_rest.q11_important_stock,
         "q12_priority_by_linestatus": tpch_rest.q12_priority_by_linestatus,
-        "q13_customer_distribution": tpch_rest.q13_customer_distribution,
-        "q15_top_supplier": tpch_rest.q15_top_supplier,
         "q20_part_promotion_suppliers": tpch_rest.q20_part_promotion_suppliers,
-        "q21_waiting_suppliers": tpch_rest.q21_waiting_suppliers,
+        # displaced from the driver gate by the round-6 rotation (see
+        # _queries_raw); pytest-oracled here until they rotate back
+        "q_events_sliding": analytics.q_events_sliding,
+        "q_events_filter_scan": analytics.q_events_filter_scan,
+        "q_events_moving_avg": analytics.q_events_moving_avg,
+        "q_events_pivot": analytics.q_events_pivot,
+        "q_orders_set_ops": analytics.q_orders_set_ops,
+        "text_bigrams": text.text_bigrams,
+        # round-6 additions (SURVEY §2 #76-77)
+        "corpus_split_counts": text.corpus_split_counts,
+        "corpus_pack_sequences": text.corpus_pack_sequences,
     }
 
 
@@ -172,9 +184,7 @@ def oracle_sql() -> dict[str, str]:
         "q_top_customers_per_nation": analytics.Q_TOP_CUSTOMERS_SQL,
         "q_events_tumbling": analytics.Q_EVENTS_TUMBLING_SQL,
         "q_events_sessionize": analytics.Q_EVENTS_SESSIONIZE_SQL,
-        "q_events_filter_scan": analytics.Q_EVENTS_FILTER_SCAN_SQL,
         "q_orders_rollup": analytics.Q_ORDERS_ROLLUP_SQL,
-        "q_events_sliding": analytics.Q_EVENTS_SLIDING_SQL,
         "q_customers_no_orders": analytics.Q_CUSTOMERS_NO_ORDERS_SQL,
         "q_orders_above_avg": analytics.Q_ORDERS_ABOVE_AVG_SQL,
         "q_events_json_extract": analytics.Q_EVENTS_JSON_EXTRACT_SQL,
@@ -184,15 +194,17 @@ def oracle_sql() -> dict[str, str]:
         "q_events_range_join": analytics.Q_EVENTS_RANGE_JOIN_SQL,
         "q17_small_quantity_revenue": analytics.Q17_SQL,
         "q18_large_volume_customers": analytics.Q18_SQL,
-        "q_events_moving_avg": analytics.Q_EVENTS_MOVING_AVG_SQL,
-        "q_events_pivot": analytics.Q_EVENTS_PIVOT_SQL,
-        "q_orders_set_ops": analytics.Q_ORDERS_SET_OPS_SQL,
+        "q2_min_cost_supplier": tpch_rest.Q2_SQL,
+        "q9_product_profit": tpch_rest.Q9_SQL,
+        "q11_important_stock": tpch_rest.Q11_SQL,
+        "q13_customer_distribution": tpch_rest.Q13_SQL,
+        "q15_top_supplier": tpch_rest.Q15_SQL,
+        "q21_waiting_suppliers": tpch_rest.Q21_SQL,
         "text_word_topk": text.TEXT_WORD_TOPK_SQL,
         "text_tokens": text.TEXT_TOKENS_SQL,
         "text_quality": text.TEXT_QUALITY_SQL,
         "text_langid": text.TEXT_LANGID_SQL,
         "text_fingerprint": text.TEXT_FINGERPRINT_SQL,
-        "text_bigrams": text.TEXT_BIGRAMS_SQL,
         "sample_stratified": text.SAMPLE_STRATIFIED_SQL,
         "sketch_count_min": text.SKETCH_COUNT_MIN_SQL,
         "text_tfidf_topk": corpus_stats.TEXT_TFIDF_TOPK_SQL,
@@ -219,6 +231,14 @@ def secondary_oracle_sql() -> dict[str, str]:
         "corpus_decontaminate": llm_queries.CORPUS_DECONTAMINATE_SQL,
         "dedup_keep_best": llm_queries.DEDUP_KEEP_BEST_SQL,
         "corpus_source_stats": llm_queries.CORPUS_SOURCE_STATS_SQL,
+        "q_events_filter_scan": analytics.Q_EVENTS_FILTER_SCAN_SQL,
+        "q_events_sliding": analytics.Q_EVENTS_SLIDING_SQL,
+        "q_events_moving_avg": analytics.Q_EVENTS_MOVING_AVG_SQL,
+        "q_events_pivot": analytics.Q_EVENTS_PIVOT_SQL,
+        "q_orders_set_ops": analytics.Q_ORDERS_SET_OPS_SQL,
+        "text_bigrams": text.TEXT_BIGRAMS_SQL,
+        "corpus_split_counts": text.CORPUS_SPLIT_COUNTS_SQL,
+        "corpus_pack_sequences": text.CORPUS_PACK_SEQUENCES_SQL,
         "q_customer_value_ranks": tpch_ext.Q_CUSTOMER_VALUE_RANKS_SQL,
         "q4_order_priority": tpch_ext.Q4_SQL,
         "q7_volume_shipping": tpch_ext.Q7_SQL,
@@ -228,13 +248,7 @@ def secondary_oracle_sql() -> dict[str, str]:
         "q16_parts_supplier_count": tpch_ext.Q16_SQL,
         "q19_disjunctive_revenue": tpch_ext.Q19_SQL,
         "q22_idle_customers": tpch_ext.Q22_SQL,
-        "q2_min_cost_supplier": tpch_rest.Q2_SQL,
         "q6_forecast_revenue": tpch_rest.Q6_SQL,
-        "q9_product_profit": tpch_rest.Q9_SQL,
-        "q11_important_stock": tpch_rest.Q11_SQL,
         "q12_priority_by_linestatus": tpch_rest.Q12_SQL,
-        "q13_customer_distribution": tpch_rest.Q13_SQL,
-        "q15_top_supplier": tpch_rest.Q15_SQL,
         "q20_part_promotion_suppliers": tpch_rest.Q20_SQL,
-        "q21_waiting_suppliers": tpch_rest.Q21_SQL,
     }

@@ -36,8 +36,17 @@ MINHASH_P = 2_147_483_647
 NUM_MINHASH = len(MINHASH_A)
 
 SIMHASH_HALF_BITS = 30  # two 30-bit halves → 60-bit signature
-SIMHASH_CHUNK_BITS = 15
-SIMHASH_CHUNKS = 4
+# Composite-block banding (Manku et al., WWW'07 "Detecting
+# Near-Duplicates for Web Crawling", public paper): split the 60-bit
+# signature into 6 chunks of 10 bits and band on every 3-chunk
+# combination (C(6,3)=20 keys of 30 bits). Any pair within hamming 3
+# has ≥3 clean chunks, hence shares ≥1 composite key — recall is EXACT
+# for d ≤ (chunks − subset), while 30-bit keys keep buckets ~2^15×
+# more selective than single 15-bit chunks (measured: hot-bucket
+# candidate explosion at 10× corpus scale with single-chunk banding).
+SIMHASH_BAND_BITS = 10
+SIMHASH_BAND_CHUNKS = 6
+SIMHASH_BAND_SUBSET = 3
 
 SHINGLE_COMBINE = 131  # word-hash → shingle-hash combiner
 

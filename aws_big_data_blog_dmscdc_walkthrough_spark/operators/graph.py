@@ -100,15 +100,20 @@ def connected_components(
     )
     n_edges = sym.count()  # also materializes the persist
     if n_edges <= local_solve_edges:
-        labels = _local_union_find(nodes.sparkSession, sym)
+        # driver-solved labels are BOUNDED by local_solve_edges (the
+        # rows already live on the driver), so the broadcast hint is
+        # safe — and necessary: a createDataFrame frame carries no
+        # stats, so the planner would otherwise sort-merge the
+        # re-attach join against the full node set.
+        labels = F.broadcast(_local_union_find(nodes.sparkSession, sym))
     else:
+        # distributed fixpoint: no hint — AQE sees the materialized
+        # size at runtime and picks broadcast vs shuffle, so a
+        # pathological all-duplicates corpus can't OOM the driver.
         labels = _propagate_labels(sym, max_iter)
     sym.unpersist()
-    # Re-attach isolated nodes (they are their own component). The
-    # label side is small relative to `nodes` (only edge endpoints); no
-    # explicit broadcast hint — AQE sees the materialized size at
-    # runtime and picks broadcast vs shuffle, so a pathological
-    # all-duplicates corpus can't OOM the driver.
+    # Re-attach isolated nodes (they are their own component); the
+    # label side covers edge endpoints only, small relative to `nodes`.
     out = (
         nodes.select(F.col(id_col).alias("id"))
         .join(labels.withColumnRenamed("component", "_cc"), "id", "left")

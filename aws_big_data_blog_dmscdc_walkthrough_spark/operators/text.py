@@ -13,7 +13,7 @@ order, integer counts cast to double once).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing
@@ -328,6 +328,122 @@ SAMPLE_STRATIFIED_SQL = f"""
 SELECT doc_id, source, lang, n_chars
 FROM documents
 WHERE (doc_id * {SAMPLE_MULT}) % {SAMPLE_MOD} % 100 < {SAMPLE_PCT}
+"""
+
+
+# ------------------------------------------------- train/val/test split
+
+SPLIT_VAL_PCT = 5    # percent of keys → "val"
+SPLIT_TEST_PCT = 5   # percent of keys → "test"; rest → "train"
+
+
+def split_column(id_col: str = "doc_id") -> "F.Column":
+    """Deterministic split assignment from the row key — the same
+    multiplicative-hash arithmetic as :func:`sample_stratified`, so the
+    assignment is reproducible in any engine, stable across reruns and
+    repartitions, and map-only at 100 TB. Buckets: 0..99; the lowest
+    ``SPLIT_VAL_PCT`` go to val, the next ``SPLIT_TEST_PCT`` to test.
+
+    The key property a training pipeline needs: a document's split
+    NEVER changes when the corpus grows (no RNG, no ordering
+    dependence), so eval contamination can't creep in across runs.
+    """
+    bucket = (F.col(id_col) * F.lit(SAMPLE_MULT)) % F.lit(SAMPLE_MOD) % 100
+    return (
+        F.when(bucket < SPLIT_VAL_PCT, F.lit("val"))
+        .when(bucket < SPLIT_VAL_PCT + SPLIT_TEST_PCT, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+
+
+def corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(split, source) doc/token counts — the audit table published
+    beside a split: one scan, map-side split assignment, one groupBy on
+    the (low-cardinality) split×source key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            split_column("doc_id").alias("split"),
+            "source",
+            F.size(F.split(F.trim("text"), r"\s+")).alias("_n_tok"),
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n_tok").alias("total_tokens"),
+        )
+    )
+
+
+CORPUS_SPLIT_COUNTS_SQL = rf"""
+SELECT
+  CASE
+    WHEN (doc_id * {SAMPLE_MULT}) % {SAMPLE_MOD} % 100 < {SPLIT_VAL_PCT} THEN 'val'
+    WHEN (doc_id * {SAMPLE_MULT}) % {SAMPLE_MOD} % 100 < {SPLIT_VAL_PCT + SPLIT_TEST_PCT} THEN 'test'
+    ELSE 'train'
+  END AS split,
+  source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------- sequence packing
+
+SEQ_PACK_LEN = 512  # tokens per training sequence
+
+
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign every document its
+    position in the fixed-length training-sequence stream.
+
+    The standard LLM pretraining layout — documents are concatenated in
+    a deterministic order and the stream is cut into ``SEQ_PACK_LEN``-
+    token sequences; a document may straddle a boundary (its
+    ``seq_id``/``seq_offset`` locate its first token). Packing runs PER
+    SOURCE SHARD (window partitioned by ``source``, ordered by
+    ``doc_id``): shards pack in parallel — the scale shape; a single
+    global cumsum would serialize the corpus through one task. Output:
+    one row per doc with its token count, owning sequence, and offset.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        )
+        .withColumn("seq_id", F.floor(start / SEQ_PACK_LEN).cast("long"))
+        .withColumn("seq_offset", (start % SEQ_PACK_LEN).cast("long"))
+    )
+
+
+CORPUS_PACK_SEQUENCES_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, source,
+    len(string_split_regex(trim(text), '\s+')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+    SUM(n_tokens) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) - n_tokens AS start
+  FROM t
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(start // {SEQ_PACK_LEN} AS BIGINT) AS seq_id,
+  CAST(start % {SEQ_PACK_LEN} AS BIGINT) AS seq_offset
+FROM c
 """
 
 

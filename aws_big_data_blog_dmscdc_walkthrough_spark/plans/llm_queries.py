@@ -20,8 +20,9 @@ from ..operators.dedup import (
     POLY_MOD2,
     POLY_MUL1,
     POLY_MUL2,
-    SIMHASH_CHUNK_BITS,
-    SIMHASH_CHUNKS,
+    SIMHASH_BAND_BITS,
+    SIMHASH_BAND_CHUNKS,
+    SIMHASH_BAND_SUBSET,
     SIMHASH_HALF_BITS,
 )
 from ..session import load_table
@@ -29,7 +30,16 @@ from ..session import load_table
 EMB_DIM = 64
 NGRAM_JACCARD_THRESHOLD = 0.2
 MINHASH_JACCARD_THRESHOLD = 0.5
-SIMHASH_MAX_HAMMING = 20
+# 64-bit simhash near-dup radius: k=3 is the published operating point
+# for web-scale dedup (Manku, Jain, Das Sarma, "Detecting Near-Duplicates
+# for Web Crawling", WWW'07 — public paper) and makes the 4-chunk
+# pigeonhole banding EXACT (any pair within hamming 3 shares a chunk, so
+# recall is 100%, no probabilistic miss). The earlier k=20 (31% of the
+# bits!) declared ~25% of ALL doc pairs near-dups on the synthetic
+# corpus — output grew quadratically with corpus size by construction,
+# which the sf1 scale-curve run surfaced (16× wall at 10× data, all of
+# it genuine output volume).
+SIMHASH_MAX_HAMMING = 3
 EMB_COSINE_THRESHOLD = 0.4
 ANN_K = 10
 ANN_LSH_K = 5
@@ -187,7 +197,24 @@ def _simhash_sql() -> str:
         f"(CASE WHEN v2_{i} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
         for i in range(SIMHASH_HALF_BITS)
     )
-    mask = (1 << SIMHASH_CHUNK_BITS) - 1
+    # composite-block banding, mirroring dedup.simhash_pairs: every
+    # C(6,3) combination of 10-bit chunks forms a 30-bit band key
+    from itertools import combinations
+
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    band_selects = []
+    for i, combo in enumerate(
+        combinations(range(SIMHASH_BAND_CHUNKS), SIMHASH_BAND_SUBSET)
+    ):
+        # packed numeric key, same arithmetic as dedup.simhash_pairs
+        key = f"{i}::BIGINT"
+        for j in combo:
+            key = (
+                f"({key}) * {1 << SIMHASH_BAND_BITS} + "
+                f"((simhash >> {j * SIMHASH_BAND_BITS}) & {mask})"
+            )
+        band_selects.append(f"SELECT doc_id, simhash, {key} AS ck FROM sig")
+    banded = "\n  UNION ALL ".join(band_selects)
     return rf"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tk FROM documents
@@ -202,14 +229,12 @@ sig AS (
   SELECT doc_id, ({hi}) * {1 << SIMHASH_HALF_BITS}::BIGINT + ({lo}) AS simhash FROM votes
 ),
 banded AS (
-  SELECT doc_id, simhash, t.range AS j,
-    (simhash >> ({SIMHASH_CHUNK_BITS} * t.range)) & {mask} AS ck
-  FROM sig, range({SIMHASH_CHUNKS}) t
+  {banded}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          a.simhash AS sa, b.simhash AS sb
-  FROM banded a JOIN banded b ON a.j = b.j AND a.ck = b.ck AND a.doc_id < b.doc_id
+  FROM banded a JOIN banded b ON a.ck = b.ck AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= {SIMHASH_MAX_HAMMING}

@@ -110,6 +110,57 @@ def deduped_envelopes(
     )
 
 
+def kafka_envelopes(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    data_ddl: str,
+    primary_keys: Sequence[str] = (),
+    dedup_within: str | None = None,
+    starting_offsets: str = "earliest",
+    fail_on_data_loss: bool = False,
+    options: dict[str, str] | None = None,
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """DMS envelopes from a Kafka topic, parsed to merge-ready rows.
+
+    ``readStream.format("kafka")`` (requires the
+    ``spark-sql-kafka-0-10`` connector jar on the classpath — absent
+    here, so this raises a clear missing-data-source error locally) →
+    ``parse_envelopes`` on the ``value`` column (binary → string cast is
+    inside the parser) → optionally ``deduped_envelopes`` when
+    ``dedup_within`` names a redelivery window.
+
+    ``options`` passes through any extra Kafka source options verbatim
+    (``kafka.security.protocol``, ``maxOffsetsPerTrigger``, ...).
+
+    ``source`` injects a pre-built DataFrame in Kafka's wire schema
+    (``key``/``value`` binary, ``topic``/``partition``/``offset``...)
+    in place of the connector — the parse wiring is testable without a
+    broker, and a Kinesis connector frame with a ``value`` column works
+    identically.
+
+    Feed the result to ``writeStream.foreachBatch`` with the same merge
+    ``start_envelope_stream`` uses — the downstream is source-agnostic.
+    """
+    if source is not None:
+        raw = source
+    else:
+        reader = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .option("failOnDataLoss", str(fail_on_data_loss).lower())
+        )
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        raw = reader.load()
+    if dedup_within is not None:
+        return deduped_envelopes(raw, data_ddl, list(primary_keys), dedup_within)
+    return parse_envelopes(raw, data_ddl)
+
+
 def start_envelope_stream(
     spark: SparkSession,
     source_dir: str,

@@ -45,8 +45,19 @@ def main() -> None:
 
     # Union of the driver-gated registry and the pytest-only secondary
     # registry: the correctness gate caps at 50 entries, but the bench
-    # keeps timing all 68 so TPC-H tail regressions stay visible.
+    # keeps timing all 72 so TPC-H tail regressions stay visible.
     queries = {**entry_mod.queries(), **entry_mod.secondary_queries()}
+    # SPARK_GRAFT_QUERIES=a,b,c restricts to a subset — used by the
+    # scale-curve run (headline queries at sfN) where timing all 72 at
+    # 10x data would burn the round budget for no extra signal.
+    subset = os.environ.get("SPARK_GRAFT_QUERIES")
+    if subset:
+        want = [q.strip() for q in subset.split(",") if q.strip()]
+        unknown = [q for q in want if q not in queries]
+        if unknown:
+            print(f"[bench] unknown queries: {unknown}", file=sys.stderr)
+            sys.exit(2)
+        queries = {q: queries[q] for q in want}
     timings: dict[str, float] = {}
     # best-of-2: this host runs other workloads (observed load spikes to
     # 15+); the min of two full executions reports the engine's cost, not

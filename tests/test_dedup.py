@@ -138,3 +138,28 @@ def test_decontaminate_flags_eval_overlap(spark):
     # over") -> below min_overlap=3; doc 2 shares none
     assert 1 in out and out[1] >= 3
     assert 2 not in out and 3 not in out
+
+
+def test_estimated_scan_partitions_tracks_spark_packing(spark, tmp_path):
+    """The no-RDD estimate must mirror Spark's FilePartition packing on
+    the two shapes that diverge without open-cost/bytes-per-core math:
+    many tiny files (packed into FEW partitions, not len(files)) and a
+    parquet directory read back whole."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators.dedup import (
+        _estimated_scan_partitions,
+    )
+
+    # many tiny files: 64 single-row files
+    p = str(tmp_path / "tiny")
+    spark.range(64).repartition(64).write.parquet(p)
+    df = spark.read.parquet(p)
+    est = _estimated_scan_partitions(df)
+    actual = df.rdd.getNumPartitions()
+    assert est is not None
+    # the estimate may be off by packing greediness but NOT by the old
+    # len(files) overshoot (64 vs ~32); allow 50% slack
+    assert est <= max(actual * 1.5, actual + 2)
+    assert est >= max(1, actual // 2)
+
+    # non-file source → None (caller falls back to the RDD probe)
+    assert _estimated_scan_partitions(spark.range(10).toDF("x")) is None

@@ -105,3 +105,40 @@ def test_envelope_stream_dedups_redeliveries(spark, tmp_path):
     run()
     rows = spark.read.parquet(out).collect()
     assert {(r.id, r.name) for r in rows} == {(1, "a2")}
+
+
+def test_kafka_envelopes_wire_schema_without_broker(spark):
+    """kafka_envelopes' parse wiring, fed a frame in Kafka's wire shape
+    (binary key/value + topic/partition/offset) instead of the
+    connector — no broker needed; the binary→string cast and envelope
+    decode must produce merge-ready rows."""
+    rows = [
+        (None, _env("insert", {"id": 1, "name": "x"}, "2024-01-01T00:00:00Z").encode(),
+         "t1", 0, 0),
+        (None, _env("delete", {"id": 2, "name": None}, "2024-01-01T00:00:01Z").encode(),
+         "t1", 0, 1),
+        (None, b"not json at all", "t1", 0, 2),  # dropped, not poison
+    ]
+    kafka_frame = spark.createDataFrame(
+        rows, "key binary, value binary, topic string, partition int, offset long"
+    )
+    out = dms_json.kafka_envelopes(
+        spark, "unused:9092", "t1", "id LONG, name STRING", source=kafka_frame
+    )
+    got = {(r.id, r.op) for r in out.collect()}
+    assert got == {(1, "I"), (2, "D")}
+    assert {"id", "name", "op", "_seq", "_schema", "_table"} <= set(out.columns)
+
+
+def test_kafka_envelopes_missing_connector_raises_clearly(spark):
+    """Without the spark-sql-kafka jar the constructor must fail with
+    the standard missing-data-source error (option plumbing reaches
+    load()), not something cryptic from our code."""
+    import pytest
+
+    with pytest.raises(Exception) as ei:
+        dms_json.kafka_envelopes(
+            spark, "localhost:9092", "t1", "id LONG", dedup_within="1 hour",
+            primary_keys=["id"], options={"maxOffsetsPerTrigger": "500"},
+        )
+    assert "kafka" in str(ei.value).lower()
