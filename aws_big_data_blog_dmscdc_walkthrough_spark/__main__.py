@@ -18,7 +18,7 @@ Maintenance subcommands (the operations a lake operator schedules
 beside the hourly merge):
 
     ... compact --path <table> [--target-file-bytes N] [--cluster-by c]
-                [--partition-keys a,b] [--manifest]
+                [--partition-keys a,b] [--manifest] [--zorder]
     ... vacuum  --path <table> [--retain-versions N] [--keep-feed-batches N]
     ... delete  --path <table> --col c --op '=' --value v   (manifest tables;
                 merge-on-read position delete, no data files rewritten)
@@ -76,6 +76,7 @@ def _compact(args) -> int:
         cluster_by=_split(args.cluster_by),
         use_manifest=args.manifest,
         stats_cols=_split(args.stats_cols),
+        zorder=args.zorder,
     )
     json.dump({"path": args.path, "output_files": n}, sys.stdout, indent=1)
     print()
@@ -138,6 +139,12 @@ def main(argv: list[str] | None = None) -> int:
     c_p.add_argument("--cluster-by", default="")
     c_p.add_argument("--stats-cols", default="")
     c_p.add_argument("--manifest", action="store_true")
+    c_p.add_argument(
+        "--zorder",
+        action="store_true",
+        help="cluster on an interleaved Morton key over --cluster-by "
+        "(multi-column file skipping)",
+    )
     c_p.set_defaults(fn=_compact)
 
     v_p = sub.add_parser("vacuum", help="reclaim unreferenced files (manifest tables)")

@@ -92,3 +92,29 @@ def test_count_min_sketch_estimates_bound_exact_counts(spark):
         assert n <= est <= n + 3 * (sum(exact.values()) // text_ops.CMS_WIDTH + 1)
     # absent word estimates only collision noise
     assert text_ops.cms_estimate(sketch, "zzz-not-a-word") < min(exact.values())
+
+
+def test_split_assignment_stable_under_corpus_growth(spark):
+    """The split property a training pipeline depends on: a document's
+    train/val/test assignment is a pure function of its id — growing
+    the corpus (sf0.001 → sf0.01) must not move any shared document,
+    and all three splits must be non-empty at the declared rates."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import text as text_ops
+
+    def assignments(sf):
+        df = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", text_ops.split_column("doc_id").alias("split")
+        )
+        return {r.doc_id: r.split for r in df.collect()}
+
+    small = assignments("/root/testdata/sf0.001")
+    big = assignments("/root/testdata/sf0.01")
+    shared = set(small) & set(big)
+    assert shared  # the SF family nests doc ids
+    assert all(small[d] == big[d] for d in shared)
+    from collections import Counter
+
+    frac = Counter(big.values())
+    n = len(big)
+    assert 0.02 < frac["val"] / n < 0.10 and 0.02 < frac["test"] / n < 0.10
+    assert frac["train"] / n > 0.8
