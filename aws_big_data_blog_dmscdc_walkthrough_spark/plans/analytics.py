@@ -118,10 +118,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit("1997-01-01"))
         )
         .join(
-            F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+            # customer/supplier grow linearly with SF: no forced hint —
+            # Catalyst auto-broadcasts them while genuinely small
+            # (accurate file-scan stats) and AQE re-plans at runtime;
+            # only CONSTANT-size dims (nation/region) are hinted.
+            customer, F.col("o_custkey") == F.col("c_custkey")
         )
         .join(
-            F.broadcast(supplier),
+            supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -549,7 +553,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("_qcnt"),
     )
     filtered = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(per_part, "l_partkey")
         .where(
             F.col("l_quantity").cast(DEC) * 5 * F.col("_qcnt") < F.col("_qsum")

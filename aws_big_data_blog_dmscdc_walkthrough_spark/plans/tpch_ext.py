@@ -95,7 +95,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("_cnk"), F.col("n_name").alias("cust_nation")
     )
     joined = (
-        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("_snk"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
@@ -162,11 +162,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
     joined = (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("_cnk"), "left_semi")
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("_snk"))
     )
     nation_rev = F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(
@@ -260,7 +260,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC))
-    return l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).agg(
+    return l.join(p, F.col("l_partkey") == F.col("p_partkey")).agg(
         (
             F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double")
         ).alias("promo_revenue_pct")
@@ -298,8 +298,8 @@ def q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        l.join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -336,7 +336,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((br == "Brand#13") & sz.between(1, 15) & q.between(20, 30))
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return l.join(F.broadcast(p), cond).agg(_dsum(rev).alias("revenue"))
+    return l.join(p, cond).agg(_dsum(rev).alias("revenue"))
 
 
 Q19_SQL = f"""

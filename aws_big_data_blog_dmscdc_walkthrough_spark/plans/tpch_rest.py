@@ -61,8 +61,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("p_partkey")
     return (
-        ps.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(eur_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        ps.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(eur_supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .withColumn("_min_bal", F.min("s_acctbal").over(w))
         .where(F.col("s_acctbal") == F.col("_min_bal"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
@@ -139,8 +139,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
@@ -184,9 +184,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
     p = load_table(spark, sf_dir, "part")
     nat_pairs = (
-        ps.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        ps.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
-        .join(F.broadcast(p.select("p_partkey", "p_retailprice")),
+        .join(p.select("p_partkey", "p_retailprice"),
               F.col("l_partkey") == F.col("p_partkey"))
     )
     per_part = nat_pairs.groupBy("p_partkey").agg(
@@ -324,7 +324,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(top))
         .where(F.col("total_revenue") == F.col("_max_rev"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue")
         )
@@ -366,7 +366,7 @@ def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_2")
     qualifying = (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("_qty"))
         .where(F.col("_qty") > 100)
@@ -424,13 +424,11 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = load_table(spark, sf_dir, "supplier")
     n1 = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
     l1 = late.join(
-        F.broadcast(
-            s1.join(
-                F.broadcast(n1),
-                F.col("s_nationkey") == F.col("n_nationkey"),
-                "left_semi",
-            ).select("s_suppkey", "s_name")
-        ),
+        s1.join(
+            F.broadcast(n1),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        ).select("s_suppkey", "s_name"),
         F.col("l_suppkey") == F.col("s_suppkey"),
     )
     other = items.select(
