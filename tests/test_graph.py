@@ -166,3 +166,21 @@ def test_keep_best_over_precomputed_clusters(spark):
         for r in keep_best(clusters, scored).collect()
     }
     assert rows == {1: (2, 3, 0.9), 4: (4, 1, 0.5)}
+
+
+def test_distributed_path_medium_random_graph(spark):
+    """Forced-distributed CC on a graph big enough for several
+    propagation rounds (3k nodes, 2.4k edges, mixed chains + stars)
+    must agree with the reference union-find exactly."""
+    rng = random.Random(1234)
+    n = 3000
+    nodes = list(range(n))
+    edges = []
+    # random edges
+    edges += [(rng.randrange(n), rng.randrange(n)) for _ in range(1500)]
+    # some deep chains (stress round count)
+    for start in range(0, 900, 90):
+        edges += [(i, i + 1) for i in range(start, start + 60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    want = _union_find(nodes, edges)
+    assert _run(spark, nodes, edges, local_solve_edges=0, max_iter=40) == want

@@ -118,3 +118,23 @@ def test_split_assignment_stable_under_corpus_growth(spark):
     n = len(big)
     assert 0.02 < frac["val"] / n < 0.10 and 0.02 < frac["test"] / n < 0.10
     assert frac["train"] / n > 0.8
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing layout invariants: offsets stay inside a sequence,
+    consecutive docs within a source are contiguous in the token
+    stream, and sequence ids start at 0 per source."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import text as text_ops
+
+    rows = text_ops.corpus_pack_sequences(spark, "/root/testdata/sf0.001").collect()
+    L = text_ops.SEQ_PACK_LEN
+    by_source = {}
+    for r in rows:
+        assert 0 <= r.seq_offset < L
+        by_source.setdefault(r.source, []).append(r)
+    for docs in by_source.values():
+        docs.sort(key=lambda r: r.doc_id)
+        pos = 0
+        for r in docs:
+            assert r.seq_id == pos // L and r.seq_offset == pos % L
+            pos += r.n_tokens
