@@ -96,9 +96,15 @@ def sample_documents(con: duckdb.DuckDBPyConnection, out: str, factor: int) -> N
         for j in range(per_shard):
             t = " ".join(vocab_arr[rng.integers(0, len(vocab_arr), int(lens[j]))])
             recs.append((shard * per_shard + j, t, lang_pick[j], src_pick[j], len(t)))
-    con.execute("CREATE OR REPLACE TABLE _docs(doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR, n_chars BIGINT)")
-    con.executemany("INSERT INTO _docs VALUES (?, ?, ?, ?, ?)", recs)
-    con.execute(f"COPY _docs TO '{out}/documents.parquet' (FORMAT PARQUET)")
+    import pandas as pd
+
+    docs_pd = pd.DataFrame(
+        recs, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    con.register("_docs_pd", docs_pd)
+    con.execute(
+        f"COPY (SELECT * FROM _docs_pd) TO '{out}/documents.parquet' (FORMAT PARQUET)"
+    )
     print(f"documents: {len(recs)} fresh-sampled in {factor} shards")
 
 
@@ -115,12 +121,20 @@ def sample_embeddings(con: duckdb.DuckDBPyConnection, out: str, factor: int) -> 
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
     vecs *= rng.choice(norms, size=n)[:, None]  # empirical norm profile
     lab = rng.choice(labels, size=n)
-    con.execute("CREATE OR REPLACE TABLE _emb(vec_id BIGINT, embedding FLOAT[], label INTEGER)")
-    con.executemany(
-        "INSERT INTO _emb VALUES (?, ?, ?)",
-        [(i, vecs[i].astype(np.float32).tolist(), int(lab[i])) for i in range(n)],
+    import pandas as pd
+
+    emb_pd = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [vecs[i].astype(np.float32) for i in range(n)],
+            "label": lab.astype(np.int32),
+        }
     )
-    con.execute(f"COPY _emb TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
+    con.register("_emb_pd", emb_pd)
+    con.execute(
+        "COPY (SELECT vec_id, CAST(embedding AS FLOAT[]) AS embedding, "
+        f"label FROM _emb_pd) TO '{out}/embeddings.parquet' (FORMAT PARQUET)"
+    )
     print(f"embeddings: {n} fresh-sampled")
 
 

@@ -112,8 +112,10 @@ def main() -> None:
         "streams": {"cdc_merge": cdc, "windowed_agg": win},
         "sf": sf,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_STREAMING.json"), "w") as fh:
+    # per-sf sidecar so a smoke run at another scale can't clobber the
+    # sf0.1 record (same convention as bench.py's BENCH_LOCAL_sf*.json)
+    name = f"BENCH_STREAMING_sf{sf}.json"
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), name), "w") as fh:
         json.dump(result, fh, indent=1)
     print(json.dumps(result))
 
