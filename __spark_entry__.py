@@ -164,9 +164,11 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_pivot": analytics.q_events_pivot,
         "q_orders_set_ops": analytics.q_orders_set_ops,
         "text_bigrams": text.text_bigrams,
-        # round-6 additions (SURVEY §2 #76-77)
+        # round-6 additions (SURVEY §2 #76-77, #79)
         "corpus_split_counts": text.corpus_split_counts,
         "corpus_pack_sequences": text.corpus_pack_sequences,
+        "dedup_incremental": llm_queries.dedup_incremental,
+        "emb_quantize": llm_queries.emb_quantize,
     }
 
 
@@ -239,6 +241,8 @@ def secondary_oracle_sql() -> dict[str, str]:
         "text_bigrams": text.TEXT_BIGRAMS_SQL,
         "corpus_split_counts": text.CORPUS_SPLIT_COUNTS_SQL,
         "corpus_pack_sequences": text.CORPUS_PACK_SEQUENCES_SQL,
+        "dedup_incremental": llm_queries.DEDUP_INCREMENTAL_SQL,
+        "emb_quantize": llm_queries.EMB_QUANTIZE_SQL,
         "q_customer_value_ranks": tpch_ext.Q_CUSTOMER_VALUE_RANKS_SQL,
         "q4_order_priority": tpch_ext.Q4_SQL,
         "q7_volume_shipping": tpch_ext.Q7_SQL,

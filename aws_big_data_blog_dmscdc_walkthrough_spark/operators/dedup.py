@@ -412,6 +412,32 @@ def ngram_jaccard_pairs(
     )
 
 
+def _banded_keys(sh: DataFrame, rows_per_band: int) -> DataFrame:
+    """(_id, _sh) shingle frame → exploded (_id, _bk) LSH band keys:
+    K minhashes split into bands of ``rows_per_band``, each band's
+    values concatenated with its index into one join key."""
+    from ..functions.hashing import minhash_signature_pandas
+
+    bands = NUM_MINHASH // rows_per_band
+    sig = sh.select(
+        "_id", minhash_signature_pandas()(F.col("_sh")).alias("_sig")
+    )
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(j),
+                *[
+                    F.element_at(F.col("_sig"), j * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ],
+            )
+            for j in range(bands)
+        ]
+    )
+    return sig.select("_id", F.explode(band_keys).alias("_bk"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -438,22 +464,7 @@ def minhash_lsh_pairs(
             .persist()
         )
     )
-    from ..functions.hashing import minhash_signature_pandas
-
-    sig = sh.select(
-        "_id", "_sh", minhash_signature_pandas()(F.col("_sh")).alias("_sig")
-    )
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                ":",
-                F.lit(j),
-                *[F.element_at(F.col("_sig"), j * rows_per_band + r + 1) for r in range(rows_per_band)],
-            )
-            for j in range(bands)
-        ]
-    )
-    banded = sig.select("_id", F.explode(band_keys).alias("_bk"))
+    banded = _banded_keys(sh, rows_per_band)
     # bucket-group pair generation: the old banded self-join evaluated
     # the minhash-signature UDF on BOTH sides (persist() above only
     # covers the shingles, not the signatures)
@@ -473,6 +484,154 @@ def minhash_lsh_pairs(
     return (
         _with_jaccard(verified, "_sh_a", "_sh_b")
         .select("id_a", "id_b", "jaccard")
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    rows_per_band: int = 2,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Near-dup matches of a NEW ingest batch against an EXISTING
+    corpus — the shape a continuously-ingesting pipeline needs: per
+    batch it computes signatures for the batch only and joins them
+    against the corpus side, never re-mining corpus×corpus. Returns
+    ``(new_id, corpus_id, jaccard)`` for matches ≥ ``threshold``.
+
+    Candidate generation is the band equi-join with the NEW side as
+    the small probe: band keys of the batch join the corpus's band
+    keys, so at 100 TB the corpus contribution is a pre-computed
+    signature STORE (``append_signature_store`` /
+    ``match_against_store``) read once per ingest — O(batch + matches)
+    fresh compute, O(corpus signatures) scan that bucketing or a
+    band-partitioned layout prunes.
+    """
+    sh_new = _materialize(
+        _track(
+            shingle_frame(spread(new_docs), id_col, text_col)
+            .withColumnRenamed(id_col, "_id")
+            .where(F.size("_sh") > 0)
+            .persist()
+        )
+    )
+    sh_old = _materialize(
+        _track(
+            shingle_frame(spread(corpus), id_col, text_col)
+            .withColumnRenamed(id_col, "_id")
+            .where(F.size("_sh") > 0)
+            .persist()
+        )
+    )
+    banded_new = _banded_keys(sh_new, rows_per_band)
+    banded_old = _banded_keys(sh_old, rows_per_band)
+    if bucket_cap is not None:
+        hot = (
+            banded_old.groupBy("_bk")
+            .count()
+            .where(F.col("count") > bucket_cap)
+            .select("_bk")
+        )
+        banded_old = banded_old.join(hot, "_bk", "left_anti")
+    cand = (
+        banded_new.alias("n")
+        .join(banded_old.alias("o"), "_bk")
+        .select(
+            F.col("n._id").alias("new_id"), F.col("o._id").alias("corpus_id")
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(sh_new.alias("sa"), F.col("new_id") == F.col("sa._id"))
+        .join(sh_old.alias("sb"), F.col("corpus_id") == F.col("sb._id"))
+        .select(
+            "new_id",
+            "corpus_id",
+            F.col("sa._sh").alias("_sh_a"),
+            F.col("sb._sh").alias("_sh_b"),
+        )
+    )
+    return (
+        _with_jaccard(verified, "_sh_a", "_sh_b")
+        .select("new_id", "corpus_id", "jaccard")
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def append_signature_store(
+    spark,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    rows_per_band: int = 2,
+) -> None:
+    """Append a batch's dedup state to the persistent signature store:
+    ``<path>/bands`` (exploded ``(_id, _bk)`` band keys) and
+    ``<path>/shingles`` (``(_id, _sh)`` shingle sets, for exact-Jaccard
+    verification of candidates). Signatures are computed once, at
+    ingest — later batches never re-shingle the corpus. On a cluster,
+    write ``bands`` bucketed by ``_bk`` (sources/bucketed.py) so the
+    per-ingest candidate join is shuffle-free on the store side."""
+    sh = (
+        shingle_frame(docs, id_col, text_col)
+        .withColumnRenamed(id_col, "_id")
+        .where(F.size("_sh") > 0)
+        .persist()
+    )
+    _banded_keys(sh, rows_per_band).write.mode("append").parquet(f"{path}/bands")
+    sh.write.mode("append").parquet(f"{path}/shingles")
+    sh.unpersist()
+
+
+def match_against_store(
+    spark,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    threshold: float = 0.5,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Match an ingest batch against the persistent signature store —
+    the batch's signatures are fresh compute; the corpus side is the
+    stored state. Returns ``(new_id, corpus_id, jaccard)``."""
+    sh_new = _materialize(
+        _track(
+            shingle_frame(spread(new_docs), id_col, text_col)
+            .withColumnRenamed(id_col, "_id")
+            .where(F.size("_sh") > 0)
+            .persist()
+        )
+    )
+    banded_new = _banded_keys(sh_new, rows_per_band)
+    banded_old = spark.read.parquet(f"{path}/bands")
+    sh_old = spark.read.parquet(f"{path}/shingles")
+    cand = (
+        banded_new.alias("n")
+        .join(banded_old.alias("o"), "_bk")
+        .select(
+            F.col("n._id").alias("new_id"), F.col("o._id").alias("corpus_id")
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(sh_new.alias("sa"), F.col("new_id") == F.col("sa._id"))
+        .join(sh_old.alias("sb"), F.col("corpus_id") == F.col("sb._id"))
+        .select(
+            "new_id",
+            "corpus_id",
+            F.col("sa._sh").alias("_sh_a"),
+            F.col("sb._sh").alias("_sh_b"),
+        )
+    )
+    return (
+        _with_jaccard(verified, "_sh_a", "_sh_b")
+        .select("new_id", "corpus_id", "jaccard")
         .where(F.col("jaccard") >= threshold)
     )
 

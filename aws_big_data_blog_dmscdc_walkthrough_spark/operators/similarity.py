@@ -483,3 +483,69 @@ def ivf_topk_partitioned(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# ------------------------------------------------- embedding quantization
+
+QUANT_BITS = 8  # int8 codes: 4x storage cut on float32 embeddings
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = QUANT_BITS,
+) -> DataFrame:
+    """Per-vector affine quantization: each embedding is rescaled into
+    ``2^bits`` integer levels with its own (zero_point, scale) — the
+    storage form a 100 TB vector corpus keeps (int8 + 2 doubles per
+    row ≈ 4× smaller than float32; dequantized value =
+    ``zero_point + code·scale``, max error ``scale/2``).
+
+    Map-only column expressions (no UDF, no shuffle); rounding is
+    ``floor(x + 0.5)`` — identical half-up semantics in any engine, so
+    codes are bit-reproducible cross-engine (the DuckDB oracle twin
+    proves it). Output one row per (vector, position): ``(id, pos,
+    code, zero_point, scale)`` — the explode is for the verification
+    gate; storage keeps the array form.
+    """
+    levels = (1 << bits) - 1
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mn = F.array_min(v)
+    mx = F.array_max(v)
+    span = mx - mn
+    scale = F.when(span > 0, span / F.lit(float(levels))).otherwise(F.lit(1.0))
+    codes = F.transform(v, lambda x: F.floor((x - mn) / scale + F.lit(0.5)).cast("int"))
+    return df.select(
+        F.col(id_col),
+        F.posexplode(codes).alias("pos", "code"),
+        mn.alias("zero_point"),
+        scale.alias("scale"),
+    ).select(
+        id_col, F.col("pos").cast("long").alias("pos"), "code",
+        "zero_point", "scale",
+    )
+
+
+def dequantize_embeddings(
+    quant: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Rebuild ``(id, embedding array<double>)`` from quantized rows —
+    the read path of the 4×-smaller storage form."""
+    return (
+        quant.withColumn(
+            "_x", F.col("zero_point") + F.col("code") * F.col("scale")
+        )
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("_x")))
+            ).alias("_px")
+        )
+        .select(
+            id_col,
+            F.transform(F.col("_px"), lambda s: s.getField("_x")).alias(
+                "embedding"
+            ),
+        )
+    )

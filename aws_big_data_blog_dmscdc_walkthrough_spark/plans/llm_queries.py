@@ -175,6 +175,47 @@ SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {MINHASH_JACCARD_THRES
 """
 
 
+# ------------------------------------------------- incremental dedup
+
+DEDUP_INCREMENTAL_MOD = 10  # doc_id % MOD == 0 plays the "new batch"
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: the ingest-batch shape — docs with
+    ``doc_id % 10 == 0`` play the new batch, the rest the existing
+    corpus; the batch is matched against the corpus only (never
+    corpus×corpus — O(batch) fresh compute per ingest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % DEDUP_INCREMENTAL_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % DEDUP_INCREMENTAL_MOD != 0)
+    return dedup.incremental_minhash_pairs(
+        new, corpus, "doc_id", "text", threshold=MINHASH_JACCARD_THRESHOLD
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH {_SHINGLES_CTE},
+sig AS (SELECT doc_id, sh, [{_MINHASH_LIST_SQL}] AS sig FROM sh WHERE len(sh) > 0),
+banded AS (
+  SELECT doc_id, t.range AS j, sig[2 * t.range + 1] AS m1, sig[2 * t.range + 2] AS m2
+  FROM sig, range({_BANDS}) t
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS corpus_id
+  FROM banded n JOIN banded o ON n.j = o.j AND n.m1 = o.m1 AND n.m2 = o.m2
+  WHERE n.doc_id % {DEDUP_INCREMENTAL_MOD} = 0
+    AND o.doc_id % {DEDUP_INCREMENTAL_MOD} <> 0
+),
+verified AS (
+  SELECT new_id, corpus_id, {_JACCARD_SQL} AS jaccard
+  FROM cand JOIN sh a ON a.doc_id = cand.new_id
+            JOIN sh b ON b.doc_id = cand.corpus_id
+)
+SELECT new_id, corpus_id, jaccard FROM verified
+WHERE jaccard >= {MINHASH_JACCARD_THRESHOLD}
+"""
+
+
 # ---------------------------------------------------------------- simhash
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -656,6 +697,35 @@ SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS overlap_ngrams
 FROM dg JOIN ev USING (h)
 GROUP BY dg.doc_id
 HAVING count(*) >= {DECONTAM_MIN_OVERLAP}
+"""
+
+
+# ------------------------------------------------- embedding quantization
+
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 affine quantization of the embeddings table,
+    posexploded to (vec_id, pos, code, zero_point, scale) for the
+    value-level gate."""
+    return similarity.quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+EMB_QUANTIZE_SQL = f"""
+WITH v AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+),
+s AS (
+  SELECT vec_id, e, list_min(e) AS mn,
+    CASE WHEN list_max(e) - list_min(e) > 0
+         THEN (list_max(e) - list_min(e)) / {(1 << 8) - 1}
+         ELSE 1.0 END AS scale
+  FROM v
+)
+SELECT vec_id,
+  CAST(unnest(range(0, len(e))) AS BIGINT) AS pos,
+  CAST(floor((unnest(e) - mn) / scale + 0.5) AS INT) AS code,
+  mn AS zero_point,
+  scale
+FROM s
 """
 
 

@@ -163,3 +163,51 @@ def test_estimated_scan_partitions_tracks_spark_packing(spark, tmp_path):
 
     # non-file source → None (caller falls back to the RDD probe)
     assert _estimated_scan_partitions(spark.range(10).toDF("x")) is None
+
+
+def test_signature_store_incremental_matching(spark, tmp_path):
+    """The persistent signature store must give ingest-time dedup the
+    same answers as the functional two-frame operator, and later
+    batches must match against EVERYTHING appended before them —
+    without ever re-shingling stored docs."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import dedup as dd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.where("doc_id % 3 = 0")
+    batch1 = docs.where("doc_id % 3 = 1")
+    batch2 = docs.where("doc_id % 3 = 2")
+    store = str(tmp_path / "sigstore")
+
+    dd.append_signature_store(spark, corpus, "doc_id", "text", store)
+    got1 = {
+        (r.new_id, r.corpus_id)
+        for r in dd.match_against_store(
+            spark, batch1, "doc_id", "text", store, threshold=0.3
+        ).collect()
+    }
+    want1 = {
+        (r.new_id, r.corpus_id)
+        for r in dd.incremental_minhash_pairs(
+            batch1, corpus, "doc_id", "text", threshold=0.3
+        ).collect()
+    }
+    dd.release_persisted()
+    assert got1 == want1
+
+    # grow the store with batch1; batch2 must now match corpus ∪ batch1
+    dd.append_signature_store(spark, batch1, "doc_id", "text", store)
+    got2 = {
+        (r.new_id, r.corpus_id)
+        for r in dd.match_against_store(
+            spark, batch2, "doc_id", "text", store, threshold=0.3
+        ).collect()
+    }
+    want2 = {
+        (r.new_id, r.corpus_id)
+        for r in dd.incremental_minhash_pairs(
+            batch2, corpus.unionByName(batch1), "doc_id", "text", threshold=0.3
+        ).collect()
+    }
+    dd.release_persisted()
+    assert got2 == want2
+    assert want2  # fixture actually produces cross-batch near-dups

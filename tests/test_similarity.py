@@ -202,3 +202,27 @@ def test_ivf_partitioned_prunes_and_matches_inline(spark, tmp_path):
     got_rows = [(r.vec_id, round(r.cosine, 9)) for r in got.collect()]
     want_rows = [(r.vec_id, round(r.cosine, 9)) for r in want.collect()]
     assert got_rows == want_rows
+
+
+def test_quantize_dequantize_roundtrip_error_bound(spark):
+    """Dequantized embeddings must be within scale/2 per element and
+    keep cosine similarity with the original ~1."""
+    import math
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    orig = {r.vec_id: [float(x) for x in r.embedding] for r in emb.collect()}
+    quant = sim.quantize_embeddings(emb)
+    scales = {r.vec_id: r.scale for r in quant.select("vec_id", "scale").distinct().collect()}
+    deq = {r.vec_id: list(r.embedding) for r in sim.dequantize_embeddings(quant).collect()}
+    assert set(deq) == set(orig)
+    for vid, v in orig.items():
+        d = deq[vid]
+        assert len(d) == len(v)
+        tol = scales[vid] / 2 + 1e-9
+        assert all(abs(a - b) <= tol for a, b in zip(v, d))
+        dot = sum(a * b for a, b in zip(v, d))
+        na = math.sqrt(sum(a * a for a in v))
+        nb = math.sqrt(sum(b * b for b in d))
+        assert dot / (na * nb) > 0.995
