@@ -142,16 +142,44 @@ def impacted_keys(
     )
 
 
+# lossless numeric widening ladders (the type changes DMS emits for
+# ALTER COLUMN widenings); anything else is a breaking change
+_WIDENING_LADDERS = (
+    ("byte", "short", "int", "bigint"),
+    ("float", "double"),
+)
+
+
+def _widened(a: str, b: str) -> str | None:
+    """The wider of two simple type names if one losslessly contains
+    the other, else None."""
+    for ladder in _WIDENING_LADDERS:
+        if a in ladder and b in ladder:
+            return ladder[max(ladder.index(a), ladder.index(b))]
+    return None
+
+
 def align_schemas(
-    target: DataFrame, changes: DataFrame, extra_cols: Sequence[str] = ()
+    target: DataFrame,
+    changes: DataFrame,
+    extra_cols: Sequence[str] = (),
+    allow_widening: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Widen both sides to the union of their columns (schema evolution).
 
     DMS emits new columns when the source table is ALTERed; the reference
     silently breaks on them (its unionAll at DMSCDC_LoadIncremental.py:67
     is positional). Here either side gains any missing column as typed
-    NULLs — additive evolution only; a type CHANGE on an existing column
-    raises, because silently casting CDC data corrupts the lake.
+    NULLs — additive evolution by default; a type CHANGE on an existing
+    column raises, because silently casting CDC data corrupts the lake.
+
+    ``allow_widening=True`` additionally accepts LOSSLESS numeric
+    widenings (byte→short→int→bigint, float→double — what DMS emits for
+    ALTER COLUMN widenings) by casting the narrower side up. The lake
+    write path keeps this OFF: parquet footer merging cannot reconcile
+    mixed physical widths across files, so widening a stored table needs
+    a full rewrite (compact_table) — the flag serves in-memory
+    ``apply_changes`` users and pre-rewrite migrations.
 
     ``extra_cols`` names change-batch bookkeeping columns (op/seq) that
     should never be added to the target.
@@ -163,10 +191,24 @@ def align_schemas(
     }
     for name in t_fields.keys() & c_fields.keys():
         if t_fields[name] != c_fields[name]:
-            raise ValueError(
-                f"column {name!r} changed type {t_fields[name]} → "
-                f"{c_fields[name]}; CDC schema evolution is additive-only"
+            wide = (
+                _widened(
+                    t_fields[name].simpleString(), c_fields[name].simpleString()
+                )
+                if allow_widening
+                else None
             )
+            if wide is None:
+                raise ValueError(
+                    f"column {name!r} changed type {t_fields[name]} → "
+                    f"{c_fields[name]}; CDC schema evolution is additive-only"
+                    + ("" if allow_widening else
+                       " (lossless numeric widening: allow_widening=True)")
+                )
+            if t_fields[name].simpleString() != wide:
+                target = target.withColumn(name, F.col(name).cast(wide))
+            if c_fields[name].simpleString() != wide:
+                changes = changes.withColumn(name, F.col(name).cast(wide))
     for name, dtype in c_fields.items():
         if name not in t_fields:
             target = target.withColumn(name, F.lit(None).cast(dtype))

@@ -134,10 +134,23 @@ def main() -> None:
             "deltas_vs_baseline": deltas,
         }
         # per-SF filename: a quick smoke at sf0.001 must not clobber the
-        # committed sf0.1 record the judge reads
+        # committed sf0.1 record the judge reads. A SPARK_GRAFT_QUERIES
+        # subset run persists only when it covers at least as many
+        # queries as the existing record — a 3-query probe can't
+        # overwrite the committed 76-query run, but the scale-curve
+        # sidecars (born from curated subsets) stay refreshable.
         name = f"BENCH_LOCAL_sf{sf}.json"
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), name), "w") as fh:
-            json.dump(sidecar, fh, indent=1, sort_keys=True)
+        dest = os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
+        prev_n = 0
+        if subset and os.path.exists(dest):
+            try:
+                with open(dest) as fh:
+                    prev_n = len(json.load(fh).get("queries") or {})
+            except (OSError, ValueError):
+                prev_n = 0
+        if not subset or len(timings) >= prev_n:
+            with open(dest, "w") as fh:
+                json.dump(sidecar, fh, indent=1, sort_keys=True)
     except OSError as exc:
         print(f"[bench] sidecar write failed: {exc}", file=sys.stderr)
     print(line)

@@ -159,3 +159,30 @@ def test_impacted_keys_shuffle_fallback_matches(spark, tmp_path):
             == sorted(r.id for r in sh.collect())
             == [2]
         )
+
+
+def test_align_schemas_numeric_widening(spark):
+    """allow_widening accepts lossless numeric widenings (DMS ALTER
+    COLUMN int->bigint); default stays additive-only; narrowing or
+    cross-family changes always raise."""
+    import pytest
+
+    t = spark.createDataFrame([(1, 2)], "id long, v int")
+    c = spark.createDataFrame(
+        [(1, 3, "U", 1)], "id long, v long, op string, seq long"
+    )
+    with pytest.raises(ValueError):
+        cdc.align_schemas(t, c, extra_cols=("op", "seq"))
+    t2, c2 = cdc.align_schemas(t, c, extra_cols=("op", "seq"), allow_widening=True)
+    assert dict(t2.dtypes)["v"] == "bigint" and dict(c2.dtypes)["v"] == "bigint"
+    merged = cdc.apply_changes(t2, c2, ["id"], "seq")
+    assert merged.collect()[0].v == 3
+
+    # float -> double widens; int -> double does not (cross-family)
+    tf = spark.createDataFrame([(1, 1.5)], "id long, x float")
+    cf = spark.createDataFrame([(1, 2.5, "U", 1)], "id long, x double, op string, seq long")
+    t3, _ = cdc.align_schemas(tf, cf, extra_cols=("op", "seq"), allow_widening=True)
+    assert dict(t3.dtypes)["x"] == "double"
+    bad = spark.createDataFrame([(1, 9, "U", 1)], "id long, x int, op string, seq long")
+    with pytest.raises(ValueError):
+        cdc.align_schemas(tf, bad, extra_cols=("op", "seq"), allow_widening=True)
