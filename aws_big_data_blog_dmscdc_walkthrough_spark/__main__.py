@@ -17,6 +17,9 @@ then the next pass loads them.
 Maintenance subcommands (the operations a lake operator schedules
 beside the hourly merge):
 
+    ... sql     --lake <root> --query 'SELECT ... FROM schema.table'
+                (registers every lake folder, runs the query — the
+                reference README's Athena step, locally)
     ... compact --path <table> [--target-file-bytes N] [--cluster-by c]
                 [--partition-keys a,b] [--manifest] [--zorder]
     ... vacuum  --path <table> [--retain-versions N] [--keep-feed-batches N]
@@ -79,6 +82,47 @@ def _compact(args) -> int:
         zorder=args.zorder,
     )
     json.dump({"path": args.path, "output_files": n}, sys.stdout, indent=1)
+    print()
+    return 0
+
+
+def _sql(args) -> int:
+    """The reference README's "Query the data lake" step (Athena there)
+    as one command: register every <schema>/<table> folder under the
+    lake root in the session catalog, run the query, print JSON rows."""
+    from .sources import catalog
+
+    spark = get_spark("dmscdc-sql")
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(args.lake)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    n_tables = 0
+    for schema_dir in fs.listStatus(root):
+        if not schema_dir.isDirectory():
+            continue
+        schema = schema_dir.getPath().getName()
+        if schema.startswith(("_", ".")):
+            continue
+        for table_dir in fs.listStatus(schema_dir.getPath()):
+            if not table_dir.isDirectory():
+                continue
+            table = table_dir.getPath().getName()
+            if table.startswith(("_", ".")):
+                continue
+            catalog.register_table(
+                spark, str(table_dir.getPath()), schema, table
+            )
+            n_tables += 1
+    rows = spark.sql(args.query).limit(args.limit).collect()
+    json.dump(
+        {
+            "tables_registered": n_tables,
+            "rows": [r.asDict(recursive=True) for r in rows],
+        },
+        sys.stdout,
+        indent=1,
+        default=str,
+    )
     print()
     return 0
 
@@ -146,6 +190,12 @@ def main(argv: list[str] | None = None) -> int:
         "(multi-column file skipping)",
     )
     c_p.set_defaults(fn=_compact)
+
+    s_p = sub.add_parser("sql", help="register lake tables and run a SQL query")
+    s_p.add_argument("--lake", required=True, help="lake root (schema/table folders)")
+    s_p.add_argument("--query", required=True)
+    s_p.add_argument("--limit", type=int, default=100)
+    s_p.set_defaults(fn=_sql)
 
     v_p = sub.add_parser("vacuum", help="reclaim unreferenced files (manifest tables)")
     v_p.add_argument("--path", required=True)

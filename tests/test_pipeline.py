@@ -446,3 +446,25 @@ def test_cli_maintenance_subcommands(spark, tmp_path, capsys):
     assert not manifest.read_manifest(spark, out).get("delete_files")
 
     assert main(["vacuum", "--path", out]) == 0  # nothing stale to keep
+
+
+def test_cli_sql_registers_and_queries(spark, tmp_path, capsys):
+    """The `sql` subcommand is the reference README's "Query the data
+    lake" step: every schema/table folder registers in the catalog and
+    arbitrary SQL runs against the qualified names."""
+    import json as _json
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.__main__ import main
+
+    lake = tmp_path / "lake" / "sales" / "accounts"
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id long, name string, bal double"
+    ).write.parquet(str(lake))
+    rc = main([
+        "sql", "--lake", str(tmp_path / "lake"),
+        "--query", "SELECT sum(bal) AS total FROM sales.accounts",
+    ])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["tables_registered"] == 1
+    assert out["rows"] == [{"total": 30.0}]
