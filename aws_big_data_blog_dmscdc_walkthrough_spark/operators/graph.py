@@ -179,6 +179,7 @@ def _propagate_labels(sym: DataFrame, max_iter: int) -> DataFrame:
         F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]
 
+    converged = False
     for _ in range(max_iter):
         # TWO propagation hops per materialized round: the per-round
         # fixed cost (checkpoint job + convergence collect — two driver
@@ -209,8 +210,40 @@ def _propagate_labels(sym: DataFrame, max_iter: int) -> DataFrame:
             F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
         if cur_sum == prev_sum:  # labels only decrease: equal sum == fixpoint
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Diameter exceeded the propagation budget (long chains — e.g. a
+        # near-critical random graph). Returning the partial labels
+        # would be SILENTLY WRONG (measured: 148k-node "largest
+        # component" vs the true 1.56M on a 5M-node/3M-edge graph), so
+        # finish exactly: CONTRACT the graph by the current labels —
+        # every ≤2·max_iter-hop neighborhood has already collapsed to
+        # one super-node, shrinking long chains ~50× — and run the
+        # large-star/small-star fixpoint (O(log² n) rounds regardless
+        # of diameter) on the residual, then compose the mappings.
+        residual = (
+            sym.alias("e")
+            .join(labels.alias("x"), F.col("e.a") == F.col("x.id"))
+            .join(labels.alias("y"), F.col("e.b") == F.col("y.id"))
+            .select(
+                F.col("x.component").alias("src"), F.col("y.component").alias("dst")
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        super_nodes = labels.select(F.col("component").alias("id")).distinct()
+        star = _star_components(
+            super_nodes, residual, "id", "src", "dst", max(max_iter, 30)
+        ).withColumnRenamed("component", "_fc")
+        labels = (
+            labels.alias("l")
+            .join(star.alias("s"), F.col("l.component") == F.col("s.id"))
+            .select(F.col("l.id").alias("id"), F.col("_fc").alias("component"))
+            .localCheckpoint(eager=True)
+        )
     return labels
 
 
@@ -248,6 +281,7 @@ def _star_components(
     )
     prev_sig = None
     prev_sym = None
+    converged = False
     for _ in range(max_iter):
         # one alternation = large-star then small-star; localCheckpoint
         # truncates the per-round plan growth exactly as in the label
@@ -271,9 +305,18 @@ def _star_components(
             and prev_sym is not None
             and sym.exceptAll(prev_sym).limit(1).count() == 0
         ):
+            converged = True
             break
         prev_sig = sig
         prev_sym = sym
+    if not converged:
+        # wrong labels must never come back silently; star needs
+        # O(log² n) alternations, so this only means max_iter is far
+        # too low for the graph — say so
+        raise RuntimeError(
+            f"connected components did not converge in {max_iter} "
+            "large/small-star alternations; raise max_iter"
+        )
     # fixpoint: every edge is (member, component-min). Isolated nodes
     # (no edges) keep their own id.
     centers = sym.groupBy("a").agg(F.min("b").alias("_c"))

@@ -184,3 +184,15 @@ def test_distributed_path_medium_random_graph(spark):
     edges = [(a, b) for a, b in edges if a != b]
     want = _union_find(nodes, edges)
     assert _run(spark, nodes, edges, local_solve_edges=0, max_iter=40) == want
+
+
+def test_label_propagation_falls_back_to_star_on_deep_chain(spark):
+    """A chain deeper than the propagation budget (2 hops x max_iter)
+    must still resolve EXACTLY — the non-converged propagation contracts
+    the graph and finishes with the star fixpoint instead of silently
+    returning partial labels."""
+    n = 300  # diameter 299 >> 2*10 hops
+    nodes = list(range(n))
+    edges = [(i, i + 1) for i in range(n - 1)]
+    out = _run(spark, nodes, edges, local_solve_edges=0, max_iter=10)
+    assert out == {i: 0 for i in range(n)}
