@@ -143,9 +143,11 @@ def impacted_keys(
 
 
 # lossless numeric widening ladders (the type changes DMS emits for
-# ALTER COLUMN widenings); anything else is a breaking change
+# ALTER COLUMN widenings); anything else is a breaking change.
+# Names are Spark's DataType.simpleString() forms — ByteType prints
+# "tinyint" and ShortType "smallint", not "byte"/"short".
 _WIDENING_LADDERS = (
-    ("byte", "short", "int", "bigint"),
+    ("tinyint", "smallint", "int", "bigint"),
     ("float", "double"),
 )
 

@@ -511,24 +511,43 @@ def incremental_minhash_pairs(
     fresh compute, O(corpus signatures) scan that bucketing or a
     band-partitioned layout prunes.
     """
-    sh_new = _materialize(
+    sh_new = _prepared_shingles(new_docs, id_col, text_col)
+    sh_old = _prepared_shingles(corpus, id_col, text_col)
+    return _match_banded(
+        sh_new,
+        _banded_keys(sh_old, rows_per_band),
+        sh_old,
+        threshold,
+        rows_per_band,
+        bucket_cap,
+    )
+
+
+def _prepared_shingles(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Spread + shingle + persist one side of an incremental match."""
+    return _materialize(
         _track(
-            shingle_frame(spread(new_docs), id_col, text_col)
+            shingle_frame(spread(docs), id_col, text_col)
             .withColumnRenamed(id_col, "_id")
             .where(F.size("_sh") > 0)
             .persist()
         )
     )
-    sh_old = _materialize(
-        _track(
-            shingle_frame(spread(corpus), id_col, text_col)
-            .withColumnRenamed(id_col, "_id")
-            .where(F.size("_sh") > 0)
-            .persist()
-        )
-    )
+
+
+def _match_banded(
+    sh_new: DataFrame,
+    banded_old: DataFrame,
+    sh_old: DataFrame,
+    threshold: float,
+    rows_per_band: int,
+    bucket_cap: int | None,
+) -> DataFrame:
+    """Shared tail of incremental matching: band-key candidate join
+    (new side as probe) → shingle verify → exact-Jaccard filter.
+    ``bucket_cap`` drops hot STORED band keys before the join (a hot
+    key in the store would otherwise explode every future ingest)."""
     banded_new = _banded_keys(sh_new, rows_per_band)
-    banded_old = _banded_keys(sh_old, rows_per_band)
     if bucket_cap is not None:
         hot = (
             banded_old.groupBy("_bk")
@@ -563,7 +582,6 @@ def incremental_minhash_pairs(
 
 
 def append_signature_store(
-    spark,
     docs: DataFrame,
     id_col: str,
     text_col: str,
@@ -578,7 +596,7 @@ def append_signature_store(
     write ``bands`` bucketed by ``_bk`` (sources/bucketed.py) so the
     per-ingest candidate join is shuffle-free on the store side."""
     sh = (
-        shingle_frame(docs, id_col, text_col)
+        shingle_frame(spread(docs), id_col, text_col)
         .withColumnRenamed(id_col, "_id")
         .where(F.size("_sh") > 0)
         .persist()
@@ -596,43 +614,19 @@ def match_against_store(
     path: str,
     threshold: float = 0.5,
     rows_per_band: int = 2,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Match an ingest batch against the persistent signature store —
     the batch's signatures are fresh compute; the corpus side is the
     stored state. Returns ``(new_id, corpus_id, jaccard)``."""
-    sh_new = _materialize(
-        _track(
-            shingle_frame(spread(new_docs), id_col, text_col)
-            .withColumnRenamed(id_col, "_id")
-            .where(F.size("_sh") > 0)
-            .persist()
-        )
-    )
-    banded_new = _banded_keys(sh_new, rows_per_band)
-    banded_old = spark.read.parquet(f"{path}/bands")
-    sh_old = spark.read.parquet(f"{path}/shingles")
-    cand = (
-        banded_new.alias("n")
-        .join(banded_old.alias("o"), "_bk")
-        .select(
-            F.col("n._id").alias("new_id"), F.col("o._id").alias("corpus_id")
-        )
-        .distinct()
-    )
-    verified = (
-        cand.join(sh_new.alias("sa"), F.col("new_id") == F.col("sa._id"))
-        .join(sh_old.alias("sb"), F.col("corpus_id") == F.col("sb._id"))
-        .select(
-            "new_id",
-            "corpus_id",
-            F.col("sa._sh").alias("_sh_a"),
-            F.col("sb._sh").alias("_sh_b"),
-        )
-    )
-    return (
-        _with_jaccard(verified, "_sh_a", "_sh_b")
-        .select("new_id", "corpus_id", "jaccard")
-        .where(F.col("jaccard") >= threshold)
+    sh_new = _prepared_shingles(new_docs, id_col, text_col)
+    return _match_banded(
+        sh_new,
+        spark.read.parquet(f"{path}/bands"),
+        spark.read.parquet(f"{path}/shingles"),
+        threshold,
+        rows_per_band,
+        bucket_cap,
     )
 
 

@@ -53,7 +53,7 @@ def connected_components(
     dst_col: str = "dst",
     max_iter: int = 25,
     algorithm: str = "label",
-    local_solve_edges: int = 1_000_000,
+    local_solve_edges: int = 250_000,
 ) -> DataFrame:
     """Label every node with the minimum node id in its component.
 
@@ -81,9 +81,11 @@ def connected_components(
     while the graph exceeds driver capacity). Each distributed round
     costs several fixed-overhead jobs regardless of data volume, so a
     sparse dedup graph (thousands of edges under a billion-doc corpus)
-    pays seconds of scheduler time for microseconds of work; 1M edges
-    is ~32 MB collected, far under any driver heap. Set to ``0`` to
-    force the fully distributed path.
+    pays seconds of scheduler time for microseconds of work. The
+    250k-edge default keeps the driver's REAL cost honest — the Arrow
+    transfer is MBs, but the Python union-find walks up to 2·edges
+    dict entries and ships the result back, ~1-2 s at the ceiling.
+    Set to ``0`` to force the fully distributed path.
 
     Returns ``(id, component)`` — one row per node.
     """
@@ -141,7 +143,11 @@ def _local_union_find(spark, sym: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for a, b in sym.collect():  # bounded by local_solve_edges (~32 MB at 1M)
+    # Arrow transfer (toPandas), not collect(): Row objects cost
+    # ~150-200 bytes each; columnar arrays move the bounded edge list
+    # at memcpy speed in both directions
+    pdf = sym.toPandas()
+    for a, b in zip(pdf["a"].tolist(), pdf["b"].tolist()):
         if a not in parent:
             parent[a] = a
         if b not in parent:
@@ -150,12 +156,16 @@ def _local_union_find(spark, sym: DataFrame) -> DataFrame:
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-    rows = [(n, find(n)) for n in parent]
+    import pandas as pd
+
+    out = pd.DataFrame(
+        {"id": list(parent.keys()), "component": [find(n) for n in parent]}
+    )
     id_type = sym.schema["a"].dataType
     schema = StructType(
         [StructField("id", id_type), StructField("component", id_type)]
     )
-    return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(out, schema)
 
 
 def _propagate_labels(sym: DataFrame, max_iter: int) -> DataFrame:
@@ -369,10 +379,19 @@ def keep_best(
     Returns the surviving rows only, with all of ``clusters``' columns
     plus ``score_col``. One shuffle join + one window; both partition on
     the cluster key, so AQE reuses the exchange.
+
+    The join is LEFT and the ordering is nulls-last: a cluster member
+    missing from ``scored`` (e.g. quality scoring filtered it out) must
+    not silently vanish before ranking — an inner join would both drop
+    potential survivors and delete fully-unscored clusters outright.
+    Unscored members lose to any scored member; a fully-unscored
+    cluster still elects its smallest id (with a NULL score).
     """
-    w = Window.partitionBy(cluster_col).orderBy(F.desc(score_col), F.asc(id_col))
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.desc_nulls_last(score_col), F.asc(id_col)
+    )
     return (
-        clusters.join(scored, id_col)
+        clusters.join(scored, id_col, "left")
         .withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") == 1)
         .drop("_rk")

@@ -129,6 +129,11 @@ def merge_incremental(
         raise ValueError("manifest commits cover unpartitioned tables only")
     if not primary_keys:
         out = cdc.insert_only(changes, op_col).drop(op_col, seq_col)
+        # write-ahead feed for append-only tables too (append_change_feed
+        # handles empty primary_keys via insert_only) — a subscriber of a
+        # no-PK table must not silently miss every batch
+        if change_feed:
+            append_change_feed(spark, changes, out_path, primary_keys, seq_col, op_col)
         _append_with_optional_manifest(
             spark, out, out_path, partition_keys, use_manifest, stats_cols
         )
@@ -478,9 +483,20 @@ def zorder_key(
 
     One driver-side min/max agg (2·|cols| scalars) fixes the
     normalization; everything else is map-side.
+
+    The interleaved key must fit a 64-bit long: with many columns the
+    per-column resolution automatically shrinks to ``63 // len(cols)``
+    bits (e.g. 5 columns → 12 bits each) — silent overflow would wrap
+    the most-significant bits and destroy the clustering.
     """
     if len(cols) < 2:
         raise ValueError("zorder needs >= 2 columns (use cluster_by for 1)")
+    bits = min(bits, 63 // len(cols))
+    if bits < 4:
+        raise ValueError(
+            f"zorder over {len(cols)} columns leaves {bits} bits/column "
+            "(< 4): too coarse to cluster — reduce the column count"
+        )
     row = df.agg(
         *[F.min(c).alias(f"_mn_{i}") for i, c in enumerate(cols)],
         *[F.max(c).alias(f"_mx_{i}") for i, c in enumerate(cols)],
@@ -569,10 +585,15 @@ def compact_table(
     def _clustered(frame: DataFrame) -> DataFrame:
         if zorder:
             zk = zorder_key(frame, list(cluster_by))
+            # partition keys lead the range clustering: each task then
+            # covers a contiguous run of partitions, so the dynamic
+            # overwrite emits ~n_files files total instead of one file
+            # per (task × partition) — zk clusters WITHIN a partition
+            lead = [F.col(c) for c in partition_keys]
             return (
                 frame.withColumn("_zk", zk)
-                .repartitionByRange(n_files, F.col("_zk"))
-                .sortWithinPartitions("_zk")
+                .repartitionByRange(n_files, *lead, F.col("_zk"))
+                .sortWithinPartitions(*lead, F.col("_zk"))
                 .drop("_zk")
             )
         cols = [F.col(c) for c in (*partition_keys, *cluster_by)]

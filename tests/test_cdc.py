@@ -186,3 +186,16 @@ def test_align_schemas_numeric_widening(spark):
     bad = spark.createDataFrame([(1, 9, "U", 1)], "id long, x int, op string, seq long")
     with pytest.raises(ValueError):
         cdc.align_schemas(tf, bad, extra_cols=("op", "seq"), allow_widening=True)
+
+
+def test_align_schemas_widens_small_int_types(spark):
+    """tinyint/smallint are Spark's simpleString names — the ladder must
+    match them (a 'byte'/'short' spelling would make those widenings
+    dead and raise despite allow_widening=True)."""
+    t = spark.createDataFrame([(1, 2)], "id long, v smallint")
+    c = spark.createDataFrame([(1, 3, "U", 1)], "id long, v int, op string, seq long")
+    t2, c2 = cdc.align_schemas(t, c, extra_cols=("op", "seq"), allow_widening=True)
+    assert dict(t2.dtypes)["v"] == "int" and dict(c2.dtypes)["v"] == "int"
+    tb = spark.createDataFrame([(1, 2)], "id long, v tinyint")
+    t3, _ = cdc.align_schemas(tb, c, extra_cols=("op", "seq"), allow_widening=True)
+    assert dict(t3.dtypes)["v"] == "int"

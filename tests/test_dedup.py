@@ -178,7 +178,7 @@ def test_signature_store_incremental_matching(spark, tmp_path):
     batch2 = docs.where("doc_id % 3 = 2")
     store = str(tmp_path / "sigstore")
 
-    dd.append_signature_store(spark, corpus, "doc_id", "text", store)
+    dd.append_signature_store(corpus, "doc_id", "text", store)
     got1 = {
         (r.new_id, r.corpus_id)
         for r in dd.match_against_store(
@@ -195,7 +195,7 @@ def test_signature_store_incremental_matching(spark, tmp_path):
     assert got1 == want1
 
     # grow the store with batch1; batch2 must now match corpus ∪ batch1
-    dd.append_signature_store(spark, batch1, "doc_id", "text", store)
+    dd.append_signature_store(batch1, "doc_id", "text", store)
     got2 = {
         (r.new_id, r.corpus_id)
         for r in dd.match_against_store(

@@ -196,3 +196,17 @@ def test_label_propagation_falls_back_to_star_on_deep_chain(spark):
     edges = [(i, i + 1) for i in range(n - 1)]
     out = _run(spark, nodes, edges, local_solve_edges=0, max_iter=10)
     assert out == {i: 0 for i in range(n)}
+
+
+def test_keep_best_keeps_unscored_members_and_clusters(spark):
+    """A member missing from the scored frame must not vanish before
+    ranking, and a fully-unscored cluster still elects its smallest id."""
+    clusters = spark.createDataFrame(
+        [(1, 1, 2), (2, 1, 2), (7, 7, 2), (8, 7, 2)],
+        "doc_id: long, cluster_id: long, cluster_size: long",
+    )
+    scored = spark.createDataFrame(  # doc 2 and cluster 7 unscored
+        [(1, 0.4)], "doc_id: long, quality_score: double"
+    )
+    rows = {r.cluster_id: (r.doc_id, r.quality_score) for r in keep_best(clusters, scored).collect()}
+    assert rows == {1: (1, 0.4), 7: (7, None)}

@@ -295,3 +295,22 @@ def test_vacuum_change_feed_retention(spark, tmp_path):
     assert {r.batch for r in lake_writer.read_change_feed(spark, out, since_batch=2).collect()} == {3, 4, 5}
     with pytest.raises(ValueError):
         lake_writer.vacuum_change_feed(spark, out, keep_batches=0)
+
+
+def test_change_feed_on_append_only_table(spark, tmp_path):
+    """A no-primary-key (append-only) table with change_feed=True must
+    publish batches too — not silently skip the feed."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import lake_writer
+
+    out = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [("I", 1, 1, "a"), ("I", 1, 2, "b")], "op string, _seq long, id long, name string"
+    )
+    lake_writer.merge_incremental(spark, b1, out, primary_keys=[], change_feed=True)
+    b2 = spark.createDataFrame(
+        [("I", 2, 3, "c")], "op string, _seq long, id long, name string"
+    )
+    lake_writer.merge_incremental(spark, b2, out, primary_keys=[], change_feed=True)
+    feed = lake_writer.read_change_feed(spark, out)
+    assert {(r.batch, r.id) for r in feed.collect()} == {(1, 1), (1, 2), (2, 3)}
+    assert spark.read.parquet(out).count() == 3

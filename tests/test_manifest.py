@@ -419,3 +419,42 @@ def test_zorder_compaction_skips_on_both_columns(spark, tmp_path):
 
     with pytest.raises(ValueError):
         lake_writer.zorder_key(df, ["x"])
+
+
+def test_zorder_bit_budget_clamps_and_rejects(spark, tmp_path):
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import lake_writer
+
+    df = spark.createDataFrame(
+        [(i, i % 7, i % 11, i % 13, i % 17, i % 19) for i in range(100)],
+        "rid long, a long, b long, c long, d long, e long",
+    )
+    # 5 columns -> 12 bits each, still a valid key expression
+    col = lake_writer.zorder_key(df, ["a", "b", "c", "d", "e"])
+    assert df.select(col.alias("z")).count() == 100
+    import pytest
+
+    with pytest.raises(ValueError):  # 16 columns -> < 4 bits each
+        lake_writer.zorder_key(df, ["a", "b", "c", "d", "e"] * 4)
+
+
+def test_zorder_partitioned_table_file_count_bounded(spark, tmp_path):
+    """zorder on a PARTITIONED table must lead the range clustering
+    with the partition keys — otherwise every task writes into every
+    partition and file count explodes to tasks x partitions."""
+    import glob
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import lake_writer
+
+    out = str(tmp_path / "pz")
+    rows = [((i * 7919) % 1000, (i * 104729) % 1000, f"p{i % 4}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "x long, y long, dt string").repartition(8)
+    df.write.partitionBy("dt").parquet(out)
+    n_files = lake_writer.compact_table(
+        spark, out, target_file_bytes=16 * 1024,
+        partition_keys=("dt",), cluster_by=("x", "y"), zorder=True,
+    )
+    written = glob.glob(f"{out}/dt=*/*.parquet")
+    # each task covers a contiguous partition run: ~n_files total files,
+    # never the n_files * 4 a naive zk-only clustering would emit
+    assert len(written) <= n_files + 4
+    assert spark.read.parquet(out).count() == 4000
