@@ -456,14 +456,7 @@ def minhash_lsh_pairs(
     bands = NUM_MINHASH // rows_per_band
     # persist: the shingle arrays feed band generation AND two verify-join
     # branches; recomputing the (interpreted) hash chain 3× dominates cost
-    sh = _materialize(
-        _track(
-            shingle_frame(spread(df), id_col, text_col)
-            .withColumnRenamed(id_col, "_id")
-            .where(F.size("_sh") > 0)
-            .persist()
-        )
-    )
+    sh = _prepared_shingles(df, id_col, text_col)
     banded = _banded_keys(sh, rows_per_band)
     # bucket-group pair generation: the old banded self-join evaluated
     # the minhash-signature UDF on BOTH sides (persist() above only
@@ -581,6 +574,48 @@ def _match_banded(
     )
 
 
+def _store_meta_path(path: str) -> str:
+    return f"{path}/_store_meta.json"
+
+
+def _check_store_banding(spark, path: str, rows_per_band: int, create: bool) -> None:
+    """Persist/validate the store's banding layout: band keys encode
+    ``rows_per_band``, so a probe built with a different value would
+    join NOTHING and silently report every near-dup as absent. First
+    append records the layout; every later append/match must match it."""
+    import json as _json
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(_store_meta_path(path))
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        stream = fs.open(p)
+        try:
+            data = bytearray()
+            # tiny file (~25 bytes): simple int-returning read() suffices
+            b = stream.read()
+            while b != -1:
+                data.append(b)
+                b = stream.read()
+        finally:
+            stream.close()
+        stored = _json.loads(bytes(data).decode("utf-8"))
+        if stored["rows_per_band"] != rows_per_band:
+            raise ValueError(
+                f"signature store at {path} was built with rows_per_band="
+                f"{stored['rows_per_band']}; caller passed {rows_per_band} "
+                "— band keys would never match"
+            )
+    elif create:
+        out = fs.create(p, True)
+        try:
+            out.write(_json.dumps({"rows_per_band": rows_per_band}).encode("utf-8"))
+        finally:
+            out.close()
+    else:
+        raise ValueError(f"no signature store at {path} (missing _store_meta.json)")
+
+
 def append_signature_store(
     docs: DataFrame,
     id_col: str,
@@ -592,9 +627,13 @@ def append_signature_store(
     ``<path>/bands`` (exploded ``(_id, _bk)`` band keys) and
     ``<path>/shingles`` (``(_id, _sh)`` shingle sets, for exact-Jaccard
     verification of candidates). Signatures are computed once, at
-    ingest — later batches never re-shingle the corpus. On a cluster,
+    ingest — later batches never re-shingle the corpus. The banding
+    layout is recorded in ``_store_meta.json`` on first append and
+    validated on every later append/match (a mismatched
+    ``rows_per_band`` would silently match nothing). On a cluster,
     write ``bands`` bucketed by ``_bk`` (sources/bucketed.py) so the
     per-ingest candidate join is shuffle-free on the store side."""
+    _check_store_banding(docs.sparkSession, path, rows_per_band, create=True)
     sh = (
         shingle_frame(spread(docs), id_col, text_col)
         .withColumnRenamed(id_col, "_id")
@@ -618,7 +657,9 @@ def match_against_store(
 ) -> DataFrame:
     """Match an ingest batch against the persistent signature store —
     the batch's signatures are fresh compute; the corpus side is the
-    stored state. Returns ``(new_id, corpus_id, jaccard)``."""
+    stored state. Raises if ``rows_per_band`` disagrees with the
+    store's recorded layout. Returns ``(new_id, corpus_id, jaccard)``."""
+    _check_store_banding(spark, path, rows_per_band, create=False)
     sh_new = _prepared_shingles(new_docs, id_col, text_col)
     return _match_banded(
         sh_new,

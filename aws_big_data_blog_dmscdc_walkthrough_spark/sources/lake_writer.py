@@ -127,13 +127,24 @@ def merge_incremental(
     """
     if use_manifest and partition_keys:
         raise ValueError("manifest commits cover unpartitioned tables only")
+    # WRITE-AHEAD feed, hoisted before every merge branch: publish the
+    # batch BEFORE the table commit. A crash in the window leaves a feed
+    # batch the table lacks; the controller's retry re-merges AND
+    # re-publishes, so consumers see at-least-once delivery. With
+    # primary keys, replay through apply_changes is idempotent
+    # (identical full row images, latest-wins) and the duplicate batch
+    # is harmless. For NO-PK (append-only) tables there is nothing to
+    # collapse on, so a crash retry duplicates the batch in feed AND
+    # table alike (the landing file is re-consumed) — at-least-once is
+    # the delivery contract either way; keyless subscribers needing
+    # exactly-once must dedupe on content. The reverse order would
+    # silently LOSE a feed batch on crash, with contiguous batch ids
+    # hiding the gap from every consumer — strictly worse.
+    if change_feed:
+        append_change_feed(spark, changes, out_path, primary_keys, seq_col, op_col)
+
     if not primary_keys:
         out = cdc.insert_only(changes, op_col).drop(op_col, seq_col)
-        # write-ahead feed for append-only tables too (append_change_feed
-        # handles empty primary_keys via insert_only) — a subscriber of a
-        # no-PK table must not silently miss every batch
-        if change_feed:
-            append_change_feed(spark, changes, out_path, primary_keys, seq_col, op_col)
         _append_with_optional_manifest(
             spark, out, out_path, partition_keys, use_manifest, stats_cols
         )
@@ -146,22 +157,11 @@ def merge_incremental(
         # merge against an empty target — latest op per key, minus deletes
         collapsed = cdc.latest_changes(changes, primary_keys, seq_col)
         out = collapsed.where(F.col(op_col) != cdc.OP_DELETE).drop(op_col, seq_col)
-        # WRITE-AHEAD feed: publish the batch BEFORE the table commit.
-        # A crash in the window then leaves a feed batch the table lacks;
-        # the controller's retry re-merges AND re-publishes, so consumers
-        # see at-least-once delivery (replay through apply_changes is
-        # idempotent — identical full row images, latest-wins). The
-        # reverse order would silently LOSE a feed batch on crash, with
-        # contiguous batch ids hiding the gap from every consumer.
-        if change_feed:
-            append_change_feed(spark, changes, out_path, primary_keys, seq_col, op_col)
         _append_with_optional_manifest(
             spark, out, out_path, partition_keys, use_manifest, stats_cols
         )
         return
 
-    if change_feed:  # write-ahead: see comment above
-        append_change_feed(spark, changes, out_path, primary_keys, seq_col, op_col)
     if partition_keys:
         _merge_partitioned(
             spark, changes, out_path, primary_keys, partition_keys, seq_col, op_col
@@ -491,12 +491,15 @@ def zorder_key(
     """
     if len(cols) < 2:
         raise ValueError("zorder needs >= 2 columns (use cluster_by for 1)")
-    bits = min(bits, 63 // len(cols))
-    if bits < 4:
-        raise ValueError(
-            f"zorder over {len(cols)} columns leaves {bits} bits/column "
-            "(< 4): too coarse to cluster — reduce the column count"
-        )
+    budget = 63 // len(cols)
+    if bits > budget:  # only the CLAMP enforces a floor — an explicitly
+        bits = budget  # requested coarse key (e.g. bits=3) stays legal
+        if bits < 4:
+            raise ValueError(
+                f"zorder over {len(cols)} columns leaves {bits} "
+                "bits/column after fitting the 64-bit key (< 4): too "
+                "coarse to cluster — reduce the column count"
+            )
     row = df.agg(
         *[F.min(c).alias(f"_mn_{i}") for i, c in enumerate(cols)],
         *[F.max(c).alias(f"_mx_{i}") for i, c in enumerate(cols)],

@@ -211,3 +211,23 @@ def test_signature_store_incremental_matching(spark, tmp_path):
     dd.release_persisted()
     assert got2 == want2
     assert want2  # fixture actually produces cross-batch near-dups
+
+
+def test_signature_store_banding_mismatch_raises(spark, tmp_path):
+    """A probe built with a different rows_per_band than the store
+    would silently join nothing — the recorded layout must make the
+    mismatch loud on both match and append."""
+    import pytest
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import dedup as dd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+    store = str(tmp_path / "s")
+    dd.append_signature_store(docs, "doc_id", "text", store, rows_per_band=2)
+    with pytest.raises(ValueError):
+        dd.match_against_store(spark, docs, "doc_id", "text", store, rows_per_band=4)
+    with pytest.raises(ValueError):
+        dd.append_signature_store(docs, "doc_id", "text", store, rows_per_band=4)
+    with pytest.raises(ValueError):  # no store at all
+        dd.match_against_store(spark, docs, "doc_id", "text", str(tmp_path / "none"))
+    dd.release_persisted()
