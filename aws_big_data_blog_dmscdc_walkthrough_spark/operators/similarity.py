@@ -32,6 +32,13 @@ from ..functions.vectors import (  # noqa: F401  (re-exported; plans import from
 )
 
 
+
+def _safe_cosine(num, den):
+    """dot/denominator with a zero-norm guard: 0/0 would be NaN, and
+    Spark orders NaN ABOVE every double — a zero vector would pass any
+    threshold and poison every top-k. Zero-norm rows score 0.0."""
+    return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+
 def cosine_pairs(
     df: DataFrame,
     id_col: str,
@@ -60,7 +67,7 @@ def cosine_pairs(
         F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
         *[F.col(c) for c in block_cols]
     )
-    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    cos = _safe_cosine(dot(F.col("_va"), F.col("_vb")), F.col("_na") * F.col("_nb"))
     return (
         a.join(b, list(block_cols))
         .where(F.col("id_a") < F.col("id_b"))
@@ -81,7 +88,7 @@ def cosine_topk(
     query = query_df.select(as_double(F.col(vec_col)).alias("_q")).withColumn(
         "_qn", norm(F.col("_q"))
     )
-    cos = dot(F.col("_v"), F.col("_q")) / (F.col("_n") * F.col("_qn"))
+    cos = _safe_cosine(dot(F.col("_v"), F.col("_q")), F.col("_n") * F.col("_qn"))
     return (
         corpus.crossJoin(F.broadcast(query))
         .select(F.col(id_col), cos.alias("cosine"))
@@ -114,6 +121,11 @@ def ivf_fit_centroids(
         .toPandas()["v"]
         .tolist()
     )
+    if len(sample) == 0:
+        raise ValueError("ivf_fit_centroids: corpus is empty — nothing to fit")
+    # a corpus smaller than the requested cell count just gets one cell
+    # per vector (rng.choice without replacement would crash otherwise)
+    n_centroids = min(n_centroids, len(sample))
     rng = np.random.default_rng(seed)
     centroids = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
     for _ in range(iters):
@@ -180,7 +192,7 @@ def ivf_topk(
     query = query_df.select(as_double(F.col(vec_col)).alias("_q")).withColumn(
         "_qn", norm(F.col("_q"))
     )
-    cos = dot(F.col("_v"), F.col("_q")) / (F.col("_n") * F.col("_qn"))
+    cos = _safe_cosine(dot(F.col("_v"), F.col("_q")), F.col("_n") * F.col("_qn"))
     return (
         corpus.where(F.col("_ivf").isin([int(p) for p in probes]))
         .crossJoin(F.broadcast(query))
@@ -337,30 +349,36 @@ def batch_lsh_topk(
     Recall is single-probe (the query's own bucket); raise ``bits``
     quality via multi-band the way minhash_lsh_pairs does if the bucket
     population gets too selective. Deterministic ties: (cosine DESC,
-    corpus id ASC).
+    corpus id ASC). The two id columns are aliased apart internally, so
+    ``corpus_id`` and ``query_id`` may share a name (both "id") without
+    an ambiguous-reference failure; the output then carries
+    ``<name>_query`` / ``<name>_corpus``.
     """
     from pyspark.sql import Window
 
     from .dedup import spread
 
+    out_q, out_c = query_id, corpus_id
+    if query_id == corpus_id:
+        out_q, out_c = f"{query_id}_query", f"{corpus_id}_corpus"
     corpus = spread(corpus_df).select(
-        F.col(corpus_id),
+        F.col(corpus_id).alias(out_c),
         as_double(F.col(vec_col)).alias("_v"),
         sign_bucket(F.col(vec_col), bits).alias("_bkt"),
     ).withColumn("_n", norm(F.col("_v")))
     queries = queries_df.select(
-        F.col(query_id),
+        F.col(query_id).alias(out_q),
         as_double(F.col(vec_col)).alias("_q"),
         sign_bucket(F.col(vec_col), bits).alias("_bkt"),
     ).withColumn("_qn", norm(F.col("_q")))
 
-    cos = dot(F.col("_v"), F.col("_q")) / (F.col("_n") * F.col("_qn"))
-    per_query = Window.partitionBy(query_id).orderBy(
-        F.col("cosine").desc(), F.col(corpus_id)
+    cos = _safe_cosine(dot(F.col("_v"), F.col("_q")), F.col("_n") * F.col("_qn"))
+    per_query = Window.partitionBy(out_q).orderBy(
+        F.col("cosine").desc(), F.col(out_c)
     )
     return (
         corpus.join(queries, "_bkt")
-        .select(F.col(query_id), F.col(corpus_id), cos.alias("cosine"))
+        .select(F.col(out_q), F.col(out_c), cos.alias("cosine"))
         .withColumn("_rk", F.row_number().over(per_query))
         .where(F.col("_rk") <= k)
         .drop("_rk")
@@ -382,7 +400,7 @@ def lsh_topk(
     query = query_df.select(
         as_double(F.col(vec_col)).alias("_q"), sign_bucket(F.col(vec_col), bits).alias("_qbkt")
     ).withColumn("_qn", norm(F.col("_q")))
-    cos = dot(F.col("_v"), F.col("_q")) / (F.col("_n") * F.col("_qn"))
+    cos = _safe_cosine(dot(F.col("_v"), F.col("_q")), F.col("_n") * F.col("_qn"))
     return (
         corpus.join(F.broadcast(query), F.col("_bkt") == F.col("_qbkt"))
         .select(F.col(id_col), cos.alias("cosine"))
@@ -477,7 +495,7 @@ def ivf_topk_partitioned(
     )
     qlit = F.array(*[F.lit(float(x)) for x in qvec])
     qn = float(np.sqrt(qvec @ qvec))
-    cos = dot(F.col("_v"), qlit) / (F.col("_n") * F.lit(qn))
+    cos = _safe_cosine(dot(F.col("_v"), qlit), F.col("_n") * F.lit(qn))
     return (
         corpus.select(F.col(id_col), cos.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
@@ -510,17 +528,36 @@ def quantize_embeddings(
     gate; storage keeps the array form.
     """
     levels = (1 << bits) - 1
+    # mn/scale materialize as COLUMNS before the per-element transform:
+    # HOF lambdas are interpreted and do not hoist invariant
+    # subexpressions, so embedding array_min/array_max inside the lambda
+    # would rescan the d-element array for every element — O(d²)/row
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    mn = F.array_min(v)
-    mx = F.array_max(v)
-    span = mx - mn
-    scale = F.when(span > 0, span / F.lit(float(levels))).otherwise(F.lit(1.0))
-    codes = F.transform(v, lambda x: F.floor((x - mn) / scale + F.lit(0.5)).cast("int"))
-    return df.select(
+    staged = df.select(
+        F.col(id_col), v.alias("_v"), F.array_min(v).alias("_mn"),
+        F.array_max(v).alias("_mx"),
+    ).select(
+        id_col,
+        "_v",
+        "_mn",
+        F.when(
+            F.col("_mx") - F.col("_mn") > 0,
+            (F.col("_mx") - F.col("_mn")) / F.lit(float(levels)),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("_scale"),
+    )
+    codes = F.transform(
+        F.col("_v"),
+        lambda x: F.floor((x - F.col("_mn")) / F.col("_scale") + F.lit(0.5)).cast(
+            "int"
+        ),
+    )
+    return staged.select(
         F.col(id_col),
         F.posexplode(codes).alias("pos", "code"),
-        mn.alias("zero_point"),
-        scale.alias("scale"),
+        F.col("_mn").alias("zero_point"),
+        F.col("_scale").alias("scale"),
     ).select(
         id_col, F.col("pos").cast("long").alias("pos"), "code",
         "zero_point", "scale",

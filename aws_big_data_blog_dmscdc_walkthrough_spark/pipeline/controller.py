@@ -44,16 +44,35 @@ class RunReport:
 def prepare_dms_batch(df, primary_keys):
     """Stamp op/seq the way the reference sequences DMS files: the file
     name is the major order (lexical = chronological for DMS), the row's
-    position per key within the batch the minor
+    physical position WITHIN the file the minor
     (DMSCDC_LoadIncremental.py:62-66). Rows must carry an ``Op`` column;
-    output carries ``op`` + a struct ``_seq`` usable by apply_changes."""
-    w = Window.partitionBy(*primary_keys).orderBy(F.col("_file"))
+    output carries ``op`` + a struct ``_seq`` usable by apply_changes.
+
+    The within-file position comes from the ``_metadata.row_index``
+    hidden column where the format provides it (Parquet — DMS's parquet
+    S3 target): ordering by file name alone leaves same-key rows from
+    ONE file in nondeterministic post-shuffle order, so an I-then-U
+    pair in a single file could rank the stale insert as latest.
+    Formats without row_index (JSON/CSV landings) fall back to
+    ``monotonically_increasing_id`` captured AT SCAN TIME — it encodes
+    (scan partition, row-in-partition), which preserves within-file
+    row order for unsplit files (CDC batch files are small).
+    """
+    try:
+        staged = df.withColumn("_fpos", F.col("_metadata.row_index"))
+    except Exception:  # format exposes no row_index
+        staged = df.withColumn("_fpos", F.monotonically_increasing_id())
+    w = Window.partitionBy(*primary_keys).orderBy(
+        F.col("_file"), F.col("_fpos")
+    )
     return (
-        df.withColumn("_file", F.input_file_name())
+        staged.withColumn("_file", F.col("_metadata.file_path"))
         .withColumn("_rownum", F.row_number().over(w))
         .withColumn("_seq", F.struct(F.col("_file"), F.col("_rownum")))
         .withColumnRenamed("Op", "op")
-        .drop("_file", "_rownum")
+        # also drop a MATERIALIZED _metadata column (the streaming path
+        # selects it explicitly; on raw file scans this is a no-op)
+        .drop("_file", "_fpos", "_rownum", "_metadata")
     )
 
 

@@ -16,23 +16,9 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
+from ..pipeline.controller import prepare_dms_batch
 from ..sources import lake_writer
-
-
-def _prepare_batch(batch_df: DataFrame, primary_keys: Sequence[str]) -> DataFrame:
-    """File-major / row-minor sequencing, as the reference orders DMS
-    files (DMSCDC_LoadIncremental.py:62-66)."""
-    w = Window.partitionBy(*primary_keys).orderBy(F.col("_file"))
-    return (
-        batch_df.withColumn("_file", F.input_file_name())
-        .withColumn("_rownum", F.row_number().over(w))
-        .withColumn("_seq", F.struct(F.col("_file"), F.col("_rownum")))
-        .withColumnRenamed("Op", "op")
-        .drop("_file", "_rownum")
-    )
 
 
 def start_cdc_stream(
@@ -56,12 +42,15 @@ def start_cdc_stream(
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(source_dir)
+    # materialize the hidden _metadata column ON the source frame: the
+    # foreachBatch frame is derived, and prepare_dms_batch needs
+    # _metadata.file_path/row_index for deterministic within-file order
+    stream = reader.parquet(source_dir).select("*", "_metadata")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        changes = _prepare_batch(batch_df, primary_keys)
+        changes = prepare_dms_batch(batch_df, primary_keys)
         lake_writer.merge_incremental(
             batch_df.sparkSession,
             changes,

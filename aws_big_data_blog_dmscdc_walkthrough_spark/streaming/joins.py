@@ -60,7 +60,17 @@ def stream_interval_join(
     conds.append(rhs[r_ts] >= F.col(left_ts) - F.expr(f"INTERVAL {lower}"))
     conds.append(rhs[r_ts] <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
     joined = lhs.join(rhs, reduce(lambda a, b: a & b, conds), how)
-    # drop the duplicated equi-key columns from the right side
+    # collapse the duplicated equi-key columns. For OUTER joins the
+    # left copy is NULL on unmatched right rows — coalesce both copies
+    # so the only populated key survives instead of being discarded.
     for k in on:
-        joined = joined.drop(rhs[k])
+        if how != "inner":
+            joined = (
+                joined.withColumn(f"_{k}_key", F.coalesce(lhs[k], rhs[k]))
+                .drop(lhs[k])
+                .drop(rhs[k])
+                .withColumnRenamed(f"_{k}_key", k)
+            )
+        else:
+            joined = joined.drop(rhs[k])
     return joined

@@ -79,9 +79,14 @@ def _fold_sessions(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
 
     cur = state.get if state.exists else None
     closed: list[tuple[int, int, int, float]] = []
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values("ts")
-        for ts, value in zip(pdf["ts"], pdf["value"]):
+    # ONE global sort over the whole micro-batch group: pdf_iter yields
+    # Arrow-sized chunks (maxRecordsPerBatch) whose boundaries are
+    # shuffle order, not time order — sorting each chunk separately
+    # would fold events out of order and silently mis-split sessions
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if chunks:
+        batch = pd.concat(chunks, ignore_index=True).sort_values("ts")
+        for ts, value in zip(batch["ts"], batch["value"]):
             ts_us = int(pd.Timestamp(ts).value // 1000)
             if cur is None:
                 cur = (ts_us, ts_us, 1, float(value))
@@ -89,7 +94,14 @@ def _fold_sessions(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
                 closed.append(cur)
                 cur = (ts_us, ts_us, 1, float(value))
             else:
-                cur = (cur[0], ts_us, cur[2] + 1, cur[3] + float(value))
+                # a late-but-in-watermark event may precede the open
+                # session's bounds: extend with min/max, never regress
+                cur = (
+                    min(cur[0], ts_us),
+                    max(cur[1], ts_us),
+                    cur[2] + 1,
+                    cur[3] + float(value),
+                )
 
     if cur is not None:
         state.update(cur)

@@ -99,6 +99,12 @@ def run_to_sink(
 
     Append mode only emits windows the watermark has closed — the
     finalized-results contract a downstream consumer wants.
+
+    The memory sink is NOT fault-tolerant, so ``checkpoint_dir`` must
+    be fresh per run: re-using a checkpoint from a previous run would
+    drain zero batches into a silently EMPTY table (the checkpoint says
+    every file is consumed, but the in-memory table starts over).
+    Persist real results through ``foreachBatch`` + the lake writer.
     """
     return (
         stream_df.writeStream.format("memory")

@@ -468,3 +468,25 @@ def test_cli_sql_registers_and_queries(spark, tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out)
     assert out["tables_registered"] == 1
     assert out["rows"] == [{"total": 30.0}]
+
+
+def test_same_file_op_order_is_deterministic(spark, tmp_path):
+    """Multiple ops on one key inside ONE DMS file must apply in file
+    row order (row_index tiebreak) — file-name ordering alone leaves
+    the winner to shuffle luck."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import cdc
+    from aws_big_data_blog_dmscdc_walkthrough_spark.pipeline.controller import (
+        prepare_dms_batch,
+    )
+
+    src = str(tmp_path / "batch")
+    spark.createDataFrame(
+        [("I", 1, "stale"), ("U", 1, "mid"), ("U", 1, "final"), ("I", 2, "b")],
+        "Op string, id long, name string",
+    ).coalesce(1).write.parquet(src)
+    for _ in range(3):  # repeated runs: same winner every time
+        batch = prepare_dms_batch(spark.read.parquet(src), ["id"])
+        target = spark.createDataFrame([], "id long, name string")
+        merged = cdc.apply_changes(target, batch, ["id"], "_seq")
+        rows = {r.id: r.name for r in merged.collect()}
+        assert rows == {1: "final", 2: "b"}
