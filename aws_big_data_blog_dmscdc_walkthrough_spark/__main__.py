@@ -131,7 +131,10 @@ def _vacuum(args) -> int:
     from .sources import lake_writer, manifest
 
     spark = get_spark("dmscdc-vacuum")
-    removed = manifest.vacuum(spark, args.path, retain_versions=args.retain_versions)
+    removed = manifest.vacuum(
+        spark, args.path, retain_versions=args.retain_versions,
+        grace_seconds=args.grace_seconds,
+    )
     out = {"path": args.path, "removed": removed}
     if args.keep_feed_batches is not None:
         out["feed_batches_removed"] = lake_writer.vacuum_change_feed(
@@ -200,6 +203,13 @@ def main(argv: list[str] | None = None) -> int:
     v_p = sub.add_parser("vacuum", help="reclaim unreferenced files (manifest tables)")
     v_p.add_argument("--path", required=True)
     v_p.add_argument("--retain-versions", type=int, default=1)
+    v_p.add_argument(
+        "--grace-seconds",
+        type=int,
+        default=600,
+        help="never delete unlisted files younger than this (in-flight "
+        "commit protection); 0 disables",
+    )
     v_p.add_argument(
         "--keep-feed-batches",
         type=int,

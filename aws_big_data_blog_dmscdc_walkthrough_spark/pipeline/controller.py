@@ -108,17 +108,19 @@ def process_table(
     new_files = landing.new_incremental_files(folder, state.last_incremental_file)
     if new_files:
         if not state.primary_keys:
-            # insert-only path needs no sequencing (reference line 56-58)
-            from ..operators import cdc
-
-            raw = landing.read_incremental(
-                spark, folder, new_files, state.schema_ddl
-            ).withColumnRenamed("Op", "op")
-            out = cdc.insert_only(raw).drop("op")
-            writer = out.write.mode("append")
-            if state.partition_keys:
-                writer = writer.partitionBy(*state.partition_keys)
-            writer.parquet(out_path)
+            # insert-only path: route through merge_incremental's own
+            # no-primary-keys branch (reference line 56-58) so no-PK
+            # tables share the append/manifest/feed plumbing instead of
+            # a silently-diverging private copy
+            raw = (
+                landing.read_incremental(spark, folder, new_files, state.schema_ddl)
+                .withColumnRenamed("Op", "op")
+                .withColumn("_seq", F.lit(0))
+            )
+            lake_writer.merge_incremental(
+                spark, raw, out_path, primary_keys=[],
+                partition_keys=state.partition_keys, seq_col="_seq", op_col="op",
+            )
         else:
             changes = prepare_dms_batch(
                 landing.read_incremental(spark, folder, new_files, state.schema_ddl),

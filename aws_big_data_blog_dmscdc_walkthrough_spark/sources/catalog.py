@@ -34,18 +34,29 @@ def register_table(
 ) -> str:
     """(Re-)register a lake folder as an external catalog table.
 
-    Drop + recreate is deliberate: the table definition is pure metadata
-    (DROP on an external table never touches data) and recreating picks
-    up additive schema evolution that a stale definition would hide.
-    Partitioned tables get partition recovery (MSCK), the crawler's job
-    in the reference. Returns the qualified name.
+    Registration is IDEMPOTENT on the common path: when the table
+    already exists with the current data schema, only a refresh (or
+    MSCK partition recovery) runs — no DROP, so concurrent SQL readers
+    never hit a TABLE_OR_VIEW_NOT_FOUND window between micro-batches.
+    Drop + recreate happens only when the lake schema actually changed
+    (additive evolution a stale definition would hide); DROP on an
+    external table never touches data. Returns the qualified name.
     """
     db, tbl = _quote(schema), _quote(table)
     qualified = f"{db}.{tbl}"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
-    spark.sql(f"DROP TABLE IF EXISTS {qualified}")
-    escaped = path.replace("'", "\\'")
-    spark.sql(f"CREATE TABLE {qualified} USING parquet LOCATION '{escaped}'")
+    recreate = True
+    if spark.catalog.tableExists(qualified):
+        current = spark.read.option("mergeSchema", "true").parquet(path).schema
+        registered = spark.table(qualified).schema
+        data_fields = [
+            (f.name, f.dataType) for f in registered.fields
+        ]
+        recreate = [(f.name, f.dataType) for f in current.fields] != data_fields
+    if recreate:
+        spark.sql(f"DROP TABLE IF EXISTS {qualified}")
+        escaped = path.replace("'", "\\'")
+        spark.sql(f"CREATE TABLE {qualified} USING parquet LOCATION '{escaped}'")
     if partition_keys:
         spark.sql(f"MSCK REPAIR TABLE {qualified}")
     else:

@@ -87,7 +87,13 @@ def write_initial(
     stamped = cdc.stamp_initial(df)
     writer = stamped.write.mode("overwrite")
     if partition_keys:
-        writer = writer.partitionBy(*partition_keys)
+        # STATIC overwrite for the full reload: the session default is
+        # dynamic (right for merges), but a full load must replace the
+        # WHOLE table — under dynamic mode a partition deleted at the
+        # source would keep its stale directory in the lake forever
+        writer = writer.option("partitionOverwriteMode", "static").partitionBy(
+            *partition_keys
+        )
     writer.parquet(out_path)
     if use_manifest:
         spark = df.sparkSession
@@ -95,7 +101,10 @@ def write_initial(
         stats = manifest_mod.stats_for_commit(
             spark, out_path, files, list(stats_cols)
         )
-        manifest_mod.commit_manifest(spark, out_path, files, stats=stats)
+        manifest_mod.commit_manifest(
+            spark, out_path, files, stats=stats,
+            schema_json=stamped.drop("op").schema.json(),
+        )
 
 
 def merge_incremental(
@@ -198,7 +207,9 @@ def _append_with_optional_manifest(
         stats = manifest_mod.stats_for_commit(
             spark, out_path, live, list(stats_cols), prev
         )
-        manifest_mod.commit_manifest(spark, out_path, live, stats=stats)
+        manifest_mod.commit_manifest(
+            spark, out_path, live, stats=stats, schema_json=out.schema.json()
+        )
 
 
 def _merge_partitioned(
@@ -407,7 +418,9 @@ def _merge_unpartitioned_cow(
         stats = manifest_mod.stats_for_commit(
             spark, out_path, live, list(stats_cols), prev_manifest
         )
-        manifest_mod.commit_manifest(spark, out_path, live, stats=stats)
+        manifest_mod.commit_manifest(
+            spark, out_path, live, stats=stats, schema_json=merged.schema.json()
+        )
 
     if use_manifest and retain_history:
         # superseded files back earlier versions; manifest.vacuum with a
@@ -627,7 +640,9 @@ def compact_table(
         stats = manifest_mod.stats_for_commit(
             spark, path, added, list(stats_cols)
         )
-        manifest_mod.commit_manifest(spark, path, added, stats=stats)
+        manifest_mod.commit_manifest(
+            spark, path, added, stats=stats, schema_json=out.schema.json()
+        )
         if not retain_history:
             prev_live = set(prev["files"]) if prev else before
             base = path.rstrip("/")

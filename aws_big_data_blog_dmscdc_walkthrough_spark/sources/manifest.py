@@ -106,6 +106,14 @@ def _probe_value(v):
     return _stat_encode(v)["v"] if isinstance(v, (_dt.date, _dt.datetime)) else v
 
 
+def _pad_temporal(s):
+    """Within the TEMPORAL comparison domain only: a bare date
+    ``YYYY-MM-DD`` compares as midnight, matching Spark's date→timestamp
+    promotion — raw lexical order would sort the 10-char date BEFORE
+    every same-day timestamp and wrongly prune matching files."""
+    return s + " 00:00:00" if isinstance(s, str) and len(s) == 10 else s
+
+
 def compute_file_stats(
     spark: SparkSession, path: str, files: list[str], cols: list[str]
 ) -> dict[str, dict]:
@@ -182,8 +190,14 @@ def commit_manifest(
     stats: dict[str, dict] | None = None,
     delete_files: list[str] | None = None,
     dv_targets: dict[str, list[str]] | None = None,
+    schema_json: str | None = None,
 ) -> int:
     """Atomically publish the live-file list; returns the new version.
+
+    ``schema_json`` (``df.schema.json()``) rides along so a
+    committed-EMPTY version (all rows deleted) stays readable: with no
+    data files on disk a raw-directory schema inference would fail.
+    ``None`` carries the previous manifest's recorded schema forward.
 
     Write-to-temp + rename in the SAME directory — atomic on HDFS and
     POSIX; on S3-style stores swap this for a conditional PUT.
@@ -227,6 +241,9 @@ def commit_manifest(
         if {**prev_targets, **(dv_targets or {})}.get(d)
     }
     doc = {"version": version, "files": sorted(files)}
+    schema_json = schema_json or (prev or {}).get("schema")
+    if schema_json:
+        doc["schema"] = schema_json
     if stats:
         doc["stats"] = stats
     if delete_files:
@@ -253,13 +270,21 @@ def commit_manifest(
     finally:
         hout.close()
     dst = jvm.org.apache.hadoop.fs.Path(_manifest_path(path))
-    # Hadoop rename refuses to clobber; delete-then-rename is safe here
-    # because the tmp write is complete — a crash between the two leaves
-    # the previous version recoverable from the newest tmp.
-    if fs.exists(dst):
-        fs.delete(dst, False)
-    if not fs.rename(tmp, dst):
-        raise IOError(f"manifest rename failed for {path}")
+    # ATOMIC pointer swap: FileContext.rename with OVERWRITE replaces
+    # the manifest in one metadata op — delete-then-rename would open a
+    # window with NO manifest at all, during which a concurrent reader
+    # falls back to the raw directory (duplicates + resurrected DV
+    # deletes) and a crash makes that state stick. Plain FileSystem
+    # rename refuses to clobber, hence FileContext.
+    fctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        dst.toUri(), spark._jsc.hadoopConfiguration()
+    )
+    overwrite = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+    renames = spark.sparkContext._gateway.new_array(
+        jvm.org.apache.hadoop.fs.Options.Rename, 1
+    )
+    renames[0] = overwrite
+    fctx.rename(tmp, dst, renames)
     return version
 
 
@@ -304,6 +329,11 @@ def _file_may_match(fstats: dict | None, col: str, op: str, value) -> bool:
         return True
     probe = _probe_value(value)
     lo, hi = _stat_value(lo_e, probe), _stat_value(hi_e, probe)
+    temporal = isinstance(value, (_dt.date, _dt.datetime)) or (
+        isinstance(lo_e, dict) and lo_e.get("t") == "ts"
+    )
+    if temporal:  # mixed date/timestamp bounds normalize to one domain
+        probe, lo, hi = _pad_temporal(probe), _pad_temporal(lo), _pad_temporal(hi)
     if op == "=":
         return lo <= probe <= hi
     if op == ">":
@@ -351,13 +381,25 @@ def read_table(
         names = [n for n in names if _file_may_match(stats.get(n), col, op, value)]
     files = [posixpath.join(base, f) for f in names]
     if not files:
-        empty = spark.read.option("mergeSchema", "true").parquet(path).limit(0)
-        return _apply_predicate(empty, predicate)
+        return _apply_predicate(_empty_frame(spark, path, man), predicate)
     df = spark.read.option("mergeSchema", "true").parquet(*files)
     dv = read_deletion_vectors(spark, path, man)
     if dv is not None:
         df = apply_deletion_vectors(df, dv)
     return _apply_predicate(df, predicate)
+
+
+def _empty_frame(spark: SparkSession, path: str, man: dict) -> DataFrame:
+    """Zero-row frame in the table's schema. Prefers the schema recorded
+    in the manifest (survives ALL data files being deleted+vacuumed);
+    falls back to raw-directory inference for manifests that predate
+    schema recording."""
+    sch = man.get("schema")
+    if sch:
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromJson(json.loads(sch)))
+    return spark.read.option("mergeSchema", "true").parquet(path).limit(0)
 
 
 def read_deletion_vectors(
@@ -387,14 +429,21 @@ def read_table_with_positions(spark: SparkSession, path: str) -> DataFrame:
     files = [posixpath.join(base, f) for f in man["files"]]
     if not files:
         # mirror read_table's empty fallback (plus the address columns)
-        # instead of returning None against the -> DataFrame contract
-        empty = spark.read.option("mergeSchema", "true").parquet(path).limit(0)
-        return _tag_positions(empty)
+        # instead of returning None against the -> DataFrame contract;
+        # _tag_positions needs _metadata, absent on a local empty frame,
+        # so the address columns are typed NULL literals here
+        empty = _empty_frame(spark, path, man)
+        return empty.withColumn(
+            DV_FILE_COL, F.lit(None).cast("string")
+        ).withColumn(DV_POS_COL, F.lit(None).cast("long"))
     df = spark.read.option("mergeSchema", "true").parquet(*files)
     tagged = _tag_positions(df)
     dv = read_deletion_vectors(spark, path, man)
     if dv is not None:
-        tagged = tagged.join(F.broadcast(dv), [DV_FILE_COL, DV_POS_COL], "left_anti")
+        from ..operators import cdc as _cdc
+
+        dv = _cdc._maybe_broadcast(dv, _cdc.BROADCAST_KEYS_MAX_BYTES)
+        tagged = tagged.join(dv, [DV_FILE_COL, DV_POS_COL], "left_anti")
     return tagged
 
 
@@ -477,13 +526,18 @@ def apply_deletion_vectors(df: DataFrame, dv: DataFrame) -> DataFrame:
     ``_metadata.row_index`` is the row's ordinal within its parquet
     file — stable for immutable data files, which is what makes
     positional deletes exact (Iceberg v2's position-delete design).
-    The DV side is bounded by rows changed since the last
+    The DV side is NORMALLY bounded by rows changed since the last
     materialization — small next to the table — so it broadcasts and
-    the anti-join is map-side: reads stay one scan wide, no shuffle
-    of the data.
+    the anti-join is map-side. The broadcast is size-guarded
+    (cdc._maybe_broadcast): a long run of low-selectivity delete_where
+    calls before any compaction can accumulate a DV set too big for
+    the driver, and that case degrades to a shuffled anti-join.
     """
+    from ..operators import cdc as _cdc
+
+    dv = _cdc._maybe_broadcast(dv, _cdc.BROADCAST_KEYS_MAX_BYTES)
     return _tag_positions(df).join(
-        F.broadcast(dv), [DV_FILE_COL, DV_POS_COL], "left_anti"
+        dv, [DV_FILE_COL, DV_POS_COL], "left_anti"
     ).drop(DV_FILE_COL, DV_POS_COL)
 
 
@@ -503,11 +557,24 @@ def _apply_predicate(df: DataFrame, predicate) -> DataFrame:
     return df.where(_OPS[op](F.col(col), F.lit(value)))
 
 
-def vacuum(spark: SparkSession, path: str, retain_versions: int = 1) -> list[str]:
+def vacuum(
+    spark: SparkSession,
+    path: str,
+    retain_versions: int = 1,
+    grace_seconds: int = 600,
+) -> list[str]:
     """Delete data files not referenced by the newest ``retain_versions``
     commits, plus the expired history entries (orphans of interrupted
     writes are unlisted everywhere, so they always go). Returns the
-    data-file basenames removed."""
+    data-file basenames removed.
+
+    ``grace_seconds`` (Delta/Iceberg-style retention threshold): files
+    YOUNGER than this are never deleted even when unlisted — they may
+    be the staged output of an in-flight merge that has appended its
+    parquet but not yet committed its manifest; deleting them would
+    corrupt that commit. ``0`` disables the guard (tests / known-idle
+    tables)."""
+    import time as _time
     man = read_manifest(spark, path)
     if man is None:
         return []
@@ -524,15 +591,26 @@ def vacuum(spark: SparkSession, path: str, retain_versions: int = 1) -> list[str
         except Exception:
             pass  # history entry may predate retention or be gone
     removed = []
+    now_ms = int(_time.time() * 1000)
+
+    def _old_enough(p) -> bool:
+        if grace_seconds <= 0:
+            return True
+        return now_ms - fs.getFileStatus(p).getModificationTime() >= grace_seconds * 1000
+
     for name in list_data_files(spark, path):
         if name not in live:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + name), False)
-            removed.append(name)
+            target = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + name)
+            if _old_enough(target):
+                fs.delete(target, False)
+                removed.append(name)
     dv_base = path.rstrip("/") + "/" + DELETES_DIR
     for name in list_delete_files(spark, path):
         if name not in live_dv:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(dv_base + "/" + name), False)
-            removed.append(DELETES_DIR + "/" + name)
+            target = jvm.org.apache.hadoop.fs.Path(dv_base + "/" + name)
+            if _old_enough(target):
+                fs.delete(target, False)
+                removed.append(DELETES_DIR + "/" + name)
     for v in versions:
         if v not in keep:
             fs.delete(jvm.org.apache.hadoop.fs.Path(_history_path(path, v)), False)

@@ -37,11 +37,14 @@ class TableState:
 
     @property
     def primary_keys(self) -> list[str]:
-        return [k for k in self.primary_key.split(",") if k]
+        # strip: these values are HAND-EDITED in the state file, and a
+        # natural "id, site" would otherwise yield a ' site' column
+        # that fails resolution with an invisible leading space
+        return [k.strip() for k in self.primary_key.split(",") if k.strip()]
 
     @property
     def partition_keys(self) -> list[str]:
-        return [k for k in self.partition_key.split(",") if k]
+        return [k.strip() for k in self.partition_key.split(",") if k.strip()]
 
 
 class JsonStateStore:

@@ -57,7 +57,7 @@ def test_crash_before_commit_keeps_old_version(spark, tmp_path, monkeypatch):
     assert after == before
     dir_rows = spark.read.parquet(out).collect()
     assert len(dir_rows) > len(after)  # orphans exist on disk
-    assert manifest.vacuum(spark, out)  # ...and vacuum reclaims them
+    assert manifest.vacuum(spark, out, grace_seconds=0)  # ...and vacuum reclaims them
     assert {(r.id, r.name) for r in spark.read.parquet(out).collect()} == before
 
 
@@ -144,7 +144,7 @@ def test_vacuum_retention_expires_old_versions(spark, tmp_path):
         spark, _changes(spark, [("U", 1, 1, "n1b")]),
         out, ["id"], use_manifest=True, retain_history=True,
     )  # v2
-    removed = manifest.vacuum(spark, out, retain_versions=1)
+    removed = manifest.vacuum(spark, out, retain_versions=1, grace_seconds=0)
     assert removed  # v1-only files reclaimed
     assert manifest.list_versions(spark, out) == [2]
     # latest still intact
@@ -458,3 +458,56 @@ def test_zorder_partitioned_table_file_count_bounded(spark, tmp_path):
     # never the n_files * 4 a naive zk-only clustering would emit
     assert len(written) <= n_files + 4
     assert spark.read.parquet(out).count() == 4000
+
+
+def test_temporal_prune_date_probe_against_timestamp_stats(spark, tmp_path):
+    """A DATE probe against TIMESTAMP stats (and vice versa) must not
+    lexically mis-prune — date bounds/probes compare as midnight, the
+    same promotion Spark applies to the real filter."""
+    import datetime as dt
+
+    out = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2026, 8, 14, 0, 0)), (2, dt.datetime(2026, 8, 14, 12, 0))],
+        "id long, ts timestamp",
+    ).coalesce(1)
+    lake_writer.merge_incremental(
+        spark, df.select(F.lit("I").alias("op"), F.lit(1).alias("_seq"), "id", "ts"),
+        out, [], use_manifest=True, stats_cols=["ts"],
+    )
+    # probe with a DATE equal to the file's min day: must keep the file
+    kept = manifest.read_table(spark, out, predicate=("ts", "=", dt.date(2026, 8, 14)))
+    assert len(kept.inputFiles()) == 1
+    # >= the day after: provably excluded
+    gone = manifest.read_table(spark, out, predicate=("ts", ">=", dt.date(2026, 8, 15)))
+    assert len(gone.inputFiles()) == 0
+
+
+def test_committed_empty_table_still_readable(spark, tmp_path):
+    """A committed-empty version (files=[]) with every data file
+    vacuumed must still read as an empty frame in the RECORDED schema —
+    raw-directory schema inference has nothing left to infer from."""
+    out = str(tmp_path / "t")
+    _init(spark, out)  # records schema_json in the manifest
+    manifest.commit_manifest(spark, out, [])  # schema carries forward
+    manifest.vacuum(spark, out, grace_seconds=0)  # all data files gone
+    assert manifest.read_manifest(spark, out)["files"] == []
+    empty = manifest.read_table(spark, out)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "name"}
+
+
+def test_vacuum_grace_period_spares_fresh_orphans(spark, tmp_path):
+    """An unlisted file younger than the grace window must survive — it
+    may be an in-flight merge's staged output."""
+    out = str(tmp_path / "t")
+    _init(spark, out)
+    # stage an orphan (simulates append-before-commit of a live merge)
+    spark.createDataFrame([(99, "x")], "id long, name string").coalesce(1) \
+        .write.mode("append").parquet(out)
+    orphans_before = set(manifest.list_data_files(spark, out)) - set(
+        manifest.read_manifest(spark, out)["files"]
+    )
+    assert orphans_before
+    assert manifest.vacuum(spark, out, grace_seconds=3600) == []
+    assert manifest.vacuum(spark, out, grace_seconds=0)  # explicit opt-out reclaims

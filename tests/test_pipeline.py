@@ -490,3 +490,25 @@ def test_same_file_op_order_is_deterministic(spark, tmp_path):
         merged = cdc.apply_changes(target, batch, ["id"], "_seq")
         rows = {r.id: r.name for r in merged.collect()}
         assert rows == {1: "final", 2: "b"}
+
+
+def test_full_reload_drops_vanished_partitions(spark, tmp_path):
+    """A new full load must REPLACE the whole partitioned table: a
+    partition absent from the reload (deleted at the source) may not
+    keep its stale directory under the session's dynamic-overwrite
+    default."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import lake_writer
+
+    out = str(tmp_path / "t")
+    lake_writer.write_initial(
+        spark.createDataFrame([(1, "a", "p1"), (2, "b", "p2")], "id long, v string, dt string"),
+        out, partition_keys=["dt"],
+    )
+    assert {r.dt for r in spark.read.parquet(out).collect()} == {"p1", "p2"}
+    lake_writer.write_initial(  # source dropped partition p2
+        spark.createDataFrame([(1, "a2", "p1")], "id long, v string, dt string"),
+        out, partition_keys=["dt"],
+    )
+    got = spark.read.parquet(out).collect()
+    assert {r.dt for r in got} == {"p1"}
+    assert got[0].v == "a2"
