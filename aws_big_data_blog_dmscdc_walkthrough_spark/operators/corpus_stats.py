@@ -128,11 +128,12 @@ def bm25_scores(docs: DataFrame, query_terms: list[str]) -> DataFrame:
             "doc_id", F.size(_tokens(F.col("text"))).alias("dl")
         )
     )
-    stats = docs.agg(
+    # ONE aggregation over doclen yields both scalars: N is the doc
+    # count (== doclen row count), so a separate docs.agg would pay a
+    # second full corpus scan for nothing
+    stats = doclen.agg(
         F.count(F.lit(1)).alias("_n"),
-    )
-    avgdl = doclen.agg(
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("_avgdl")
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("_avgdl"),
     )
     q = terms.where(F.col("term").isin(query_terms))
     df_tbl = q.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -152,7 +153,6 @@ def bm25_scores(docs: DataFrame, query_terms: list[str]) -> DataFrame:
         q.join(F.broadcast(df_tbl), "term")
         .join(doclen, "doc_id")
         .crossJoin(F.broadcast(stats))
-        .crossJoin(F.broadcast(avgdl))
         .groupBy("doc_id")
         .agg(
             F.sum(contrib.cast("decimal(30,10)")).cast("double").alias("bm25"),

@@ -52,9 +52,16 @@ def salted_join(
 
     ``big ⋈ small on keys`` rewritten as
     ``salt(big) ⋈ explode_salt(small) on keys+salt``; result drops the
-    salt. Row multiplicity is preserved for any join type where the
-    small side's key set is what matters (inner / left / left_semi).
+    salt. Row multiplicity is preserved ONLY for join types where the
+    small side's key set is what matters (inner / left / left_semi) —
+    right/full outer would emit every unmatched small-side row once per
+    salt bucket, so those are rejected rather than silently wrong.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, got {how!r}: "
+            "outer-on-small-side semantics break under salting"
+        )
     if how == "left_semi":
         # semi-join needs no salt at all on the output; keep it cheap:
         # the small side is distinct keys, broadcast handles it — salting

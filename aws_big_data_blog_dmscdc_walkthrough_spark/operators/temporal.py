@@ -66,7 +66,12 @@ def range_join(
     b_hi = F.floor((F.col(end_col) - 1) / bucket_width)
 
     p = points.withColumn("_bkt_p", b_pt)
-    iv = intervals.withColumn(
+    # empty/inverted intervals (end <= start) contain no points by
+    # definition; dropping them BEFORE the explode matters because
+    # F.sequence(lo, hi) with hi < lo generates a DESCENDING list —
+    # one corrupt interval would explode into |lo-hi| spurious bucket
+    # rows (or overflow sequence's element limit and fail the job)
+    iv = intervals.where(F.col(end_col) > F.col(start_col)).withColumn(
         "_bkt_i", F.explode(F.sequence(b_lo.cast("long"), b_hi.cast("long")))
     )
     # containment lives IN the join condition (not a post-join filter)
@@ -93,25 +98,50 @@ def asof_join(
     Output: every left row + ``value_cols`` from the matched right row
     (NULL when no right row precedes it). Equal timestamps match (the
     right row sorts before the left row at the same instant).
+
+    The matched right row is carried as ONE struct, so (a) a right row
+    whose latest value is a genuine NULL is honored — a per-column
+    ``last(ignorenulls)`` would skip it and resurrect a stale older
+    value, and could even stitch fields from DIFFERENT right rows —
+    and (b) every output row's values come from a single real right
+    row. NULL join keys never match (right rows with a NULL key are
+    excluded, mirroring SQL equi-join semantics); a value column that
+    collides with a left column name raises instead of emitting an
+    ambiguous duplicate.
     """
+    from pyspark.sql import types as T
+
     keys = list(on)
     vals = list(value_cols) if value_cols is not None else [
         c for c in right.columns if c not in keys and c != right_time
     ]
     left_cols = [c for c in left.columns]
+    clash = [v for v in vals if v in left_cols]
+    if clash:
+        raise ValueError(
+            f"asof_join value columns {clash} collide with left columns; "
+            "rename or pass explicit value_cols"
+        )
+    for reserved in ("_t", "_side", "_r"):
+        if reserved in left_cols or reserved in vals:
+            raise ValueError(f"asof_join reserves column name {reserved!r}")
 
+    r_struct = T.StructType([right.schema[v] for v in vals])
     l_tagged = left.select(
         *[F.col(c) for c in left_cols],
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[v].dataType).alias(f"_r_{v}") for v in vals],
+        F.lit(None).cast(r_struct).alias("_r"),
     )
-    r_tagged = right.select(
+    r_clean = right
+    for k in keys:  # NULL keys never equi-match
+        r_clean = r_clean.where(F.col(k).isNotNull())
+    r_tagged = r_clean.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in keys],
         *[F.col(k) for k in keys],
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
-        *[F.col(v).alias(f"_r_{v}") for v in vals],
+        F.struct(*[F.col(v) for v in vals]).alias("_r"),
     ).select(*l_tagged.columns)  # align column order for the union
 
     w = (
@@ -121,9 +151,12 @@ def asof_join(
     )
     carried = l_tagged.unionByName(r_tagged).select(
         *l_tagged.columns[: len(left_cols) + 2],  # left cols + _t + _side
-        *[
-            F.last(F.col(f"_r_{v}"), ignorenulls=True).over(w).alias(v)
-            for v in vals
-        ],
+        F.last(F.col("_r"), ignorenulls=True).over(w).alias("_r"),
     )
-    return carried.where(F.col("_side") == 1).drop("_t", "_side")
+    return (
+        carried.where(F.col("_side") == 1)
+        .select(
+            *left_cols,
+            *[F.col(f"_r.{v}").alias(v) for v in vals],
+        )
+    )

@@ -57,13 +57,6 @@ def poly_fingerprint(col):
     return hashing.poly_hash(col, POLY_MUL, POLY_MOD)
 
 
-def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach token arrays + counts used by the downstream operators."""
-    return df.withColumn("_toks", _tokens(F.col(text_col))).withColumn(
-        "n_ws_tokens", F.size("_toks")
-    )
-
-
 # ---------------------------------------------------------------- tokens
 
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,9 +117,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     space_ratio = n_space.cast("double") / n_chars.cast("double")
     stop_ratio = n_stop.cast("double") / n_tok.cast("double")
     distinct_ratio = n_distinct.cast("double") / n_tok.cast("double")
-    score = (
-        alpha_ratio * 0.4 + stop_ratio * 0.3 + distinct_ratio * 0.2 + space_ratio * 0.1
-    )
+    # the blend itself comes from quality_score_col — ONE place owns
+    # the weights, shared with the curation pipelines
+    score = quality_score_col("text")
     return docs.select(
         "doc_id",
         n_chars.alias("n_chars_obs"),
@@ -305,6 +298,12 @@ LIMIT 25
 # ------------------------------------------------- stratified sampling
 
 SAMPLE_MULT = 2654435761  # Knuth multiplicative constant
+# bucket arithmetic REDUCES the id mod 2^31 BEFORE multiplying:
+# (id % m) * a == id * a (mod m) mathematically, but the left form
+# stays under 2^63 for ANY int64 id while the naive product wraps
+# negative past id ~3.47e9 — silently flooding one bucket at corpus
+# scale (DuckDB errors on the same overflow). Identical assignments
+# for ids < 2^31, overflow-free for the rest.
 SAMPLE_MOD = 1 << 31
 SAMPLE_PCT = 10  # keep ~10%
 
@@ -320,14 +319,16 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash decorrelates the key from the stratum.
     """
     docs = load_table(spark, sf_dir, "documents")
-    keep = (F.col("doc_id") * F.lit(SAMPLE_MULT)) % F.lit(SAMPLE_MOD) % 100 < SAMPLE_PCT
+    keep = (
+        (F.col("doc_id") % F.lit(SAMPLE_MOD)) * F.lit(SAMPLE_MULT)
+    ) % F.lit(SAMPLE_MOD) % 100 < SAMPLE_PCT
     return docs.where(keep).select("doc_id", "source", "lang", "n_chars")
 
 
 SAMPLE_STRATIFIED_SQL = f"""
 SELECT doc_id, source, lang, n_chars
 FROM documents
-WHERE (doc_id * {SAMPLE_MULT}) % {SAMPLE_MOD} % 100 < {SAMPLE_PCT}
+WHERE ((doc_id % {SAMPLE_MOD}) * {SAMPLE_MULT}) % {SAMPLE_MOD} % 100 < {SAMPLE_PCT}
 """
 
 
@@ -348,7 +349,9 @@ def split_column(id_col: str = "doc_id") -> "F.Column":
     NEVER changes when the corpus grows (no RNG, no ordering
     dependence), so eval contamination can't creep in across runs.
     """
-    bucket = (F.col(id_col) * F.lit(SAMPLE_MULT)) % F.lit(SAMPLE_MOD) % 100
+    bucket = (
+        (F.col(id_col) % F.lit(SAMPLE_MOD)) * F.lit(SAMPLE_MULT)
+    ) % F.lit(SAMPLE_MOD) % 100
     return (
         F.when(bucket < SPLIT_VAL_PCT, F.lit("val"))
         .when(bucket < SPLIT_VAL_PCT + SPLIT_TEST_PCT, F.lit("test"))
@@ -378,8 +381,8 @@ def corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 CORPUS_SPLIT_COUNTS_SQL = rf"""
 SELECT
   CASE
-    WHEN (doc_id * {SAMPLE_MULT}) % {SAMPLE_MOD} % 100 < {SPLIT_VAL_PCT} THEN 'val'
-    WHEN (doc_id * {SAMPLE_MULT}) % {SAMPLE_MOD} % 100 < {SPLIT_VAL_PCT + SPLIT_TEST_PCT} THEN 'test'
+    WHEN ((doc_id % {SAMPLE_MOD}) * {SAMPLE_MULT}) % {SAMPLE_MOD} % 100 < {SPLIT_VAL_PCT} THEN 'val'
+    WHEN ((doc_id % {SAMPLE_MOD}) * {SAMPLE_MULT}) % {SAMPLE_MOD} % 100 < {SPLIT_VAL_PCT + SPLIT_TEST_PCT} THEN 'test'
     ELSE 'train'
   END AS split,
   source,

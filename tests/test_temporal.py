@@ -120,3 +120,47 @@ def test_range_join_left_keeps_uncovered_points(spark):
 
     with pytest.raises(ValueError):
         range_join(points, intervals, "p", "s", "e", bucket_width=4, how="right")
+
+
+def test_asof_join_honors_null_values_and_null_keys(spark):
+    """The carried right row is atomic: a latest row with a NULL value
+    field must deliver that NULL (not resurrect an older value), and
+    NULL join keys never match each other."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 3), (None, 5)], "k string, t long"
+    )
+    right = spark.createDataFrame(
+        [("k", 1, 5.0, "x"), ("k", 2, None, "y"), (None, 1, 9.0, "z")],
+        "k string, t long, v double, tag string",
+    )
+    rows = {r.k: (r.v, r.tag) for r in asof_join(left, right, ["k"], "t", "t").collect()}
+    # latest right row (t=2) has v=NULL: deliver NULL + its own tag,
+    # never v=5.0 from t=1 or a (5.0, 'y') stitch of two rows
+    assert rows["k"] == (None, "y")
+    # NULL-keyed left row matches nothing (SQL equi-join semantics)
+    assert rows[None] == (None, None)
+
+
+def test_asof_join_rejects_colliding_value_columns(spark):
+    import pytest
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([("k", 1, 0.0)], "k string, t long, v double")
+    right = spark.createDataFrame([("k", 1, 1.0)], "k string, t long, v double")
+    with pytest.raises(ValueError):
+        asof_join(left, right, ["k"], "t", "t")
+
+
+def test_range_join_ignores_inverted_intervals(spark):
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators.temporal import range_join
+
+    points = spark.createDataFrame([(1, 100)], "pid long, p long")
+    intervals = spark.createDataFrame(
+        [(10, 90, 110), (11, 200, 100), (12, 50, 50)],  # valid, inverted, empty
+        "iid long, s long, e long",
+    )
+    got = range_join(points, intervals, "p", "s", "e", bucket_width=50)
+    assert [r.iid for r in got.collect()] == [10]
