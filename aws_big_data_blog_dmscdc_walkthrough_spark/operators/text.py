@@ -396,37 +396,93 @@ GROUP BY 1, 2
 # ------------------------------------------------- sequence packing
 
 SEQ_PACK_LEN = 512  # tokens per training sequence
+SEQ_PACK_SHARDS = 256  # per-source sub-shards for the two-level cumsum
 
 
-def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pack_sequences(
+    docs: DataFrame, seq_len: int = SEQ_PACK_LEN, n_shards: int = SEQ_PACK_SHARDS
+) -> DataFrame:
     """Concat-and-chunk sequence packing: assign every document its
     position in the fixed-length training-sequence stream.
 
-    The standard LLM pretraining layout — documents are concatenated in
-    a deterministic order and the stream is cut into ``SEQ_PACK_LEN``-
+    The standard LLM pretraining layout — documents are concatenated per
+    source in ``doc_id`` order and the stream is cut into ``seq_len``-
     token sequences; a document may straddle a boundary (its
-    ``seq_id``/``seq_offset`` locate its first token). Packing runs PER
-    SOURCE SHARD (window partitioned by ``source``, ordered by
-    ``doc_id``): shards pack in parallel — the scale shape; a single
-    global cumsum would serialize the corpus through one task. Output:
-    one row per doc with its token count, owning sequence, and offset.
+    ``seq_id``/``seq_offset`` locate its first token).
+
+    Scale shape — TWO-LEVEL cumsum, never one task per source: a single
+    window partitioned by ``source`` would funnel a dominant source (the
+    realistic 100 TB corpus shape: one web-crawl source holding most
+    docs) through one core. Instead each source's ``doc_id`` span is cut
+    into ``n_shards`` contiguous ranges (order-preserving, unlike a
+    modulo shard), the cumsum runs per (source, shard) in parallel,
+    per-shard token totals (≤ ``n_shards`` rows/source — tiny) are
+    prefix-summed and broadcast back, and the global start position is
+    shard offset + intra-shard cumsum. Output is IDENTICAL to the global
+    per-source cumsum.
+
+    All position arithmetic is integer (``DIV``/``%`` on longs): a
+    float ``floor(start/len)`` loses exactness past 2^53 cumulative
+    tokens — a realistic corpus size at the 100 TB target.
+
+    ``docs`` needs columns ``doc_id`` (long), ``source``, ``n_tokens``.
+    Output: one row per doc with its token count, owning sequence, and
+    offset within it.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    w = (
-        Window.partitionBy("source")
+    span = docs.groupBy("source").agg(
+        F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx")
+    )
+    # ceil(span / n_shards), integer, ≥ 1 — contiguous doc_id ranges
+    sharded = (
+        docs.join(F.broadcast(span), "source")
+        .withColumn(
+            "_shard",
+            F.expr(
+                f"(doc_id - _mn) DIV greatest(1L, (_mx - _mn + {n_shards}) DIV {n_shards})"
+            ),
+        )
+        .drop("_mn", "_mx")
+    )
+    w_local = (
+        Window.partitionBy("source", "_shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    local = sharded.withColumn(
+        "_local_end", F.sum("n_tokens").over(w_local).cast("long")
+    )
+    w_shard = (
+        Window.partitionBy("source")
+        .orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        sharded.groupBy("source", "_shard")
+        .agg(F.sum("n_tokens").alias("_tok"))
+        .withColumn("_off", (F.sum("_tok").over(w_shard) - F.col("_tok")).cast("long"))
+        .drop("_tok")
+    )
     return (
-        docs.select(
+        local.join(F.broadcast(offsets), ["source", "_shard"])
+        .withColumn("_start", F.col("_off") + F.col("_local_end") - F.col("n_tokens"))
+        .select(
             "doc_id",
             "source",
-            F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+            "n_tokens",
+            F.expr(f"_start DIV {seq_len}").cast("long").alias("seq_id"),
+            (F.col("_start") % seq_len).cast("long").alias("seq_offset"),
         )
-        .withColumn("seq_id", F.floor(start / SEQ_PACK_LEN).cast("long"))
-        .withColumn("seq_offset", (start % SEQ_PACK_LEN).cast("long"))
     )
+
+
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query for :func:`pack_sequences` over the documents table."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+    )
+    return pack_sequences(docs)
 
 
 CORPUS_PACK_SEQUENCES_SQL = rf"""

@@ -138,3 +138,40 @@ def test_pack_sequences_invariants(spark):
         for r in docs:
             assert r.seq_id == pos // L and r.seq_offset == pos % L
             pos += r.n_tokens
+
+
+def test_pack_sequences_dominant_source_sharded(spark):
+    """One source holding ~all docs must NOT serialize through one task:
+    the cumsum window partitions by (source, _shard), not source alone,
+    and the two-level composition matches the naive global cumsum."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import text as text_ops
+
+    # 5000 docs in one dominant source (sparse, unordered doc_ids), a
+    # couple of stragglers in a second source
+    import random
+
+    rng = random.Random(7)
+    ids = rng.sample(range(1, 1_000_000), 5000)
+    data = [(i, "web", 1 + i % 97) for i in ids] + [
+        (2_000_001, "books", 40),
+        (2_000_002, "books", 600),
+    ]
+    docs = spark.createDataFrame(data, "doc_id long, source string, n_tokens int")
+
+    out = text_ops.pack_sequences(docs, seq_len=128, n_shards=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every Window node that orders by doc_id must carry _shard in its
+    # partition spec — the dominant source packs across 16 tasks
+    import re
+
+    win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    cumsum_specs = [s for s in win_specs if "doc_id" in s]
+    assert cumsum_specs and all("_shard" in s for s in cumsum_specs), plan
+
+    # equality with the naive single-window reference
+    got = {r.doc_id: (r.seq_id, r.seq_offset) for r in out.collect()}
+    for source in ("web", "books"):
+        pos = 0
+        for doc_id, _, n_tok in sorted(d for d in data if d[1] == source):
+            assert got[doc_id] == (pos // 128, pos % 128)
+            pos += n_tok
