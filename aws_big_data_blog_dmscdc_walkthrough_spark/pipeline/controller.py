@@ -56,18 +56,26 @@ def prepare_dms_batch(df, primary_keys):
     Formats without row_index (JSON/CSV landings) fall back to
     ``monotonically_increasing_id`` captured AT SCAN TIME — it encodes
     (scan partition, row-in-partition), which preserves within-file
-    row order for unsplit files (CDC batch files are small).
+    row order for unsplit files (CDC batch files are small). Frames with
+    no ``_metadata`` at all (non-file sources, e.g. a createDataFrame
+    batch in tests) fall back to ``input_file_name()`` (empty string
+    there — the scan-time monotonic id then carries the ordering alone).
     """
     try:
-        staged = df.withColumn("_fpos", F.col("_metadata.row_index"))
-    except Exception:  # format exposes no row_index
-        staged = df.withColumn("_fpos", F.monotonically_increasing_id())
+        staged = df.withColumn("_file", F.col("_metadata.file_path"))
+        try:
+            staged = staged.withColumn("_fpos", F.col("_metadata.row_index"))
+        except Exception:  # format exposes no row_index
+            staged = staged.withColumn("_fpos", F.monotonically_increasing_id())
+    except Exception:  # source exposes no _metadata at all
+        staged = df.withColumn("_file", F.input_file_name()).withColumn(
+            "_fpos", F.monotonically_increasing_id()
+        )
     w = Window.partitionBy(*primary_keys).orderBy(
         F.col("_file"), F.col("_fpos")
     )
     return (
-        staged.withColumn("_file", F.col("_metadata.file_path"))
-        .withColumn("_rownum", F.row_number().over(w))
+        staged.withColumn("_rownum", F.row_number().over(w))
         .withColumn("_seq", F.struct(F.col("_file"), F.col("_rownum")))
         .withColumnRenamed("Op", "op")
         # also drop a MATERIALIZED _metadata column (the streaming path

@@ -33,6 +33,7 @@ Scale-correct replacements:
 
 from __future__ import annotations
 
+import contextlib
 import uuid
 from collections.abc import Sequence
 
@@ -66,6 +67,43 @@ def target_exists(spark: SparkSession, path: str) -> bool:
     return False
 
 
+@contextlib.contextmanager
+def _sidecars_preserved(spark: SparkSession, out_path: str):
+    """Snapshot underscore-prefixed sidecar DIRECTORIES out of
+    ``out_path`` for the duration of a whole-directory overwrite, then
+    restore them. Driver-side renames only (no data copy). A crash
+    inside the window leaves the sidecars intact in the
+    ``__sidecars_*`` sibling — recoverable, never deleted.
+    """
+    jvm = spark._jvm
+    p_out = jvm.org.apache.hadoop.fs.Path(out_path)
+    fs = p_out.getFileSystem(spark._jsc.hadoopConfiguration())
+    holder = out_path.rstrip("/") + f"__sidecars_{uuid.uuid4().hex[:8]}"
+    p_holder = jvm.org.apache.hadoop.fs.Path(holder)
+    moved = []
+    if fs.exists(p_out):
+        for status in fs.listStatus(p_out):
+            name = status.getPath().getName()
+            if status.isDirectory() and name.startswith("_"):
+                if not moved:
+                    fs.mkdirs(p_holder)
+                fs.rename(
+                    status.getPath(),
+                    jvm.org.apache.hadoop.fs.Path(f"{holder}/{name}"),
+                )
+                moved.append(name)
+    try:
+        yield
+    finally:
+        if moved:
+            for name in moved:
+                fs.rename(
+                    jvm.org.apache.hadoop.fs.Path(f"{holder}/{name}"),
+                    jvm.org.apache.hadoop.fs.Path(f"{out_path.rstrip('/')}/{name}"),
+                )
+            fs.delete(p_holder, True)
+
+
 def write_initial(
     df: DataFrame,
     out_path: str,
@@ -81,9 +119,17 @@ def write_initial(
     those columns in the manifest, enabling file skipping in
     ``manifest.read_table`` (one extra column-pruned scan of the newly
     written files per commit).
+
+    Underscore-prefixed sidecar DIRECTORIES (``_change_feed``) survive
+    the overwrite: they are snapshotted beside the table and restored
+    after the write. A reload that wiped the feed would restart batch
+    numbering at 1, making subscribers holding a high-water mark N
+    silently skip every later batch (the same hazard ``_swap_rewrite``
+    guards against on the compaction path).
     """
     if use_manifest and partition_keys:
         raise ValueError("manifest commits cover unpartitioned tables only")
+    spark = df.sparkSession
     stamped = cdc.stamp_initial(df)
     writer = stamped.write.mode("overwrite")
     if partition_keys:
@@ -94,9 +140,9 @@ def write_initial(
         writer = writer.option("partitionOverwriteMode", "static").partitionBy(
             *partition_keys
         )
-    writer.parquet(out_path)
+    with _sidecars_preserved(spark, out_path):
+        writer.parquet(out_path)
     if use_manifest:
-        spark = df.sparkSession
         files = manifest_mod.list_data_files(spark, out_path)
         stats = manifest_mod.stats_for_commit(
             spark, out_path, files, list(stats_cols)
@@ -149,7 +195,12 @@ def merge_incremental(
     # exactly-once must dedupe on content. The reverse order would
     # silently LOSE a feed batch on crash, with contiguous batch ids
     # hiding the gap from every consumer — strictly worse.
+    # The cheap driver-side schema checks run FIRST: a batch the merge
+    # will permanently reject (type change, missing op/seq) must never
+    # be published — each retry would append another duplicate feed
+    # batch for a merge that can never commit.
     if change_feed:
+        _precheck_merge_eligible(spark, changes, out_path, primary_keys, seq_col, op_col)
         append_change_feed(spark, changes, out_path, primary_keys, seq_col, op_col)
 
     if not primary_keys:
@@ -180,6 +231,31 @@ def merge_incremental(
             spark, changes, out_path, primary_keys, seq_col, op_col,
             use_manifest, retain_history, stats_cols,
         )
+
+
+def _precheck_merge_eligible(
+    spark: SparkSession,
+    changes: DataFrame,
+    out_path: str,
+    primary_keys: Sequence[str],
+    seq_col: str,
+    op_col: str,
+) -> None:
+    """Driver-side mirror of the merge's own schema validation, run
+    BEFORE the write-ahead feed publish. Footer-only target schema read
+    + the same ``align_schemas`` additive-only check the merge applies —
+    no job runs. Raises the merge's eventual error early so only
+    merge-eligible batches reach the feed.
+    """
+    for col in (op_col, *((seq_col,) if primary_keys else ())):
+        if col not in changes.columns:
+            raise ValueError(f"change batch missing required column {col!r}")
+    if not primary_keys or not target_exists(spark, out_path):
+        return
+    target = spark.read.parquet(out_path)
+    data_cols = [c for c in target.columns if c not in (op_col, seq_col)]
+    # raises on a type CHANGE (additive-only evolution, cdc.align_schemas)
+    cdc.align_schemas(target.select(*data_cols), changes, extra_cols=(op_col, seq_col))
 
 
 def _append_with_optional_manifest(
@@ -745,13 +821,21 @@ def read_change_feed(
 
     A subscriber polling BEFORE the first ``change_feed=True`` merge
     gets an empty frame in the feed's shape (table columns + ``op_col``
-    + ``batch``), derived from the table schema — not an error.
+    + ``batch``), derived from the table schema — not an error. A poll
+    before the table itself has ANY data (brand-new path, or only
+    hidden sidecars after a crash) raises a clear error instead of a
+    raw PATH_NOT_FOUND from the schema-derivation read.
     """
     jvm = spark._jvm
     base = out_path.rstrip("/") + "/" + CHANGE_FEED_DIR
     p = jvm.org.apache.hadoop.fs.Path(base)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(p):
+        if not target_exists(spark, out_path):
+            raise FileNotFoundError(
+                f"no table at {out_path}: the change-feed schema cannot be "
+                "derived before the first load lands data"
+            )
         empty = spark.read.option("mergeSchema", "true").parquet(out_path).limit(0)
         return empty.withColumn(op_col, F.lit(None).cast("string")).withColumn(
             "batch", F.lit(None).cast("int")

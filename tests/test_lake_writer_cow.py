@@ -314,3 +314,117 @@ def test_change_feed_on_append_only_table(spark, tmp_path):
     feed = lake_writer.read_change_feed(spark, out)
     assert {(r.batch, r.id) for r in feed.collect()} == {(1, 1), (1, 2), (2, 3)}
     assert spark.read.parquet(out).count() == 3
+
+
+def test_write_initial_preserves_change_feed_sidecar(spark, tmp_path):
+    """A full reload (write_initial's whole-directory overwrite) must
+    carry the _change_feed sidecar across: losing it restarts batch
+    numbering at 1 and subscribers holding a high-water mark silently
+    skip every later batch."""
+    import pytest
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import lake_writer
+
+    out = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [("I", 1, 1, "a"), ("I", 1, 2, "b")], "op string, _seq long, id long, name string"
+    )
+    lake_writer.merge_incremental(spark, b1, out, ["id"], change_feed=True)
+    b2 = spark.createDataFrame(
+        [("U", 2, 1, "a2")], "op string, _seq long, id long, name string"
+    )
+    lake_writer.merge_incremental(spark, b2, out, ["id"], change_feed=True)
+
+    # full reload overwrites the table directory
+    reload_df = spark.createDataFrame([(1, "r1"), (3, "r3")], "id long, name string")
+    lake_writer.write_initial(reload_df, out)
+    assert {r.name for r in spark.read.parquet(out).select("name").collect()} == {
+        "r1", "r3"
+    }
+
+    # the feed survived and numbering continues past the reload
+    assert {r.batch for r in lake_writer.read_change_feed(spark, out).collect()} == {1, 2}
+    b3 = spark.createDataFrame(
+        [("U", 3, 3, "r3b")], "op string, _seq long, id long, name string"
+    )
+    lake_writer.merge_incremental(spark, b3, out, ["id"], change_feed=True)
+    assert {r.batch for r in lake_writer.read_change_feed(spark, out).collect()} == {
+        1, 2, 3
+    }
+    # a subscriber at high-water mark 2 sees exactly the post-reload batch
+    tail = lake_writer.read_change_feed(spark, out, since_batch=2)
+    assert {(r.batch, r.id, r.name) for r in tail.collect()} == {(3, 3, "r3b")}
+
+
+def test_write_initial_partitioned_preserves_sidecar(spark, tmp_path):
+    """Same carry-across on the partitioned (static overwrite) path."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import lake_writer
+
+    out = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [("I", 1, 1, "a", 10), ("I", 1, 2, "b", 20)],
+        "op string, _seq long, id long, dept string, v int",
+    )
+    lake_writer.merge_incremental(
+        spark, b1, out, ["id"], partition_keys=["dept"], change_feed=True
+    )
+    reload_df = spark.createDataFrame([(1, "a", 11)], "id long, dept string, v int")
+    lake_writer.write_initial(reload_df, out, partition_keys=["dept"])
+    assert {r.batch for r in lake_writer.read_change_feed(spark, out).collect()} == {1}
+
+
+def test_ineligible_batch_never_reaches_feed(spark, tmp_path):
+    """A batch the merge permanently rejects (type change on an existing
+    column) must fail BEFORE the write-ahead feed publish — otherwise
+    every retry appends another duplicate feed batch for a merge that
+    can never commit."""
+    import pytest
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import lake_writer
+
+    out = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [("I", 1, 1, "a")], "op string, _seq long, id long, name string"
+    )
+    lake_writer.merge_incremental(spark, b1, out, ["id"], change_feed=True)
+
+    bad = spark.createDataFrame(
+        [("U", 2, 1, 99)], "op string, _seq long, id long, name long"
+    )
+    with pytest.raises(ValueError, match="additive-only"):
+        lake_writer.merge_incremental(spark, bad, out, ["id"], change_feed=True)
+    # the feed holds ONLY the eligible batch
+    assert {r.batch for r in lake_writer.read_change_feed(spark, out).collect()} == {1}
+
+    # a batch missing op/seq columns is likewise rejected pre-publish
+    no_op = spark.createDataFrame([(1, "x")], "id long, name string")
+    with pytest.raises(ValueError, match="missing required column"):
+        lake_writer.merge_incremental(spark, no_op, out, ["id"], change_feed=True)
+    assert {r.batch for r in lake_writer.read_change_feed(spark, out).collect()} == {1}
+
+
+def test_read_change_feed_no_table_raises_clearly(spark, tmp_path):
+    """Polling a brand-new path (no table data at all) raises a clear
+    error, not a raw PATH_NOT_FOUND from the schema-derivation read."""
+    import pytest
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import lake_writer
+
+    with pytest.raises(FileNotFoundError, match="no table at"):
+        lake_writer.read_change_feed(spark, str(tmp_path / "never_written"))
+
+
+def test_prepare_dms_batch_accepts_non_file_frames(spark):
+    """A createDataFrame batch (no _metadata hidden column) must take the
+    input_file_name()/monotonic-id fallback, not raise AnalysisException."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.pipeline.controller import (
+        prepare_dms_batch,
+    )
+
+    df = spark.createDataFrame(
+        [("I", 1, "a"), ("U", 1, "b"), ("I", 2, "c")], "Op string, id long, v string"
+    )
+    out = prepare_dms_batch(df, ["id"])
+    rows = {(r.id, r._rownum if hasattr(r, "_rownum") else None) for r in out.collect()}
+    assert {r[0] for r in rows} == {1, 2}
+    assert "op" in out.columns and "_seq" in out.columns
