@@ -117,19 +117,17 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_range_join": analytics.q_events_range_join,
         "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
         "q18_large_volume_customers": analytics.q18_large_volume_customers,
-        # ROUND-6 GATE ROTATION: the six distinct TPC-H tail plan shapes
-        # (q2/q9/q11/q13/q15/q21) take driver-gate slots for one round so
-        # every registered query gets a driver-side hash row at least once
-        # per two rounds. Displaced for this round (still DuckDB-oracled
-        # every round via tests/test_queries.py): q_events_sliding,
-        # q_events_filter_scan, q_events_moving_avg, q_events_pivot,
-        # q_orders_set_ops, text_bigrams. Swap back next round.
-        "q2_min_cost_supplier": tpch_rest.q2_min_cost_supplier,
-        "q9_product_profit": tpch_rest.q9_product_profit,
-        "q11_important_stock": tpch_rest.q11_important_stock,
-        "q13_customer_distribution": tpch_rest.q13_customer_distribution,
-        "q15_top_supplier": tpch_rest.q15_top_supplier,
-        "q21_waiting_suppliers": tpch_rest.q21_waiting_suppliers,
+        # ROUND-7 GATE ROTATION (back): q2/q9/q11/q13/q15/q21 took these
+        # six slots in round 6 and hash-matched (CORRECTNESS_r06); the
+        # displaced keys below are restored so every registered query is
+        # driver-gated at least once per two rounds. The TPC-H tail
+        # shapes are pytest-oracled in secondary_queries() again.
+        "q_events_sliding": analytics.q_events_sliding,
+        "q_events_filter_scan": analytics.q_events_filter_scan,
+        "q_events_moving_avg": analytics.q_events_moving_avg,
+        "q_events_pivot": analytics.q_events_pivot,
+        "q_orders_set_ops": analytics.q_orders_set_ops,
+        "text_bigrams": text.text_bigrams,
     }
 
 
@@ -156,14 +154,14 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": tpch_rest.q6_forecast_revenue,
         "q12_priority_by_linestatus": tpch_rest.q12_priority_by_linestatus,
         "q20_part_promotion_suppliers": tpch_rest.q20_part_promotion_suppliers,
-        # displaced from the driver gate by the round-6 rotation (see
-        # _queries_raw); pytest-oracled here until they rotate back
-        "q_events_sliding": analytics.q_events_sliding,
-        "q_events_filter_scan": analytics.q_events_filter_scan,
-        "q_events_moving_avg": analytics.q_events_moving_avg,
-        "q_events_pivot": analytics.q_events_pivot,
-        "q_orders_set_ops": analytics.q_orders_set_ops,
-        "text_bigrams": text.text_bigrams,
+        # rotated back out of the driver gate after hash-matching in
+        # round 6 (see _queries_raw); pytest-oracled here every round
+        "q2_min_cost_supplier": tpch_rest.q2_min_cost_supplier,
+        "q9_product_profit": tpch_rest.q9_product_profit,
+        "q11_important_stock": tpch_rest.q11_important_stock,
+        "q13_customer_distribution": tpch_rest.q13_customer_distribution,
+        "q15_top_supplier": tpch_rest.q15_top_supplier,
+        "q21_waiting_suppliers": tpch_rest.q21_waiting_suppliers,
         # round-6 additions (SURVEY §2 #76-77, #79)
         "corpus_split_counts": text.corpus_split_counts,
         "corpus_pack_sequences": text.corpus_pack_sequences,
@@ -196,12 +194,12 @@ def oracle_sql() -> dict[str, str]:
         "q_events_range_join": analytics.Q_EVENTS_RANGE_JOIN_SQL,
         "q17_small_quantity_revenue": analytics.Q17_SQL,
         "q18_large_volume_customers": analytics.Q18_SQL,
-        "q2_min_cost_supplier": tpch_rest.Q2_SQL,
-        "q9_product_profit": tpch_rest.Q9_SQL,
-        "q11_important_stock": tpch_rest.Q11_SQL,
-        "q13_customer_distribution": tpch_rest.Q13_SQL,
-        "q15_top_supplier": tpch_rest.Q15_SQL,
-        "q21_waiting_suppliers": tpch_rest.Q21_SQL,
+        "q_events_sliding": analytics.Q_EVENTS_SLIDING_SQL,
+        "q_events_filter_scan": analytics.Q_EVENTS_FILTER_SCAN_SQL,
+        "q_events_moving_avg": analytics.Q_EVENTS_MOVING_AVG_SQL,
+        "q_events_pivot": analytics.Q_EVENTS_PIVOT_SQL,
+        "q_orders_set_ops": analytics.Q_ORDERS_SET_OPS_SQL,
+        "text_bigrams": text.TEXT_BIGRAMS_SQL,
         "text_word_topk": text.TEXT_WORD_TOPK_SQL,
         "text_tokens": text.TEXT_TOKENS_SQL,
         "text_quality": text.TEXT_QUALITY_SQL,
@@ -233,12 +231,12 @@ def secondary_oracle_sql() -> dict[str, str]:
         "corpus_decontaminate": llm_queries.CORPUS_DECONTAMINATE_SQL,
         "dedup_keep_best": llm_queries.DEDUP_KEEP_BEST_SQL,
         "corpus_source_stats": llm_queries.CORPUS_SOURCE_STATS_SQL,
-        "q_events_filter_scan": analytics.Q_EVENTS_FILTER_SCAN_SQL,
-        "q_events_sliding": analytics.Q_EVENTS_SLIDING_SQL,
-        "q_events_moving_avg": analytics.Q_EVENTS_MOVING_AVG_SQL,
-        "q_events_pivot": analytics.Q_EVENTS_PIVOT_SQL,
-        "q_orders_set_ops": analytics.Q_ORDERS_SET_OPS_SQL,
-        "text_bigrams": text.TEXT_BIGRAMS_SQL,
+        "q2_min_cost_supplier": tpch_rest.Q2_SQL,
+        "q9_product_profit": tpch_rest.Q9_SQL,
+        "q11_important_stock": tpch_rest.Q11_SQL,
+        "q13_customer_distribution": tpch_rest.Q13_SQL,
+        "q15_top_supplier": tpch_rest.Q15_SQL,
+        "q21_waiting_suppliers": tpch_rest.Q21_SQL,
         "corpus_split_counts": text.CORPUS_SPLIT_COUNTS_SQL,
         "corpus_pack_sequences": text.CORPUS_PACK_SEQUENCES_SQL,
         "dedup_incremental": llm_queries.DEDUP_INCREMENTAL_SQL,

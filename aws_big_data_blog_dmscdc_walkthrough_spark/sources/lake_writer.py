@@ -360,7 +360,7 @@ def _merge_partitioned(
         )
 
     merged = cdc.apply_changes(
-        impacted_target, changes, pks, seq_col, op_col
+        impacted_target, changes, pks, seq_col, op_col, prune_keys=change_keys
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         # dynamic overwrite: only partitions present in `merged` swap.
@@ -480,7 +480,9 @@ def _merge_unpartitioned_cow(
     old = old.select(*data_cols)
     old, changes = cdc.align_schemas(old, changes, extra_cols=(op_col, seq_col))
 
-    merged = cdc.apply_changes(old, changes, pks, seq_col, op_col)
+    merged = cdc.apply_changes(
+        old, changes, pks, seq_col, op_col, prune_keys=change_keys
+    )
     merged.write.mode("append").parquet(out_path)
 
     impacted_names = {f.rsplit("/", 1)[-1] for f in impacted_files}
