@@ -34,6 +34,7 @@ Scale-correct replacements:
 from __future__ import annotations
 
 import contextlib
+import posixpath
 import uuid
 from collections.abc import Sequence
 
@@ -74,6 +75,11 @@ def _sidecars_preserved(spark: SparkSession, out_path: str):
     restore them. Driver-side renames only (no data copy). A crash
     inside the window leaves the sidecars intact in the
     ``__sidecars_*`` sibling — recoverable, never deleted.
+
+    The manifest history (``_mmanifest_history``) is deliberately NOT
+    preserved: a full reload deletes every data file the old versions
+    reference, so carrying their manifests forward would advertise
+    time travel into reads that can only fail.
     """
     jvm = spark._jvm
     p_out = jvm.org.apache.hadoop.fs.Path(out_path)
@@ -84,6 +90,8 @@ def _sidecars_preserved(spark: SparkSession, out_path: str):
     if fs.exists(p_out):
         for status in fs.listStatus(p_out):
             name = status.getPath().getName()
+            if name == manifest_mod.HISTORY_DIR:
+                continue
             if status.isDirectory() and name.startswith("_"):
                 if not moved:
                     fs.mkdirs(p_holder)
@@ -113,10 +121,11 @@ def write_initial(
 ) -> None:
     """Full-load overwrite with op stamp (DMSCDC_LoadInitial.py:31-37).
 
-    ``use_manifest`` (unpartitioned only) publishes the written file
-    list to ``_mmanifest.json`` so manifest readers get atomic commits
-    from the first load on. ``stats_cols`` records per-file min/max for
-    those columns in the manifest, enabling file skipping in
+    ``use_manifest`` publishes the written file list to
+    ``_mmanifest.json`` so manifest readers get atomic commits from the
+    first load on — partitioned tables record partition-relative paths
+    plus the partition keys. ``stats_cols`` records per-file min/max
+    for those DATA columns in the manifest, enabling file skipping in
     ``manifest.read_table`` (one extra column-pruned scan of the newly
     written files per commit).
 
@@ -125,10 +134,11 @@ def write_initial(
     after the write. A reload that wiped the feed would restart batch
     numbering at 1, making subscribers holding a high-water mark N
     silently skip every later batch (the same hazard ``_swap_rewrite``
-    guards against on the compaction path).
+    guards against on the compaction path). The manifest history is a
+    FILE sidecar and does not survive a reload — correctly so: the old
+    versions' data files are gone with the overwrite, so carrying their
+    manifests forward would advertise unreadable time travel.
     """
-    if use_manifest and partition_keys:
-        raise ValueError("manifest commits cover unpartitioned tables only")
     spark = df.sparkSession
     stamped = cdc.stamp_initial(df)
     writer = stamped.write.mode("overwrite")
@@ -143,13 +153,16 @@ def write_initial(
     with _sidecars_preserved(spark, out_path):
         writer.parquet(out_path)
     if use_manifest:
-        files = manifest_mod.list_data_files(spark, out_path)
+        files = manifest_mod.list_data_files(
+            spark, out_path, recursive=bool(partition_keys)
+        )
         stats = manifest_mod.stats_for_commit(
             spark, out_path, files, list(stats_cols)
         )
         manifest_mod.commit_manifest(
             spark, out_path, files, stats=stats,
             schema_json=stamped.drop("op").schema.json(),
+            partition_keys=list(partition_keys),
         )
 
 
@@ -172,16 +185,18 @@ def merge_incremental(
     (DMSCDC_LoadIncremental.py:56-58). Otherwise latest-wins merge with
     copy-on-write at partition granularity.
 
-    ``use_manifest`` (unpartitioned only): stage → commit the live-file
-    manifest atomically → delete superseded files, closing the
-    append-then-delete crash window for manifest readers
-    (sources/manifest.py). ``retain_history`` additionally KEEPS the
+    ``use_manifest``: stage → commit the live-file manifest atomically →
+    delete superseded files, closing the append-then-delete crash window
+    for manifest readers (sources/manifest.py). On a PARTITIONED table
+    this replaces the dynamic-overwrite swap: the rewritten partitions
+    append beside the live files and ONE manifest version commits the
+    change across every touched partition atomically (dynamic overwrite
+    swaps directory-by-directory — a reader mid-merge sees some
+    partitions new, some old). ``retain_history`` additionally KEEPS the
     superseded files on disk so earlier commits stay readable via
     ``manifest.read_table(path, version=N)`` until ``manifest.vacuum``
     reclaims them (Delta/Iceberg-style time travel, minimal form).
     """
-    if use_manifest and partition_keys:
-        raise ValueError("manifest commits cover unpartitioned tables only")
     # WRITE-AHEAD feed, hoisted before every merge branch: publish the
     # batch BEFORE the table commit. A crash in the window leaves a feed
     # batch the table lacks; the controller's retry re-merges AND
@@ -224,7 +239,8 @@ def merge_incremental(
 
     if partition_keys:
         _merge_partitioned(
-            spark, changes, out_path, primary_keys, partition_keys, seq_col, op_col
+            spark, changes, out_path, primary_keys, partition_keys, seq_col, op_col,
+            use_manifest, retain_history, stats_cols,
         )
     else:
         _merge_unpartitioned_cow(
@@ -266,25 +282,27 @@ def _append_with_optional_manifest(
     use_manifest: bool,
     stats_cols: Sequence[str] = (),
 ) -> None:
+    recursive = bool(partition_keys)
     if use_manifest:
         # live = previously committed ∪ newly appended — NOT the raw
         # directory listing, which could resurrect orphans of a crashed
         # earlier write into the committed set
         prev = manifest_mod.read_manifest(spark, out_path)
-        before = set(manifest_mod.list_data_files(spark, out_path))
+        before = set(manifest_mod.list_data_files(spark, out_path, recursive))
     writer = out.write.mode("append")
     if partition_keys:
         writer = writer.partitionBy(*partition_keys)
     writer.parquet(out_path)
     if use_manifest:
-        after = manifest_mod.list_data_files(spark, out_path)
+        after = manifest_mod.list_data_files(spark, out_path, recursive)
         added = [f for f in after if f not in before]
         live = (prev["files"] if prev else sorted(before)) + added
         stats = manifest_mod.stats_for_commit(
             spark, out_path, live, list(stats_cols), prev
         )
         manifest_mod.commit_manifest(
-            spark, out_path, live, stats=stats, schema_json=out.schema.json()
+            spark, out_path, live, stats=stats, schema_json=out.schema.json(),
+            partition_keys=list(partition_keys),
         )
 
 
@@ -296,8 +314,11 @@ def _merge_partitioned(
     partition_keys: Sequence[str],
     seq_col: str,
     op_col: str,
+    use_manifest: bool = False,
+    retain_history: bool = False,
+    stats_cols: Sequence[str] = (),
 ) -> None:
-    """Impacted-partition copy-on-write via dynamic partition overwrite.
+    """Impacted-partition copy-on-write.
 
     Impacted partitions = partitions the batch writes into ∪ partitions
     where the batch's keys CURRENTLY live (PK semi-join; column-pruned
@@ -307,15 +328,42 @@ def _merge_partitioned(
     partition needs its directory dropped — both cases the reference's
     PK-join impacted-file discovery (DMSCDC_LoadIncremental.py:68-70)
     handles and a values-only prune misses.
+
+    Without a manifest the rewritten partitions swap in via dynamic
+    partition overwrite — atomic per DIRECTORY, not per merge. With
+    ``use_manifest`` the rewrite appends beside the live files and ONE
+    manifest version commits every touched partition atomically
+    (manifest readers never see a half-swapped merge); superseded files
+    are then deleted, or kept for time travel under ``retain_history``.
     """
     pks = list(primary_keys)
     part_cols = list(partition_keys)
+
+    prev_manifest = (
+        manifest_mod.read_manifest(spark, out_path) if use_manifest else None
+    )
+    before_files = (
+        set(manifest_mod.list_data_files(spark, out_path, recursive=True))
+        if use_manifest
+        else set()
+    )
 
     # mergeSchema: after additive evolution, partitions written before the
     # evolution lack the new columns; merged-footer read reconciles them.
     # (A catalog — Delta/Iceberg/metastore — replaces this at real scale;
     # the parquet-only lake mirrors the reference's Athena-crawler model.)
-    target = spark.read.option("mergeSchema", "true").parquet(out_path)
+    if prev_manifest is not None:
+        base = out_path.rstrip("/")
+        live_paths = [posixpath.join(base, f) for f in prev_manifest["files"]]
+        target = (
+            spark.read.option("mergeSchema", "true")
+            .option("basePath", base)
+            .parquet(*live_paths)
+            if live_paths
+            else manifest_mod._empty_frame(spark, out_path, prev_manifest)
+        )
+    else:
+        target = spark.read.option("mergeSchema", "true").parquet(out_path)
     data_cols = [c for c in target.columns if c not in (op_col, seq_col)]
     target = target.select(*data_cols)
     # additive schema evolution: a batch may carry columns the lake table
@@ -363,6 +411,12 @@ def _merge_partitioned(
         impacted_target, changes, pks, seq_col, op_col, prune_keys=change_keys
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
+        if use_manifest:
+            _commit_partitioned_merge(
+                spark, merged, out_path, part_cols, impacted_rows,
+                prev_manifest, before_files, retain_history, stats_cols,
+            )
+            return
         # dynamic overwrite: only partitions present in `merged` swap.
         # The per-write option (Spark 3.0+) makes this safe under a
         # caller-owned vanilla session too — static overwrite here would
@@ -399,6 +453,67 @@ def _merge_partitioned(
         merged.unpersist()
 
 
+def _commit_partitioned_merge(
+    spark: SparkSession,
+    merged: DataFrame,
+    out_path: str,
+    part_cols: list[str],
+    impacted_rows,
+    prev_manifest: dict | None,
+    before_files: set[str],
+    retain_history: bool,
+    stats_cols: Sequence[str],
+) -> None:
+    """Manifest-gated publish of a partitioned merge: append the
+    rewritten partitions, commit ONE manifest version spanning every
+    touched partition, then delete (or retain) superseded files.
+
+    Crash windows mirror the unpartitioned COW: before the commit the
+    old version stays fully live (new files are unlisted orphans that
+    ``manifest.vacuum`` reclaims); after it, superseded files are
+    unlisted and equally vacuum-able. Directory readers see duplicates
+    only inside the append→delete window, same as the reference's
+    append-then-boto3-delete."""
+    merged.write.mode("append").partitionBy(*part_cols).parquet(out_path)
+    after = manifest_mod.list_data_files(spark, out_path, recursive=True)
+    added = [f for f in after if f not in before_files]
+    # previously-live files under any impacted partition's directory are
+    # superseded by the rewrite; everything else carries forward
+    prefixes = [_rel_partition_dir(part_cols, row) + "/" for row in impacted_rows]
+    prev_live = prev_manifest["files"] if prev_manifest else sorted(before_files)
+    superseded = {
+        f for f in prev_live if any(f.startswith(px) for px in prefixes)
+    }
+    live = [f for f in prev_live if f not in superseded] + added
+    stats = manifest_mod.stats_for_commit(
+        spark, out_path, live, list(stats_cols), prev_manifest
+    )
+    manifest_mod.commit_manifest(
+        spark, out_path, live, stats=stats, schema_json=merged.schema.json(),
+        partition_keys=part_cols,
+    )
+    if retain_history or not superseded:
+        return
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(out_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    base = out_path.rstrip("/")
+    emptied_dirs = set()
+    for name in sorted(superseded):
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base}/{name}"), False)
+        if "/" in name:
+            emptied_dirs.add(name.rsplit("/", 1)[0])
+    # collapse partition directories the deletions left empty (bounded
+    # walk up: at most the partition depth, never touching the root)
+    for rel in sorted(emptied_dirs, key=lambda s: -s.count("/")):
+        p = jvm.org.apache.hadoop.fs.Path(f"{base}/{rel}")
+        for _ in range(rel.count("/") + 1):
+            if not (fs.exists(p) and len(fs.listStatus(p)) == 0):
+                break
+            fs.delete(p, False)
+            p = p.getParent()
+
+
 def _merge_unpartitioned_cow(
     spark: SparkSession,
     changes: DataFrame,
@@ -427,8 +542,6 @@ def _merge_unpartitioned_cow(
     see exactly one version at every point; a crash leaves only
     unlisted orphans that ``manifest.vacuum`` reclaims.
     """
-    import posixpath
-
     pks = list(primary_keys)
     prev_manifest = manifest_mod.read_manifest(spark, out_path) if use_manifest else None
     before_files = (
@@ -527,14 +640,20 @@ def _escape_part_value(value) -> str:
     )
 
 
-def _partition_dir(out_path: str, partition_keys: Sequence[str], row) -> str:
+def _rel_partition_dir(partition_keys: Sequence[str], row) -> str:
+    """Table-relative partition directory for a row's partition values,
+    escaped the way Spark writes them."""
     segs = []
     for key in partition_keys:
         v = row[key]
         segs.append(
             f"{key}={HIVE_NULL_PART}" if v is None else f"{key}={_escape_part_value(v)}"
         )
-    return out_path.rstrip("/") + "/" + "/".join(segs)
+    return "/".join(segs)
+
+
+def _partition_dir(out_path: str, partition_keys: Sequence[str], row) -> str:
+    return out_path.rstrip("/") + "/" + _rel_partition_dir(partition_keys, row)
 
 
 def _has_null_partition_dir(
@@ -652,18 +771,17 @@ def compact_table(
     predicates on any clustered column — Delta/Iceberg
     ``OPTIMIZE ... ZORDER BY``, Spark-native.
 
-    ``use_manifest`` (unpartitioned only) compacts *through* the
-    manifest: the compacted files append beside the live set, the new
-    manifest version commits atomically, and only then are superseded
-    files dropped (kept when ``retain_history`` — earlier versions stay
-    time-travelable until ``manifest.vacuum`` reclaims them).  The
-    directory-swap path would destroy the manifest and its history with
-    the data files it replaces.
+    ``use_manifest`` compacts *through* the manifest: the compacted
+    files append beside the live set, the new manifest version commits
+    atomically, and only then are superseded files dropped (kept when
+    ``retain_history`` — earlier versions stay time-travelable until
+    ``manifest.vacuum`` reclaims them). Partitioned tables commit the
+    same way (one atomic version across every partition); the
+    directory-swap and dynamic-overwrite paths would destroy the
+    manifest and its history with the data files they replace.
 
     Returns the number of output files requested.
     """
-    if use_manifest and partition_keys:
-        raise ValueError("manifest commits cover unpartitioned tables only")
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -702,30 +820,35 @@ def compact_table(
         return frame.repartition(n_files)
 
     out = _clustered(df)
-    if partition_keys:
-        (
-            out.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*partition_keys)
-            .parquet(path)
-        )
-    elif use_manifest:
+    if use_manifest:
+        recursive = bool(partition_keys)
         prev = manifest_mod.read_manifest(spark, path)
-        before = set(manifest_mod.list_data_files(spark, path))
-        out.write.mode("append").parquet(path)
-        after = manifest_mod.list_data_files(spark, path)
+        before = set(manifest_mod.list_data_files(spark, path, recursive))
+        writer = out.write.mode("append")
+        if partition_keys:
+            writer = writer.partitionBy(*partition_keys)
+        writer.parquet(path)
+        after = manifest_mod.list_data_files(spark, path, recursive)
         added = [f for f in after if f not in before]
         stats = manifest_mod.stats_for_commit(
             spark, path, added, list(stats_cols)
         )
         manifest_mod.commit_manifest(
-            spark, path, added, stats=stats, schema_json=out.schema.json()
+            spark, path, added, stats=stats, schema_json=out.schema.json(),
+            partition_keys=list(partition_keys),
         )
         if not retain_history:
             prev_live = set(prev["files"]) if prev else before
             base = path.rstrip("/")
             for name in sorted(prev_live):
                 fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base}/{name}"), False)
+    elif partition_keys:
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_keys)
+            .parquet(path)
+        )
     else:
         _swap_rewrite(spark, out, path)
     return n_files

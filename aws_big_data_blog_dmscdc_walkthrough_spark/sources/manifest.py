@@ -17,11 +17,18 @@ idea:
     crash after it leaves only harmless unlisted orphans —
     ``vacuum`` removes them.
 
-Scope: unpartitioned tables (the partitioned path swaps whole partition
-directories via dynamic overwrite, whose non-atomicity spans partitions
-— a per-partition manifest is the same pattern, left to a real table
-format). Opt-in: plain-directory readers keep working unchanged when no
-manifest exists.
+Partitioned tables commit through the same single manifest: ``files``
+entries are paths RELATIVE to the table root (``dept=a/part-x.parquet``),
+the manifest records the partition keys, and a partitioned merge appends
+its rewritten partitions beside the live files then swaps ONE manifest
+pointer — atomic across every touched partition, unlike dynamic
+partition overwrite's directory-at-a-time swaps. ``read_table`` prunes
+by partition value (parsed from the path, typed against the probe) AND
+by per-file min/max stats. Merge-on-read deletion vectors remain
+unpartitioned-only (position deletes address files by basename).
+
+Opt-in: plain-directory readers keep working unchanged when no manifest
+exists.
 """
 
 from __future__ import annotations
@@ -56,17 +63,33 @@ def _history_path(path: str, version: int) -> str:
     return path.rstrip("/") + f"/{HISTORY_DIR}/v{version:012d}.json"
 
 
-def list_data_files(spark: SparkSession, path: str) -> list[str]:
-    """Basenames of the table's parquet data files (flat listing)."""
+HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
+
+
+def list_data_files(
+    spark: SparkSession, path: str, recursive: bool = False
+) -> list[str]:
+    """Paths of the table's parquet data files RELATIVE to the table
+    root. Flat listing by default; ``recursive`` walks partition
+    directories too (hidden ``_``/``.`` entries skipped at every level),
+    so a flat table yields identical output either way."""
     jvm, fs = _fs(spark, path)
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    if not fs.exists(p):
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(root):
         return []
-    out = []
-    for status in fs.listStatus(p):
-        name = status.getPath().getName()
-        if status.isFile() and name.endswith(".parquet") and not name.startswith((".", "_")):
-            out.append(name)
+    out: list[str] = []
+
+    def walk(p, prefix: str) -> None:
+        for status in fs.listStatus(p):
+            name = status.getPath().getName()
+            if name.startswith((".", "_")):
+                continue
+            if status.isFile() and name.endswith(".parquet"):
+                out.append(prefix + name)
+            elif recursive and status.isDirectory():
+                walk(status.getPath(), prefix + name + "/")
+
+    walk(root, "")
     return sorted(out)
 
 
@@ -121,11 +144,18 @@ def compute_file_stats(
     grouped on ``input_file_name()``, not a driver loop over footers, so
     stats collection costs a single scan however many files there are.
     Output rows are bounded by file count (small), so the collect is
-    driver-safe."""
+    driver-safe.
+
+    ``files`` may be partition-relative paths; output keys match the
+    given names (Spark part files carry write-UUID basenames, so a
+    basename maps to exactly one listed path). ``cols`` must be DATA
+    columns — partition columns live in the path, not the files, and
+    are pruned by partition value instead."""
     base = path.rstrip("/")
     paths = [posixpath.join(base, f) for f in files]
     if not paths or not cols:
         return {}
+    by_basename = {posixpath.basename(f): f for f in files}
     aggs = []
     for c in cols:
         aggs.append(F.min(c).alias(f"_min_{c}"))
@@ -139,7 +169,7 @@ def compute_file_stats(
     out: dict[str, dict] = {}
     for r in rows:
         name = posixpath.basename(r["_f"].split("?", 1)[0])
-        out[name] = {
+        out[by_basename.get(name, name)] = {
             c: {
                 "min": _stat_encode(r[f"_min_{c}"]),
                 "max": _stat_encode(r[f"_max_{c}"]),
@@ -191,8 +221,13 @@ def commit_manifest(
     delete_files: list[str] | None = None,
     dv_targets: dict[str, list[str]] | None = None,
     schema_json: str | None = None,
+    partition_keys: list[str] | None = None,
 ) -> int:
     """Atomically publish the live-file list; returns the new version.
+
+    ``partition_keys`` (recorded once, carried forward when ``None``)
+    marks a partitioned table: ``files`` are then partition-relative
+    paths and ``read_table`` prunes them by partition value.
 
     ``schema_json`` (``df.schema.json()``) rides along so a
     committed-EMPTY version (all rows deleted) stays readable: with no
@@ -244,6 +279,10 @@ def commit_manifest(
     schema_json = schema_json or (prev or {}).get("schema")
     if schema_json:
         doc["schema"] = schema_json
+    if partition_keys is None:
+        partition_keys = (prev or {}).get("partition_keys")
+    if partition_keys:
+        doc["partition_keys"] = list(partition_keys)
     if stats:
         doc["stats"] = stats
     if delete_files:
@@ -347,6 +386,63 @@ def _file_may_match(fstats: dict | None, col: str, op: str, value) -> bool:
     raise ValueError(f"unsupported prune op {op!r}")
 
 
+def _partition_values(relpath: str) -> dict[str, str | None]:
+    """Hive partition values parsed from a partition-relative file path
+    (``dept=a%20b/part-x.parquet`` → ``{"dept": "a b"}``); the
+    ``__HIVE_DEFAULT_PARTITION__`` sentinel decodes to None."""
+    from urllib.parse import unquote
+
+    out: dict[str, str | None] = {}
+    for seg in relpath.split("/")[:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            out[k] = None if v == HIVE_NULL_PART else unquote(v)
+    return out
+
+
+def _partition_may_match(relpath: str, col: str, op: str, value) -> bool:
+    """Conservative partition-value prune from the file's path alone.
+
+    The path value is a string; it is coerced into the probe's domain
+    (int/float/bool parse, temporal padding) before comparing — a raw
+    lexical compare would mis-order numerics (``"10" < "9"``). Coercion
+    failure or an absent key keeps the file. A NULL partition value
+    (``__HIVE_DEFAULT_PARTITION__``) satisfies no comparison predicate,
+    so those files prune away — ``_apply_predicate`` would drop every
+    row anyway."""
+    vals = _partition_values(relpath)
+    if col not in vals:
+        return True
+    s = vals[col]
+    if s is None:
+        return False
+    probe = _probe_value(value)
+    try:
+        if isinstance(value, bool):
+            pv = s.lower() in ("true", "1")
+        elif isinstance(value, int):
+            pv = int(s)
+        elif isinstance(value, float):
+            pv = float(s)
+        elif isinstance(value, (_dt.date, _dt.datetime)):
+            pv, probe = _pad_temporal(s), _pad_temporal(probe)
+        else:
+            pv = s
+    except ValueError:
+        return True
+    if op == "=":
+        return pv == probe
+    if op == ">":
+        return pv > probe
+    if op == ">=":
+        return pv >= probe
+    if op == "<":
+        return pv < probe
+    if op == "<=":
+        return pv <= probe
+    raise ValueError(f"unsupported prune op {op!r}")
+
+
 def read_table(
     spark: SparkSession,
     path: str,
@@ -364,7 +460,9 @@ def read_table(
     the planner never even opens them, the metadata-level skipping that
     makes selective scans at 100 TB cheap — and applies the same filter
     to the surviving rows, so results are identical with or without
-    stats.
+    stats. On a partitioned table a predicate on a partition key prunes
+    by the partition value parsed from each file's path (typed compare),
+    and data-column stats prune within the surviving partitions.
     """
     if version is not None:
         man = _read_json_file(spark, _history_path(path, version))
@@ -375,14 +473,25 @@ def read_table(
         return _apply_predicate(df, predicate)
     base = path.rstrip("/")
     names = list(man["files"])
+    part_keys = man.get("partition_keys") or []
     if predicate is not None:
         stats = man.get("stats", {})
         col, op, value = predicate
-        names = [n for n in names if _file_may_match(stats.get(n), col, op, value)]
+        if col in part_keys:
+            names = [n for n in names if _partition_may_match(n, col, op, value)]
+        else:
+            names = [
+                n for n in names if _file_may_match(stats.get(n), col, op, value)
+            ]
     files = [posixpath.join(base, f) for f in names]
     if not files:
         return _apply_predicate(_empty_frame(spark, path, man), predicate)
-    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    reader = spark.read.option("mergeSchema", "true")
+    if part_keys:
+        # basePath keeps the partition columns in the projection when
+        # reading an explicit file list
+        reader = reader.option("basePath", base)
+    df = reader.parquet(*files)
     dv = read_deletion_vectors(spark, path, man)
     if dv is not None:
         df = apply_deletion_vectors(df, dv)
@@ -425,6 +534,12 @@ def read_table_with_positions(spark: SparkSession, path: str) -> DataFrame:
     man = read_manifest(spark, path)
     if man is None:
         raise ValueError(f"{path} has no manifest; positions need committed files")
+    if man.get("partition_keys"):
+        raise ValueError(
+            "merge-on-read position deletes address data files by basename "
+            "and cover unpartitioned tables only; partitioned tables delete "
+            "through the COW merge path"
+        )
     base = path.rstrip("/")
     files = [posixpath.join(base, f) for f in man["files"]]
     if not files:
@@ -598,12 +713,24 @@ def vacuum(
             return True
         return now_ms - fs.getFileStatus(p).getModificationTime() >= grace_seconds * 1000
 
-    for name in list_data_files(spark, path):
+    emptied_dirs: set[str] = set()
+    for name in list_data_files(spark, path, recursive=True):
         if name not in live:
             target = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + name)
             if _old_enough(target):
                 fs.delete(target, False)
                 removed.append(name)
+                if "/" in name:
+                    emptied_dirs.add(name.rsplit("/", 1)[0])
+    # drop partition directories the deletions left empty (bounded walk
+    # up: at most the partition depth, never touching the table root)
+    for rel in sorted(emptied_dirs, key=lambda s: -s.count("/")):
+        p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + rel)
+        for _ in range(rel.count("/") + 1):
+            if not (fs.exists(p) and len(fs.listStatus(p)) == 0):
+                break
+            fs.delete(p, False)
+            p = p.getParent()
     dv_base = path.rstrip("/") + "/" + DELETES_DIR
     for name in list_delete_files(spark, path):
         if name not in live_dv:

@@ -110,10 +110,157 @@ def test_manifest_versions_increase(spark, tmp_path):
     assert v2 == v1 + 1
 
 
-def test_partitioned_manifest_rejected(spark, tmp_path):
-    df = spark.createDataFrame([(1, "a", "x")], "id long, name string, p string")
-    with pytest.raises(ValueError):
-        lake_writer.write_initial(df, str(tmp_path / "t"), ["p"], use_manifest=True)
+def _pchanges(spark, rows):
+    return spark.createDataFrame(
+        rows, "op string, _seq long, id long, dept string, v long"
+    )
+
+
+def _pinit(spark, path):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40)],
+        "id long, dept string, v long",
+    )
+    lake_writer.write_initial(
+        df, path, partition_keys=["dept"], use_manifest=True, stats_cols=["v"]
+    )
+    return df
+
+
+def test_partitioned_manifest_end_to_end(spark, tmp_path):
+    """The flagship table shape: partitioned + manifest. One merge
+    commits atomically across partitions; time travel spans it;
+    partition-value pruning and data-column stats pruning both hold."""
+    out = str(tmp_path / "t")
+    _pinit(spark, out)  # v1
+    man = manifest.read_manifest(spark, out)
+    assert man["partition_keys"] == ["dept"]
+    assert all("/" in f and f.startswith("dept=") for f in man["files"])
+
+    # update in a, delete in b, move id=2 a->b: touches BOTH partitions
+    lake_writer.merge_incremental(
+        spark,
+        _pchanges(spark, [
+            ("U", 1, 1, "a", 11), ("D", 1, 3, "b", None), ("U", 1, 2, "b", 21),
+        ]),
+        out, ["id"], partition_keys=["dept"],
+        use_manifest=True, retain_history=True, stats_cols=["v"],
+    )  # v2
+    got = {(r.id, r.dept, r.v) for r in manifest.read_table(spark, out).collect()}
+    assert got == {(1, "a", 11), (2, "b", 21), (4, "b", 40)}
+    # time travel across the partitioned merge
+    v1 = {(r.id, r.dept, r.v) for r in manifest.read_table(spark, out, version=1).collect()}
+    assert v1 == {(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40)}
+
+    # partition-value pruning: only dept=b files are opened
+    df_b = manifest.read_table(spark, out, predicate=("dept", "=", "b"))
+    assert all("dept=b" in f for f in df_b.inputFiles())
+    assert {(r.id, r.v) for r in df_b.collect()} == {(2, 21), (4, 40)}
+    # data-column stats pruning still applies within partitions
+    df_v = manifest.read_table(spark, out, predicate=("v", ">", 30))
+    assert {(r.id, r.v) for r in df_v.collect()} == {(4, 40)}
+    assert len(df_v.inputFiles()) < len(manifest.read_manifest(spark, out)["files"])
+
+
+def test_partitioned_crash_before_commit_keeps_old_version(
+    spark, tmp_path, monkeypatch
+):
+    out = str(tmp_path / "t")
+    _pinit(spark, out)
+    before = {(r.id, r.dept, r.v) for r in manifest.read_table(spark, out).collect()}
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before commit")
+
+    monkeypatch.setattr(manifest, "commit_manifest", boom)
+    with pytest.raises(RuntimeError):
+        lake_writer.merge_incremental(
+            spark, _pchanges(spark, [("U", 1, 1, "a", 99)]), out, ["id"],
+            partition_keys=["dept"], use_manifest=True,
+        )
+    monkeypatch.undo()
+    # manifest readers: unchanged old version; orphans on disk; vacuum reclaims
+    assert {(r.id, r.dept, r.v) for r in manifest.read_table(spark, out).collect()} == before
+    assert len(spark.read.parquet(out).collect()) > len(before)
+    assert manifest.vacuum(spark, out, grace_seconds=0)
+    assert {(r.id, r.dept, r.v) for r in spark.read.parquet(out).collect()} == before
+
+
+def test_partitioned_crash_after_commit_shows_new_version(
+    spark, tmp_path, monkeypatch
+):
+    out = str(tmp_path / "t")
+    _pinit(spark, out)
+    real_commit = manifest.commit_manifest
+
+    def commit_then_crash(spark_, path, files, **kw):
+        real_commit(spark_, path, files, **kw)
+        raise RuntimeError("crash after commit")
+
+    monkeypatch.setattr(manifest, "commit_manifest", commit_then_crash)
+    with pytest.raises(RuntimeError):
+        lake_writer.merge_incremental(
+            spark, _pchanges(spark, [("U", 1, 1, "a", 99)]), out, ["id"],
+            partition_keys=["dept"], use_manifest=True,
+        )
+    monkeypatch.undo()
+    got = {(r.id, r.v) for r in manifest.read_table(spark, out).collect()}
+    assert got == {(1, 99), (2, 20), (3, 30), (4, 40)}
+    # superseded dept=a originals still on disk, invisible to the reader
+    assert len(spark.read.parquet(out).collect()) > len(got)
+    # follow-up merge against the committed manifest still works
+    lake_writer.merge_incremental(
+        spark, _pchanges(spark, [("I", 1, 5, "c", 50)]), out, ["id"],
+        partition_keys=["dept"], use_manifest=True,
+    )
+    got2 = {(r.id, r.v) for r in manifest.read_table(spark, out).collect()}
+    assert got2 == {(1, 99), (2, 20), (3, 30), (4, 40), (5, 50)}
+
+
+def test_partitioned_merge_drops_emptied_partition(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _pinit(spark, out)
+    lake_writer.merge_incremental(
+        spark,
+        _pchanges(spark, [("D", 1, 1, "a", None), ("D", 1, 2, "a", None)]),
+        out, ["id"], partition_keys=["dept"], use_manifest=True,
+    )
+    got = {(r.id, r.dept) for r in manifest.read_table(spark, out).collect()}
+    assert got == {(3, "b"), (4, "b")}
+    assert not any(
+        f.startswith("dept=a/")
+        for f in manifest.read_manifest(spark, out)["files"]
+    )
+    import os
+
+    assert not os.path.isdir(f"{out}/dept=a")
+
+
+def test_partitioned_compact_through_manifest(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _pinit(spark, out)
+    for i in range(3):  # accrete small files
+        lake_writer.merge_incremental(
+            spark, _pchanges(spark, [("I", 1, 10 + i, "a", 100 + i)]),
+            out, ["id"], partition_keys=["dept"], use_manifest=True,
+        )
+    before = {(r.id, r.v) for r in manifest.read_table(spark, out).collect()}
+    n_before = len(manifest.read_manifest(spark, out)["files"])
+    lake_writer.compact_table(
+        spark, out, partition_keys=["dept"], use_manifest=True, stats_cols=["v"]
+    )
+    after = {(r.id, r.v) for r in manifest.read_table(spark, out).collect()}
+    assert after == before
+    man = manifest.read_manifest(spark, out)
+    assert len(man["files"]) < n_before
+    assert man["partition_keys"] == ["dept"]
+
+
+def test_partitioned_table_rejects_merge_on_read_deletes(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _pinit(spark, out)
+    with pytest.raises(ValueError, match="unpartitioned"):
+        manifest.delete_where(spark, out, ("v", ">", 10))
 
 
 def test_time_travel_reads_old_versions(spark, tmp_path):
