@@ -592,36 +592,7 @@ def delete_where(
     if man is None:
         raise ValueError(f"{path} has no manifest; merge-on-read needs commits")
     matches = _apply_predicate(read_table_with_positions(spark, path), predicate)
-    dv_dir = path.rstrip("/") + "/" + DELETES_DIR
-    before = set(list_delete_files(spark, path))
-    matches.select(DV_FILE_COL, DV_POS_COL).write.mode("append").parquet(dv_dir)
-    added = [f for f in list_delete_files(spark, path) if f not in before]
-    if not added:
-        return man["version"]
-    # record each new DV file's referenced data files (bounded by file
-    # count — the same cardinality the manifest itself holds)
-    base = path.rstrip("/") + "/" + DELETES_DIR
-    rows = (
-        spark.read.parquet(*[posixpath.join(base, f) for f in added])
-        .select(
-            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_dvf"),
-            F.col(DV_FILE_COL),
-        )
-        .distinct()
-        .collect()
-    )
-    targets: dict[str, list[str]] = {}
-    for r in rows:
-        targets.setdefault(r["_dvf"].split("?", 1)[0], []).append(r[DV_FILE_COL])
-    # a multi-partition write stages one part per task; parts that held
-    # no matching rows are empty — drop them instead of committing
-    # target-less DV files the carry-forward pruner can never retire
-    empty = [f for f in added if f not in targets]
-    if empty:
-        jvm, fs = _fs(spark, path)
-        for f in empty:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(posixpath.join(base, f)), False)
-    added = [f for f in added if f in targets]
+    added, targets = stage_deletion_vectors(spark, path, matches)
     if not added:
         return man["version"]
     carried = man.get("delete_files") or []
@@ -633,6 +604,40 @@ def delete_where(
         delete_files=carried + added,
         dv_targets=targets,
     )
+
+
+def stage_deletion_vectors(
+    spark: SparkSession, path: str, addressed: DataFrame
+) -> tuple[list[str], dict[str, list[str]]]:
+    """Write ``addressed`` rows' (data-file basename, row position) as
+    new position-delete files under ``_deletes/`` and return (new DV
+    basenames, DV→referenced-data-file targets map). Staging only — the
+    caller commits.
+
+    One evaluation of ``addressed`` total: the frame is persisted, the
+    referenced data files collect from the cache (bounded by live file
+    count), and the write coalesces to a file count sized by matched
+    rows — a micro-batch CDC merge stages ONE small DV file instead of
+    one per shuffle partition (which tripled the per-batch wall at
+    bench scale). A zero-match frame stages nothing."""
+    dv_dir = path.rstrip("/") + "/" + DELETES_DIR
+    addressed = addressed.select(DV_FILE_COL, DV_POS_COL).persist()
+    try:
+        n = addressed.count()
+        if n == 0:
+            return [], {}
+        target_files = sorted(
+            r[0] for r in addressed.select(DV_FILE_COL).distinct().collect()
+        )
+        before = set(list_delete_files(spark, path))
+        # ~10M addresses (~100 MB) per DV part; micro-batches get 1 file
+        addressed.coalesce(max(1, min(64, n // 10_000_000 + 1))).write.mode(
+            "append"
+        ).parquet(dv_dir)
+        added = [f for f in list_delete_files(spark, path) if f not in before]
+        return added, {f: target_files for f in added}
+    finally:
+        addressed.unpersist()
 
 
 def apply_deletion_vectors(df: DataFrame, dv: DataFrame) -> DataFrame:

@@ -31,6 +31,8 @@ def start_cdc_stream(
     partition_keys: Sequence[str] = (),
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    merge_on_read: bool = False,
+    compact_every: int | None = None,
 ):
     """Stream landing-folder parquet into a merged lake table.
 
@@ -38,6 +40,17 @@ def start_cdc_stream(
     batch analogue, restart-safe via checkpoint); ``False`` runs
     continuously. ``max_files_per_trigger`` bounds per-batch work so one
     giant backlog replay cannot produce an unboundedly large merge.
+
+    ``merge_on_read=True`` applies each micro-batch through
+    ``lake_writer.merge_on_read_incremental`` — position deletes + an
+    append + one manifest commit, no data-file rewrite — the cheap path
+    for high-frequency micro-batches on an update-heavy stream
+    (unpartitioned manifest tables; read via ``manifest.read_table``).
+    ``compact_every`` then schedules the deferred rewrite: every N
+    micro-batches a manifest-gated compaction materializes the
+    accumulated deletion vectors so read amplification stays bounded.
+    Replay stays idempotent in both modes (a retried batch supersedes
+    the copy its first attempt appended).
     """
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
@@ -46,11 +59,23 @@ def start_cdc_stream(
     # foreachBatch frame is derived, and prepare_dms_batch needs
     # _metadata.file_path/row_index for deterministic within-file order
     stream = reader.parquet(source_dir).select("*", "_metadata")
+    if merge_on_read and partition_keys:
+        raise ValueError("merge-on-read streaming covers unpartitioned tables")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         changes = prepare_dms_batch(batch_df, primary_keys)
+        if merge_on_read:
+            lake_writer.merge_on_read_incremental(
+                batch_df.sparkSession, changes, out_path, primary_keys,
+                seq_col="_seq", op_col="op",
+            )
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                lake_writer.compact_table(
+                    batch_df.sparkSession, out_path, use_manifest=True
+                )
+            return
         lake_writer.merge_incremental(
             batch_df.sparkSession,
             changes,

