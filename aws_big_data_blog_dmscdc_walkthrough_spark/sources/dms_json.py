@@ -161,6 +161,63 @@ def kafka_envelopes(
     return parse_envelopes(raw, data_ddl)
 
 
+def kinesis_envelopes(
+    spark: SparkSession,
+    stream_name: str,
+    region: str,
+    data_ddl: str,
+    primary_keys: Sequence[str] = (),
+    dedup_within: str | None = None,
+    starting_position: str = "TRIM_HORIZON",
+    endpoint_url: str | None = None,
+    options: dict[str, str] | None = None,
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """DMS envelopes from a Kinesis stream, parsed to merge-ready rows —
+    the Kinesis twin of :func:`kafka_envelopes` (#75).
+
+    ``readStream.format("kinesis")`` with the de-facto option names the
+    public structured-streaming Kinesis connectors share (``streamName``
+    / ``region`` / ``startingPosition``; Databricks and the
+    qubole/awslabs connectors alike — no connector ships with OSS Spark,
+    so without one this raises a clear missing-data-source error). The
+    connector's wire schema carries the record payload in a binary
+    ``data`` column (beside ``partitionKey``/``sequenceNumber``/...),
+    which is what ``parse_envelopes`` consumes.
+
+    ``source`` injects a pre-built frame in that wire schema in place of
+    the connector, so the parse + dedup wiring is testable without AWS;
+    ``options`` passes extra connector options through verbatim.
+
+    Feed the result to ``writeStream.foreachBatch`` with the same merge
+    ``start_envelope_stream`` uses — the downstream is source-agnostic.
+    """
+    if source is not None:
+        raw = source
+    else:
+        reader = (
+            spark.readStream.format("kinesis")
+            .option("streamName", stream_name)
+            .option("region", region)
+            .option("startingPosition", starting_position)
+        )
+        if endpoint_url:
+            reader = reader.option("endpointUrl", endpoint_url)
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        raw = reader.load()
+    if dedup_within is not None:
+        parsed = parse_envelopes(raw, data_ddl, value_col="data").withColumn(
+            "_event_ts", F.to_timestamp(F.col("_seq.ts"))
+        )
+        return (
+            parsed.withWatermark("_event_ts", dedup_within)
+            .dropDuplicatesWithinWatermark([*primary_keys, "_seq"])
+            .drop("_event_ts")
+        )
+    return parse_envelopes(raw, data_ddl, value_col="data")
+
+
 def start_envelope_stream(
     spark: SparkSession,
     source_dir: str,

@@ -142,3 +142,42 @@ def test_kafka_envelopes_missing_connector_raises_clearly(spark):
             primary_keys=["id"], options={"maxOffsetsPerTrigger": "500"},
         )
     assert "kafka" in str(ei.value).lower()
+
+
+def test_kinesis_envelopes_wire_schema_without_aws(spark):
+    """kinesis_envelopes' parse wiring, fed a frame in the Kinesis
+    connector's wire shape (binary data + partitionKey/sequenceNumber)
+    instead of the connector — no AWS needed."""
+    rows = [
+        (_env("insert", {"id": 1, "name": "x"}, "2024-01-01T00:00:00Z").encode(),
+         "pk-1", "49590331", None),
+        (_env("update", {"id": 1, "name": "x2"}, "2024-01-01T00:00:01Z", txn=2).encode(),
+         "pk-1", "49590332", None),
+        (b"corrupt", "pk-1", "49590333", None),  # dropped, not poison
+    ]
+    kin_frame = spark.createDataFrame(
+        rows,
+        "data binary, partitionKey string, sequenceNumber string, "
+        "approximateArrivalTimestamp timestamp",
+    )
+    out = dms_json.kinesis_envelopes(
+        spark, "unused-stream", "us-east-1", "id LONG, name STRING",
+        source=kin_frame,
+    )
+    got = {(r.id, r.name, r.op) for r in out.collect()}
+    assert got == {(1, "x", "I"), (1, "x2", "U")}
+    assert {"id", "name", "op", "_seq", "_schema", "_table"} <= set(out.columns)
+
+
+def test_kinesis_envelopes_missing_connector_raises_clearly(spark):
+    """Without a Kinesis connector jar the constructor must fail with the
+    standard missing-data-source error (option plumbing reaches load())."""
+    import pytest
+
+    with pytest.raises(Exception) as ei:
+        dms_json.kinesis_envelopes(
+            spark, "orders-stream", "us-east-1", "id LONG",
+            endpoint_url="https://kinesis.us-east-1.amazonaws.com",
+            options={"maxFetchRate": "2"},
+        )
+    assert "kinesis" in str(ei.value).lower()
