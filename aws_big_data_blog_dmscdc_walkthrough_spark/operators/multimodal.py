@@ -17,7 +17,7 @@ Decoders — three tiers:
     uint16 width/height/channels/frames, packed frame bytes) — the
     canonical internal representation; resize/sample emit it, and tests
     synthesize it for byte-exact checks.
-  * remaining compressed codecs (JPEG/MP4…, plus PNG's palette /
+  * remaining compressed codecs (progressive JPEG/MP4…, plus PNG's palette /
     16-bit / interlaced corners) require PIL/ffmpeg, absent in this
     environment — that path is import-gated and raises
     ``NotImplementedError`` with the reason; the mapInPandas plumbing
@@ -407,13 +407,23 @@ def decode_image(blob: bytes) -> "np.ndarray":
 
 
 def _decode_compressed(blob: bytes, mime: str):
-    """Compressed codecs need PIL/ffmpeg — import-gated, absent here."""
+    """Compressed codecs: JPEG baseline decodes natively (operators/
+    jpeg.py — huffman + dequant + IDCT in numpy); progressive/arithmetic
+    JPEG and video remain PIL/ffmpeg import-gated, absent here."""
+    if mime == "image/jpeg":
+        from . import jpeg as _jpeg
+
+        try:
+            return _jpeg.decode_jpeg_baseline(blob)[None]
+        except NotImplementedError:
+            pass  # non-baseline profile → PIL gate below
     try:
         from PIL import Image
     except ImportError as exc:  # pragma: no cover - env has no PIL
         raise NotImplementedError(
-            f"decoding {mime} requires PIL/ffmpeg, absent in this "
-            "environment; BMP/PPM/PGM/WAV/MMRW decode natively"
+            f"decoding {mime} (beyond baseline JPEG) requires PIL/ffmpeg, "
+            "absent in this environment; JPEG-baseline/BMP/PPM/PGM/PNG/"
+            "WAV/MMRW decode natively"
         ) from exc
     arr = np.asarray(Image.open(io.BytesIO(blob)))  # pragma: no cover
     if arr.ndim == 2:  # pragma: no cover
@@ -442,6 +452,13 @@ def _blob_meta(blob: bytes) -> dict:
         meta.update(
             width=w, height=h, channels=_PNG_CHANNELS.get(ctype, 0), n_frames=1
         )
+    elif mime == "image/jpeg":
+        # header-only: dims from the SOF marker, works for ANY profile
+        # (progressive included) even though only baseline fully decodes
+        from . import jpeg as _jpeg
+
+        h, w, c = _jpeg.peek_dims(blob)
+        meta.update(width=w, height=h, channels=c, n_frames=1)
     elif mime in ("image/bmp", "image/x-portable-pixmap", "image/x-portable-graymap"):
         frames = decode_image(blob)
         _, h, w, c = frames.shape

@@ -102,11 +102,25 @@ def test_features_feed_ann(spark, media):
 
 
 def test_compressed_codec_is_clearly_stubbed(spark):
-    # JPEG magic: decoding requires PIL, absent here — the gate must say so
-    fake_jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 32
-    df = spark.createDataFrame([(0, fake_jpeg, None)], mm.MEDIA_SCHEMA)
+    # PROGRESSIVE JPEG (SOF2): baseline decodes natively now, so only
+    # non-baseline profiles hit the PIL gate — which must say so
+    sof2 = (
+        b"\xff\xd8"
+        + b"\xff\xc2" + struct.pack(">H", 11)
+        + struct.pack(">BHHB", 8, 4, 4, 1) + bytes([1, 0x11, 0])
+        + b"\xff\xd9"
+    )
+    # metadata still works (dims come from the SOF header, any profile)
+    meta = mm._blob_meta(sof2)
+    assert (meta["width"], meta["height"]) == (4, 4)
+    # ...but PIXEL decode of a non-baseline profile hits the PIL gate
+    with pytest.raises(NotImplementedError) as ei:
+        mm.decode_image(sof2)
+    assert "PIL" in str(ei.value)
+    # and through the Spark resize path the gate surfaces too
+    df = spark.createDataFrame([(0, sof2, None)], mm.MEDIA_SCHEMA)
     with pytest.raises(Exception) as ei:
-        mm.decode_media(df).collect()
+        mm.resize_images(df, out_w=2, out_h=2).collect()
     assert "PIL" in str(ei.value) or "NotImplementedError" in str(ei.value)
 
 
@@ -247,3 +261,100 @@ def test_png_unsupported_variants_fall_to_gate():
     with pytest.raises(Exception) as ei:
         mm.decode_image(blob)
     assert "PIL" in str(ei.value) or "NotImplementedError" in str(ei.value)
+
+
+# ------------------------------------------------- baseline JPEG codec
+
+
+def test_jpeg_gray_roundtrip_near_lossless():
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import jpeg
+
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 256, (24, 33), dtype=np.uint8)  # non-multiple of 8
+    dec = jpeg.decode_jpeg_baseline(jpeg.encode_jpeg_baseline(g))
+    assert dec.shape == (24, 33, 1)
+    # flat unit quant: round-trip error is DCT rounding only
+    assert int(np.abs(dec[:, :, 0].astype(int) - g.astype(int)).max()) <= 1
+
+
+def test_jpeg_rgb_roundtrip_within_tolerance():
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import jpeg
+
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    dec = jpeg.decode_jpeg_baseline(jpeg.encode_jpeg_baseline(rgb))
+    assert dec.shape == (40, 56, 3)
+    # YCbCr round-trip adds color-convert rounding on top of DCT rounding
+    assert int(np.abs(dec.astype(int) - rgb.astype(int)).max()) <= 3
+
+
+def test_jpeg_420_subsampled_flat_regions_exact():
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import jpeg
+
+    flat = np.zeros((32, 48, 3), np.uint8)
+    flat[:16, :24] = [200, 30, 30]
+    flat[:16, 24:] = [30, 200, 30]
+    flat[16:, :24] = [30, 30, 200]
+    flat[16:, 24:] = [128, 128, 0]
+    blob = jpeg.encode_jpeg_baseline(flat, subsample=True)
+    dec = jpeg.decode_jpeg_baseline(blob)
+    # 4:2:0 averaging of 16x16-aligned flat regions is lossless up to rounding
+    assert int(np.abs(dec.astype(int) - flat.astype(int)).max()) <= 1
+
+
+def test_jpeg_restart_markers_roundtrip():
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import jpeg
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    blob = jpeg.encode_jpeg_baseline(rgb, restart_interval=3)
+    assert b"\xff\xdd" in blob  # DRI present
+    dec = jpeg.decode_jpeg_baseline(blob)
+    assert int(np.abs(dec.astype(int) - rgb.astype(int)).max()) <= 3
+
+
+def test_jpeg_lossy_quant_stays_close():
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import jpeg
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    smooth = ((yy * 3 + xx * 2) % 256).astype(np.uint8)
+    dec = jpeg.decode_jpeg_baseline(jpeg.encode_jpeg_baseline(smooth, quant=8))
+    err = np.abs(dec[:, :, 0].astype(int) - smooth.astype(int))
+    assert float(err.mean()) < 8.0  # lossy but sane
+
+
+def test_jpeg_decode_media_auto_detects(spark):
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import jpeg
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    blob = jpeg.encode_jpeg_baseline(rgb)
+    df = spark.createDataFrame([(0, blob, None)], mm.MEDIA_SCHEMA)
+    meta = mm.decode_media(df).select("meta.*").collect()[0]
+    assert (meta.mime, meta.width, meta.height, meta.channels) == (
+        "image/jpeg", 24, 16, 3
+    )
+    frames = mm.decode_image(blob)
+    assert frames.shape == (1, 16, 24, 3)
+
+
+def test_jpeg_peek_dims_progressive_header():
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import jpeg
+
+    sof2 = (
+        b"\xff\xd8"
+        + b"\xff\xc2" + struct.pack(">H", 11)
+        + struct.pack(">BHHB", 8, 480, 640, 3)
+        + bytes([1, 0x22, 0])
+        + b"\xff\xd9"
+    )
+    assert jpeg.peek_dims(sof2) == (480, 640, 3)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        jpeg.decode_jpeg_baseline(sof2)
+
+
+def test_jpeg_truncated_raises_value_error():
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import jpeg
+
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg_baseline(b"\xff\xd8\xff\xe0" + b"\x00" * 8)
