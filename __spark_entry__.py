@@ -167,6 +167,12 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_sequences": text.corpus_pack_sequences,
         "dedup_incremental": llm_queries.dedup_incremental,
         "emb_quantize": llm_queries.emb_quantize,
+        # round-7 additions (SURVEY §2 #81-83)
+        "text_repetition": text.text_repetition,
+        "corpus_token_budget": text.corpus_token_budget,
+        # rows-only (sketch internals differ across engines by design;
+        # the tolerance pytest pins values against the exact percentile)
+        "q_orders_price_quantiles_approx": analytics.q_orders_price_quantiles_approx,
     }
 
 
@@ -239,6 +245,8 @@ def secondary_oracle_sql() -> dict[str, str]:
         "q21_waiting_suppliers": tpch_rest.Q21_SQL,
         "corpus_split_counts": text.CORPUS_SPLIT_COUNTS_SQL,
         "corpus_pack_sequences": text.CORPUS_PACK_SEQUENCES_SQL,
+        "text_repetition": text.TEXT_REPETITION_SQL,
+        "corpus_token_budget": text.CORPUS_TOKEN_BUDGET_SQL,
         "dedup_incremental": llm_queries.DEDUP_INCREMENTAL_SQL,
         "emb_quantize": llm_queries.EMB_QUANTIZE_SQL,
         "q_customer_value_ranks": tpch_ext.Q_CUSTOMER_VALUE_RANKS_SQL,

@@ -610,3 +610,191 @@ def cms_estimate(sketch_rows, word: str) -> int:
         cells.get((i, (a * h + b) % CMS_P % CMS_WIDTH), 0)
         for i, (a, b) in enumerate(zip(CMS_A, CMS_B))
     )
+
+
+# ------------------------------------------------- repetition filters
+
+# Gopher-style repetition thresholds (Rae et al. 2021, public): a
+# document dominated by one token or by repeated bigrams is boilerplate
+# (navigation, tag soup, generated filler), not prose.
+REPETITION_TOP_WORD_MAX = 0.10    # max share of the single most frequent token
+REPETITION_DUP_BIGRAM_MAX = 0.30  # max share of repeated (non-first) bigrams
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-removal signals per document (Gopher-style filters).
+
+    Two frequency-DISTRIBUTION signals text_quality's distinct-token
+    ratio cannot see: the concentration of the single most frequent
+    token, and the fraction of bigram occurrences that are repeats.
+
+    Scale shape: the token-concentration side is one (doc_id, word)
+    grouped count — shuffle bounded by corpus token volume with
+    map-side partial aggregation; the bigram side is map-only array
+    expressions (zip-with-tail + array_distinct); the final join is on
+    doc_id. ``keep`` applies the thresholds.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = _tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("_toks"))
+
+    conc = (
+        base.select("doc_id", F.explode("_toks").alias("_w"))
+        .groupBy("doc_id", "_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("_c").cast("bigint").alias("top_word_count"),
+            F.sum("_c").cast("bigint").alias("n_tokens"),
+        )
+    )
+    pairs = F.transform(
+        F.arrays_zip(
+            F.slice("_toks", 1, F.greatest(F.size("_toks") - 1, F.lit(0))),
+            F.slice("_toks", 2, F.greatest(F.size("_toks") - 1, F.lit(0))),
+        ),
+        lambda s: F.concat_ws(" ", s["0"], s["1"]),
+    )
+    bigr = base.select(
+        "doc_id",
+        (F.size("_toks") - 1).cast("bigint").alias("_nb"),
+        F.size(F.array_distinct(pairs)).cast("bigint").alias("_ndb"),
+    )
+    top_frac = F.col("top_word_count").cast("double") / F.col("n_tokens").cast("double")
+    dup_frac = F.when(
+        F.col("_nb") > 0,
+        F.lit(1.0) - F.col("_ndb").cast("double") / F.col("_nb").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        conc.join(bigr, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "top_word_count",
+            top_frac.alias("top_word_frac"),
+            dup_frac.alias("dup_bigram_frac"),
+            (
+                (top_frac <= REPETITION_TOP_WORD_MAX)
+                & (dup_frac <= REPETITION_DUP_BIGRAM_MAX)
+            ).alias("keep"),
+        )
+    )
+
+
+TEXT_REPETITION_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+),
+c AS (
+  SELECT doc_id, w, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+  GROUP BY doc_id, w
+),
+conc AS (
+  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_word_count,
+         CAST(SUM(c) AS BIGINT) AS n_tokens
+  FROM c GROUP BY doc_id
+),
+b AS (
+  SELECT doc_id, CAST(len(toks) - 1 AS BIGINT) AS nb,
+    CAST(len(list_distinct([toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))])) AS BIGINT) AS ndb
+  FROM t
+)
+SELECT conc.doc_id, n_tokens, top_word_count,
+  CAST(top_word_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_word_frac,
+  CASE WHEN nb > 0
+       THEN 1.0 - CAST(ndb AS DOUBLE) / CAST(nb AS DOUBLE)
+       ELSE 0.0 END AS dup_bigram_frac,
+  (CAST(top_word_count AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+     <= {REPETITION_TOP_WORD_MAX})
+  AND ((CASE WHEN nb > 0
+        THEN 1.0 - CAST(ndb AS DOUBLE) / CAST(nb AS DOUBLE)
+        ELSE 0.0 END) <= {REPETITION_DUP_BIGRAM_MAX}) AS keep
+FROM conc JOIN b ON conc.doc_id = b.doc_id
+"""
+
+
+# ------------------------------------------------- token-budget selection
+
+TOKEN_BUDGET_PER_SOURCE = 800  # tokens kept per source (quality-ranked)
+QUALITY_BUCKET_SCALE = 1000     # quality buckets = floor(score * scale)
+
+
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked token-budget selection per source (data mixing).
+
+    The curation question "keep the best N tokens from each source":
+    exact per-doc cumulative selection would serialize each source
+    through one ordered cumsum, so the selection is BUCKET-GRANULAR —
+    quality scores quantize to ``floor(score × 1000)`` buckets, per
+    (source, bucket) token totals aggregate (tiny: ≤1001 rows/source),
+    a descending prefix sum picks every bucket that STARTS under the
+    budget (the straddling bucket is included whole, so the kept volume
+    overshoots by at most one bucket), and the output is the per-source
+    audit row: docs/tokens kept + the quality cutoff bucket. All
+    corpus-size work is one map-side scan + one small agg; the ordered
+    scan runs over bucket summaries, never documents.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("_nt"),
+        F.floor(quality_score_col("text") * QUALITY_BUCKET_SCALE)
+        .cast("int")
+        .alias("_b"),
+    )
+    per_bucket = scored.groupBy("source", "_b").agg(
+        F.sum("_nt").alias("_btok"), F.count(F.lit(1)).alias("_bdocs")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("_b").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_bucket.withColumn("_cum", F.sum("_btok").over(w))
+    kept = cum.where(F.col("_cum") - F.col("_btok") < TOKEN_BUDGET_PER_SOURCE)
+    return kept.groupBy("source").agg(
+        F.sum("_bdocs").cast("bigint").alias("n_docs_kept"),
+        F.sum("_btok").cast("bigint").alias("n_tokens_kept"),
+        F.min("_b").alias("cutoff_bucket"),
+    )
+
+
+_SCORE_SQL = (
+    "(CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.4"
+    f" + (CAST({_EN_SQL} AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.3"
+    " + (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.2"
+    " + (CAST(n_space AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.1"
+)
+
+CORPUS_TOKEN_BUDGET_SQL = rf"""
+WITH t AS (
+  SELECT source, string_split_regex(trim(text), '\s+') AS toks,
+    length(text) AS n_chars,
+    length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS n_alpha,
+    length(text) - length(regexp_replace(text, ' ', '', 'g')) AS n_space
+  FROM documents
+),
+s AS (
+  SELECT source, len(toks) AS nt,
+    CAST(FLOOR(({_SCORE_SQL}) * {QUALITY_BUCKET_SCALE}) AS INT) AS b
+  FROM t
+),
+pb AS (
+  SELECT source, b, SUM(nt) AS btok, COUNT(*) AS bdocs
+  FROM s GROUP BY source, b
+),
+c AS (
+  SELECT *, SUM(btok) OVER (
+    PARTITION BY source ORDER BY b DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS cum FROM pb
+)
+SELECT source,
+  CAST(SUM(bdocs) AS BIGINT) AS n_docs_kept,
+  CAST(SUM(btok) AS BIGINT) AS n_tokens_kept,
+  MIN(b) AS cutoff_bucket
+FROM c
+WHERE cum - btok < {TOKEN_BUDGET_PER_SOURCE}
+GROUP BY source
+"""

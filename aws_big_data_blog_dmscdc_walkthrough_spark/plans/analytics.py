@@ -733,3 +733,25 @@ def q_events_daily_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+APPROX_QUANTILE_PROBS = [0.25, 0.5, 0.75, 0.95]
+
+
+def q_orders_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate grouped quantiles — the 100 TB companion to the exact
+    median (#45): ``percentile_approx`` keeps one fixed-size mergeable
+    Greenwald-Khanna sketch per group with map-side partial merge, so
+    cost is independent of group row count — the exact percentile's
+    per-group sort/collect is the thing that stops scaling first. The
+    accuracy parameter bounds rank error at 1/10000. Gate: rows-only
+    (sketch internals differ across engines by design); the pytest
+    tolerance check pins each approximate quantile against the exact
+    one within the sketch's rank-error bound."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx(
+            "o_totalprice", APPROX_QUANTILE_PROBS, 10000
+        ).alias("price_quantiles"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

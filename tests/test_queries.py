@@ -52,3 +52,31 @@ def test_approx_daily_users_within_rsd(spark):
     assert set(exact) == set(approx)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(3, 0.05 * n), (k, n, approx[k])
+
+
+def test_approx_quantiles_within_rank_error(spark):
+    """percentile_approx must track exact per-group quantiles within its
+    rank-error bound (generous value tolerance: the nearest exact rank
+    neighbors bound the value error)."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import analytics
+    from aws_big_data_blog_dmscdc_walkthrough_spark.session import load_table
+
+    import pyspark.sql.functions as F
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    exact = {
+        r.o_orderpriority: r.q
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.expr(
+            "percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.95))"
+        ).alias("q"))
+        .collect()
+    }
+    approx = {
+        r.o_orderpriority: r.price_quantiles
+        for r in analytics.q_orders_price_quantiles_approx(spark, SF_SMOKE).collect()
+    }
+    assert set(exact) == set(approx)
+    for grp, ex in exact.items():
+        for e, a in zip(ex, approx[grp]):
+            assert abs(a - e) <= max(1.0, 0.02 * abs(e)), (grp, e, a)
