@@ -209,6 +209,11 @@ def encode_jpeg_baseline(
     h, w, nc = pixels.shape
     if nc not in (1, 3):
         raise ValueError("encode_jpeg_baseline: 1 or 3 channels")
+    if not 1 <= quant <= 255:
+        # a baseline 8-bit DQT entry caps at 255: silently clamping the
+        # table while quantizing by the raw value would emit a stream
+        # every decoder dequantizes WRONG (reconstruction off by q/255)
+        raise ValueError("quant must be in [1, 255] (baseline 8-bit DQT)")
     qt = np.full((8, 8), float(quant))
 
     if nc == 3:
@@ -240,9 +245,7 @@ def encode_jpeg_baseline(
     out = bytearray()
     out += b"\xff\xd8"  # SOI
     out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    dqt = bytes([0]) + bytes(
-        min(255, int(qt.flat[ZIGZAG[i]])) for i in range(64)
-    )
+    dqt = bytes([0]) + bytes(int(qt.flat[ZIGZAG[i]]) for i in range(64))
     out += _seg(0xFFDB, dqt)
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for i, (sh, sv) in enumerate(sampling):
@@ -356,13 +359,26 @@ def _extend(v: int, s: int) -> int:
 
 def peek_dims(data: bytes) -> tuple[int, int, int]:
     """(height, width, channels) from any JPEG's SOF marker — cheap
-    metadata without a full decode (works for progressive too)."""
+    metadata without a full decode (works for progressive too).
+    Truncated/corrupt streams raise ValueError, never a raw
+    struct.error/IndexError (a corpus blob must not fail a whole
+    mapInPandas task opaquely)."""
+    try:
+        return _peek_dims(data)
+    except (IndexError, struct.error) as exc:
+        raise ValueError("truncated or corrupt JPEG stream") from exc
+
+
+def _peek_dims(data: bytes) -> tuple[int, int, int]:
     pos = 2
     while pos < len(data) - 3:
         if data[pos] != 0xFF:
             pos += 1
             continue
         marker = data[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2: optional fill byte, skip one
+            pos += 1
+            continue
         if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                       0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             h, w = struct.unpack(">HH", data[pos + 5:pos + 9])
@@ -401,6 +417,9 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             pos += 1
             continue
         marker = data[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2: optional fill byte, skip one
+            pos += 1
+            continue
         pos += 2
         if marker == 0xD9:  # EOI before SOS
             raise ValueError("no scan data")

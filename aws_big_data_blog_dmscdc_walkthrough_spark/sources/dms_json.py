@@ -88,6 +88,7 @@ def deduped_envelopes(
     data_ddl: str,
     primary_keys: Sequence[str],
     delay: str = "1 hour",
+    value_col: str = "value",
 ) -> DataFrame:
     """Parse a streaming envelope feed and drop at-least-once
     redeliveries with BOUNDED state.
@@ -99,8 +100,10 @@ def deduped_envelopes(
     requirement for a continuous CDC feed. Late duplicates beyond the
     watermark fall back to the merge's latest-wins ranking (same seq →
     same survivor), so correctness never depends on the dedup.
+    ``value_col`` names the envelope column (Kafka ships ``value``,
+    Kinesis connectors ``data``).
     """
-    parsed = parse_envelopes(stream, data_ddl).withColumn(
+    parsed = parse_envelopes(stream, data_ddl, value_col).withColumn(
         "_event_ts", F.to_timestamp(F.col("_seq.ts"))
     )
     return (
@@ -207,13 +210,8 @@ def kinesis_envelopes(
             reader = reader.option(k, v)
         raw = reader.load()
     if dedup_within is not None:
-        parsed = parse_envelopes(raw, data_ddl, value_col="data").withColumn(
-            "_event_ts", F.to_timestamp(F.col("_seq.ts"))
-        )
-        return (
-            parsed.withWatermark("_event_ts", dedup_within)
-            .dropDuplicatesWithinWatermark([*primary_keys, "_seq"])
-            .drop("_event_ts")
+        return deduped_envelopes(
+            raw, data_ddl, list(primary_keys), dedup_within, value_col="data"
         )
     return parse_envelopes(raw, data_ddl, value_col="data")
 

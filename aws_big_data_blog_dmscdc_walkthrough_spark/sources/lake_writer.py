@@ -104,12 +104,23 @@ def _sidecars_preserved(spark: SparkSession, out_path: str):
         yield
     finally:
         if moved:
+            # the write may have failed after deleting out_path: recreate
+            # it so the restore renames have a destination (Hadoop rename
+            # returns False rather than raising when the parent is gone)
+            if not fs.exists(p_out):
+                fs.mkdirs(p_out)
+            all_restored = True
             for name in moved:
-                fs.rename(
+                ok = fs.rename(
                     jvm.org.apache.hadoop.fs.Path(f"{holder}/{name}"),
                     jvm.org.apache.hadoop.fs.Path(f"{out_path.rstrip('/')}/{name}"),
                 )
-            fs.delete(p_holder, True)
+                all_restored = all_restored and bool(ok)
+            # delete the holder ONLY when every sidecar actually moved
+            # back — a failed rename must leave it recoverable, never
+            # recursively deleted with the sidecar still inside
+            if all_restored and len(fs.listStatus(p_holder)) == 0:
+                fs.delete(p_holder, True)
 
 
 def write_initial(
@@ -347,7 +358,10 @@ def _precheck_merge_eligible(
             raise ValueError(f"change batch missing required column {col!r}")
     if not primary_keys or not target_exists(spark, out_path):
         return
-    target = spark.read.parquet(out_path)
+    # mergeSchema, same as the merge's own read: a footer sampled from a
+    # pre-evolution file would hide additively-added columns and let a
+    # type change on one slip past as "additive"
+    target = spark.read.option("mergeSchema", "true").parquet(out_path)
     data_cols = [c for c in target.columns if c not in (op_col, seq_col)]
     # raises on a type CHANGE (additive-only evolution, cdc.align_schemas)
     cdc.align_schemas(target.select(*data_cols), changes, extra_cols=(op_col, seq_col))
@@ -582,15 +596,7 @@ def _commit_partitioned_merge(
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base}/{name}"), False)
         if "/" in name:
             emptied_dirs.add(name.rsplit("/", 1)[0])
-    # collapse partition directories the deletions left empty (bounded
-    # walk up: at most the partition depth, never touching the root)
-    for rel in sorted(emptied_dirs, key=lambda s: -s.count("/")):
-        p = jvm.org.apache.hadoop.fs.Path(f"{base}/{rel}")
-        for _ in range(rel.count("/") + 1):
-            if not (fs.exists(p) and len(fs.listStatus(p)) == 0):
-                break
-            fs.delete(p, False)
-            p = p.getParent()
+    manifest_mod.collapse_empty_dirs(jvm, fs, base, emptied_dirs)
 
 
 def _merge_unpartitioned_cow(

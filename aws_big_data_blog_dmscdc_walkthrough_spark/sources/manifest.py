@@ -56,6 +56,20 @@ def _manifest_path(path: str) -> str:
     return path.rstrip("/") + "/" + MANIFEST_NAME
 
 
+def collapse_empty_dirs(jvm, fs, base: str, rel_dirs) -> None:
+    """Delete (now-)empty partition directories left behind by file
+    deletions: deepest first, each walked up at most its own depth so
+    nested partition levels collapse but the table root is never
+    touched. Shared by vacuum and the partitioned-merge cleanup."""
+    for rel in sorted(set(rel_dirs), key=lambda s: -s.count("/")):
+        p = jvm.org.apache.hadoop.fs.Path(f"{base}/{rel}")
+        for _ in range(rel.count("/") + 1):
+            if not (fs.exists(p) and len(fs.listStatus(p)) == 0):
+                break
+            fs.delete(p, False)
+            p = p.getParent()
+
+
 HISTORY_DIR = "_mmanifest_history"
 
 
@@ -727,15 +741,7 @@ def vacuum(
                 removed.append(name)
                 if "/" in name:
                     emptied_dirs.add(name.rsplit("/", 1)[0])
-    # drop partition directories the deletions left empty (bounded walk
-    # up: at most the partition depth, never touching the table root)
-    for rel in sorted(emptied_dirs, key=lambda s: -s.count("/")):
-        p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + rel)
-        for _ in range(rel.count("/") + 1):
-            if not (fs.exists(p) and len(fs.listStatus(p)) == 0):
-                break
-            fs.delete(p, False)
-            p = p.getParent()
+    collapse_empty_dirs(jvm, fs, path.rstrip("/"), emptied_dirs)
     dv_base = path.rstrip("/") + "/" + DELETES_DIR
     for name in list_delete_files(spark, path):
         if name not in live_dv:

