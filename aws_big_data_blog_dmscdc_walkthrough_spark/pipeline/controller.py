@@ -104,7 +104,10 @@ def process_table(
         load_ts = max(landing.file_mtime(spark, f) for f in folder.initial_files)
         if load_ts > state.last_full_load_ts:
             df = landing.read_initial(spark, folder, state.schema_ddl)
-            lake_writer.write_initial(df, out_path, state.partition_keys)
+            lake_writer.write_initial(
+                df, out_path, state.partition_keys,
+                use_manifest=state.use_manifest, stats_cols=state.stats_cols,
+            )
             state.last_full_load_ts = load_ts
             # last_incremental_file is kept: files at-or-before the mark
             # stay consumed; files after it re-merge idempotently on top
@@ -128,6 +131,9 @@ def process_table(
             lake_writer.merge_incremental(
                 spark, raw, out_path, primary_keys=[],
                 partition_keys=state.partition_keys, seq_col="_seq", op_col="op",
+                use_manifest=state.use_manifest,
+                retain_history=state.retain_history,
+                stats_cols=state.stats_cols, change_feed=state.change_feed,
             )
         else:
             changes = prepare_dms_batch(
@@ -142,6 +148,10 @@ def process_table(
                 state.partition_keys,
                 seq_col="_seq",
                 op_col="op",
+                use_manifest=state.use_manifest,
+                retain_history=state.retain_history,
+                stats_cols=state.stats_cols,
+                change_feed=state.change_feed,
             )
         state.last_incremental_file = new_files[-1]
         store.put(state)

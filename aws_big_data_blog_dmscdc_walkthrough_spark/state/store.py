@@ -46,6 +46,34 @@ class TableState:
     def partition_keys(self) -> list[str]:
         return [k.strip() for k in self.partition_key.split(",") if k.strip()]
 
+    # --- per-table lake options, carried in `extra` so the record shape
+    # stays DynamoDB-compatible (a flat item with an attribute map).
+    # A human (or provisioning code) flips these in the state file the
+    # same way the reference flips ActiveFlag.
+
+    @property
+    def use_manifest(self) -> bool:
+        """Manifest-gated atomic commits + time travel for this table."""
+        return bool(self.extra.get("use_manifest", False))
+
+    @property
+    def retain_history(self) -> bool:
+        """Keep superseded files so earlier versions stay readable."""
+        return bool(self.extra.get("retain_history", False))
+
+    @property
+    def change_feed(self) -> bool:
+        """Publish each merge's collapsed changes to _change_feed/."""
+        return bool(self.extra.get("change_feed", False))
+
+    @property
+    def stats_cols(self) -> list[str]:
+        """DATA columns to record per-file min/max for (file skipping)."""
+        v = self.extra.get("stats_cols", "")
+        if isinstance(v, str):
+            return [c.strip() for c in v.split(",") if c.strip()]
+        return [str(c) for c in v]
+
 
 class JsonStateStore:
     """{path: TableState} persisted as one JSON document, atomic rename.

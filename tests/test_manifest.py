@@ -658,3 +658,19 @@ def test_vacuum_grace_period_spares_fresh_orphans(spark, tmp_path):
     assert orphans_before
     assert manifest.vacuum(spark, out, grace_seconds=3600) == []
     assert manifest.vacuum(spark, out, grace_seconds=0)  # explicit opt-out reclaims
+
+
+def test_register_manifest_view_partitioned(spark, tmp_path):
+    """The committed-snapshot view works for partitioned manifests too
+    (partition columns present, only live files served)."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import catalog
+
+    out = str(tmp_path / "t")
+    _pinit(spark, out)
+    lake_writer.merge_incremental(
+        spark, _pchanges(spark, [("U", 1, 1, "a", 99)]), out, ["id"],
+        partition_keys=["dept"], use_manifest=True, retain_history=True,
+    )
+    catalog.register_manifest_view(spark, out, "pt_view")
+    got = {(r.id, r.dept, r.v) for r in spark.sql("SELECT * FROM pt_view").collect()}
+    assert got == {(1, "a", 99), (2, "a", 20), (3, "b", 30), (4, "b", 40)}

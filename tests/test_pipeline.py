@@ -104,6 +104,50 @@ def test_full_flow_initial_then_incremental(spark, env):
     assert spark.read.parquet(f"{env['lake']}/sampledb/product").count() == 3
 
 
+def test_full_flow_with_manifest_and_feed_via_state_flags(spark, env):
+    """Per-table lake options flow from the state record (the
+    DynamoDB-shaped `extra` map) through the controller: a table flagged
+    use_manifest/retain_history/change_feed gets atomic commits, time
+    travel across its merges, and a change feed — with zero code at the
+    orchestration call site."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import (
+        lake_writer,
+        manifest,
+    )
+
+    _write_initial(spark, env)
+    store = JsonStateStore(env["state"])
+    controller.run_once(spark, env["landing"], env["lake"], store)  # registers
+    st = store.all()[0]
+    st.active = True
+    st.primary_key = "id"
+    st.extra = {
+        "use_manifest": True,
+        "retain_history": True,
+        "change_feed": True,
+        "stats_cols": "id",
+    }
+    store.put(st)
+
+    controller.run_once(spark, env["landing"], env["lake"], store)  # initial
+    out = f"{env['lake']}/sampledb/product"
+    man = manifest.read_manifest(spark, out)
+    assert man is not None and man["version"] == 1 and man.get("stats")
+
+    _write_incremental(spark, env)
+    controller.run_once(spark, env["landing"], env["lake"], store)
+    # the merge committed atomically and history is time-travelable
+    assert manifest.read_manifest(spark, out)["version"] == 2
+    v1 = {r.id for r in manifest.read_table(spark, out, version=1).collect()}
+    v2 = {r.id for r in manifest.read_table(spark, out).collect()}
+    assert v1 == {1001, 1002, 1003} and v2 == {1001, 1003, 1004}
+    # the change feed carries the collapsed batch (D tombstone visible)
+    feed = lake_writer.read_change_feed(spark, out)
+    assert {(r.id, r.op) for r in feed.collect()} == {
+        (1001, "U"), (1002, "D"), (1004, "I")
+    }
+
+
 def test_partitioned_cow_only_touches_impacted_partitions(spark, env):
     _write_initial(spark, env)
     store = JsonStateStore(env["state"])
