@@ -514,7 +514,8 @@ def vector_mean_by(
 
 
 def write_ivf_partitioned(
-    df: DataFrame, id_col: str, vec_col: str, path: str, centroids
+    df: DataFrame, id_col: str, vec_col: str, path: str, centroids,
+    assign_m: int = 1,
 ) -> None:
     """Ingest-time IVF layout: store vectors PARTITIONED by coarse cell.
 
@@ -524,15 +525,46 @@ def write_ivf_partitioned(
     the scan never opens the other n_centroids - nprobe directories. At
     100 TB this turns every query from a full-corpus scan into
     nprobe/n_centroids of one.
+
+    ``assign_m`` > 1 spill-assigns: each vector is stored in its m
+    nearest cells (explode — m× storage), the ingest-time form of
+    ``ivf_topk``'s recall lever: boundary vectors stop falling through
+    the probe. Readers must dedupe on ``id_col`` (a vector shows up via
+    every probed cell it lives in) — ``ivf_topk_partitioned`` does.
     """
-    assign = ivf_assign(centroids)
-    (
-        df.select(F.col(id_col), F.col(vec_col))
-        .withColumn("_ivf", assign(F.col(vec_col)))
-        .write.mode("overwrite")
-        .partitionBy("_ivf")
-        .parquet(path)
-    )
+    if assign_m > 1:
+        assign = ivf_assign_multi(centroids, assign_m)
+        staged = (
+            df.select(F.col(id_col), F.col(vec_col))
+            .withColumn("_ivf", F.explode(assign(F.col(vec_col))))
+        )
+    else:
+        staged = df.select(F.col(id_col), F.col(vec_col)).withColumn(
+            "_ivf", ivf_assign(centroids)(F.col(vec_col))
+        )
+    staged.write.mode("overwrite").partitionBy("_ivf").parquet(path)
+    if assign_m > 1:
+        # marker so readers know rows duplicate across cells and must
+        # dedupe — single-assignment tables skip that shuffle entirely
+        spark = df.sparkSession
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(
+            path.rstrip("/") + "/" + _IVF_SPILL_MARKER
+        )
+        out = p.getFileSystem(spark._jsc.hadoopConfiguration()).create(p, True)
+        try:
+            out.write(str(assign_m).encode())
+        finally:
+            out.close()
+
+
+_IVF_SPILL_MARKER = "_ivf_assign_m"
+
+
+def _ivf_is_spill_assigned(spark, path: str) -> bool:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + _IVF_SPILL_MARKER)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
 
 
 def ivf_topk_partitioned(
@@ -551,7 +583,12 @@ def ivf_topk_partitioned(
     the `_ivf IN (probes)` filter is a partition predicate, so Catalyst
     prunes the non-probed directories before any file is opened
     (PartitionFilters in the scan node — asserted in tests). Inside the
-    probed cells: exact cosine, deterministic top-k.
+    probed cells: exact cosine, deterministic top-k. Spill-assigned
+    tables (``write_ivf_partitioned(assign_m>1)``, detected via the
+    write-time marker) store a vector in several cells, so the probed
+    union dedupes on ``id_col`` before the top-k — otherwise one near
+    neighbor could occupy two result slots; single-assignment tables
+    skip that shuffle entirely.
     """
     qvec = np.asarray([float(x) for x in query_vec], dtype=np.float64)
     cents = np.asarray(centroids, dtype=np.float64)
@@ -561,8 +598,10 @@ def ivf_topk_partitioned(
         spark.read.parquet(path)
         .where(F.col("_ivf").isin([int(p) for p in probes]))
         .select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
-        .withColumn("_n", norm(F.col("_v")))
     )
+    if _ivf_is_spill_assigned(spark, path):
+        corpus = corpus.dropDuplicates([id_col])
+    corpus = corpus.withColumn("_n", norm(F.col("_v")))
     qlit = F.array(*[F.lit(float(x)) for x in qvec])
     qn = float(np.sqrt(qvec @ qvec))
     cos = _safe_cosine(dot(F.col("_v"), qlit), F.col("_n") * F.lit(qn))

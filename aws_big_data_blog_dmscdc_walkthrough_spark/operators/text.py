@@ -634,7 +634,9 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions (zip-with-tail + array_distinct); the final join is on
     doc_id. ``keep`` applies the thresholds.
     """
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    # column-prune BEFORE spread: the under-split guard persists its
+    # input, and caching unused columns wastes executor memory
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = _tokens(F.col("text"))
     base = docs.select("doc_id", toks.alias("_toks"))
 

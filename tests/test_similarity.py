@@ -204,6 +204,68 @@ def test_ivf_partitioned_prunes_and_matches_inline(spark, tmp_path):
     assert got_rows == want_rows
 
 
+def test_ivf_partitioned_spill_assignment_dedupes_and_improves_recall(
+    spark, tmp_path
+):
+    """assign_m=2 at write time: a vector lives in its two nearest cell
+    directories; the probed read dedupes on id (no neighbor occupies two
+    top-k slots), pruning still plans on _ivf, and recall vs brute force
+    is at least the single-assignment table's."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import similarity
+    from aws_big_data_blog_dmscdc_walkthrough_spark.session import load_table
+    from tests.conftest import SF_SMOKE
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    cents = similarity.ivf_fit_centroids(embs, "embedding", n_centroids=8)
+    p1 = str(tmp_path / "ivf_m1")
+    p2 = str(tmp_path / "ivf_m2")
+    similarity.write_ivf_partitioned(embs, "vec_id", "embedding", p1, cents)
+    similarity.write_ivf_partitioned(
+        embs, "vec_id", "embedding", p2, cents, assign_m=2
+    )
+    n = embs.count()
+    assert spark.read.parquet(p1).count() == n
+    assert spark.read.parquet(p2).count() == 2 * n  # m x storage
+    assert os.path.exists(f"{p2}/_ivf_assign_m")
+
+    brute_all = None
+    rec = {}
+    for qid in (0, 7, 19):
+        qvec = [
+            float(x)
+            for x in embs.where(F.col("vec_id") == qid)
+            .select("embedding").collect()[0][0]
+        ]
+        truth = {
+            r.vec_id
+            for r in similarity.cosine_topk(
+                embs, "vec_id", "embedding",
+                embs.where(F.col("vec_id") == qid).select("embedding"), 10
+            ).collect()
+        }
+        for name, path in (("m1", p1), ("m2", p2)):
+            rows = similarity.ivf_topk_partitioned(
+                spark, path, "vec_id", "embedding", cents, qvec, k=10, nprobe=3
+            ).collect()
+            ids = [r.vec_id for r in rows]
+            assert len(ids) == len(set(ids))  # dedupe held
+            rec.setdefault(name, []).append(len(set(ids) & truth))
+        # pruning still planned on the partition column
+        plan = similarity.ivf_topk_partitioned(
+            spark, p2, "vec_id", "embedding", cents, qvec, k=10, nprobe=3
+        )._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "PartitionFilters" in plan
+    assert sum(rec["m2"]) >= sum(rec["m1"])
+
+
 def test_quantize_dequantize_roundtrip_error_bound(spark):
     """Dequantized embeddings must be within scale/2 per element and
     keep cosine similarity with the original ~1."""
