@@ -674,3 +674,24 @@ def test_register_manifest_view_partitioned(spark, tmp_path):
     catalog.register_manifest_view(spark, out, "pt_view")
     got = {(r.id, r.dept, r.v) for r in spark.sql("SELECT * FROM pt_view").collect()}
     assert got == {(1, "a", 99), (2, "a", 20), (3, "b", 30), (4, "b", 40)}
+
+
+def test_partitioned_manifest_additive_evolution(spark, tmp_path):
+    """A batch carrying a NEW column merges into a partitioned manifest
+    table: older committed files lack the column (typed NULLs on read),
+    the manifest schema advances, and time travel still serves v1."""
+    out = str(tmp_path / "t")
+    _pinit(spark, out)  # v1: (id, dept, v)
+    evolved = spark.createDataFrame(
+        [("U", 1, 1, "a", 11, "x@y.z")],
+        "op string, _seq long, id long, dept string, v long, email string",
+    )
+    lake_writer.merge_incremental(
+        spark, evolved, out, ["id"], partition_keys=["dept"],
+        use_manifest=True, retain_history=True,
+    )
+    got = {(r.id, r.v, r.email) for r in manifest.read_table(spark, out).collect()}
+    assert got == {
+        (1, 11, "x@y.z"), (2, 20, None), (3, 30, None), (4, 40, None)
+    }
+    assert "email" not in manifest.read_table(spark, out, version=1).columns
