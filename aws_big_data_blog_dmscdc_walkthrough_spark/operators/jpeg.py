@@ -209,11 +209,13 @@ def encode_jpeg_baseline(
     h, w, nc = pixels.shape
     if nc not in (1, 3):
         raise ValueError("encode_jpeg_baseline: 1 or 3 channels")
-    if not 1 <= quant <= 255:
-        # a baseline 8-bit DQT entry caps at 255: silently clamping the
-        # table while quantizing by the raw value would emit a stream
-        # every decoder dequantizes WRONG (reconstruction off by q/255)
-        raise ValueError("quant must be in [1, 255] (baseline 8-bit DQT)")
+    if not 1 <= quant <= 255 or int(quant) != quant:
+        # a baseline 8-bit DQT entry is an INTEGER in [1, 255]: emitting
+        # a rounded/clamped table while quantizing by the raw value
+        # would produce a stream every decoder dequantizes WRONG
+        raise ValueError(
+            "quant must be an integer in [1, 255] (baseline 8-bit DQT)"
+        )
     qt = np.full((8, 8), float(quant))
 
     if nc == 3:

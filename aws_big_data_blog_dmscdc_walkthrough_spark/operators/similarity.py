@@ -542,20 +542,43 @@ def write_ivf_partitioned(
         staged = df.select(F.col(id_col), F.col(vec_col)).withColumn(
             "_ivf", ivf_assign(centroids)(F.col(vec_col))
         )
-    staged.write.mode("overwrite").partitionBy("_ivf").parquet(path)
+    # Stage + swap, for two reasons at once: (a) an index REBUILD must
+    # replace the WHOLE layout — the session's dynamic overwrite would
+    # keep any cell populated only by the previous assignment serving
+    # stale vectors forever (the hazard write_initial guards with static
+    # overwrite); (b) the spill marker must commit ATOMICALLY with the
+    # data — a marker-less duplicated table would silently halve recall
+    # (readers skip the dedupe), a markered single-assign table only
+    # costs a spurious shuffle. Both land in one directory rename.
+    import uuid as _uuid
+
+    spark = df.sparkSession
+    jvm = spark._jvm
+    staging = path.rstrip("/") + f"__staging_{_uuid.uuid4().hex[:8]}"
+    (
+        staged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("_ivf")
+        .parquet(staging)
+    )
+    p_stage = jvm.org.apache.hadoop.fs.Path(staging)
+    fs = p_stage.getFileSystem(spark._jsc.hadoopConfiguration())
     if assign_m > 1:
-        # marker so readers know rows duplicate across cells and must
-        # dedupe — single-assignment tables skip that shuffle entirely
-        spark = df.sparkSession
-        jvm = spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(
-            path.rstrip("/") + "/" + _IVF_SPILL_MARKER
+        out = fs.create(
+            jvm.org.apache.hadoop.fs.Path(staging + "/" + _IVF_SPILL_MARKER), True
         )
-        out = p.getFileSystem(spark._jsc.hadoopConfiguration()).create(p, True)
         try:
             out.write(str(assign_m).encode())
         finally:
             out.close()
+    p_out = jvm.org.apache.hadoop.fs.Path(path)
+    trash = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
+    if fs.exists(trash):
+        fs.delete(trash, True)
+    if fs.exists(p_out):
+        fs.rename(p_out, trash)
+    fs.rename(p_stage, p_out)
+    fs.delete(trash, True)
 
 
 _IVF_SPILL_MARKER = "_ivf_assign_m"

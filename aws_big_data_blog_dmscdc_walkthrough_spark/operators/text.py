@@ -260,6 +260,20 @@ LIMIT 25
 
 # ---------------------------------------------------------- bigram top-k
 
+def _bigram_strings(toks):
+    """Adjacent-token bigrams as ``"w1 w2"`` strings: the token array
+    zipped with its own tail (slice + arrays_zip + transform — codegen,
+    no UDF). Shared by the collocation top-k and the repetition filter
+    so the empty/single-token boundary guard lives in ONE place."""
+    return F.transform(
+        F.arrays_zip(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        ),
+        lambda s: F.concat_ws(" ", s["0"], s["1"]),
+    )
+
+
 def text_bigrams(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame:
     """Corpus bigram top-k (collocation head analysis).
 
@@ -269,13 +283,8 @@ def text_bigrams(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame:
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     toks = _tokens(F.col("text"))
-    pairs = F.arrays_zip(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-    )
     return (
-        docs.select(F.explode(pairs).alias("_p"))
-        .select(F.concat_ws(" ", F.col("_p.0"), F.col("_p.1")).alias("bigram"))
+        docs.select(F.explode(_bigram_strings(toks)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram"))
@@ -650,13 +659,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_c").cast("bigint").alias("n_tokens"),
         )
     )
-    pairs = F.transform(
-        F.arrays_zip(
-            F.slice("_toks", 1, F.greatest(F.size("_toks") - 1, F.lit(0))),
-            F.slice("_toks", 2, F.greatest(F.size("_toks") - 1, F.lit(0))),
-        ),
-        lambda s: F.concat_ws(" ", s["0"], s["1"]),
-    )
+    pairs = _bigram_strings(F.col("_toks"))
     bigr = base.select(
         "doc_id",
         (F.size("_toks") - 1).cast("bigint").alias("_nb"),

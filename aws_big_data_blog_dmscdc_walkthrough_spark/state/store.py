@@ -51,20 +51,37 @@ class TableState:
     # A human (or provisioning code) flips these in the state file the
     # same way the reference flips ActiveFlag.
 
+    @staticmethod
+    def _flag(value) -> bool:
+        """Parse a hand-edited flag: JSON bools pass through; the string
+        forms a human (or a DynamoDB export) writes are parsed, so
+        '"false"' actually disables — truthiness would silently enable
+        it. Unrecognized strings raise rather than guess."""
+        if isinstance(value, bool):
+            return value
+        if isinstance(value, str):
+            low = value.strip().lower()
+            if low in ("true", "1", "yes", "on"):
+                return True
+            if low in ("false", "0", "no", "off", ""):
+                return False
+            raise ValueError(f"unparseable boolean flag: {value!r}")
+        return bool(value)
+
     @property
     def use_manifest(self) -> bool:
         """Manifest-gated atomic commits + time travel for this table."""
-        return bool(self.extra.get("use_manifest", False))
+        return self._flag(self.extra.get("use_manifest", False))
 
     @property
     def retain_history(self) -> bool:
         """Keep superseded files so earlier versions stay readable."""
-        return bool(self.extra.get("retain_history", False))
+        return self._flag(self.extra.get("retain_history", False))
 
     @property
     def change_feed(self) -> bool:
         """Publish each merge's collapsed changes to _change_feed/."""
-        return bool(self.extra.get("change_feed", False))
+        return self._flag(self.extra.get("change_feed", False))
 
     @property
     def stats_cols(self) -> list[str]:

@@ -232,7 +232,6 @@ def test_ivf_partitioned_spill_assignment_dedupes_and_improves_recall(
     assert spark.read.parquet(p2).count() == 2 * n  # m x storage
     assert os.path.exists(f"{p2}/_ivf_assign_m")
 
-    brute_all = None
     rec = {}
     for qid in (0, 7, 19):
         qvec = [
