@@ -170,6 +170,7 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-7 additions (SURVEY §2 #81-83)
         "text_repetition": text.text_repetition,
         "corpus_token_budget": text.corpus_token_budget,
+        "dedup_semantic": llm_queries.dedup_semantic,
         # rows-only (sketch internals differ across engines by design;
         # the tolerance pytest pins values against the exact percentile)
         "q_orders_price_quantiles_approx": analytics.q_orders_price_quantiles_approx,
@@ -247,6 +248,7 @@ def secondary_oracle_sql() -> dict[str, str]:
         "corpus_pack_sequences": text.CORPUS_PACK_SEQUENCES_SQL,
         "text_repetition": text.TEXT_REPETITION_SQL,
         "corpus_token_budget": text.CORPUS_TOKEN_BUDGET_SQL,
+        "dedup_semantic": llm_queries.DEDUP_SEMANTIC_SQL,
         "dedup_incremental": llm_queries.DEDUP_INCREMENTAL_SQL,
         "emb_quantize": llm_queries.EMB_QUANTIZE_SQL,
         "q_customer_value_ranks": tpch_ext.Q_CUSTOMER_VALUE_RANKS_SQL,

@@ -64,6 +64,35 @@ def poly_hash(col, mul: int = POLY_MUL1, mod: int = POLY_MOD1):
     )
 
 
+def poly_hash_text_pandas(mul: int = POLY_MUL1, mod: int = POLY_MOD1):
+    """pandas_udf: whole-document char polynomial hash (Arrow hot path).
+
+    Bit-identical to ``poly_hash``'s HOF fold — same per-char
+    ``acc = (acc*mul + codepoint) % mod`` — but the HOF runs on
+    Catalyst's interpreted path (higher-order lambdas never enter
+    whole-stage codegen), which made the document fingerprint the
+    slowest map-only query in the bench. Here every doc is folded as one
+    "token" through :func:`_poly_fold_tokens`: Python-level work is
+    O(longest doc) per Arrow batch, each step one vectorized
+    multiply-add-mod across all still-live documents. Nulls stay null,
+    matching the HOF expression.
+    """
+
+    @F.pandas_udf(LongType())
+    def udf(texts: pd.Series) -> pd.Series:
+        n = len(texts)
+        if n == 0:
+            return pd.Series([], dtype="Int64")
+        isna = texts.isna().to_numpy()
+        vals = ["" if na else t for t, na in zip(texts, isna)]
+        (hs,) = _poly_fold_tokens(vals, [(mul, mod)])
+        out = pd.Series(hs, dtype="Int64")
+        out[isna] = pd.NA
+        return out
+
+    return udf
+
+
 def minhash_signature(shingle_hashes_col):
     """K minhashes over shingle hashes: (a·h + b) mod P, min per row."""
     return F.array(

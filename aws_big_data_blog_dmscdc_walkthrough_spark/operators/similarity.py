@@ -76,6 +76,104 @@ def cosine_pairs(
     )
 
 
+def _seq_fold_cosines(V: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Cosine matrix (len(V) × len(C)) with LEFT-TO-RIGHT fold order.
+
+    np.dot sums pairwise (different rounding); the DuckDB oracle folds
+    term-by-term. Accumulating one dimension at a time reproduces the
+    fold's IEEE rounding exactly, while each step stays a vectorized
+    rank-1 update. Zero-norm rows score 0.0 (the _safe_cosine guard).
+    """
+    n, m = len(V), len(C)
+    num = np.zeros((n, m), dtype=np.float64)
+    nv = np.zeros(n, dtype=np.float64)
+    nc = np.zeros(m, dtype=np.float64)
+    for i in range(V.shape[1]):
+        num += V[:, i, None] * C[None, :, i]
+        nv += V[:, i] * V[:, i]
+        nc += C[:, i] * C[:, i]
+    den = np.sqrt(nv)[:, None] * np.sqrt(nc)[None, :]
+    return np.divide(num, den, out=np.zeros_like(num), where=den > 0)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids_df: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster, then prune within cluster.
+
+    Public recipe (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication", arXiv:2303.09540):
+    assign every embedding to its nearest centroid, compute pairwise
+    cosine ONLY within a cluster, and drop every member that has an
+    earlier-id neighbor at or above ``threshold`` (keep set = docs with
+    no earlier near-duplicate — deterministic, engine-replayable).
+
+    ``centroids_df`` must have columns (cid, cv); it is collected to the
+    driver (K is small by construction — the model, not the data) and
+    closed over by two Arrow-batched stages:
+
+      1. assignment — map-only pandas UDF, argmax cosine over the K
+         centroids with ties to the lowest cid;
+      2. pruning — groupBy(cid).applyInPandas: each cluster's pairwise
+         cosine matrix is computed in numpy inside one task. Per-task
+         work/memory is bounded by the cluster size, which the CALLER
+         bounds by fitting k ≈ N / target_cluster_size centroids
+         (similarity.ivf_fit_centroids on a sample) — the paper's own
+         trick. Nothing here is ever corpus × corpus.
+
+    All arithmetic uses a left-to-right per-dimension fold (see
+    :func:`_seq_fold_cosines`) so the DuckDB oracle's explicit term
+    chain reproduces every double bit-for-bit.
+
+    Returns (id, cid, keep): every input id with its cluster and a
+    boolean — callers filter ``keep`` or audit the drop rate.
+    """
+    rows = sorted(
+        (int(r["cid"]), np.asarray(r["cv"], dtype=np.float64))
+        for r in centroids_df.select("cid", "cv").collect()
+    )
+    cids = np.array([c for c, _ in rows], dtype=np.int64)
+    C = np.stack([v for _, v in rows])
+
+    @F.pandas_udf(IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        sims = _seq_fold_cosines(V, C)
+        # argmax takes the FIRST maximum; cids are sorted ascending, so
+        # ties break to the lowest cid — same as ORDER BY sim DESC, cid
+        return pd.Series(cids[np.argmax(sims, axis=1)].astype(np.int32))
+
+    assigned = df.select(
+        F.col(id_col), F.col(vec_col).alias("_vec")
+    ).withColumn("cid", assign(F.col("_vec")))
+
+    out_schema = f"{id_col} long, cid int, keep boolean"
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({id_col: [], "cid": [], "keep": []})
+        pdf = pdf.sort_values(id_col, kind="stable")
+        V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_vec"]])
+        cos = _seq_fold_cosines(V, V)
+        # dup[j] ⇔ some earlier-id row i<j has cos ≥ threshold
+        dup = np.triu(cos >= threshold, k=1).any(axis=0)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                "cid": pdf["cid"].to_numpy(),
+                "keep": ~dup,
+            }
+        )
+
+    return assigned.groupBy("cid").applyInPandas(prune, out_schema)
+
+
 def cosine_topk(
     df: DataFrame, id_col: str, vec_col: str, query_df: DataFrame, k: int
 ) -> DataFrame:

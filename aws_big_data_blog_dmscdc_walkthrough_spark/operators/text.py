@@ -49,10 +49,13 @@ def _sql_stop_count(words: list[str]) -> str:
 
 
 def poly_fingerprint(col):
-    """Deterministic 31-base polynomial rolling hash mod 1e9+7.
+    """Deterministic 31-base polynomial rolling hash mod 1e9+7 (HOF form).
 
-    Built from F.aggregate over the char array: stays in codegen, and is
-    reproducible in any engine (the DuckDB twin uses list_reduce).
+    Built from F.aggregate over the char array; reproducible in any
+    engine (the DuckDB twin uses list_reduce). Kept as the
+    expression-tree parity twin — the hot path is the Arrow-batched
+    ``hashing.poly_hash_text_pandas`` (HOF lambdas run interpreted,
+    outside whole-stage codegen; see hashing.py).
     """
     return hashing.poly_hash(col, POLY_MUL, POLY_MOD)
 
@@ -213,8 +216,14 @@ FROM s
 # ------------------------------------------------------------ fingerprint
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    return docs.select("doc_id", poly_fingerprint(F.col("text")).alias("fingerprint"))
+    # No spread() here: the Arrow fold is cheap enough that the
+    # repartition+persist round-trip costs more than single-partition
+    # compute at small SF, and at real scale parquet inputs arrive
+    # multi-partition anyway (maxPartitionBytes splits), so the map-only
+    # UDF parallelizes without help.
+    docs = load_table(spark, sf_dir, "documents")
+    fp = hashing.poly_hash_text_pandas(POLY_MUL, POLY_MOD)
+    return docs.select("doc_id", fp(F.col("text")).alias("fingerprint"))
 
 
 TEXT_FINGERPRINT_SQL = f"""

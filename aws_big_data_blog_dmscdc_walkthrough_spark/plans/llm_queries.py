@@ -318,6 +318,64 @@ SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {EMB_COSINE_THRESHOLD}
 """
 
 
+# ------------------------------------------------------- semantic dedup
+
+SEMDEDUP_N_CLUSTERS = 8
+SEMDEDUP_THRESHOLD = 0.4
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (#84): cluster embeddings, prune near-dups within cluster.
+
+    Gate form uses deterministic centroids (first ``SEMDEDUP_N_CLUSTERS``
+    table rows, the ann_ivf_topk pattern) so assignment, pairing, and
+    the keep rule are all replayable in DuckDB; real use fits centroids
+    with similarity.ivf_fit_centroids (k ≈ N / target_cluster_size).
+    """
+    embs = load_table(spark, sf_dir, "embeddings")
+    cents = embs.where(F.col("vec_id") < SEMDEDUP_N_CLUSTERS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    return similarity.semantic_dedup(
+        embs, "vec_id", "embedding", cents, SEMDEDUP_THRESHOLD
+    )
+
+
+def _semantic_sql() -> str:
+    de_e = _dot_sql("e.embedding", "e.embedding")
+    de_c = _dot_sql("e.embedding", "c.cv")
+    dc_c = _dot_sql("c.cv", "c.cv")
+    da_b = _dot_sql("a.embedding", "b.embedding")
+    da_a = _dot_sql("a.embedding", "a.embedding")
+    db_b = _dot_sql("b.embedding", "b.embedding")
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < {SEMDEDUP_N_CLUSTERS}
+),
+assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+      ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY ({de_c}) / (sqrt({de_e}) * sqrt({dc_c})) DESC, c.cid
+      ) AS rk
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rk = 1
+),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE ({da_b}) / (sqrt({da_a}) * sqrt({db_b})) >= {SEMDEDUP_THRESHOLD}
+)
+SELECT a.vec_id, a.cid, (d.vec_id IS NULL) AS keep
+FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+"""
+
+
+DEDUP_SEMANTIC_SQL = _semantic_sql()
+
+
 # ------------------------------------------------------- dedup clusters
 
 def _cluster_frame(docs: DataFrame) -> DataFrame:

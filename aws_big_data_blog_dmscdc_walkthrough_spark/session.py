@@ -78,6 +78,16 @@ def normalize_event_ts(df):
     return df
 
 
+# Inferred-schema memo for load_table. Parquet schema inference costs a
+# driver round-trip + footer read per call (~0.1 s); a bench/test run
+# issues hundreds of load_table calls over the same immutable testdata
+# tables, so the inference is paid once per (app, path, mtime) and
+# subsequent reads supply the schema explicitly. mtime is in the key so
+# a regenerated scratch dir (scale_data.py --out <existing>) never
+# serves a stale schema; the applicationId keys out stopped sessions.
+_SCHEMA_MEMO: dict[tuple[str, str, float], object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver-provided parquet table from a scale-factor dir.
 
@@ -89,7 +99,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     in the session factory (callers may hand us a vanilla session).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        mtime = os.stat(path).st_mtime
+        key = (spark.sparkContext.applicationId, os.path.abspath(path), mtime)
+    except OSError:
+        key = None  # non-local path (e.g. s3a://) — skip the memo
+    if key is not None and key in _SCHEMA_MEMO:
+        df = spark.read.schema(_SCHEMA_MEMO[key]).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key is not None:
+            _SCHEMA_MEMO[key] = df.schema
     if name == "events":
         df = normalize_event_ts(df)
     return df

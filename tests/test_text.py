@@ -19,6 +19,36 @@ def test_fingerprint_matches_python_reference(spark):
     assert got == _poly_py(s)
 
 
+def test_fingerprint_pandas_matches_hof(spark):
+    """Arrow hot path is bit-identical to the HOF fold, nulls stay null."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.functions import hashing
+
+    rows = [
+        (0, "hello world 42!"),
+        (1, ""),
+        (2, None),
+        (3, "üñïçødé — naïve café ✓"),
+        (4, "x" * 3000),
+        (5, "tabs\tand\nnewlines  mixed"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = hashing.poly_hash_text_pandas(text.POLY_MUL, text.POLY_MOD)
+    got = {
+        r.doc_id: (r.hof, r.arrow)
+        for r in df.select(
+            "doc_id",
+            text.poly_fingerprint(F.col("text")).alias("hof"),
+            fp(F.col("text")).alias("arrow"),
+        ).collect()
+    }
+    for doc_id, (hof, arrow) in got.items():
+        assert hof == arrow, (doc_id, hof, arrow)
+    assert got[2] == (None, None)
+    for doc_id, s in rows:
+        if s is not None:
+            assert got[doc_id][1] == _poly_py(s), doc_id
+
+
 def test_token_counts(spark):
     df = spark.createDataFrame([(1, "one two  three"), (2, "a-b c")], "doc_id long, text string")
     out = {
