@@ -171,6 +171,9 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": text.text_repetition,
         "corpus_token_budget": text.corpus_token_budget,
         "dedup_semantic": llm_queries.dedup_semantic,
+        "text_quality_classifier": text.text_quality_classifier,
+        "dedup_substring": llm_queries.dedup_substring,
+        "ann_pq_topk": llm_queries.ann_pq_topk,
         # rows-only (sketch internals differ across engines by design;
         # the tolerance pytest pins values against the exact percentile)
         "q_orders_price_quantiles_approx": analytics.q_orders_price_quantiles_approx,
@@ -249,6 +252,9 @@ def secondary_oracle_sql() -> dict[str, str]:
         "text_repetition": text.TEXT_REPETITION_SQL,
         "corpus_token_budget": text.CORPUS_TOKEN_BUDGET_SQL,
         "dedup_semantic": llm_queries.DEDUP_SEMANTIC_SQL,
+        "text_quality_classifier": text.TEXT_QUALITY_CLASSIFIER_SQL,
+        "dedup_substring": llm_queries.DEDUP_SUBSTRING_SQL,
+        "ann_pq_topk": llm_queries.ANN_PQ_TOPK_SQL,
         "dedup_incremental": llm_queries.DEDUP_INCREMENTAL_SQL,
         "emb_quantize": llm_queries.EMB_QUANTIZE_SQL,
         "q_customer_value_ranks": tpch_ext.Q_CUSTOMER_VALUE_RANKS_SQL,

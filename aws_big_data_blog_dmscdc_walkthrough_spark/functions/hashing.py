@@ -170,11 +170,15 @@ def _poly_fold_tokens(tokens: list[str], params: Sequence[tuple[int, int]]) -> l
     return accs
 
 
-def shingle_hashes_pandas(k: int = 3):
-    """pandas_udf: text → sorted distinct k-word-shingle hashes.
+def shingle_hashes_pandas(k: int = 3, distinct: bool = True):
+    """pandas_udf: text → k-word-shingle hashes.
 
     Same math as shingle_frame's HOF chain: per-token char poly-fold
-    (POLY_MUL1/POLY_MOD1), k-token combine by SHINGLE_COMBINE, distinct.
+    (POLY_MUL1/POLY_MOD1), k-token combine by SHINGLE_COMBINE. With
+    ``distinct`` (the default, the MinHash/Jaccard input) shingles are
+    deduped and sorted per doc; ``distinct=False`` keeps one hash per
+    WINDOW POSITION in document order — the exact-substring-dup report
+    needs position multiplicity.
     """
     mul, mod, comb = POLY_MUL1, POLY_MOD1, SHINGLE_COMBINE
 
@@ -195,12 +199,13 @@ def shingle_hashes_pandas(k: int = 3):
             for j in range(1, k):
                 sh = (sh * comb + hs[starts + j]) % mod
             sh_doc = doc_of_tok[starts]
-            # distinct + sorted within each doc: one global lexsort
-            order = np.lexsort((sh, sh_doc))
-            sh, sh_doc = sh[order], sh_doc[order]
-            keep = np.ones(sh.size, dtype=bool)
-            keep[1:] = (sh[1:] != sh[:-1]) | (sh_doc[1:] != sh_doc[:-1])
-            sh, sh_doc = sh[keep], sh_doc[keep]
+            if distinct:
+                # distinct + sorted within each doc: one global lexsort
+                order = np.lexsort((sh, sh_doc))
+                sh, sh_doc = sh[order], sh_doc[order]
+                keep = np.ones(sh.size, dtype=bool)
+                keep[1:] = (sh[1:] != sh[:-1]) | (sh_doc[1:] != sh_doc[:-1])
+                sh, sh_doc = sh[keep], sh_doc[keep]
         else:
             sh = np.empty(0, dtype=np.int64)
             sh_doc = np.empty(0, dtype=np.int64)

@@ -829,3 +829,55 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# -------------------------------------------- exact substring dup (#86)
+
+def substring_dup_report(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Per-doc exact-substring duplication report over k-token windows.
+
+    The window-granular form of exact substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 — their ExactSubstr uses a corpus suffix array,
+    which doesn't distribute; hashing every k-token window detects the
+    same ≥k-token repeats at window granularity and is embarrassingly
+    parallel). A window is "duplicated" iff its rolling hash occurs at
+    ≥2 positions anywhere in the corpus (other docs or the same doc).
+
+    Plan: Arrow-batched window hashes (position multiplicity kept) →
+    explode → per-(doc,window) count → per-window total via an
+    unordered window sum over the hash (ONE shuffle on the hash key and
+    one lineage — a groupBy+self-join twin would re-evaluate the whole
+    UDF chain twice) → per-doc re-aggregation. Everything keys on the
+    window hash: linear in corpus tokens, word-count-shaped shuffles,
+    no pairwise joins. Docs with fewer than ``k`` tokens have no
+    windows and are absent from the report.
+
+    Returns (id, n_windows, n_dup_windows, dup_frac).
+    """
+    from ..functions.hashing import shingle_hashes_pandas
+
+    sh = shingle_hashes_pandas(k, distinct=False)
+    wins = spread(df).select(
+        F.col(id_col), F.explode(sh(F.col(text_col))).alias("_h")
+    )
+    dh = wins.groupBy(id_col, "_h").agg(F.count(F.lit(1)).alias("_c"))
+    per_h = Window.partitionBy("_h")
+    per_doc = (
+        dh.withColumn("_n", F.sum("_c").over(per_h))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_windows"),
+            F.sum(F.when(F.col("_n") >= 2, F.col("_c")).otherwise(F.lit(0))).alias(
+                "n_dup_windows"
+            ),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_windows"),
+        F.col("n_dup_windows"),
+        (F.col("n_dup_windows").cast("double") / F.col("n_windows")).alias("dup_frac"),
+    )

@@ -20,7 +20,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType
 
 from ..functions.vectors import (  # noqa: F401  (re-exported; plans import from here)
     LSH_BITS,
@@ -816,3 +816,168 @@ def dequantize_embeddings(
             ),
         )
     )
+
+
+# ------------------------------------------- product quantization (#87)
+
+def _seq_fold_sqdist(V: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Squared-L2 matrix (len(V) × len(C)) with LEFT-TO-RIGHT fold order
+    — the PQ twin of :func:`_seq_fold_cosines`: each step accumulates
+    one dimension's ``(v-c)²`` so the DuckDB oracle's explicit term
+    chain reproduces every double bit-for-bit."""
+    n, m = len(V), len(C)
+    d2 = np.zeros((n, m), dtype=np.float64)
+    for i in range(V.shape[1]):
+        diff = V[:, i, None] - C[None, :, i]
+        d2 += diff * diff
+    return d2
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: np.ndarray,
+) -> DataFrame:
+    """Encode vectors to product-quantization codes (Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search", IEEE TPAMI).
+
+    ``codebooks``: (M, K, dim/M) — per-subspace centroid tables (the
+    trained model; the gate derives them from the first K table rows).
+    Each vector splits into M sub-vectors; each sub-vector stores only
+    the index of its nearest codebook entry (argmin squared L2, ties to
+    the lowest index): M small ints instead of ``dim`` floats — at
+    M=8, K=256 that is 8 bytes/vector vs 256 for float32 d=64, the
+    32× compression a 100 TB ANN corpus runs on. Map-only Arrow pass.
+    """
+    M, K, sub = codebooks.shape
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        codes = np.empty((len(V), M), dtype=np.int32)
+        for j in range(M):
+            d2 = _seq_fold_sqdist(V[:, j * sub : (j + 1) * sub], cb[j])
+            codes[:, j] = np.argmin(d2, axis=1)  # first min = lowest idx
+        return pd.Series([c.tolist() for c in codes])
+
+    return df.select(F.col(id_col), encode(F.col(vec_col)).alias("pq_codes"))
+
+
+def pq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: np.ndarray,
+    query_vec,
+    k: int,
+    rerank: int = 0,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes.
+
+    The query stays UNquantized: per subspace a K-entry lookup table of
+    exact query↔centroid squared distances is built once on the driver
+    (M·K doubles — the model scale, not the data scale) and closed over
+    by a map-only Arrow pass that sums ``lut[j][code_j]`` per vector.
+    No shuffle until the final top-k reduce; at scale this composes
+    with IVF partition pruning (#73) — probe cells first, ADC-score
+    only the survivors.
+
+    ``rerank > 0`` runs the standard two-stage pipeline: ADC shortlists
+    ``rerank`` candidates (quantization error included), then only the
+    shortlist is re-scored with EXACT squared L2 against the stored
+    vectors — an O(rerank) second pass (isin pushdown on the id column,
+    partition-prunable) that recovers most of the recall the 8-byte
+    codes gave up. The gate pins the rerank=0 form; the recall test
+    pins the quality of this one.
+    """
+    M, K, sub = codebooks.shape
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    lut = np.stack(
+        [_seq_fold_sqdist(q[j * sub : (j + 1) * sub][None, :], cb[j])[0] for j in range(M)]
+    )
+
+    @F.pandas_udf(DoubleType())
+    def adist(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype=np.float64)
+        cm = np.array([np.asarray(c, dtype=np.int64) for c in codes])
+        acc = np.zeros(len(cm), dtype=np.float64)
+        for j in range(M):  # left-to-right over subspaces, same as SQL
+            acc += lut[j][cm[:, j]]
+        return pd.Series(acc)
+
+    encoded = pq_encode(df, id_col, vec_col, codebooks)
+    shortlist = (
+        encoded.select(F.col(id_col), adist(F.col("pq_codes")).alias("adist"))
+        .orderBy(F.col("adist").asc(), F.col(id_col))
+        .limit(max(k, rerank))
+    )
+    if rerank <= 0:
+        return shortlist
+
+    ids = [r[id_col] for r in shortlist.select(id_col).collect()]
+
+    @F.pandas_udf(DoubleType())
+    def exact_d2(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=np.float64)
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        return pd.Series(_seq_fold_sqdist(V, q[None, :])[:, 0])
+
+    return (
+        df.where(F.col(id_col).isin(ids))
+        .select(F.col(id_col), exact_d2(F.col(vec_col)).alias("adist"))
+        .orderBy(F.col("adist").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pq_fit_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    m: int = 8,
+    k: int = 256,
+    sample_rows: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train PQ codebooks: per-subspace k-means on a driver sample.
+
+    Same fitting shape as :func:`ivf_fit_centroids` — a bounded sample
+    comes to the driver, seeded Lloyd iterations run per subspace in
+    numpy, and the (m × k × dim/m) codebook array broadcasts back out
+    inside the encode/search closures. The model is small by
+    construction; encoding — the O(corpus) part — stays distributed.
+    """
+    sample = np.asarray(
+        df.select(as_double(F.col(vec_col)).alias("v"))
+        .limit(sample_rows)
+        .toPandas()["v"]
+        .tolist()
+    )
+    if len(sample) == 0:
+        raise ValueError("pq_fit_codebooks: corpus is empty — nothing to fit")
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_fit_codebooks: dim {dim} not divisible by m {m}")
+    sub = dim // m
+    k = min(k, len(sample))
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        S = sample[:, j * sub : (j + 1) * sub]
+        cents = S[rng.choice(len(S), size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = S[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append(cents)
+    return np.stack(books)

@@ -13,6 +13,8 @@ order, integer counts cast to double once).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -812,3 +814,116 @@ FROM c
 WHERE cum - btok < {TOKEN_BUDGET_PER_SOURCE}
 GROUP BY source
 """
+
+
+# ----------------------------------------- hashed linear classifier (#85)
+#
+# Batch inference for a CCNet/fastText-shaped quality classifier
+# (Joulin et al. 2016, "Bag of Tricks for Efficient Text
+# Classification"; Wenzek et al. 2019, CCNet): hash every token into a
+# fixed bucket space, sum per-bucket weights, threshold the logit. The
+# standard corpus-quality gate at 100 TB — one map-only Arrow pass, no
+# shuffle, model broadcast in the UDF closure.
+#
+# Weights are INTEGER (fixed-point millionths): the logit is then an
+# exact int64 sum, reproducible bit-for-bit in any engine — no
+# cross-engine float summation drift, no sigmoid ulp mismatch. A real
+# trained model quantizes its float weights once on export.
+
+QC_BUCKETS = 1 << 20
+QC_WEIGHT_A = 2654435761  # Knuth multiplicative constant (public)
+QC_WEIGHT_B = 99991
+QC_WEIGHT_P = 1000003
+QC_WEIGHT_HALF = QC_WEIGHT_P // 2
+
+
+def classifier_logits(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights=None,
+    n_buckets: int = QC_BUCKETS,
+) -> DataFrame:
+    """Score documents with a hashed-bag-of-words linear classifier.
+
+    ``weights``: int64 numpy array of length ``n_buckets`` (the trained
+    model, fixed-point). ``None`` uses the deterministic formula table
+    ``w(b) = (b*A + B) % P - P//2`` — the gate's stand-in model, exactly
+    replayable in SQL without shipping an 8 MB literal.
+
+    Per Arrow batch: tokens flatten once, each token char-folds to its
+    poly hash (vectorized, hashing._poly_fold_tokens), buckets are
+    ``hash % n_buckets``, and per-doc logits are one bincount-weighted
+    segment sum. Output: (id, n_tok, logit, keep) with keep = logit ≥ 0.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    w = None if weights is None else np.asarray(weights, dtype=np.int64)
+
+    out_type = StructType(
+        [StructField("n_tok", LongType()), StructField("logit", LongType())]
+    )
+
+    @F.pandas_udf(out_type)
+    def score(texts: pd.Series) -> pd.DataFrame:
+        n_docs = len(texts)
+        if n_docs == 0:
+            return pd.DataFrame({"n_tok": [], "logit": []})
+        flat, counts = hashing._batch_tokens(texts)
+        (hs,) = hashing._poly_fold_tokens(flat, [(POLY_MUL, POLY_MOD)])
+        buckets = hs % n_buckets
+        if w is None:
+            tw = (buckets * QC_WEIGHT_A + QC_WEIGHT_B) % QC_WEIGHT_P - QC_WEIGHT_HALF
+        else:
+            tw = w[buckets]
+        # int-exact per-doc segment sums (bincount would accumulate in
+        # float64 — exact only below 2^53, not a guarantee worth keeping)
+        offs = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        logits = np.array(
+            [int(tw[offs[i]:offs[i + 1]].sum()) for i in range(n_docs)],
+            dtype=np.int64,
+        )
+        return pd.DataFrame({"n_tok": counts, "logit": logits})
+
+    scored = df.select(F.col(id_col), score(F.col(text_col)).alias("_s"))
+    return scored.select(
+        F.col(id_col),
+        F.col("_s.n_tok").alias("n_tok"),
+        F.col("_s.logit").alias("logit"),
+        (F.col("_s.logit") >= 0).alias("keep"),
+    )
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query for #85: formula-weight classifier over documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return classifier_logits(docs, "doc_id", "text")
+
+
+def _quality_classifier_sql() -> str:
+    tok_hash = (
+        f"list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in string_split(tk, '')]), "
+        f"(a, b) -> (a * {POLY_MUL} + b) % {POLY_MOD})"
+    )
+    weight = (
+        f"((({tok_hash}) % {QC_BUCKETS}) * {QC_WEIGHT_A} + {QC_WEIGHT_B})"
+        f" % {QC_WEIGHT_P} - {QC_WEIGHT_HALF}"
+    )
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tok,
+    CAST(coalesce(list_sum(list_transform(toks, tk -> {weight})), 0) AS BIGINT) AS logit
+  FROM t
+)
+SELECT doc_id, n_tok, logit, (logit >= 0) AS keep FROM s
+"""
+
+
+TEXT_QUALITY_CLASSIFIER_SQL = _quality_classifier_sql()

@@ -376,6 +376,50 @@ FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
 DEDUP_SEMANTIC_SQL = _semantic_sql()
 
 
+# --------------------------------------------------- substring dup (#86)
+
+SUBSTR_K = 8
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication report (#86): per-doc fraction of
+    k-token windows whose rolling hash repeats anywhere in the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.substring_dup_report(docs, "doc_id", "text", k=SUBSTR_K)
+
+
+def _substring_sql() -> str:
+    mul, mod = dedup.SHINGLE_COMBINE, POLY_MOD1
+    k = SUBSTR_K
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+th AS (SELECT doc_id, [{_sql_poly('t')} for t in w] AS hw FROM tok),
+win AS (
+  SELECT doc_id, unnest([
+    list_reduce(hw[i:i+{k - 1}], (a, b) -> (a * {mul} + b) % {mod})
+    for i in range(1, len(hw) - {k - 2})
+  ]) AS h
+  FROM th WHERE len(hw) >= {k}
+),
+dh AS (SELECT doc_id, h, COUNT(*) AS c FROM win GROUP BY doc_id, h),
+tot AS (SELECT h, CAST(SUM(c) AS BIGINT) AS n FROM dh GROUP BY h),
+per_doc AS (
+  SELECT dh.doc_id,
+    CAST(SUM(dh.c) AS BIGINT) AS n_windows,
+    CAST(SUM(CASE WHEN tot.n >= 2 THEN dh.c ELSE 0 END) AS BIGINT) AS n_dup_windows
+  FROM dh JOIN tot USING (h) GROUP BY dh.doc_id
+)
+SELECT doc_id, n_windows, n_dup_windows,
+  n_dup_windows::DOUBLE / n_windows AS dup_frac
+FROM per_doc
+"""
+
+
+DEDUP_SUBSTRING_SQL = _substring_sql()
+
+
 # ------------------------------------------------------- dedup clusters
 
 def _cluster_frame(docs: DataFrame) -> DataFrame:
@@ -538,6 +582,86 @@ ORDER BY cosine DESC, vec_id LIMIT {ANN_K}
 
 
 ANN_IVF_TOPK_SQL = _ivf_sql()
+
+
+# --------------------------------------------------------- PQ ANN (#87)
+
+PQ_M = 8           # subspaces
+PQ_K = 16          # codebook entries per subspace (gate-sized; real: 256)
+PQ_SUB = EMB_DIM // PQ_M
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (#87): codebooks derived from the
+    first ``PQ_K`` table rows (each row's j-th sub-vector is entry i of
+    codebook j — deterministic, so DuckDB replays encode + ADC exactly);
+    real use trains per-subspace k-means codebooks the ivf_fit way."""
+    import numpy as np
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    from ..functions.vectors import as_double
+
+    rows = sorted(
+        (int(r["vec_id"]), np.asarray(r["cv"], dtype=np.float64))
+        for r in embs.where(F.col("vec_id") < max(PQ_K, ANN_QUERY_ID + 1))
+        .select("vec_id", as_double(F.col("embedding")).alias("cv"))
+        .collect()
+    )
+    by_id = dict(rows)
+    mat = np.stack([by_id[i] for i in range(PQ_K)])          # K × dim
+    codebooks = mat.reshape(PQ_K, PQ_M, PQ_SUB).transpose(1, 0, 2)
+    qvec = by_id[ANN_QUERY_ID]
+    return similarity.pq_topk(embs, "vec_id", "embedding", codebooks, qvec, ANN_K)
+
+
+def _pq_sql() -> str:
+    def sq(a: str, b: str, j: int) -> str:
+        lo = j * PQ_SUB + 1  # 1-based array index
+        return " + ".join(
+            f"(({a}[{i}]::DOUBLE - {b}[{i}]::DOUBLE) * ({a}[{i}]::DOUBLE - {b}[{i}]::DOUBLE))"
+            for i in range(lo, lo + PQ_SUB)
+        )
+
+    code_ctes = ",\n".join(
+        f"""code{j} AS (
+  SELECT vec_id, cid AS c{j} FROM (
+    SELECT e.vec_id, c.cid,
+      ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY ({sq('e.embedding', 'c.cv', j)}) ASC, c.cid
+      ) AS rk
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rk = 1
+)"""
+        for j in range(PQ_M)
+    )
+    qd_ctes = ",\n".join(
+        f"qd{j} AS (SELECT c.cid, ({sq('qv', 'c.cv', j)}) AS d FROM cents c CROSS JOIN q)"
+        for j in range(PQ_M)
+    )
+    code_joins = "\n".join(
+        f"JOIN code{j} USING (vec_id)" for j in range(1, PQ_M)
+    )
+    qd_joins = "\n".join(
+        f"JOIN qd{j} ON qd{j}.cid = c{j}" for j in range(PQ_M)
+    )
+    adist = " + ".join(f"qd{j}.d" for j in range(PQ_M))
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {PQ_K}
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {ANN_QUERY_ID}),
+{code_ctes},
+{qd_ctes}
+SELECT vec_id, ({adist}) AS adist
+FROM code0
+{code_joins}
+{qd_joins}
+ORDER BY adist ASC, vec_id LIMIT {ANN_K}
+"""
+
+
+ANN_PQ_TOPK_SQL = _pq_sql()
 
 
 # ------------------------------------------------------- batch ANN join

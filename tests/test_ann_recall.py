@@ -92,3 +92,34 @@ def test_lsh_multiprobe_improves_recall(spark, corpus):
     # probe ≈ 0.14 measured; hamming-1 probing must strictly improve it
     assert multi > single
     assert multi >= 0.15, f"multi-probe LSH recall {multi}"
+
+
+def test_pq_adc_recall_and_rerank_floor(spark, corpus):
+    """PQ (#87) quality on the same hard corpus, against exact
+    squared-L2 truth (PQ's own metric): trained m=8/k=256 codebooks
+    ADC-only sit near 0.48 here (8-byte codes, weak clusters); the
+    standard ADC-shortlist -> exact-rerank pipeline recovers ≥0.9.
+    Deterministic (seeded fit, fixed queries): measured 0.48 / 0.93."""
+    emb, Xn, ids = corpus
+    pdf = emb.toPandas()
+    X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    xids = pdf["vec_id"].to_numpy()
+    cb = sim.pq_fit_codebooks(emb, "embedding", m=8, k=256)
+
+    def l2_truth(q):
+        d2 = ((X - q) ** 2).sum(axis=1)
+        return set(xids[np.lexsort((xids, d2))][:K].tolist())
+
+    adc, rr = [], []
+    for qid in QUERY_IDS:
+        q = X[xids == qid][0]
+        truth = l2_truth(q)
+        got = {r.vec_id for r in sim.pq_topk(emb, "vec_id", "embedding", cb, q, K).collect()}
+        adc.append(len(truth & got) / K)
+        got2 = {
+            r.vec_id
+            for r in sim.pq_topk(emb, "vec_id", "embedding", cb, q, K, rerank=100).collect()
+        }
+        rr.append(len(truth & got2) / K)
+    assert float(np.mean(adc)) >= 0.4, adc
+    assert float(np.mean(rr)) >= 0.9, rr

@@ -231,3 +231,44 @@ def test_signature_store_banding_mismatch_raises(spark, tmp_path):
     with pytest.raises(ValueError):  # no store at all
         dd.match_against_store(spark, docs, "doc_id", "text", str(tmp_path / "none"))
     dd.release_persisted()
+
+
+def test_substring_dup_report_known_windows(spark):
+    """Hand-built corpus: a shared 3-token phrase is flagged in both
+    docs; a unique doc reports zero duplicated windows; short docs are
+    absent."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators.dedup import (
+        substring_dup_report,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),      # windows: abg, bgd' (2)
+            (1, "zeta alpha beta gamma"),       # shares 'alpha beta gamma'
+            (2, "one two three four"),          # all unique windows
+            (3, "too short"),                   # < k tokens: absent
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in substring_dup_report(df, "doc_id", "text", k=3).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0].n_windows == 2 and out[0].n_dup_windows == 1
+    assert out[1].n_windows == 2 and out[1].n_dup_windows == 1
+    assert out[2].n_windows == 2 and out[2].n_dup_windows == 0
+    assert out[0].dup_frac == 0.5 and out[2].dup_frac == 0.0
+
+
+def test_substring_dup_counts_within_doc_repeats(spark):
+    """A window repeated inside ONE doc counts as duplicated (corpus
+    positions >= 2), matching the corpus-wide definition."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators.dedup import (
+        substring_dup_report,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "x y z x y z")],  # windows: xyz yzx zxy xyz -> xyz dup'd
+        "doc_id long, text string",
+    )
+    row = substring_dup_report(df, "doc_id", "text", k=3).collect()[0]
+    assert row.n_windows == 4
+    assert row.n_dup_windows == 2  # both xyz positions

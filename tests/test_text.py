@@ -205,3 +205,29 @@ def test_pack_sequences_dominant_source_sharded(spark):
         for doc_id, _, n_tok in sorted(d for d in data if d[1] == source):
             assert got[doc_id] == (pos // 128, pos % 128)
             pos += n_tok
+
+
+def test_classifier_logits_explicit_weights(spark):
+    """Supplied weight table: logit is the exact int sum of token-bucket
+    weights; empty docs score bias-free 0 and keep."""
+    import numpy as np
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators.text import (
+        classifier_logits,
+    )
+
+    def bucket(tok: str) -> int:
+        return _poly_py(tok) % 64
+
+    w = np.zeros(64, dtype=np.int64)
+    w[bucket("good")] = 10
+    w[bucket("bad")] = -25
+    df = spark.createDataFrame(
+        [(0, "good good good"), (1, "bad good"), (2, ""), (3, "bad bad good")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in classifier_logits(df, "doc_id", "text", weights=w, n_buckets=64).collect()}
+    assert (out[0].logit, out[0].keep) == (30, True)
+    assert (out[1].logit, out[1].keep) == (-15, False)
+    assert (out[2].logit, out[2].n_tok, out[2].keep) == (0, 0, True)
+    assert (out[3].logit, out[3].keep) == (-40, False)
