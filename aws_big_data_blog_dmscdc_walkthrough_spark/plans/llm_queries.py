@@ -320,20 +320,29 @@ SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {EMB_COSINE_THRESHOLD}
 
 # ------------------------------------------------------- semantic dedup
 
-SEMDEDUP_N_CLUSTERS = 8
+SEMDEDUP_N_CLUSTERS = 8          # floor (gate-sized at sf≤0.01)
+SEMDEDUP_CLUSTER_SIZE = 256      # target members per cluster
 SEMDEDUP_THRESHOLD = 0.4
 
 
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (#84): cluster embeddings, prune near-dups within cluster.
 
-    Gate form uses deterministic centroids (first ``SEMDEDUP_N_CLUSTERS``
-    table rows, the ann_ivf_topk pattern) so assignment, pairing, and
-    the keep rule are all replayable in DuckDB; real use fits centroids
-    with similarity.ivf_fit_centroids (k ≈ N / target_cluster_size).
+    Gate form uses deterministic centroids (the first K table rows, the
+    ann_ivf_topk pattern) so assignment, pairing, and the keep rule are
+    all replayable in DuckDB. K SCALES WITH THE CORPUS —
+    ``max(8, N // SEMDEDUP_CLUSTER_SIZE)``, the same expression the
+    oracle computes from COUNT(*) — because within-cluster pruning is
+    quadratic in cluster size: a fixed K makes clusters grow linearly
+    with the corpus and the per-cluster cosine matrix blow up
+    quadratically (measured 0.8 s → 127 s from sf0.1 to sf3 before the
+    scaling; 30× data is ~3 s after). Real use fits centroids with
+    similarity.ivf_fit_centroids at the same k ≈ N / cluster_size.
     """
     embs = load_table(spark, sf_dir, "embeddings")
-    cents = embs.where(F.col("vec_id") < SEMDEDUP_N_CLUSTERS).select(
+    n = embs.count()
+    k = max(SEMDEDUP_N_CLUSTERS, n // SEMDEDUP_CLUSTER_SIZE)
+    cents = embs.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
     return similarity.semantic_dedup(
@@ -351,7 +360,8 @@ def _semantic_sql() -> str:
     return f"""
 WITH cents AS (
   SELECT vec_id AS cid, embedding AS cv FROM embeddings
-  WHERE vec_id < {SEMDEDUP_N_CLUSTERS}
+  WHERE vec_id < greatest({SEMDEDUP_N_CLUSTERS},
+    (SELECT COUNT(*) FROM embeddings) // {SEMDEDUP_CLUSTER_SIZE})
 ),
 assigned AS (
   SELECT vec_id, embedding, cid FROM (

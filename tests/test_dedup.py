@@ -272,3 +272,25 @@ def test_substring_dup_counts_within_doc_repeats(spark):
     row = substring_dup_report(df, "doc_id", "text", k=3).collect()[0]
     assert row.n_windows == 4
     assert row.n_dup_windows == 2  # both xyz positions
+
+
+def test_substring_report_invariants_on_real_docs(spark):
+    """Structural invariants at sf0.001: dup windows never exceed total
+    windows, fraction is consistent, and window counts equal
+    max(0, n_tokens - k + 1) for every reported doc."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators.dedup import (
+        substring_dup_report,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    k = 8
+    rows = substring_dup_report(docs, "doc_id", "text", k=k).collect()
+    assert rows
+    toks = {r.doc_id: len(r.text.split()) for r in docs.select("doc_id", "text").collect()}
+    reported = {r.doc_id for r in rows}
+    expected = {d for d, n in toks.items() if n >= k}
+    assert reported == expected
+    for r in rows:
+        assert 0 <= r.n_dup_windows <= r.n_windows
+        assert r.n_windows == toks[r.doc_id] - k + 1
+        assert abs(r.dup_frac - r.n_dup_windows / r.n_windows) < 1e-15

@@ -287,3 +287,71 @@ def test_quantize_dequantize_roundtrip_error_bound(spark):
         na = math.sqrt(sum(a * a for a in v))
         nb = math.sqrt(sum(b * b for b in d))
         assert dot / (na * nb) > 0.995
+
+
+def test_pq_encode_roundtrip_properties(spark):
+    """PQ code properties: shape M, every code in [0, K); identical vectors
+    get identical codes; a vector equal to a codebook row encodes to
+    that row's index in every subspace."""
+    import numpy as np
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(3)
+    M, K, sub = 4, 8, 4
+    cb = rng.normal(size=(M, K, sub))
+    # vector stitched from codebook entry 5 of every subspace
+    stitched = np.concatenate([cb[j][5] for j in range(M)])
+    vecs = [rng.normal(size=M * sub).tolist() for _ in range(6)]
+    rows = [(0, stitched.tolist()), (1, vecs[0]), (2, vecs[0])] + [
+        (3 + i, v) for i, v in enumerate(vecs[1:])
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.pq_codes for r in sim.pq_encode(df, "vec_id", "embedding", cb).collect()}
+    assert all(len(c) == M and all(0 <= x < K for x in c) for c in out.values())
+    assert out[0] == [5] * M
+    assert out[1] == out[2]
+
+
+def test_pq_rerank_matches_exact_on_small_corpus(spark):
+    """With rerank >= corpus size, PQ top-k IS the exact L2 top-k."""
+    import numpy as np
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(40, 16))
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(40)], "vec_id long, embedding array<double>"
+    )
+    cb = rng.normal(size=(4, 4, 4))
+    q = X[7]
+    got = [r.vec_id for r in sim.pq_topk(df, "vec_id", "embedding", cb, q, 5, rerank=40).collect()]
+    d2 = ((X - q) ** 2).sum(axis=1)
+    ids = np.arange(40)
+    expect = ids[np.lexsort((ids, d2))][:5].tolist()
+    assert got == expect
+
+
+def test_semantic_dedup_drops_exact_duplicate_vectors(spark):
+    """Two identical vectors must land in one cluster and the later id
+    must be dropped; a far-away vector survives."""
+    import numpy as np
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import similarity as sim
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (5, [1.0, 0.0, 0.0, 0.0]),   # dup of 0
+        (9, [0.0, -1.0, 0.0, 0.0]),  # anti-aligned: survives any cluster
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cid int, cv array<double>",
+    )
+    out = {r.vec_id: r for r in sim.semantic_dedup(df, "vec_id", "embedding", cents, 0.99).collect()}
+    assert out[0].keep is True and out[5].keep is False
+    assert out[0].cid == out[5].cid == 0
+    assert out[1].keep is True and out[9].keep is True
