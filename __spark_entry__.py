@@ -183,6 +183,8 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_orders_median_price": analytics.q_orders_median_price,
         "sample_stratified": text.sample_stratified,
         "sketch_count_min": text.sketch_count_min,
+        # round-7 addition (SURVEY §2 #88)
+        "dedup_source_matrix": llm_queries.dedup_source_matrix,
         # rows-only (sketch internals differ across engines by design;
         # the tolerance pytest pins values against the exact percentile)
         "q_orders_price_quantiles_approx": analytics.q_orders_price_quantiles_approx,
@@ -264,6 +266,7 @@ def secondary_oracle_sql() -> dict[str, str]:
         "q_orders_median_price": analytics.Q_ORDERS_MEDIAN_PRICE_SQL,
         "sample_stratified": text.SAMPLE_STRATIFIED_SQL,
         "sketch_count_min": text.SKETCH_COUNT_MIN_SQL,
+        "dedup_source_matrix": llm_queries.DEDUP_SOURCE_MATRIX_SQL,
         "dedup_incremental": llm_queries.DEDUP_INCREMENTAL_SQL,
         "emb_quantize": llm_queries.EMB_QUANTIZE_SQL,
         "q_customer_value_ranks": tpch_ext.Q_CUSTOMER_VALUE_RANKS_SQL,

@@ -175,6 +175,59 @@ SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {MINHASH_JACCARD_THRES
 """
 
 
+# --------------------------------------------- source dup matrix (#88)
+
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix (#88): near-dup PAIR counts by
+    (source, source) — the corpus diagnostic behind data-mixing
+    decisions ("how much of books is already in web?"). Composes the
+    MinHash-LSH pair set with a doc→source join; sources are
+    canonically ordered (least/greatest) so each unordered pair counts
+    once. Aggregates are exact (count) or order-independent (max) —
+    no float summation, so the matrix hashes identically cross-engine.
+    Scale shape: the pair set is the bounded LSH output; the two
+    source lookups are linear equi-joins on doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=MINHASH_JACCARD_THRESHOLD
+    )
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa")),
+            "id_a",
+        ).join(
+            src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb")),
+            "id_b",
+        )
+    )
+    return (
+        j.select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
+DEDUP_SOURCE_MATRIX_SQL = f"""
+SELECT least(a.source, b.source) AS source_a,
+  greatest(a.source, b.source) AS source_b,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  MAX(p.jaccard) AS max_jaccard
+FROM ({DEDUP_MINHASH_LSH_SQL}) p
+JOIN documents a ON a.doc_id = p.id_a
+JOIN documents b ON b.doc_id = p.id_b
+GROUP BY source_a, source_b
+"""
+
+
 # ------------------------------------------------- incremental dedup
 
 DEDUP_INCREMENTAL_MOD = 10  # doc_id % MOD == 0 plays the "new batch"
@@ -320,8 +373,7 @@ SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {EMB_COSINE_THRESHOLD}
 
 # ------------------------------------------------------- semantic dedup
 
-SEMDEDUP_N_CLUSTERS = 8          # floor (gate-sized at sf≤0.01)
-SEMDEDUP_CLUSTER_SIZE = 256      # target members per cluster
+SEMDEDUP_N_CLUSTERS = 8          # floor (gate-sized at sf≤0.001)
 SEMDEDUP_THRESHOLD = 0.4
 
 
@@ -330,18 +382,22 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Gate form uses deterministic centroids (the first K table rows, the
     ann_ivf_topk pattern) so assignment, pairing, and the keep rule are
-    all replayable in DuckDB. K SCALES WITH THE CORPUS —
-    ``max(8, N // SEMDEDUP_CLUSTER_SIZE)``, the same expression the
-    oracle computes from COUNT(*) — because within-cluster pruning is
-    quadratic in cluster size: a fixed K makes clusters grow linearly
-    with the corpus and the per-cluster cosine matrix blow up
-    quadratically (measured 0.8 s → 127 s from sf0.1 to sf3 before the
-    scaling; 30× data is ~3 s after). Real use fits centroids with
-    similarity.ivf_fit_centroids at the same k ≈ N / cluster_size.
+    all replayable in DuckDB. K = max(8, ⌊√N⌋) — the same expression
+    the oracle computes from COUNT(*) — because BOTH costs depend on K:
+    within-cluster pruning is quadratic in cluster size (N/K), and
+    centroid assignment is N·K. A fixed K blows up the first
+    (measured 0.8 s → 127 s from sf0.1 to sf3); K ∝ N blows up the
+    second (N²/c assignment, measured 38 s at sf10). K = √N balances
+    them at O(N^1.5) total — the scale probe reads 1.0/1.7/4.4/19 s at
+    1×/10×/30×/100×. floor(sqrt(double)) is used on BOTH sides (not
+    isqrt) so the engines can't disagree at rounding boundaries. Real
+    use fits the same k via similarity.ivf_fit_centroids.
     """
+    import math
+
     embs = load_table(spark, sf_dir, "embeddings")
     n = embs.count()
-    k = max(SEMDEDUP_N_CLUSTERS, n // SEMDEDUP_CLUSTER_SIZE)
+    k = max(SEMDEDUP_N_CLUSTERS, int(math.floor(math.sqrt(float(n)))))
     cents = embs.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
@@ -361,7 +417,7 @@ def _semantic_sql() -> str:
 WITH cents AS (
   SELECT vec_id AS cid, embedding AS cv FROM embeddings
   WHERE vec_id < greatest({SEMDEDUP_N_CLUSTERS},
-    (SELECT COUNT(*) FROM embeddings) // {SEMDEDUP_CLUSTER_SIZE})
+    CAST(floor(sqrt(CAST((SELECT COUNT(*) FROM embeddings) AS DOUBLE))) AS BIGINT))
 ),
 assigned AS (
   SELECT vec_id, embedding, cid FROM (
