@@ -57,3 +57,45 @@ def test_zero_and_missing_baseline_entries_ignored(tmp_path):
     )
     assert base == "BENCH_r02.json"
     assert deltas == {"q2": 0.5}
+
+
+def test_fit_driver_line_under_limit_passthrough():
+    import json
+
+    from bench import fit_driver_line
+
+    timings = {f"q{i}": 0.5 for i in range(5)}
+    result = {"metric": "m", "value": 2.5, "unit": "sec",
+              "queries": {n: round(t, 2) for n, t in timings.items()}, "sf": "0.1"}
+    line, kept = fit_driver_line(result, timings)
+    assert kept == 5 and len(line) < 1900
+    assert json.loads(line)["queries"] == {f"q{i}": 0.5 for i in range(5)}
+
+
+def test_fit_driver_line_sheds_fastest_first():
+    import json
+
+    from bench import fit_driver_line
+
+    # 120 queries with distinct times: far beyond the limit at any
+    # rounding, so the shed path must engage and keep the slowest
+    timings = {f"query_with_a_rather_long_name_{i:03d}": i / 10 for i in range(120)}
+    result = {"metric": "m", "value": sum(timings.values()), "unit": "sec",
+              "queries": {n: round(t, 2) for n, t in timings.items()}, "sf": "0.1"}
+    line, kept = fit_driver_line(result, timings)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert parsed["queries_omitted"] == 120 - kept
+    assert len(parsed["queries"]) == kept > 0
+    slowest = sorted(timings, key=lambda n: -timings[n])[:kept]
+    assert set(parsed["queries"]) == set(slowest)
+
+
+def test_fit_driver_line_never_infinite_loops_on_tiny_limit():
+    from bench import fit_driver_line
+
+    timings = {"a": 1.0}
+    result = {"metric": "m", "value": 1.0, "unit": "sec",
+              "queries": {"a": 1.0}, "sf": "0.1"}
+    line, kept = fit_driver_line(result, timings, limit=10)
+    assert kept == 0  # degraded to an empty map rather than hanging
