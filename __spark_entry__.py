@@ -185,6 +185,9 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_count_min": text.sketch_count_min,
         # round-7 addition (SURVEY §2 #88)
         "dedup_source_matrix": llm_queries.dedup_source_matrix,
+        # round-7 additions (SURVEY §2 #89-#90): CDC consumers
+        "cdc_scd2": cdc_queries.cdc_scd2,
+        "cdc_snapshot_diff": cdc_queries.cdc_snapshot_diff,
         # rows-only (sketch internals differ across engines by design;
         # the tolerance pytest pins values against the exact percentile)
         "q_orders_price_quantiles_approx": analytics.q_orders_price_quantiles_approx,
@@ -267,6 +270,8 @@ def secondary_oracle_sql() -> dict[str, str]:
         "sample_stratified": text.SAMPLE_STRATIFIED_SQL,
         "sketch_count_min": text.SKETCH_COUNT_MIN_SQL,
         "dedup_source_matrix": llm_queries.DEDUP_SOURCE_MATRIX_SQL,
+        "cdc_scd2": cdc_queries.CDC_SCD2_SQL,
+        "cdc_snapshot_diff": cdc_queries.CDC_SNAPSHOT_DIFF_SQL,
         "dedup_incremental": llm_queries.DEDUP_INCREMENTAL_SQL,
         "emb_quantize": llm_queries.EMB_QUANTIZE_SQL,
         "q_customer_value_ranks": tpch_ext.Q_CUSTOMER_VALUE_RANKS_SQL,

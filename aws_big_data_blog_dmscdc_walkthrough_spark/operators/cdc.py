@@ -319,3 +319,119 @@ def apply_changes(
         if untouched is not None:
             merged = merged.unionByName(untouched.select(*data_cols))
     return merged
+
+
+def scd2_history(
+    target: DataFrame,
+    changes: DataFrame,
+    pks: Sequence[str],
+    seq_col: str,
+    op_col: str = OP_COL,
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 history from a CDC change batch.
+
+    The classic *consumer* of the reference's change stream: instead of
+    folding changes into a latest-state table (``apply_changes``,
+    DMSCDC_LoadIncremental.py:60-73), keep EVERY version of every key
+    with its validity interval. The target's current rows are version 0
+    (the initial load, DMSCDC_LoadInitial.py:31 stamps them ``I``);
+    each ``I``/``U`` change opens a new version; any later change on the
+    same key — including a delete — closes the previous one.
+
+    Semantics (``seq_col`` must strictly order a key's changes — the
+    reference's ``sortpath``+``rownum`` pair collapsed to one orderable
+    column; collapse same-seq ties with ``latest_changes`` first):
+
+    - output rows are versions: target rows plus ``I``/``U`` changes
+      (``D`` rows close intervals but are not themselves versions);
+    - ``valid_from_seq`` = the version's own sequence (0 for target);
+    - ``valid_to_seq``   = the NEXT change's sequence on that key, or
+      NULL while the version is still open;
+    - ``is_current``     = open interval (deleted keys have none).
+
+    Plan shape: one union + one window shuffle on the PK — identical to
+    the merge's shuffle footprint, so everything said about merge scale
+    (impacted pruning, AQE skew handling) applies unchanged.
+    """
+    pks = list(pks)
+    data_cols = target.columns
+    seq_type = changes.schema[seq_col].dataType
+    tgt = target.select(
+        *data_cols,
+        F.lit(OP_INSERT).alias("_op"),
+        F.lit(0).cast(seq_type).alias("_seq"),
+    )
+    chg = changes.select(
+        *data_cols,
+        F.col(op_col).alias("_op"),
+        F.col(seq_col).cast(seq_type).alias("_seq"),
+    )
+    window = Window.partitionBy(*pks).orderBy(F.col("_seq").asc())
+    versions = (
+        tgt.unionByName(chg)
+        .withColumn("_next_seq", F.lead("_seq").over(window))
+        .where(F.col("_op") != OP_DELETE)
+    )
+    return versions.select(
+        *data_cols,
+        F.col("_seq").alias("valid_from_seq"),
+        F.col("_next_seq").alias("valid_to_seq"),
+        F.col("_next_seq").isNull().alias("is_current"),
+    )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, pks: Sequence[str]
+) -> DataFrame:
+    """Derive a CDC change set by diffing two table snapshots.
+
+    The inverse of ``apply_changes``: when a source can't emit a change
+    stream (no DMS, no binlog), periodic full snapshots are the fallback
+    and the diff IS the change batch — ``I`` for keys only in ``new``,
+    ``D`` for keys only in ``old``, ``U`` for keys in both whose
+    non-key columns differ (null-safe comparison, column by column).
+    Unchanged keys produce no row. Feeding the output (with any
+    monotonic seq) back through ``apply_changes(old, ...)`` reproduces
+    ``new`` exactly — the round-trip test and the DuckDB oracle both
+    lean on that identity.
+
+    Plan shape: one full outer join on the PK — two table-sized shuffles
+    (or fewer: bucketed/partitioned snapshots co-locate for free), never
+    a pairwise comparison. Row values come from ``new`` for ``I``/``U``
+    and from ``old`` for ``D``, so downstream merge consumers always see
+    the freshest full row image.
+    """
+    pks = list(pks)
+    data_cols = old.columns
+    if [c for c in new.columns] != data_cols:
+        raise ValueError(
+            f"snapshot_diff: snapshots must share a schema; "
+            f"old={data_cols} new={new.columns}"
+        )
+    attrs = [c for c in data_cols if c not in pks]
+    o = old.select([F.col(c).alias(f"_o_{c}") for c in data_cols])
+    n = new.select([F.col(c).alias(f"_n_{c}") for c in data_cols])
+    cond = None
+    for k in pks:
+        eq = o[f"_o_{k}"] == n[f"_n_{k}"]
+        cond = eq if cond is None else cond & eq
+    joined = o.join(n, cond, "full_outer")
+    in_old = F.col(f"_o_{pks[0]}").isNotNull()
+    in_new = F.col(f"_n_{pks[0]}").isNotNull()
+    changed = F.lit(False)
+    for c in attrs:
+        changed = changed | ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    op = (
+        F.when(~in_old, F.lit(OP_INSERT))
+        .when(~in_new, F.lit(OP_DELETE))
+        .when(changed, F.lit(OP_UPDATE))
+    )
+    picked = [
+        F.when(in_new, F.col(f"_n_{c}")).otherwise(F.col(f"_o_{c}")).alias(c)
+        for c in data_cols
+    ]
+    return (
+        joined.withColumn("_diff_op", op)
+        .where(F.col("_diff_op").isNotNull())
+        .select(*picked, F.col("_diff_op").alias(OP_COL))
+    )

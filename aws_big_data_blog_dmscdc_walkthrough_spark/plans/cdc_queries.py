@@ -194,3 +194,78 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
 FROM ranked WHERE rnk = 1
 """
 )
+
+
+def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 history (#89): every version of every key with its
+    validity interval, built from the same synthesized change batch the
+    merge queries replay."""
+    return cdc.scd2_history(
+        base_orders(spark, sf_dir),
+        synth_changes(spark, sf_dir),
+        ["o_orderkey"],
+        seq_col="seq",
+        op_col="op",
+    )
+
+
+CDC_SCD2_SQL = f"""
+WITH {CHANGES_SQL},
+versions AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
+         'I' AS _op, 0 AS _seq
+  FROM base
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
+         op, seq
+  FROM changes
+),
+w AS (
+  SELECT *, LEAD(_seq) OVER (PARTITION BY o_orderkey ORDER BY _seq ASC) AS _next
+  FROM versions
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
+       _seq AS valid_from_seq, _next AS valid_to_seq,
+       (_next IS NULL) AS is_current
+FROM w WHERE _op <> 'D'
+"""
+
+
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (#90): old = the base table, new = the merged table;
+    the diff must therefore reproduce the collapsed change batch (one
+    row per touched key, latest image) — self-consistency the oracle
+    replays via the same FULL OUTER JOIN."""
+    old = base_orders(spark, sf_dir)
+    new = cdc.apply_changes(
+        old, synth_changes(spark, sf_dir), ["o_orderkey"], seq_col="seq", op_col="op"
+    )
+    return cdc.snapshot_diff(old, new, ["o_orderkey"])
+
+
+_DIFF_ATTRS = [c for c in BASE_COLS if c != "o_orderkey"]
+_DIFF_PICK = ",\n  ".join(
+    f"CASE WHEN n.o_orderkey IS NOT NULL THEN n.{c} ELSE o.{c} END AS {c}"
+    for c in BASE_COLS
+)
+_DIFF_CHANGED = " OR ".join(
+    f"(o.{c} IS DISTINCT FROM n.{c})" for c in _DIFF_ATTRS
+)
+
+CDC_SNAPSHOT_DIFF_SQL = (
+    _MERGE_CORE_SQL
+    + f""",
+new_t AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM ranked WHERE rnk = 1 AND op <> 'D'
+)
+SELECT * FROM (
+  SELECT
+  {_DIFF_PICK},
+  CASE WHEN o.o_orderkey IS NULL THEN 'I'
+       WHEN n.o_orderkey IS NULL THEN 'D'
+       WHEN {_DIFF_CHANGED} THEN 'U' END AS op
+  FROM base o FULL OUTER JOIN new_t n ON o.o_orderkey = n.o_orderkey
+) WHERE op IS NOT NULL
+"""
+)

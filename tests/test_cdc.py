@@ -199,3 +199,57 @@ def test_align_schemas_widens_small_int_types(spark):
     tb = spark.createDataFrame([(1, 2)], "id long, v tinyint")
     t3, _ = cdc.align_schemas(tb, c, extra_cols=("op", "seq"), allow_widening=True)
     assert dict(t3.dtypes)["v"] == "int"
+
+
+def test_scd2_history_versions_and_intervals(spark):
+    changes = _changes(
+        spark,
+        [
+            (2, "bob2", 21.0, "U", 1),   # bob: v0 -> v1
+            (2, "bob3", 22.0, "U", 2),   # bob: v1 -> v2 (current)
+            (3, None, 0.0, "D", 1),      # carol: deleted (interval closed, no new version)
+            (4, "dave", 40.0, "I", 1),   # dave: inserted (current)
+        ],
+    )
+    out = cdc.scd2_history(_target(spark), changes, ["id"], "seq")
+    rows = sorted(
+        ((r.id, r.valid_from_seq, r.valid_to_seq, r.is_current) for r in out.collect())
+    )
+    assert rows == [
+        (1, 0, None, True),     # untouched: still current
+        (2, 0, 1, False),
+        (2, 1, 2, False),
+        (2, 2, None, True),
+        (3, 0, 1, False),       # closed by the delete; no current version
+        (4, 1, None, True),
+    ]
+    # the D row itself must not appear as a version
+    assert out.where(F.col("id") == 3).count() == 1
+
+
+def test_snapshot_diff_classifies_and_round_trips(spark):
+    old = _target(spark)
+    new = spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 25.0), (4, "dave", 40.0)],
+        "id long, name string, bal double",
+    )
+    diff = cdc.snapshot_diff(old, new, ["id"])
+    ops = {r.id: r.op for r in diff.collect()}
+    assert ops == {2: "U", 3: "D", 4: "I"}  # id=1 unchanged -> absent
+    # U/I rows carry new values, D rows carry the old image
+    vals = {r.id: (r.name, r.bal) for r in diff.collect()}
+    assert vals[2] == ("bob", 25.0) and vals[3] == ("carol", 30.0)
+    # round-trip: applying the diff to old reproduces new exactly
+    applied = cdc.apply_changes(
+        old, diff.withColumn("seq", F.lit(1)), ["id"], "seq"
+    )
+    assert sorted(map(tuple, applied.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_snapshot_diff_null_safe_change_detection(spark):
+    old = spark.createDataFrame([(1, None, 1.0)], "id long, name string, bal double")
+    new_same = spark.createDataFrame([(1, None, 1.0)], "id long, name string, bal double")
+    new_set = spark.createDataFrame([(1, "x", 1.0)], "id long, name string, bal double")
+    assert cdc.snapshot_diff(old, new_same, ["id"]).count() == 0
+    d = cdc.snapshot_diff(old, new_set, ["id"]).collect()
+    assert len(d) == 1 and d[0].op == "U" and d[0].name == "x"
