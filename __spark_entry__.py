@@ -188,6 +188,9 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-7 additions (SURVEY §2 #89-#90): CDC consumers
         "cdc_scd2": cdc_queries.cdc_scd2,
         "cdc_snapshot_diff": cdc_queries.cdc_snapshot_diff,
+        # round-7 additions (SURVEY §2 #91-#92): corpus quality + mixing
+        "text_surprisal": text.text_surprisal,
+        "corpus_temperature_mix": text.corpus_temperature_mix,
         # rows-only (sketch internals differ across engines by design;
         # the tolerance pytest pins values against the exact percentile)
         "q_orders_price_quantiles_approx": analytics.q_orders_price_quantiles_approx,
@@ -272,6 +275,8 @@ def secondary_oracle_sql() -> dict[str, str]:
         "dedup_source_matrix": llm_queries.DEDUP_SOURCE_MATRIX_SQL,
         "cdc_scd2": cdc_queries.CDC_SCD2_SQL,
         "cdc_snapshot_diff": cdc_queries.CDC_SNAPSHOT_DIFF_SQL,
+        "text_surprisal": text.TEXT_SURPRISAL_SQL,
+        "corpus_temperature_mix": text.CORPUS_TEMPERATURE_MIX_SQL,
         "dedup_incremental": llm_queries.DEDUP_INCREMENTAL_SQL,
         "emb_quantize": llm_queries.EMB_QUANTIZE_SQL,
         "q_customer_value_ranks": tpch_ext.Q_CUSTOMER_VALUE_RANKS_SQL,

@@ -927,3 +927,151 @@ SELECT doc_id, n_tok, logit, (logit >= 0) AS keep FROM s
 
 
 TEXT_QUALITY_CLASSIFIER_SQL = _quality_classifier_sql()
+
+
+# --------------------------------------------- token surprisal (#91)
+#
+# LM-perplexity-proxy quality signal (the CCNet recipe filters on a
+# trained KenLM's perplexity; the corpus's OWN unigram statistics give
+# the engine-native analogue): rare tokens are surprising, and a doc's
+# mean surprisal separates fluent prose (common-word heavy) from
+# boilerplate/gibberish (rare-token heavy). True -log p needs libm log,
+# whose last-ulp rounding differs across engines and would break the
+# value-hash gate; the DIGIT-COUNT bucket digits(N) - digits(count)
+# (= ceil-ish log10(N/count)) is integer-exact in any engine and keeps
+# the Zipf ordering. The only float is one final double division.
+
+def token_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc mean unigram surprisal in decimal-digit buckets.
+
+    Plan: tokenize map-side → one word-count shuffle for the corpus
+    unigram table → token-keyed equi-join back (word-count-shaped, the
+    same key distribution) → per-doc aggregation. The corpus total is a
+    scalar aggregate output, broadcast by policy. Linear in corpus
+    tokens; no pairwise anything. Docs with zero tokens have no
+    surprisal and are absent (the text_quality gate already flags them).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.filter(_tokens(F.col(text_col)), lambda t: t != "")).alias("_t"),
+    )
+    cnt = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    tot = cnt.agg(F.sum("_c").alias("_n"))
+    bucket = F.length(F.col("_n").cast("string")) - F.length(F.col("_c").cast("string"))
+    return (
+        toks.join(cnt, "_t")
+        .join(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(bucket).alias("sum_surprisal"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tok"),
+            F.col("sum_surprisal"),
+            (
+                F.col("sum_surprisal").cast("double") / F.col("n_tok").cast("double")
+            ).alias("mean_surprisal"),
+        )
+    )
+
+
+def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query for #91 over the documents table."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return token_surprisal(docs, "doc_id", "text")
+
+
+TEXT_SURPRISAL_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS _t
+  FROM documents
+),
+cnt AS (SELECT _t, CAST(COUNT(*) AS BIGINT) AS _c FROM tok GROUP BY _t),
+tot AS (SELECT CAST(SUM(_c) AS BIGINT) AS _n FROM cnt)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tok,
+  CAST(SUM(length(CAST(tot._n AS VARCHAR)) - length(CAST(cnt._c AS VARCHAR))) AS BIGINT)
+    AS sum_surprisal,
+  CAST(SUM(length(CAST(tot._n AS VARCHAR)) - length(CAST(cnt._c AS VARCHAR))) AS BIGINT)::DOUBLE
+    / CAST(COUNT(*) AS BIGINT)::DOUBLE AS mean_surprisal
+FROM tok JOIN cnt USING (_t) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+# ----------------------------------------- temperature source mix (#92)
+#
+# Data-mixing resample (the multilingual-LM recipe: sample source s with
+# p_s ∝ t_s^α, α < 1, to upweight small sources). Per-doc keep rate to
+# hit that mixture from a corpus holding t_s tokens of source s is
+# r_s ∝ t_s^(α-1); at α = 1/2 that is r_s = sqrt(t_min / t_s) with the
+# smallest source kept whole. α = 1/2 is chosen deliberately: sqrt is
+# an IEEE-754 CORRECTLY-ROUNDED operation (unlike pow/log, whose final
+# ulp varies by libm), so Spark and any oracle engine compute the
+# identical double, the identical floor, and the identical keep set.
+
+MIX_RATE_DENOM = 1_000_000  # keep rates in exact ppm
+
+
+def temperature_mix(df: DataFrame, id_col: str, source_col: str, text_col: str) -> DataFrame:
+    """Deterministic α=1/2 temperature resample across sources.
+
+    Plan: map-side word counts → tiny per-source token-total aggregate →
+    scalar min → rates broadcast-joined back (the source domain is
+    bounded — a label-cardinality frame, like emb_label_centroids) →
+    map-side multiplicative-hash keep. One small shuffle total; the keep
+    decision is stable under corpus growth only via the rates, so
+    re-running after ingest re-mixes with fresh totals by design.
+    """
+    wc = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.size(F.filter(_tokens(F.col(text_col)), lambda t: t != "")).alias("_nt"),
+    )
+    per_src = wc.groupBy(source_col).agg(F.sum("_nt").alias("_ts"))
+    tmin = per_src.agg(F.min("_ts").alias("_tmin"))
+    rates = (
+        per_src.join(F.broadcast(tmin))
+        .select(
+            F.col(source_col),
+            F.floor(
+                F.lit(float(MIX_RATE_DENOM))
+                * F.sqrt(F.col("_tmin").cast("double") / F.col("_ts").cast("double"))
+            ).alias("rate_ppm"),
+        )
+    )
+    keep = (
+        (F.col(id_col) % F.lit(SAMPLE_MOD)) * F.lit(SAMPLE_MULT)
+    ) % F.lit(SAMPLE_MOD) % F.lit(MIX_RATE_DENOM) < F.col("rate_ppm")
+    return wc.join(F.broadcast(rates), source_col).select(
+        F.col(id_col), F.col(source_col), F.col("rate_ppm"), keep.alias("keep")
+    )
+
+
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query for #92 over the documents table."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return temperature_mix(docs, "doc_id", "source", "text")
+
+
+CORPUS_TEMPERATURE_MIX_SQL = rf"""
+WITH wc AS (
+  SELECT doc_id, source,
+    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS _nt
+  FROM documents
+),
+per_src AS (SELECT source, CAST(SUM(_nt) AS BIGINT) AS _ts FROM wc GROUP BY source),
+tmin AS (SELECT MIN(_ts) AS _tmin FROM per_src),
+rates AS (
+  SELECT source,
+    CAST(floor({MIX_RATE_DENOM}.0 * sqrt(_tmin::DOUBLE / _ts::DOUBLE)) AS BIGINT) AS rate_ppm
+  FROM per_src CROSS JOIN tmin
+)
+SELECT wc.doc_id, wc.source, rates.rate_ppm,
+  ((wc.doc_id % {SAMPLE_MOD}) * {SAMPLE_MULT}) % {SAMPLE_MOD} % {MIX_RATE_DENOM} < rates.rate_ppm
+    AS keep
+FROM wc JOIN rates USING (source)
+"""

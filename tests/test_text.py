@@ -231,3 +231,51 @@ def test_classifier_logits_explicit_weights(spark):
     assert (out[1].logit, out[1].keep) == (-15, False)
     assert (out[2].logit, out[2].n_tok, out[2].keep) == (0, 0, True)
     assert (out[3].logit, out[3].keep) == (-40, False)
+
+
+def test_token_surprisal_hand_checked(spark):
+    # corpus: "a a a b" -> N=4; count(a)=3, count(b)=1
+    # digits(4)=1, digits(3)=1, digits(1)=1 -> bucket(a)=0, bucket(b)=0
+    # doc1 = "a a", doc2 = "a b"
+    df = spark.createDataFrame(
+        [(1, "a a"), (2, "a b")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in text.token_surprisal(df, "doc_id", "text").collect()}
+    assert out[1].n_tok == 2 and out[1].sum_surprisal == 0
+    assert out[2].n_tok == 2 and out[2].mean_surprisal == 0.0
+    # rarer token in a bigger corpus gets a positive bucket:
+    # 12 tokens total (digits=2), one 'z' (digits=1) -> bucket 1
+    big = spark.createDataFrame(
+        [(1, "w w w w w w w w w w w"), (2, "z")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in text.token_surprisal(big, "doc_id", "text").collect()}
+    assert out[2].sum_surprisal == 1 and out[2].mean_surprisal == 1.0
+    assert out[1].sum_surprisal == 0  # 11 'w' in 12: digits(12)-digits(11)=0
+
+
+def test_token_surprisal_skips_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "   "), (3, "")], "doc_id long, text string"
+    )
+    out = text.token_surprisal(df, "doc_id", "text")
+    assert [r.doc_id for r in out.collect()] == [1]
+
+
+def test_temperature_mix_rates(spark):
+    # small source kept whole (rate = 1e6 ppm); big source at
+    # sqrt(t_min/t_s): t_small=4, t_big=16 -> rate 500000 ppm
+    rows = [(i, "big", "t " * 4) for i in range(4)] + [
+        (100, "small", "t t t t")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = text.temperature_mix(df, "doc_id", "source", "text")
+    rates = {r.source: r.rate_ppm for r in out.collect()}
+    assert rates["small"] == text.MIX_RATE_DENOM
+    assert rates["big"] == text.MIX_RATE_DENOM // 2
+    # smallest source is kept in full
+    keeps = {r.doc_id: r.keep for r in out.collect()}
+    assert keeps[100] is True
+    # deterministic: second run produces the identical keep set
+    again = {r.doc_id: r.keep for r in text.temperature_mix(
+        df, "doc_id", "source", "text").collect()}
+    assert again == keeps
