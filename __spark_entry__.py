@@ -191,6 +191,8 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-7 additions (SURVEY §2 #91-#92): corpus quality + mixing
         "text_surprisal": text.text_surprisal,
         "corpus_temperature_mix": text.corpus_temperature_mix,
+        # round-7 addition (SURVEY §2 #93): explicit bloom runtime filter
+        "q_lineitem_bloom_semi": analytics.q_lineitem_bloom_semi,
         # rows-only (sketch internals differ across engines by design;
         # the tolerance pytest pins values against the exact percentile)
         "q_orders_price_quantiles_approx": analytics.q_orders_price_quantiles_approx,
@@ -277,6 +279,7 @@ def secondary_oracle_sql() -> dict[str, str]:
         "cdc_snapshot_diff": cdc_queries.CDC_SNAPSHOT_DIFF_SQL,
         "text_surprisal": text.TEXT_SURPRISAL_SQL,
         "corpus_temperature_mix": text.CORPUS_TEMPERATURE_MIX_SQL,
+        "q_lineitem_bloom_semi": analytics.Q_LINEITEM_BLOOM_SEMI_SQL,
         "dedup_incremental": llm_queries.DEDUP_INCREMENTAL_SQL,
         "emb_quantize": llm_queries.EMB_QUANTIZE_SQL,
         "q_customer_value_ranks": tpch_ext.Q_CUSTOMER_VALUE_RANKS_SQL,

@@ -755,3 +755,35 @@ def q_orders_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFra
         ).alias("price_quantiles"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# ------------------------------------------ bloom-filtered semi-join (#93)
+
+def q_lineitem_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-filtered semi-join (#93): lineitems of URGENT orders.
+
+    The output is exactly the plain semi-join (the bloom has no false
+    negatives and the closing exact join removes false positives), so
+    the oracle is a plain EXISTS — what the gate certifies is that the
+    pre-filtered plan is value-identical to the unfiltered one.
+    """
+    from ..operators import bloom
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    urgent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    out = bloom.bloom_semi_join(
+        lineitem, urgent, "l_orderkey", "o_orderkey"
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+Q_LINEITEM_BLOOM_SEMI_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem l
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderpriority = '1-URGENT'
+)
+"""
