@@ -770,11 +770,14 @@ def q_lineitem_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import bloom
 
     lineitem = load_table(spark, sf_dir, "lineitem")
-    urgent = load_table(spark, sf_dir, "orders").where(
-        F.col("o_orderpriority") == "1-URGENT"
-    )
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    # Size the bitmap from the UNfiltered row count: count-star over
+    # parquet is statistics-only (no column scan), and over-estimating
+    # the build side only lowers the false-positive rate.
     out = bloom.bloom_semi_join(
-        lineitem, urgent, "l_orderkey", "o_orderkey"
+        lineitem, urgent, "l_orderkey", "o_orderkey",
+        expected_items=orders.count(),
     )
     return out.select("l_orderkey", "l_linenumber", "l_extendedprice")
 

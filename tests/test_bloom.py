@@ -8,16 +8,18 @@ from aws_big_data_blog_dmscdc_walkthrough_spark.operators import bloom
 
 def test_bloom_no_false_negatives(spark):
     keys = spark.range(0, 500).select((F.col("id") * 7 + 3).alias("k"))
-    bitmap = bloom.bloom_build(keys, "k", expected_items=500)
-    kept = bloom.bloom_filter_frame(keys, "k", bitmap)
+    words = bloom.bloom_build(keys, "k", expected_items=500)
+    kept = bloom.bloom_filter_frame(keys, "k", words, expected_items=500)
     assert kept.count() == 500  # every built key must pass its own filter
 
 
 def test_bloom_filters_most_non_members(spark):
     members = spark.range(0, 1000).select(F.col("id").alias("k"))
-    bitmap = bloom.bloom_build(members, "k", expected_items=1000)
+    words = bloom.bloom_build(members, "k", expected_items=1000)
     strangers = spark.range(1_000_000, 1_100_000).select(F.col("id").alias("k"))
-    passed = bloom.bloom_filter_frame(strangers, "k", bitmap).count()
+    passed = bloom.bloom_filter_frame(
+        strangers, "k", words, expected_items=1000
+    ).count()
     # ~1% fpp at 10 bits/key, k=4; allow generous slack
     assert passed < 100_000 * 0.05, passed
 
@@ -45,3 +47,15 @@ def test_bloom_empty_build_side(spark):
     big = spark.range(0, 100).select(F.col("id").alias("k"))
     empty = spark.range(0, 0).select(F.col("id").alias("k2"))
     assert bloom.bloom_semi_join(big, empty, "k", "k2", expected_items=1).count() == 0
+
+
+def test_bloom_filter_plan_is_broadcast_joins_only(spark):
+    """The probe side must see only broadcast hash joins — a shuffle of
+    the probed frame would defeat the operator's purpose."""
+    big = spark.range(0, 10_000).select(F.col("id").alias("k"))
+    small = spark.range(0, 10_000, 11).select(F.col("id").alias("k2"))
+    words = bloom.bloom_build(small, "k2", expected_items=1000)
+    pre = bloom.bloom_filter_frame(big, "k", words, expected_items=1000)
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
