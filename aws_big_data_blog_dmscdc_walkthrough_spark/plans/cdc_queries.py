@@ -269,3 +269,34 @@ SELECT * FROM (
 ) WHERE op IS NOT NULL
 """
 )
+
+
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (#94): a per-status
+    rollup of orders is folded forward through the synthesized change
+    batch (delta = agg(new impacted) - agg(old impacted)) and must equal
+    a from-scratch recompute over the merged table EXACTLY — which is
+    what the oracle computes. Decimal state makes the identity exact."""
+    base = base_orders(spark, sf_dir)
+    changes = synth_changes(spark, sf_dir)
+    merged = cdc.apply_changes(base, changes, ["o_orderkey"], seq_col="seq", op_col="op")
+    keys = changes.select("o_orderkey").distinct()
+    old_rows = base.join(keys, "o_orderkey", "leftsemi")
+    new_rows = merged.join(keys, "o_orderkey", "leftsemi")
+    prev = cdc.grouped_agg_state(base, ["o_orderstatus"], "o_totalprice")
+    state = cdc.maintain_grouped_agg(
+        prev, old_rows, new_rows, ["o_orderstatus"], "o_totalprice"
+    )
+    return cdc.agg_state_report(state, ["o_orderstatus"], "sum_totalprice")
+
+
+CDC_INCREMENTAL_AGG_SQL = (
+    _MERGE_CORE_SQL
+    + """
+SELECT o_orderstatus,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE) AS sum_totalprice
+FROM ranked WHERE rnk = 1 AND op <> 'D'
+GROUP BY o_orderstatus
+"""
+)

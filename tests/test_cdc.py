@@ -253,3 +253,49 @@ def test_snapshot_diff_null_safe_change_detection(spark):
     assert cdc.snapshot_diff(old, new_same, ["id"]).count() == 0
     d = cdc.snapshot_diff(old, new_set, ["id"]).collect()
     assert len(d) == 1 and d[0].op == "U" and d[0].name == "x"
+
+
+def test_incremental_agg_matches_recompute_and_chains(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "id long, grp string, val double",
+    )
+    state = cdc.grouped_agg_state(base, ["grp"], "val")
+
+    def apply_batch(tbl, state, rows):
+        changes = spark.createDataFrame(
+            rows, "id long, grp string, val double, op string, seq long"
+        )
+        merged = cdc.apply_changes(tbl, changes, ["id"], "seq")
+        keys = changes.select("id").distinct()
+        state = cdc.maintain_grouped_agg(
+            state,
+            tbl.join(keys, "id", "leftsemi"),
+            merged.join(keys, "id", "leftsemi"),
+            ["grp"],
+            "val",
+        )
+        return merged, state
+
+    # batch 1: update in group a, delete the only b row (group vanishes),
+    # insert a new group c
+    tbl, state = apply_batch(
+        base, state,
+        [(2, "a", 25.0, "U", 1), (3, "b", 0.0, "D", 1), (4, "c", 7.0, "I", 1)],
+    )
+    # batch 2: move id=1 from group a to group c (update changes the group)
+    tbl, state = apply_batch(tbl, state, [(1, "c", 11.0, "U", 1)])
+
+    got = {
+        r.grp: (r.n_rows, r.s)
+        for r in cdc.agg_state_report(state, ["grp"], "s").collect()
+    }
+    want = {
+        r.grp: (r.n_rows, r.s)
+        for r in cdc.agg_state_report(
+            cdc.grouped_agg_state(tbl, ["grp"], "val"), ["grp"], "s"
+        ).collect()
+    }
+    assert got == want
+    assert "b" not in got  # vanished group dropped, not kept at zero
+    assert got["c"] == (2, 18.0)
