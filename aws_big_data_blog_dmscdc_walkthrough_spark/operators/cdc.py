@@ -531,3 +531,87 @@ def agg_state_report(state: DataFrame, group_cols: Sequence[str], sum_alias: str
         F.col("n_rows"),
         F.col("_sum").cast("double").alias(sum_alias),
     )
+
+
+def scd2_apply(
+    history: DataFrame,
+    changes: DataFrame,
+    pks: Sequence[str],
+    seq_col: str,
+    op_col: str = OP_COL,
+) -> DataFrame:
+    """Fold one change batch into an EXISTING SCD2 history table.
+
+    The incremental form of :func:`scd2_history` — what a foreachBatch
+    loop or a daily merge job runs so the history table never needs
+    rebuilding from the full change log. ``history`` carries the
+    ``scd2_history`` output columns; ``changes`` must sequence strictly
+    AFTER every recorded version of the keys it touches (true by
+    construction when batches apply in landing order).
+
+    Per impacted key: the open version (if any) is closed at the
+    batch's first change seq; the batch's own ``I``/``U`` rows become
+    versions exactly as in the one-shot operator. Everything else
+    passes through untouched. Folding batches one at a time is
+    IDENTICAL to one-shot history over the concatenated change log —
+    tests/test_cdc.py pins that invariant.
+
+    Plan shape: the impacted-open split is a broadcast-guarded semi
+    join on the change keys (the merge's own pruning primitive) and
+    the batch windows shuffle only the batch — history itself is never
+    window-shuffled again.
+    """
+    pks = list(pks)
+    hist_cols = history.columns
+    data_cols = [
+        c for c in hist_cols
+        if c not in ("valid_from_seq", "valid_to_seq", "is_current")
+    ]
+    seq_type = changes.schema[seq_col].dataType
+    keys = _maybe_broadcast(
+        changes.select(*pks).distinct(), BROADCAST_KEYS_MAX_BYTES
+    )
+    first_seq = changes.groupBy(*pks).agg(
+        F.min(F.col(seq_col)).alias("_close_seq")
+    )
+    open_impacted = (
+        history.where(F.col("is_current"))
+        .join(keys, pks, "leftsemi")
+        .join(first_seq, pks, "left")
+        .select(
+            *data_cols,
+            F.col("valid_from_seq"),
+            F.col("_close_seq").cast(
+                history.schema["valid_to_seq"].dataType
+            ).alias("valid_to_seq"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    untouched = history.join(
+        history.where(F.col("is_current")).join(keys, pks, "leftsemi").select(
+            *pks, F.col("valid_from_seq")
+        ),
+        [*pks, "valid_from_seq"],
+        "left_anti",
+    )
+    window = Window.partitionBy(*pks).orderBy(F.col("_seq").asc())
+    new_versions = (
+        changes.select(
+            *data_cols,
+            F.col(op_col).alias("_op"),
+            F.col(seq_col).cast(seq_type).alias("_seq"),
+        )
+        .withColumn("_next_seq", F.lead("_seq").over(window))
+        .where(F.col("_op") != OP_DELETE)
+        .select(
+            *data_cols,
+            F.col("_seq").cast(history.schema["valid_from_seq"].dataType).alias(
+                "valid_from_seq"
+            ),
+            F.col("_next_seq").cast(
+                history.schema["valid_to_seq"].dataType
+            ).alias("valid_to_seq"),
+            F.col("_next_seq").isNull().alias("is_current"),
+        )
+    )
+    return untouched.unionByName(open_impacted).unionByName(new_versions)
