@@ -360,13 +360,20 @@ def scd2_history(
         *data_cols,
         F.lit(OP_INSERT).alias("_op"),
         F.lit(0).cast(seq_type).alias("_seq"),
+        F.lit(0).alias("_src"),
     )
     chg = changes.select(
         *data_cols,
         F.col(op_col).alias("_op"),
         F.col(seq_col).cast(seq_type).alias("_seq"),
+        F.lit(1).alias("_src"),
     )
-    window = Window.partitionBy(*pks).orderBy(F.col("_seq").asc())
+    # secondary _src key: a change batch whose first seq equals the
+    # target's sentinel 0 would otherwise tie, and post-shuffle tie
+    # order is nondeterministic — the target row must sort first
+    window = Window.partitionBy(*pks).orderBy(
+        F.col("_seq").asc(), F.col("_src").asc()
+    )
     versions = (
         tgt.unionByName(chg)
         .withColumn("_next_seq", F.lead("_seq").over(window))
@@ -506,10 +513,17 @@ def maintain_grouped_agg(
         )
     )
     zero_sum = F.lit(0).cast(prev_state.schema["_sum"].dataType)
+    # null-safe equi-join: a NULL group value is a legitimate group
+    # (GROUP BY treats NULLs as one group); a name-list join would
+    # never match it and double-count the group instead
+    cond = None
+    for g in group_cols:
+        eq = prev_state[g].eqNullSafe(delta[g])
+        cond = eq if cond is None else cond & eq
     merged = (
-        prev_state.join(delta, group_cols, "full_outer")
+        prev_state.join(delta, cond, "full_outer")
         .select(
-            *group_cols,
+            *[F.coalesce(prev_state[g], delta[g]).alias(g) for g in group_cols],
             (
                 F.coalesce(F.col("n_rows"), F.lit(0))
                 + F.coalesce(F.col("_dc"), F.lit(0))

@@ -1032,15 +1032,24 @@ def temperature_mix(df: DataFrame, id_col: str, source_col: str, text_col: str) 
         F.size(F.filter(_tokens(F.col(text_col)), lambda t: t != "")).alias("_nt"),
     )
     per_src = wc.groupBy(source_col).agg(F.sum("_nt").alias("_ts"))
-    tmin = per_src.agg(F.min("_ts").alias("_tmin"))
+    # t_min over POSITIVE totals only: a source of empty docs has no
+    # tokens to weight (its docs are kept whole) and must not drive
+    # sqrt(0/t) / 0-division NaNs through floor
+    tmin = per_src.where(F.col("_ts") > 0).agg(F.min("_ts").alias("_tmin"))
     rates = (
         per_src.join(F.broadcast(tmin))
         .select(
             F.col(source_col),
-            F.floor(
-                F.lit(float(MIX_RATE_DENOM))
-                * F.sqrt(F.col("_tmin").cast("double") / F.col("_ts").cast("double"))
-            ).alias("rate_ppm"),
+            F.when(F.col("_ts") <= 0, F.lit(MIX_RATE_DENOM).cast("long"))
+            .otherwise(
+                F.floor(
+                    F.lit(float(MIX_RATE_DENOM))
+                    * F.sqrt(
+                        F.col("_tmin").cast("double") / F.col("_ts").cast("double")
+                    )
+                )
+            )
+            .alias("rate_ppm"),
         )
     )
     keep = (
@@ -1064,10 +1073,12 @@ WITH wc AS (
   FROM documents
 ),
 per_src AS (SELECT source, CAST(SUM(_nt) AS BIGINT) AS _ts FROM wc GROUP BY source),
-tmin AS (SELECT MIN(_ts) AS _tmin FROM per_src),
+tmin AS (SELECT MIN(_ts) AS _tmin FROM per_src WHERE _ts > 0),
 rates AS (
   SELECT source,
-    CAST(floor({MIX_RATE_DENOM}.0 * sqrt(_tmin::DOUBLE / _ts::DOUBLE)) AS BIGINT) AS rate_ppm
+    CASE WHEN _ts <= 0 THEN CAST({MIX_RATE_DENOM} AS BIGINT)
+      ELSE CAST(floor({MIX_RATE_DENOM}.0 * sqrt(_tmin::DOUBLE / _ts::DOUBLE)) AS BIGINT)
+    END AS rate_ppm
   FROM per_src CROSS JOIN tmin
 )
 SELECT wc.doc_id, wc.source, rates.rate_ppm,

@@ -327,3 +327,39 @@ def test_scd2_apply_incremental_equals_one_shot(spark):
     assert rows[(2, 2)].is_current is True and rows[(2, 1)].valid_to_seq == 2
     assert rows[(4, 1)].valid_to_seq == 2 and (4, 2) not in rows
     assert rows[(3, 2)].is_current is True
+
+
+def test_scd2_history_change_at_seq_zero_deterministic(spark):
+    # a change whose seq equals the target sentinel 0 must still sort
+    # AFTER the target version (target first, then the change)
+    changes = _changes(spark, [(2, "bob0", 20.5, "U", 0)])
+    out = cdc.scd2_history(_target(spark), changes, ["id"], "seq")
+    rows = sorted(
+        (
+            (r.id, r.valid_from_seq, r.valid_to_seq, r.is_current, r.name)
+            for r in out.where(F.col("id") == 2).collect()
+        ),
+        key=lambda t: (t[0], t[1], t[2] is None, t[2] or 0),
+    )
+    assert rows == [(2, 0, 0, False, "bob"), (2, 0, None, True, "bob0")]
+
+
+def test_incremental_agg_null_group_values(spark):
+    base = spark.createDataFrame(
+        [(1, None, 10.0), (2, None, 20.0), (3, "b", 30.0)],
+        "id long, grp string, val double",
+    )
+    changes = spark.createDataFrame(
+        [(1, None, 15.0, "U", 1)], "id long, grp string, val double, op string, seq long"
+    )
+    merged = cdc.apply_changes(base, changes, ["id"], "seq")
+    keys = changes.select("id").distinct()
+    state = cdc.maintain_grouped_agg(
+        cdc.grouped_agg_state(base, ["grp"], "val"),
+        base.join(keys, "id", "leftsemi"),
+        merged.join(keys, "id", "leftsemi"),
+        ["grp"],
+        "val",
+    )
+    out = {r.grp: (r.n_rows, r.s) for r in cdc.agg_state_report(state, ["grp"], "s").collect()}
+    assert out == {None: (2, 35.0), "b": (1, 30.0)}

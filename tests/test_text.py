@@ -279,3 +279,13 @@ def test_temperature_mix_rates(spark):
     again = {r.doc_id: r.keep for r in text.temperature_mix(
         df, "doc_id", "source", "text").collect()}
     assert again == keeps
+
+
+def test_temperature_mix_zero_token_source(spark):
+    rows = [(1, "big", "t t t t"), (2, "emptysrc", "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.source: r for r in text.temperature_mix(df, "doc_id", "source", "text").collect()}
+    # zero-token source: kept whole, no NaN; 'big' is now the smallest
+    # positive source so it is kept whole too
+    assert out["emptysrc"].rate_ppm == text.MIX_RATE_DENOM
+    assert out["big"].rate_ppm == text.MIX_RATE_DENOM
