@@ -195,6 +195,9 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lineitem_bloom_semi": analytics.q_lineitem_bloom_semi,
         # round-7 addition (SURVEY §2 #94): incremental view maintenance
         "cdc_incremental_agg": cdc_queries.cdc_incremental_agg,
+        # round-7 additions (SURVEY §2 #95-#96): product analytics
+        "q_events_funnel": analytics.q_events_funnel,
+        "q_events_retention": analytics.q_events_retention,
         # rows-only (sketch internals differ across engines by design;
         # the tolerance pytest pins values against the exact percentile)
         "q_orders_price_quantiles_approx": analytics.q_orders_price_quantiles_approx,
@@ -283,6 +286,8 @@ def secondary_oracle_sql() -> dict[str, str]:
         "corpus_temperature_mix": text.CORPUS_TEMPERATURE_MIX_SQL,
         "q_lineitem_bloom_semi": analytics.Q_LINEITEM_BLOOM_SEMI_SQL,
         "cdc_incremental_agg": cdc_queries.CDC_INCREMENTAL_AGG_SQL,
+        "q_events_funnel": analytics.Q_EVENTS_FUNNEL_SQL,
+        "q_events_retention": analytics.Q_EVENTS_RETENTION_SQL,
         "dedup_incremental": llm_queries.DEDUP_INCREMENTAL_SQL,
         "emb_quantize": llm_queries.EMB_QUANTIZE_SQL,
         "q_customer_value_ranks": tpch_ext.Q_CUSTOMER_VALUE_RANKS_SQL,

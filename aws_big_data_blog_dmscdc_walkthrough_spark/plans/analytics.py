@@ -790,3 +790,128 @@ WHERE EXISTS (
   WHERE o.o_orderkey = l.l_orderkey AND o.o_orderpriority = '1-URGENT'
 )
 """
+
+
+# ----------------------------------------------- funnel analysis (#95)
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (#95): view → click → purchase.
+
+    A user converts a step only with an event strictly AFTER their
+    previous step's first qualifying event (the product-analytics
+    definition — unordered presence would overcount). Three stages,
+    each one user-keyed aggregate + one linear join: t1 = first view,
+    t2 = first click after t1, t3 = first purchase after t2. User-level
+    frames are corpus-linear but tiny relative to events; every join is
+    a user-key equi-join, no windows over the full event stream.
+    Output: one row per step with reach and conversion from the
+    previous step (single exact division).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    t1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.join(t1, "user_id")
+        .where((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.join(t2, "user_id")
+        .where((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        t1.agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit(1).alias("step_order"), F.lit("view").alias("step"), "n_users")
+        .unionByName(
+            t2.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(2).alias("step_order"), F.lit("click").alias("step"), "n_users"
+            )
+        )
+        .unionByName(
+            t3.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(3).alias("step_order"), F.lit("purchase").alias("step"), "n_users"
+            )
+        )
+    )
+    w = Window.orderBy("step_order")
+    prev = F.lag("n_users").over(w)
+    return counts.select(
+        "step_order",
+        "step",
+        "n_users",
+        F.when(
+            prev > 0, F.col("n_users").cast("double") / prev.cast("double")
+        ).alias("conv_from_prev"),
+    )
+
+
+Q_EVENTS_FUNNEL_SQL = """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id
+),
+counts AS (
+  SELECT 1 AS step_order, 'view' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM t1
+  UNION ALL
+  SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM t2
+  UNION ALL
+  SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM t3
+)
+SELECT step_order, step, n_users,
+  CASE WHEN LAG(n_users) OVER (ORDER BY step_order) > 0
+    THEN n_users::DOUBLE / LAG(n_users) OVER (ORDER BY step_order)::DOUBLE END
+    AS conv_from_prev
+FROM counts
+"""
+
+
+# --------------------------------------------- retention cohorts (#96)
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix (#96): users grouped by first-active day,
+    distinct-user counts per day offset since that day. Two user-keyed
+    aggregations + one linear equi-join; cohort×offset output is
+    calendar-bounded (tiny), the distinct-count shuffle is the same
+    shape as the daily-active-users gate."""
+    # date_trunc (midnight TIMESTAMP), not to_date: the oracle bridge
+    # compares DuckDB dates as midnight timestamps, the same convention
+    # q_events_daily_users uses
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    activity = ev.distinct()
+    return (
+        activity.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("d"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+Q_EVENTS_RETENTION_SQL = """
+WITH ev AS (SELECT user_id, date_trunc('day', ts) AS d FROM events),
+first AS (SELECT user_id, MIN(d) AS cohort_day FROM ev GROUP BY user_id),
+activity AS (SELECT DISTINCT user_id, d FROM ev)
+SELECT f.cohort_day, date_diff('day', f.cohort_day, a.d) AS day_offset,
+  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM activity a JOIN first f USING (user_id)
+GROUP BY f.cohort_day, day_offset
+"""
