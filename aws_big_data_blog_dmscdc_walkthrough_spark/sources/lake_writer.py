@@ -967,6 +967,10 @@ def _swap_rewrite(spark: SparkSession, df: DataFrame, out_path: str) -> None:
     fs.rename(p_out, trash)
     fs.rename(p_stage, p_out)
     fs.delete(trash, True)
+    # the session-wide FileStatusCache has no TTL by default: without a
+    # refresh, a same-session read of this path after the swap resolves
+    # the OLD part files and dies with FILE_NOT_EXIST
+    spark.catalog.refreshByPath(out_path)
 
 
 # ---------------------------------------------------------- change feed

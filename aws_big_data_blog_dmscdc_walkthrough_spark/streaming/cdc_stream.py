@@ -17,6 +17,9 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
+from ..operators import cdc
 from ..pipeline.controller import prepare_dms_batch
 from ..sources import lake_writer
 
@@ -33,6 +36,7 @@ def start_cdc_stream(
     max_files_per_trigger: int | None = None,
     merge_on_read: bool = False,
     compact_every: int | None = None,
+    history_mode: bool = False,
 ):
     """Stream landing-folder parquet into a merged lake table.
 
@@ -40,6 +44,14 @@ def start_cdc_stream(
     batch analogue, restart-safe via checkpoint); ``False`` runs
     continuously. ``max_files_per_trigger`` bounds per-batch work so one
     giant backlog replay cannot produce an unboundedly large merge.
+
+    ``history_mode=True`` maintains an SCD TYPE 2 HISTORY table instead
+    of a latest-state table: each micro-batch folds through
+    ``cdc.scd2_fold_batch`` (open versions of impacted keys closed,
+    batch versions appended; replay-safe via the per-key seq high-water
+    mark) and the history swaps atomically. The version sequence is the
+    (file, row) order flattened to one lexically-ordered string — the
+    same ordering the merge path uses.
 
     ``merge_on_read=True`` applies each micro-batch through
     ``lake_writer.merge_on_read_incremental`` — position deletes + an
@@ -61,9 +73,55 @@ def start_cdc_stream(
     stream = reader.parquet(source_dir).select("*", "_metadata")
     if merge_on_read and partition_keys:
         raise ValueError("merge-on-read streaming covers unpartitioned tables")
+    if history_mode and (merge_on_read or partition_keys):
+        raise ValueError("history mode writes one unpartitioned COW history table")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
+            return
+        if history_mode:
+            # NOT prepare_dms_batch's _seq: its rownum is a per-key
+            # counter over however many files this delivery grouped
+            # together, so the same change row gets a DIFFERENT seq when
+            # a replay re-batches the files — and history seqs persist.
+            # (file_path, row_index) is file-physical: delivery-invariant.
+            sess = batch_df.sparkSession
+            flat = (
+                batch_df.withColumn(
+                    "_hseq",
+                    F.concat_ws(
+                        "#",
+                        F.col("_metadata.file_path"),
+                        F.lpad(
+                            F.col("_metadata.row_index").cast("string"), 12, "0"
+                        ),
+                    ),
+                )
+                .withColumnRenamed("Op", "op")
+                .drop("_metadata")
+            )
+            if lake_writer.target_exists(sess, out_path):
+                history = sess.read.parquet(out_path)
+                fresh = cdc.scd2_fresh_changes(
+                    history, flat, primary_keys, "_hseq"
+                )
+                if fresh.isEmpty():  # full replay: leave the table alone
+                    return
+                folded = cdc.scd2_apply(
+                    history, fresh, primary_keys, "_hseq"
+                )
+                lake_writer._swap_rewrite(sess, folded, out_path)
+            else:
+                empty_target = flat.drop("op", "_hseq").limit(0)
+                folded = cdc.scd2_history(
+                    empty_target, flat, primary_keys, "_hseq"
+                )
+                folded.write.mode("overwrite").parquet(out_path)
+            # foreachBatch hands us a CLONED session; the swap's refresh
+            # cleared the clone's listing cache, not the caller's — the
+            # outer session would otherwise resolve the pre-swap part
+            # files on its next read and die with FILE_NOT_EXIST
+            spark.catalog.refreshByPath(out_path)
             return
         changes = prepare_dms_batch(batch_df, primary_keys)
         if merge_on_read:

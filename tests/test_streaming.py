@@ -235,3 +235,48 @@ def test_stream_interval_join_equals_batch(spark, tmp_path):
         (2, "2024-01-01 10:30:00", "2024-01-01 10:45:00", 3.50),
     }
     assert got == want
+
+
+def test_stream_scd2_history_mode(spark, tmp_path):
+    """History mode: versions accumulate with validity intervals; a
+    replayed batch (fresh checkpoint over the same files) is a no-op."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import cdc
+    from aws_big_data_blog_dmscdc_walkthrough_spark.pipeline.controller import (
+        prepare_dms_batch,
+    )
+
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    ck1, ck2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
+
+    def run(ckpt):
+        q = cdc_stream.start_cdc_stream(
+            spark, src, out, ["id"], SCHEMA, ckpt,
+            available_now=True, history_mode=True,
+        )
+        q.awaitTermination(120)
+
+    _drop_file(spark, [("I", 1, "a"), ("I", 2, "b")], src, "20240101-01.parquet")
+    run(ck1)
+    h1 = spark.read.parquet(out)
+    assert h1.count() == 2
+    assert {r.id for r in h1.where("is_current").collect()} == {1, 2}
+
+    _drop_file(
+        spark, [("U", 1, "a2"), ("D", 2, None), ("I", 3, "c")], src,
+        "20240102-01.parquet",
+    )
+    run(ck1)
+    h2 = spark.read.parquet(out)
+    rows = {(r.id, r.name): (r.is_current, r.valid_to_seq is None)
+            for r in h2.collect()}
+    # id=1: closed v "a" + open v "a2"; id=2: closed v "b"; id=3: open "c"
+    assert rows[(1, "a")] == (False, False) and rows[(1, "a2")] == (True, True)
+    assert rows[(2, "b")] == (False, False)
+    assert rows[(3, "c")] == (True, True)
+    assert h2.count() == 4
+
+    # replay: a FRESH checkpoint re-delivers both files; the seq
+    # high-water mark must make the re-application a no-op
+    run(ck2)
+    h3 = spark.read.parquet(out)
+    assert sorted(map(tuple, h3.collect())) == sorted(map(tuple, h2.collect()))
