@@ -214,14 +214,24 @@ def build_file_bloom_index(
 
 
 def _list_data_files(spark, table_path: str) -> list[str]:
+    """All data files under the table, RECURSIVELY: a partitioned table
+    nests files in key=value dirs, and a new file the lister misses
+    would silently escape the always-scan-unindexed guarantee."""
     jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(table_path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = []
-    for status in fs.listStatus(p):
-        name = status.getPath().getName()
-        if status.isFile() and name.endswith(".parquet") and not name.startswith("_"):
-            out.append(status.getPath().toString())
+    root = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    out: list[str] = []
+    stack = [root]
+    while stack:
+        p = stack.pop()
+        for status in fs.listStatus(p):
+            name = status.getPath().getName()
+            if name.startswith("_") or name.startswith("."):
+                continue  # sidecars (incl. the index itself), hidden files
+            if status.isDirectory():
+                stack.append(status.getPath())
+            elif name.endswith(".parquet"):
+                out.append(status.getPath().toString())
     return out
 
 
@@ -278,7 +288,10 @@ def bloom_point_lookup(spark, table_path: str, key_col: str, value, k: int = BLO
     if not targets:
         return table.where(F.lit(False))
     return (
-        spark.read.schema(table.schema)
+        # basePath: candidate paths are FILES; without it a partitioned
+        # table's key=value dir columns would read back as NULLs
+        spark.read.option("basePath", table_path)
+        .schema(table.schema)
         .parquet(*targets)
         .where(F.col(key_col) == F.lit(value))
     )

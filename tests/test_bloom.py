@@ -108,3 +108,22 @@ def test_bloom_semi_join_mismatched_key_types(spark):
     )
     out = bloom.bloom_semi_join(big, small, "k", "k2")
     assert out.count() == len(range(0, 1000, 13))
+
+
+def test_file_bloom_index_partitioned_table(spark, tmp_path):
+    """Nested partition dirs: index prunes, and files appended under a
+    partition AFTER the build are still always scanned."""
+    path = str(tmp_path / "tbl")
+    spark.range(0, 2000).selectExpr(
+        "id AS k", "id % 4 AS part"
+    ).write.partitionBy("part").parquet(path)
+    bloom.build_file_bloom_index(spark, path, "k", expected_items_per_file=500)
+    assert bloom.bloom_point_lookup(spark, path, "k", 1234).count() == 1
+    spark.createDataFrame([(77_777, 0)], "k long, part long").write.mode(
+        "append"
+    ).partitionBy("part").parquet(path)
+    spark.catalog.refreshByPath(path)
+    out = bloom.bloom_point_lookup(spark, path, "k", 77_777)
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0].part == 0  # partition value parsed, not NULL
