@@ -981,3 +981,68 @@ def pq_fit_codebooks(
                     cents[c] = members.mean(axis=0)
         books.append(cents)
     return np.stack(books)
+
+
+# ------------------------------------------ hard-negative mining (#99)
+
+def hard_negatives(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    anchors_df: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Per-anchor top-k most-similar rows with a DIFFERENT label.
+
+    The metric-learning data op (hard negatives make contrastive /
+    triplet training converge — the standard mining recipe, e.g.
+    Schroff et al. 2015 FaceNet): for each anchor, the corpus rows that
+    look most like it but carry another label. ``anchors_df`` must have
+    columns (anchor_id, anchor_label, anchor_vec) — a query batch,
+    bounded by construction, so it broadcasts (the decontaminate /
+    batch-ANN policy) and the corpus side stays a map-only scan;
+    the only shuffle is the per-anchor top-k window, keyed on the
+    bounded anchor id. At 100 TB swap the exact scan for the
+    LSH/IVF-bucketed candidate join exactly as batch ANN does — the
+    ranking window is unchanged.
+
+    Same-label rows (including the anchor itself) are excluded by
+    definition. Ties break to the lowest id; zero-norm vectors score
+    0.0 (the _safe_cosine guard).
+    """
+    from pyspark.sql import Window
+
+    from .dedup import spread
+
+    base = (
+        spread(df)
+        .select(
+            F.col(id_col),
+            F.col(label_col).alias("_lbl"),
+            as_double(F.col(vec_col)).alias("_v"),
+        )
+        .withColumn("_n", norm(F.col("_v")))
+    )
+    anchors = F.broadcast(
+        anchors_df.select(
+            F.col("anchor_id"),
+            F.col("anchor_label"),
+            as_double(F.col("anchor_vec")).alias("_av"),
+        ).withColumn("_an", norm(F.col("_av")))
+    )
+    cos = _safe_cosine(dot(F.col("_av"), F.col("_v")), F.col("_an") * F.col("_n"))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("neg_id")
+    )
+    return (
+        base.crossJoin(anchors)
+        .where(F.col("_lbl") != F.col("anchor_label"))
+        .select(
+            F.col("anchor_id"),
+            F.col(id_col).alias("neg_id"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )

@@ -1087,3 +1087,49 @@ SELECT source,
 FROM d
 GROUP BY source
 """
+
+
+# --------------------------------------------- hard negatives (#99)
+
+HARDNEG_NQ = 10
+HARDNEG_K = 3
+
+
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining gate (#99): anchors = the first 10 vectors,
+    top-3 most-similar different-label rows each."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    anchors = embs.where(F.col("vec_id") < HARDNEG_NQ).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("anchor_vec"),
+    )
+    return similarity.hard_negatives(
+        embs, "vec_id", "embedding", "label", anchors, HARDNEG_K
+    )
+
+
+def _hard_negatives_sql() -> str:
+    d_ac = _dot_sql("a.av", "c.embedding")
+    d_aa = _dot_sql("a.av", "a.av")
+    d_cc = _dot_sql("c.embedding", "c.embedding")
+    return f"""
+WITH a AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS av
+  FROM embeddings WHERE vec_id < {HARDNEG_NQ}
+),
+scored AS (
+  SELECT a.anchor_id, c.vec_id AS neg_id,
+    ({d_ac}) / (sqrt({d_aa}) * sqrt({d_cc})) AS cosine
+  FROM embeddings c JOIN a ON c.label <> a.anchor_label
+),
+r AS (
+  SELECT anchor_id, neg_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, neg_id) AS rn
+  FROM scored
+)
+SELECT anchor_id, neg_id, cosine, CAST(rn AS INT) AS rn FROM r WHERE rn <= {HARDNEG_K}
+"""
+
+
+EMB_HARD_NEGATIVES_SQL = _hard_negatives_sql()

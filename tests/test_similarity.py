@@ -355,3 +355,26 @@ def test_semantic_dedup_drops_exact_duplicate_vectors(spark):
     assert out[0].keep is True and out[5].keep is False
     assert out[0].cid == out[5].cid == 0
     assert out[1].keep is True and out[9].keep is True
+
+
+def test_hard_negatives_excludes_same_label_and_ranks(spark):
+    from pyspark.sql import functions as F
+
+    # two labels; anchor 0 (label 0) must surface only label-1 rows,
+    # nearest first
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.14], 0),   # same label: excluded even though closest
+        (2, [0.9, 0.44], 1),
+        (3, [0.0, 1.0], 1),
+        (4, [-1.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    anchors = df.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("anchor_vec"),
+    )
+    out = similarity.hard_negatives(df, "vec_id", "embedding", "label", anchors, 2)
+    got = [(r.neg_id, r.rn) for r in out.orderBy("rn").collect()]
+    assert got == [(2, 1), (3, 2)]  # label-0 neighbor never appears
