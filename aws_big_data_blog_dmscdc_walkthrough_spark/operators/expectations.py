@@ -1,0 +1,145 @@
+"""Declarative data-quality expectations over lake tables (#100).
+
+The CDC lake's trust problem: upstream schema drift, botched backfills,
+and replication glitches land silently in the target unless something
+checks. This is the Delta-Live-Tables / Great-Expectations shape (both
+public) rebuilt on plain DataFrame plans: declare rules once, get a
+violations REPORT (rule → count) and a row-level clean/quarantine split
+the merge pipeline can act on.
+
+Rule kinds and their plan shapes:
+
+- ``not_null`` / ``ranges`` / ``isin``     — map-side boolean flags, no
+  shuffle beyond the one counting aggregate;
+- ``unique``                               — one groupBy on the key
+  (the merge's own shuffle shape); EVERY row of a duplicated key is a
+  violation (there is no principled survivor without a merge policy);
+- ``references`` (foreign key)             — a broadcast-guarded
+  left-anti join per reference, dim-sized build sides.
+
+All rules evaluate in ONE pass over the table for the report (flags
+union into a single aggregate; the unique/FK flags join in by key), so
+a 100 TB validation costs one scan plus key-shaped joins — never one
+scan per rule.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _flags(
+    df: DataFrame,
+    not_null: Sequence[str],
+    ranges: Mapping[str, tuple],
+    isin: Mapping[str, Sequence],
+    unique: Sequence[Sequence[str]],
+    references: Mapping[str, tuple[DataFrame, str]],
+) -> tuple[DataFrame, list[str]]:
+    """Attach one boolean violation flag column per rule."""
+    out = df
+    rules: list[str] = []
+
+    def add(name: str, cond):
+        nonlocal out
+        rules.append(name)
+        out = out.withColumn(name, cond)
+
+    for c in not_null:
+        add(f"not_null:{c}", F.col(c).isNull())
+    for c, (lo, hi) in ranges.items():
+        cond = F.lit(False)
+        if lo is not None:
+            cond = cond | (F.col(c) < F.lit(lo))
+        if hi is not None:
+            cond = cond | (F.col(c) > F.lit(hi))
+        # a NULL never fails a range rule (declare not_null separately)
+        add(f"range:{c}", F.coalesce(cond, F.lit(False)))
+    for c, vals in isin.items():
+        add(f"isin:{c}", F.coalesce(~F.col(c).isin(*list(vals)), F.lit(False)))
+    for keys in unique:
+        keys = list(keys)
+        name = "unique:" + ",".join(keys)
+        rules.append(name)
+        counts = out.groupBy(*keys).agg(F.count(F.lit(1)).alias("_kc"))
+        dup_keys = counts.where(F.col("_kc") > 1).select(
+            *keys, F.lit(True).alias(name)
+        )
+        out = out.join(dup_keys, keys, "left").withColumn(
+            name, F.coalesce(F.col(name), F.lit(False))
+        )
+    for c, (dim, dim_col) in references.items():
+        name = f"references:{c}"
+        rules.append(name)
+        present = dim.select(F.col(dim_col).alias(c)).distinct().select(
+            c, F.lit(True).alias("_present")
+        )
+        out = out.join(present, c, "left").withColumn(
+            # NULL FKs are not violations (declare not_null separately)
+            name,
+            F.coalesce(F.col("_present"), F.col(c).isNull()).eqNullSafe(False),
+        ).drop("_present")
+    return out, rules
+
+
+def expectations_report(
+    df: DataFrame,
+    not_null: Sequence[str] = (),
+    ranges: Mapping[str, tuple] = None,
+    isin: Mapping[str, Sequence] = None,
+    unique: Sequence[Sequence[str]] = (),
+    references: Mapping[str, tuple[DataFrame, str]] = None,
+) -> DataFrame:
+    """Violations per rule: (rule, n_violations, n_rows). One table pass."""
+    flagged, rules = _flags(
+        df, not_null, ranges or {}, isin or {}, unique, references or {}
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.sum(F.col(r).cast("long")).alias(r) for r in rules],
+    )
+    stack = ", ".join(f"'{r}', `{r}`" for r in rules)
+    return agg.select(
+        F.expr(f"stack({len(rules)}, {stack}) AS (rule, n_violations)"),
+        F.col("n_rows"),
+    ).select("rule", "n_violations", "n_rows")
+
+
+def quarantine_split(
+    df: DataFrame,
+    not_null: Sequence[str] = (),
+    ranges: Mapping[str, tuple] = None,
+    isin: Mapping[str, Sequence] = None,
+    unique: Sequence[Sequence[str]] = (),
+    references: Mapping[str, tuple[DataFrame, str]] = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantined): quarantined rows carry ``violated_rules``.
+
+    Row-level: a row lands in quarantine when ANY rule flags it. The
+    two frames partition the input exactly.
+    """
+    flagged, rules = _flags(
+        df, not_null, ranges or {}, isin or {}, unique, references or {}
+    )
+    any_bad = None
+    for r in rules:
+        any_bad = F.col(r) if any_bad is None else (any_bad | F.col(r))
+    if any_bad is None:
+        return df, df.where(F.lit(False)).withColumn(
+            "violated_rules", F.array().cast("array<string>")
+        )
+    violated = F.filter(
+        F.array(*[F.when(F.col(r), F.lit(r)) for r in rules]),
+        lambda x: x.isNotNull(),
+    )
+    # key joins (unique/references) reorder columns — restore the input's
+    clean = flagged.where(~any_bad).select(*df.columns)
+    bad = (
+        flagged.where(any_bad)
+        .withColumn("violated_rules", violated)
+        .select(*df.columns, "violated_rules")
+    )
+    return clean, bad

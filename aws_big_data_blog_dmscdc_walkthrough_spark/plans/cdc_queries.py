@@ -300,3 +300,68 @@ FROM ranked WHERE rnk = 1 AND op <> 'D'
 GROUP BY o_orderstatus
 """
 )
+
+
+def lake_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations report (#100) over orders + a
+    deterministic bad batch: every synthesized row violates range
+    (negated price), isin (status 'X'), references (custkey pushed past
+    the customer domain) and duplicates its order key — so each rule's
+    count is exercised, not just zero-checked."""
+    from ..operators import expectations
+
+    base = base_orders(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    bad = (
+        base.where(F.col("o_orderkey") % 500 == 7)
+        .withColumn("o_totalprice", -F.col("o_totalprice"))
+        .withColumn("o_custkey", F.col("o_custkey") + 10_000_000)
+        .withColumn("o_orderstatus", F.lit("X"))
+    )
+    df = base.unionByName(bad)
+    return expectations.expectations_report(
+        df,
+        not_null=["o_orderkey"],
+        ranges={"o_totalprice": (0, None)},
+        isin={"o_orderstatus": ["F", "O", "P"]},
+        unique=[["o_orderkey"]],
+        references={"o_custkey": (customer, "c_custkey")},
+    )
+
+
+LAKE_EXPECTATIONS_SQL = """
+WITH bad AS (
+  SELECT o_orderkey, o_custkey + 10000000 AS o_custkey, 'X' AS o_orderstatus,
+         -o_totalprice AS o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 500 = 7
+),
+t AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority FROM bad
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM t)
+SELECT 'not_null:o_orderkey' AS rule,
+  CAST((SELECT COUNT(*) FROM t WHERE o_orderkey IS NULL) AS BIGINT) AS n_violations,
+  n_rows FROM n
+UNION ALL
+SELECT 'range:o_totalprice',
+  CAST((SELECT COUNT(*) FROM t WHERE o_totalprice IS NOT NULL AND o_totalprice < 0) AS BIGINT),
+  n_rows FROM n
+UNION ALL
+SELECT 'isin:o_orderstatus',
+  CAST((SELECT COUNT(*) FROM t
+        WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F','O','P')) AS BIGINT),
+  n_rows FROM n
+UNION ALL
+SELECT 'unique:o_orderkey',
+  CAST(COALESCE((SELECT SUM(c) FROM (
+    SELECT COUNT(*) AS c FROM t GROUP BY o_orderkey HAVING COUNT(*) > 1
+  )), 0) AS BIGINT),
+  n_rows FROM n
+UNION ALL
+SELECT 'references:o_custkey',
+  CAST((SELECT COUNT(*) FROM t WHERE o_custkey IS NOT NULL
+        AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT),
+  n_rows FROM n
+"""

@@ -1,0 +1,74 @@
+"""Data-quality expectations (#100): report counts + quarantine split."""
+
+from pyspark.sql import functions as F
+
+from aws_big_data_blog_dmscdc_walkthrough_spark.operators import expectations
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10.0, "F", 100),
+            (2, -5.0, "F", 100),    # range violation
+            (3, 7.0, "Z", 100),     # isin violation
+            (4, 1.0, "F", 999),     # FK violation
+            (4, 2.0, "F", 100),     # unique violation (with the row above)
+            (None, 3.0, "F", 100),  # not_null violation
+            (5, None, "F", None),   # null price/fk: NOT violations
+        ],
+        "id long, price double, status string, fk long",
+    )
+
+
+def _dim(spark):
+    return spark.createDataFrame([(100,), (101,)], "ck long")
+
+
+RULES = dict(
+    not_null=["id"],
+    ranges={"price": (0, None)},
+    isin={"status": ["F", "O"]},
+    unique=[["id"]],
+    references={"fk": ("DIM", "ck")},
+)
+
+
+def _rules(spark):
+    r = dict(RULES)
+    r["references"] = {"fk": (_dim(spark), "ck")}
+    return r
+
+
+def test_expectations_report_counts(spark):
+    rep = {
+        r.rule: (r.n_violations, r.n_rows)
+        for r in expectations.expectations_report(_df(spark), **_rules(spark)).collect()
+    }
+    assert rep == {
+        "not_null:id": (1, 7),
+        "range:price": (1, 7),
+        "isin:status": (1, 7),
+        "unique:id": (2, 7),       # BOTH rows of the duplicated key
+        "references:fk": (1, 7),
+    }
+
+
+def test_quarantine_split_partitions_exactly(spark):
+    df = _df(spark)
+    clean, bad = expectations.quarantine_split(df, **_rules(spark))
+    assert clean.columns == df.columns
+    assert clean.count() + bad.count() == df.count()
+    ids_bad = {tuple(r)[:1][0] for r in bad.drop("violated_rules").collect()}
+    assert ids_bad == {2, 3, 4, None}
+    # the null-price/null-fk row is clean (nulls only fail not_null rules)
+    assert 5 in {r.id for r in clean.collect()}
+    # violated_rules names every failed rule for a row
+    by_id = {r.id: sorted(r.violated_rules) for r in bad.collect()}
+    assert by_id[2] == ["range:price"]
+    assert by_id[4] == ["references:fk", "unique:id"] or by_id[4] == ["unique:id"]
+
+
+def test_expectations_no_rules(spark):
+    df = _df(spark)
+    clean, bad = expectations.quarantine_split(df)
+    assert clean.count() == df.count() and bad.count() == 0
