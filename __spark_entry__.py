@@ -124,6 +124,14 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": llm_queries.dedup_substring,
         "text_quality_classifier": text.text_quality_classifier,
         "ann_pq_topk": llm_queries.ann_pq_topk,
+        # ROUND-8 ROTATION PLAN: the four #84-#87 debut slots below will
+        # have hash evidence in CORRECTNESS_r07 — rotate them to
+        # secondary next round and debut the late-round-7 additions in
+        # their place (cdc_scd2, cdc_snapshot_diff, cdc_incremental_agg,
+        # lake_expectations first; then q_events_funnel/retention,
+        # text_surprisal, corpus_temperature_mix, q_lineitem_bloom_semi,
+        # emb_hard_negatives in round 9), keeping every oracled query
+        # driver-gated at least once per two-to-three rounds.
         # ROUND-7 GATE ROTATION (back): q2/q9/q11/q13/q15/q21 took these
         # six slots in round 6 and hash-matched (CORRECTNESS_r06); the
         # displaced keys below are restored so every registered query is

@@ -171,6 +171,8 @@ def sniff_mime(blob: bytes) -> str:
         return "image/jpeg"
     if blob[:8] == b"\x89PNG\r\n\x1a\n":
         return "image/png"
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return "image/gif"
     return "application/octet-stream"
 
 
@@ -403,6 +405,10 @@ def decode_image(blob: bytes) -> "np.ndarray":
         return _decode_netpbm(blob)[None]
     if mime == "image/png":
         return _decode_png(blob)[None]
+    if mime == "image/gif":
+        from . import gif as _gif
+
+        return _gif.decode_gif(blob)
     return _decode_compressed(blob, mime)
 
 

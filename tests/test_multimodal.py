@@ -392,3 +392,79 @@ def test_jpeg_peek_dims_truncated_raises_value_error():
     # SOF header cut off mid-dimensions
     with pytest.raises(ValueError):
         jpeg.peek_dims(b"\xff\xd8\xff\xc0\x00\x11\x08\x00")
+
+
+def test_gif_round_trip_pixel_exact(spark):
+    import numpy as np
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import gif
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 256, size=(31, 23), dtype=np.uint8)]
+    back = gif.decode_gif(gif.encode_gif(img))
+    assert back.shape == (1, 31, 23, 3) and (back[0] == img).all()
+    anim = np.stack([img, img[::-1]])
+    back = gif.decode_gif(gif.encode_gif(anim))
+    assert back.shape == (2, 31, 23, 3) and (back == anim).all()
+
+
+def test_gif_transparency_composites_over_previous_frame(spark):
+    import struct
+
+    import numpy as np
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import gif
+
+    # hand-build: frame 1 solid color 0; frame 2 full-canvas with the
+    # top row transparent (index 1) and the rest color 2
+    w = h = 4
+    palette = bytes([10, 10, 10, 0, 0, 0, 200, 50, 50, 0, 0, 0])  # 4 entries
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 1, 0, 0)  # GCT 4 entries
+    out += palette
+
+    def image_block(indices):
+        b = bytearray(struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0))
+        b.append(2)  # min code size
+        data = gif._lzw_encode(2, indices)
+        b.append(len(data)); b += data; b.append(0)
+        return b
+
+    out += image_block([0] * (w * h))
+    out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, 1, 0])  # GCE: transparent idx 1
+    out += image_block([1] * w + [2] * (w * (h - 1)))
+    out.append(0x3B)
+    frames = gif.decode_gif(bytes(out))
+    assert (frames[0] == [10, 10, 10]).all()
+    assert (frames[1][0] == [10, 10, 10]).all()      # transparent row kept
+    assert (frames[1][1:] == [200, 50, 50]).all()
+
+
+def test_gif_interlace_gated(spark):
+    import struct
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import gif
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 2, 2, 0x80, 0, 0)
+    out += bytes(6)  # 2-entry GCT
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0x40)  # interlace flag
+    try:
+        gif.decode_gif(bytes(out))
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError:
+        pass
+
+
+def test_decode_image_dispatches_gif(spark):
+    import numpy as np
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import gif, multimodal
+
+    img = np.zeros((5, 6, 3), dtype=np.uint8)
+    img[2, 3] = [9, 8, 7]
+    blob = gif.encode_gif(img)
+    assert multimodal.sniff_mime(blob) == "image/gif"
+    out = multimodal.decode_image(blob)
+    assert out.shape == (1, 5, 6, 3) and (out[0] == img).all()
