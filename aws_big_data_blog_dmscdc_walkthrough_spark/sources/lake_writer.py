@@ -268,6 +268,7 @@ def merge_on_read_incremental(
     seq_col: str = "_seq",
     op_col: str = cdc.OP_COL,
     stats_cols: Sequence[str] = (),
+    partition_keys: Sequence[str] = (),
 ) -> None:
     """Merge-on-read apply: position-delete the superseded rows, append
     the new row images, commit one manifest version — NO data-file
@@ -284,7 +285,11 @@ def merge_on_read_incremental(
     Idempotent under replay: a retried batch position-deletes the copy
     its first attempt appended and appends an identical one.
 
-    Unpartitioned manifest tables only (DVs address files by basename).
+    Partitioned tables work the same way: DVs address files by their
+    manifest-relative path, survivors append with ``partitionBy``, and
+    the single manifest commit spans every touched partition.
+    ``partition_keys`` matters only when CREATING the table (afterwards
+    the manifest's recorded keys win).
     """
     pks = list(primary_keys)
     if not pks:
@@ -297,7 +302,7 @@ def merge_on_read_incremental(
 
     if not target_exists(spark, out_path):
         _append_with_optional_manifest(
-            spark, survivors, out_path, (), True, stats_cols
+            spark, survivors, out_path, list(partition_keys), True, stats_cols
         )
         return
     man = manifest_mod.read_manifest(spark, out_path)
@@ -319,10 +324,15 @@ def merge_on_read_incremental(
     )
     added_dv, targets = manifest_mod.stage_deletion_vectors(spark, out_path, hits)
 
-    before = set(manifest_mod.list_data_files(spark, out_path))
-    survivors.write.mode("append").parquet(out_path)
+    pkeys = man.get("partition_keys") or []
+    recursive = bool(pkeys)
+    before = set(manifest_mod.list_data_files(spark, out_path, recursive))
+    writer = survivors.write.mode("append")
+    if pkeys:
+        writer = writer.partitionBy(*pkeys)
+    writer.parquet(out_path)
     added = [
-        f for f in manifest_mod.list_data_files(spark, out_path)
+        f for f in manifest_mod.list_data_files(spark, out_path, recursive)
         if f not in before
     ]
     if not added and not added_dv:
@@ -669,7 +679,9 @@ def _merge_unpartitioned_cow(
             # rewritten output (resurrected)
             dv = manifest_mod.read_deletion_vectors(spark, out_path, prev_manifest)
             if dv is not None:
-                old = manifest_mod.apply_deletion_vectors(old, dv)
+                old = manifest_mod.apply_deletion_vectors(
+                    old, dv, len(prev_manifest.get("partition_keys") or [])
+                )
     else:
         # pure-insert batch: merge against an empty frame with the
         # target's schema so collapsed inserts just append

@@ -25,7 +25,8 @@ pointer — atomic across every touched partition, unlike dynamic
 partition overwrite's directory-at-a-time swaps. ``read_table`` prunes
 by partition value (parsed from the path, typed against the probe) AND
 by per-file min/max stats. Merge-on-read deletion vectors remain
-unpartitioned-only (position deletes address files by basename).
+partitioned too: DVs address files by their manifest-relative path
+(= basename on unpartitioned tables, so pre-existing DVs stay valid).
 
 Opt-in: plain-directory readers keep working unchanged when no manifest
 exists.
@@ -508,7 +509,7 @@ def read_table(
     df = reader.parquet(*files)
     dv = read_deletion_vectors(spark, path, man)
     if dv is not None:
-        df = apply_deletion_vectors(df, dv)
+        df = apply_deletion_vectors(df, dv, len(part_keys))
     return _apply_predicate(df, predicate)
 
 
@@ -529,7 +530,8 @@ def read_deletion_vectors(
     spark: SparkSession, path: str, man: dict
 ) -> DataFrame | None:
     """The manifest version's merged deletion vector: one
-    (data-file basename, row position) row per superseded data row.
+    (manifest-relative data-file path, row position) row per superseded
+    data row.
     None when the version carries no delete files."""
     dv_names = man.get("delete_files") or []
     if not dv_names:
@@ -548,12 +550,7 @@ def read_table_with_positions(spark: SparkSession, path: str) -> DataFrame:
     man = read_manifest(spark, path)
     if man is None:
         raise ValueError(f"{path} has no manifest; positions need committed files")
-    if man.get("partition_keys"):
-        raise ValueError(
-            "merge-on-read position deletes address data files by basename "
-            "and cover unpartitioned tables only; partitioned tables delete "
-            "through the COW merge path"
-        )
+    part_keys = man.get("partition_keys") or []
     base = path.rstrip("/")
     files = [posixpath.join(base, f) for f in man["files"]]
     if not files:
@@ -565,8 +562,11 @@ def read_table_with_positions(spark: SparkSession, path: str) -> DataFrame:
         return empty.withColumn(
             DV_FILE_COL, F.lit(None).cast("string")
         ).withColumn(DV_POS_COL, F.lit(None).cast("long"))
-    df = spark.read.option("mergeSchema", "true").parquet(*files)
-    tagged = _tag_positions(df)
+    reader = spark.read.option("mergeSchema", "true")
+    if part_keys:
+        reader = reader.option("basePath", base)
+    df = reader.parquet(*files)
+    tagged = _tag_positions(df, len(part_keys))
     dv = read_deletion_vectors(spark, path, man)
     if dv is not None:
         from ..operators import cdc as _cdc
@@ -576,9 +576,18 @@ def read_table_with_positions(spark: SparkSession, path: str) -> DataFrame:
     return tagged
 
 
-def _tag_positions(df: DataFrame) -> DataFrame:
+def _tag_positions(df: DataFrame, levels: int = 0) -> DataFrame:
+    """Address rows as (manifest-relative file path, row ordinal).
+
+    ``levels`` = number of partition directory levels: the address is
+    the last ``levels + 1`` path segments, which is exactly the
+    manifest's partition-relative file entry — and plain basename for
+    unpartitioned tables (levels=0), so pre-existing DVs keep matching.
+    """
+    n = levels + 1
+    parts = F.split(F.col("_metadata.file_path"), "/")
     return df.withColumn(
-        DV_FILE_COL, F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+        DV_FILE_COL, F.concat_ws("/", F.slice(parts, -n, n))
     ).withColumn(DV_POS_COL, F.col("_metadata.row_index"))
 
 
@@ -654,7 +663,7 @@ def stage_deletion_vectors(
         addressed.unpersist()
 
 
-def apply_deletion_vectors(df: DataFrame, dv: DataFrame) -> DataFrame:
+def apply_deletion_vectors(df: DataFrame, dv: DataFrame, levels: int = 0) -> DataFrame:
     """Merge-on-read: drop rows whose (file, position) is deleted.
 
     ``_metadata.row_index`` is the row's ordinal within its parquet
@@ -670,7 +679,7 @@ def apply_deletion_vectors(df: DataFrame, dv: DataFrame) -> DataFrame:
     from ..operators import cdc as _cdc
 
     dv = _cdc._maybe_broadcast(dv, _cdc.BROADCAST_KEYS_MAX_BYTES)
-    return _tag_positions(df).join(
+    return _tag_positions(df, levels).join(
         dv, [DV_FILE_COL, DV_POS_COL], "left_anti"
     ).drop(DV_FILE_COL, DV_POS_COL)
 

@@ -57,7 +57,7 @@ def start_cdc_stream(
     ``lake_writer.merge_on_read_incremental`` — position deletes + an
     append + one manifest commit, no data-file rewrite — the cheap path
     for high-frequency micro-batches on an update-heavy stream
-    (unpartitioned manifest tables; read via ``manifest.read_table``).
+    (partitioned or not; read via ``manifest.read_table``).
     ``compact_every`` then schedules the deferred rewrite: every N
     micro-batches a manifest-gated compaction materializes the
     accumulated deletion vectors so read amplification stays bounded.
@@ -71,8 +71,6 @@ def start_cdc_stream(
     # foreachBatch frame is derived, and prepare_dms_batch needs
     # _metadata.file_path/row_index for deterministic within-file order
     stream = reader.parquet(source_dir).select("*", "_metadata")
-    if merge_on_read and partition_keys:
-        raise ValueError("merge-on-read streaming covers unpartitioned tables")
     if history_mode and (merge_on_read or partition_keys):
         raise ValueError("history mode writes one unpartitioned COW history table")
 
@@ -128,6 +126,7 @@ def start_cdc_stream(
             lake_writer.merge_on_read_incremental(
                 batch_df.sparkSession, changes, out_path, primary_keys,
                 seq_col="_seq", op_col="op",
+                partition_keys=partition_keys,
             )
             if compact_every and (batch_id + 1) % compact_every == 0:
                 lake_writer.compact_table(

@@ -256,11 +256,73 @@ def test_partitioned_compact_through_manifest(spark, tmp_path):
     assert man["partition_keys"] == ["dept"]
 
 
-def test_partitioned_table_rejects_merge_on_read_deletes(spark, tmp_path):
+def test_partitioned_delete_where_hides_rows(spark, tmp_path):
+    """MOR position deletes on the flagship PARTITIONED shape: DVs
+    address files by partition-relative path, no data file rewrites,
+    partition columns survive the DV anti-join read."""
     out = str(tmp_path / "t")
     _pinit(spark, out)
-    with pytest.raises(ValueError, match="unpartitioned"):
-        manifest.delete_where(spark, out, ("v", ">", 10))
+    files_before = manifest.read_manifest(spark, out)["files"]
+    manifest.delete_where(spark, out, ("v", ">", 25))
+    man = manifest.read_manifest(spark, out)
+    assert man["files"] == files_before and man.get("delete_files")
+    got = {(r.id, r.dept, r.v) for r in manifest.read_table(spark, out).collect()}
+    assert got == {(1, "a", 10), (2, "a", 20)}
+
+
+def _pchanges(spark, rows):
+    return spark.createDataFrame(
+        rows, "op string, _seq long, id long, dept string, v long"
+    )
+
+
+def test_partitioned_merge_on_read_incremental(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _pinit(spark, out)
+    files_before = manifest.read_manifest(spark, out)["files"]
+    lake_writer.merge_on_read_incremental(
+        spark,
+        _pchanges(
+            spark,
+            [
+                ("U", 1, 2, "a", 21),    # update in partition a
+                ("D", 1, 3, "b", 0),     # delete in partition b
+                ("I", 1, 5, "c", 50),    # insert into a NEW partition
+            ],
+        ),
+        out,
+        ["id"],
+    )
+    man = manifest.read_manifest(spark, out)
+    # old files untouched (DV + append, never a rewrite)
+    assert set(files_before) <= set(man["files"]) and man.get("delete_files")
+    assert any(f.startswith("dept=c/") for f in man["files"])
+    got = {(r.id, r.dept, r.v) for r in manifest.read_table(spark, out).collect()}
+    assert got == {(1, "a", 10), (2, "a", 21), (4, "b", 40), (5, "c", 50)}
+    # replay is idempotent: the retry supersedes its first copy
+    lake_writer.merge_on_read_incremental(
+        spark, _pchanges(spark, [("U", 1, 2, "a", 21)]), out, ["id"]
+    )
+    assert {
+        (r.id, r.dept, r.v) for r in manifest.read_table(spark, out).collect()
+    } == got
+
+
+def test_partitioned_mor_compaction_materializes_dvs(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _pinit(spark, out)
+    lake_writer.merge_on_read_incremental(
+        spark, _pchanges(spark, [("D", 1, 1, "a", 0), ("U", 1, 4, "b", 41)]),
+        out, ["id"],
+    )
+    before = {(r.id, r.dept, r.v) for r in manifest.read_table(spark, out).collect()}
+    lake_writer.compact_table(
+        spark, out, partition_keys=["dept"], use_manifest=True, stats_cols=["v"]
+    )
+    man = manifest.read_manifest(spark, out)
+    assert not man.get("delete_files")  # DVs materialized + retired
+    after = {(r.id, r.dept, r.v) for r in manifest.read_table(spark, out).collect()}
+    assert after == before == {(2, "a", 20), (3, "b", 30), (4, "b", 41)}
 
 
 def test_time_travel_reads_old_versions(spark, tmp_path):
