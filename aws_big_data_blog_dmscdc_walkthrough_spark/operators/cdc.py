@@ -356,34 +356,37 @@ def scd2_history(
     pks = list(pks)
     data_cols = target.columns
     seq_type = changes.schema[seq_col].dataType
+    # _scd2_-prefixed internals: plain _op/_seq would collide with a
+    # change batch that carries same-named DATA columns (the streaming
+    # landing shape does)
     tgt = target.select(
         *data_cols,
-        F.lit(OP_INSERT).alias("_op"),
-        F.lit(0).cast(seq_type).alias("_seq"),
-        F.lit(0).alias("_src"),
+        F.lit(OP_INSERT).alias("_scd2_op"),
+        F.lit(0).cast(seq_type).alias("_scd2_seq"),
+        F.lit(0).alias("_scd2_src"),
     )
     chg = changes.select(
         *data_cols,
-        F.col(op_col).alias("_op"),
-        F.col(seq_col).cast(seq_type).alias("_seq"),
-        F.lit(1).alias("_src"),
+        F.col(op_col).alias("_scd2_op"),
+        F.col(seq_col).cast(seq_type).alias("_scd2_seq"),
+        F.lit(1).alias("_scd2_src"),
     )
-    # secondary _src key: a change batch whose first seq equals the
+    # secondary _scd2_src key: a change batch whose first seq equals the
     # target's sentinel 0 would otherwise tie, and post-shuffle tie
     # order is nondeterministic — the target row must sort first
     window = Window.partitionBy(*pks).orderBy(
-        F.col("_seq").asc(), F.col("_src").asc()
+        F.col("_scd2_seq").asc(), F.col("_scd2_src").asc()
     )
     versions = (
         tgt.unionByName(chg)
-        .withColumn("_next_seq", F.lead("_seq").over(window))
-        .where(F.col("_op") != OP_DELETE)
+        .withColumn("_scd2_next", F.lead("_scd2_seq").over(window))
+        .where(F.col("_scd2_op") != OP_DELETE)
     )
     return versions.select(
         *data_cols,
-        F.col("_seq").alias("valid_from_seq"),
-        F.col("_next_seq").alias("valid_to_seq"),
-        F.col("_next_seq").isNull().alias("is_current"),
+        F.col("_scd2_seq").alias("valid_from_seq"),
+        F.col("_scd2_next").alias("valid_to_seq"),
+        F.col("_scd2_next").isNull().alias("is_current"),
     )
 
 
@@ -608,24 +611,24 @@ def scd2_apply(
         [*pks, "valid_from_seq"],
         "left_anti",
     )
-    window = Window.partitionBy(*pks).orderBy(F.col("_seq").asc())
+    window = Window.partitionBy(*pks).orderBy(F.col("_scd2_seq").asc())
     new_versions = (
         changes.select(
             *data_cols,
-            F.col(op_col).alias("_op"),
-            F.col(seq_col).cast(seq_type).alias("_seq"),
+            F.col(op_col).alias("_scd2_op"),
+            F.col(seq_col).cast(seq_type).alias("_scd2_seq"),
         )
-        .withColumn("_next_seq", F.lead("_seq").over(window))
-        .where(F.col("_op") != OP_DELETE)
+        .withColumn("_scd2_next", F.lead("_scd2_seq").over(window))
+        .where(F.col("_scd2_op") != OP_DELETE)
         .select(
             *data_cols,
-            F.col("_seq").cast(history.schema["valid_from_seq"].dataType).alias(
+            F.col("_scd2_seq").cast(history.schema["valid_from_seq"].dataType).alias(
                 "valid_from_seq"
             ),
-            F.col("_next_seq").cast(
+            F.col("_scd2_next").cast(
                 history.schema["valid_to_seq"].dataType
             ).alias("valid_to_seq"),
-            F.col("_next_seq").isNull().alias("is_current"),
+            F.col("_scd2_next").isNull().alias("is_current"),
         )
     )
     return untouched.unionByName(open_impacted).unionByName(new_versions)

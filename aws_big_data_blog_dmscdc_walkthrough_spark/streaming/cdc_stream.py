@@ -50,8 +50,14 @@ def start_cdc_stream(
     ``cdc.scd2_fold_batch`` (open versions of impacted keys closed,
     batch versions appended; replay-safe via the per-key seq high-water
     mark) and the history swaps atomically. The version sequence is the
-    (file, row) order flattened to one lexically-ordered string — the
-    same ordering the merge path uses.
+    (file, row) order flattened to one lexically-ordered string, so —
+    unlike the latest-state modes, where only within-batch order
+    matters — landing file names MUST be lexically monotonic across
+    batches (the DMS S3 contract the reference's incremental discovery
+    already depends on: files named after their timestamp, each sorting
+    after the last processed one). A non-monotonic name would make a
+    later change sort below the recorded high-water mark and be dropped
+    as already-applied.
 
     ``merge_on_read=True`` applies each micro-batch through
     ``lake_writer.merge_on_read_incremental`` — position deletes + an

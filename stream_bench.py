@@ -19,6 +19,7 @@ Usage: python stream_bench.py   (env: SPARK_GRAFT_SF_DIR, default sf0.1)
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -79,7 +80,14 @@ def _stage_update_heavy_landing(spark, sf_dir: str, src: str, n_batches: int):
                 (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
             )
             batch = ins.unionByName(upd)
-        batch.coalesce(1).write.mode("append").parquet(src)
+        # DMS-shaped landing: one file per batch with a lexically
+        # MONOTONIC name (the reference's discovery contract — and what
+        # lets history mode persist file-derived seqs)
+        tmp = f"{src}/_tmp"
+        batch.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        os.rename(part, f"{src}/20240101-{b:04d}.parquet")
+        shutil.rmtree(tmp)
         total += batch.count()
     return total, orders.count(), spark.read.parquet(src).schema
 
@@ -99,14 +107,21 @@ def bench_cdc_stream(spark, sf_dir: str, work: str, n_batches: int = 8) -> dict:
         )
         q.awaitTermination()
         wall = time.perf_counter() - t0
-        if kw.get("merge_on_read"):
+        if kw.get("history_mode"):
+            # SCD2 conservation: with no deletes, every change row is a
+            # version, and current versions = live keys
+            table = spark.read.parquet(lake)
+            assert table.count() == n_changes, (mode, table.count(), n_changes)
+            merged = table.where("is_current").count()
+        elif kw.get("merge_on_read"):
             from aws_big_data_blog_dmscdc_walkthrough_spark.sources import manifest
             table = manifest.read_table(spark, lake)
+            merged = table.count()
         else:
             table = spark.read.parquet(lake)
-        # row conservation: latest-wins leaves exactly one row per key,
-        # and every non-final group carries its updated price
-        merged = table.count()
+            # row conservation: latest-wins leaves exactly one row per
+            # key, and every non-final group carries its updated price
+            merged = table.count()
         assert merged == n_keys, (mode, merged, n_keys)
         return {"rows": n_changes, "keys": n_keys, "batches": n_batches,
                 "sec": round(wall, 2), "rows_per_sec": round(n_changes / wall)}
@@ -114,7 +129,9 @@ def bench_cdc_stream(spark, sf_dir: str, work: str, n_batches: int = 8) -> dict:
     cow = run("cow")
     mor = run("mor", merge_on_read=True, compact_every=4)
     mor["speedup_vs_cow"] = round(mor["rows_per_sec"] / cow["rows_per_sec"], 2)
-    return {"cow": cow, "mor": mor}
+    hist = run("hist", history_mode=True)
+    hist["speedup_vs_cow"] = round(hist["rows_per_sec"] / cow["rows_per_sec"], 2)
+    return {"cow": cow, "mor": mor, "hist": hist}
 
 
 def bench_sparse_updates(spark, sf_dir: str, work: str, n_batches: int = 8) -> dict:
@@ -242,6 +259,7 @@ def main() -> None:
         "streams": {
             "cdc_merge": cdc["cow"],
             "cdc_merge_mor": cdc["mor"],
+            "cdc_scd2_history": cdc["hist"],
             "sparse_update_cow": sparse["cow"],
             "sparse_update_mor": sparse["mor"],
             "windowed_agg": win,
