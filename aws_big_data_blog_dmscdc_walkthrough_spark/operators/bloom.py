@@ -172,6 +172,14 @@ def bloom_semi_join(
 # files MIGHT contain this key" from an index that is KB-per-file, so
 # the scan touches ~1 file instead of all of them. Files written after
 # the index build are always scanned — staleness can't cause a miss.
+#
+# Scope: PLAIN-DIRECTORY tables (the build and the lookup read the
+# directory listing, so every visible file is table data). A
+# manifest-committed table must NOT route point lookups here — a
+# crashed writer's orphan files are invisible to manifest.read_table
+# but WOULD be scanned by this path; manifest tables already get
+# metadata-level point-lookup skipping from read_table's per-file
+# min/max stats (record the key in stats_cols).
 
 INDEX_PREFIX = "_bloom_index_"
 
