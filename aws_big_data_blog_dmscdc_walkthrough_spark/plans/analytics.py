@@ -915,3 +915,70 @@ SELECT f.cohort_day, date_diff('day', f.cohort_day, a.d) AS day_offset,
 FROM activity a JOIN first f USING (user_id)
 GROUP BY f.cohort_day, day_offset
 """
+
+
+# ------------------------------------------- gap-fill / forward-fill (#101)
+
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily value grid with forward-fill (#101): every day
+    between a user's first and last activity appears exactly once;
+    days without events carry the last observed daily max forward.
+
+    The time-series densification shape: the calendar generates
+    map-side (`sequence` + explode — never a driver loop), the grid
+    left-joins the sparse dailies on (user, day), and one per-user
+    ordered window forward-fills. Output is calendar-bounded (users ×
+    their active span), not event-bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.col("user_id"), F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(F.max("value").alias("v"))
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("_d0"), F.max("day").alias("_d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("_d0"), F.col("_d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.col("v").isNotNull().alias("observed"),
+            F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        )
+    )
+
+
+Q_EVENTS_GAPFILL_SQL = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day, MAX(value) AS v
+  FROM events GROUP BY user_id, day
+),
+span AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM span
+)
+SELECT g.user_id, g.day,
+  (d.v IS NOT NULL) AS observed,
+  last_value(d.v IGNORE NULLS) OVER (
+    PARTITION BY g.user_id ORDER BY g.day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS v_filled
+FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+"""
