@@ -212,6 +212,8 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_expectations": cdc_queries.lake_expectations,
         # round-7 addition (SURVEY §2 #101): time-series densification
         "q_events_gapfill": analytics.q_events_gapfill,
+        # round-7 addition (SURVEY §2 #102): hot-key diagnostics
+        "q_events_skew_report": analytics.q_events_skew_report,
         # rows-only (sketch internals differ across engines by design;
         # the tolerance pytest pins values against the exact percentile)
         "q_orders_price_quantiles_approx": analytics.q_orders_price_quantiles_approx,
@@ -305,6 +307,7 @@ def secondary_oracle_sql() -> dict[str, str]:
         "emb_hard_negatives": llm_queries.EMB_HARD_NEGATIVES_SQL,
         "lake_expectations": cdc_queries.LAKE_EXPECTATIONS_SQL,
         "q_events_gapfill": analytics.Q_EVENTS_GAPFILL_SQL,
+        "q_events_skew_report": analytics.Q_EVENTS_SKEW_REPORT_SQL,
         "dedup_incremental": llm_queries.DEDUP_INCREMENTAL_SQL,
         "emb_quantize": llm_queries.EMB_QUANTIZE_SQL,
         "q_customer_value_ranks": tpch_ext.Q_CUSTOMER_VALUE_RANKS_SQL,

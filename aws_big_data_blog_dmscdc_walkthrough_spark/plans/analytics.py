@@ -982,3 +982,32 @@ SELECT g.user_id, g.day,
   ) AS v_filled
 FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
 """
+
+
+# --------------------------------------------------- skew report (#102)
+
+def q_events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnostic (#102) over events.user_id: the report read
+    before choosing plain shuffle vs AQE skew split vs salted_join."""
+    from ..operators import skew
+
+    return skew.skew_report(load_table(spark, sf_dir, "events"), ["user_id"], top_k=10)
+
+
+Q_EVENTS_SKEW_REPORT_SQL = """
+WITH counts AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows FROM events GROUP BY user_id
+),
+totals AS (
+  SELECT CAST(SUM(n_rows) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS nkeys
+  FROM counts
+),
+top AS (
+  SELECT user_id, n_rows FROM counts ORDER BY n_rows DESC, user_id LIMIT 10
+)
+SELECT user_id, n_rows,
+  n_rows::DOUBLE / total::DOUBLE AS share,
+  n_rows::DOUBLE * nkeys::DOUBLE / total::DOUBLE AS skew_x,
+  (n_rows * nkeys + total - 1) // total AS salt_rec
+FROM top CROSS JOIN totals
+"""

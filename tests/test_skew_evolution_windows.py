@@ -205,3 +205,17 @@ def test_streaming_sessionize_gap_and_timeout(spark, tmp_path):
         (1, 3, 30, 1, 4.0),
         (2, 1, 5, 1, 8.0),
     ]
+
+
+def test_skew_report_flags_hot_key(spark):
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import skew
+
+    rows = [(1, i) for i in range(90)] + [(k, 0) for k in range(2, 12)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    rep = skew.skew_report(df, ["k"], top_k=3).collect()
+    assert rep[0].k == 1 and rep[0].n_rows == 90
+    assert abs(rep[0].share - 0.9) < 1e-12
+    # 11 keys, 100 rows: uniform = 100/11; hot key carries 90 -> 9.9x
+    assert abs(rep[0].skew_x - 90 * 11 / 100) < 1e-12
+    assert rep[0].salt_rec == 10  # ceil(90*11/100)
+    assert rep[1].n_rows == 1  # everything else is a singleton
