@@ -143,3 +143,31 @@ def quarantine_split(
         .select(*df.columns, "violated_rules")
     )
     return clean, bad
+
+
+def profile_columns(df: DataFrame, columns: Sequence[str] = ()) -> DataFrame:
+    """Per-column profile (#103): (col_name, n_rows, n_nulls, n_distinct).
+
+    The discovery half of data quality (the deequ/Great-Expectations
+    profiling shape): run it on an unfamiliar landing table to DERIVE
+    the expectations worth declaring — a column with zero nulls wants
+    ``not_null``, n_distinct == n_rows suggests a key, tiny n_distinct
+    suggests an ``isin`` domain. One wide aggregate pass over the table
+    (Catalyst plans the multi-column exact distincts via expand — one
+    scan, k-way shuffle), melted to one row per column with ``stack``.
+    Counts only, deliberately: min/max/top-value string forms differ
+    across engines and per type; counts are type-free and exact.
+    """
+    cols = list(columns) or list(df.columns)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
+    wide = df.agg(*aggs)
+    stack = ", ".join(f"'{c}', `_nn_{c}`, `_nd_{c}`" for c in cols)
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS (col_name, n_nulls, n_distinct)"
+        ),
+        F.col("n_rows"),
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct")

@@ -365,3 +365,37 @@ SELECT 'references:o_custkey',
         AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT),
   n_rows FROM n
 """
+
+
+def lake_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile (#103) of orders — the discovery pass that feeds
+    lake_expectations' rule choices."""
+    from ..operators import expectations
+
+    return expectations.profile_columns(base_orders(spark, sf_dir))
+
+
+LAKE_PROFILE_SQL = f"""
+WITH base AS ({_BASE_SQL}),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM base)
+SELECT 'o_orderkey' AS col_name, n_rows,
+  CAST((SELECT COUNT(*) FROM base WHERE o_orderkey IS NULL) AS BIGINT) AS n_nulls,
+  CAST((SELECT COUNT(DISTINCT o_orderkey) FROM base) AS BIGINT) AS n_distinct
+FROM n
+UNION ALL
+SELECT 'o_custkey', n_rows,
+  CAST((SELECT COUNT(*) FROM base WHERE o_custkey IS NULL) AS BIGINT),
+  CAST((SELECT COUNT(DISTINCT o_custkey) FROM base) AS BIGINT) FROM n
+UNION ALL
+SELECT 'o_orderstatus', n_rows,
+  CAST((SELECT COUNT(*) FROM base WHERE o_orderstatus IS NULL) AS BIGINT),
+  CAST((SELECT COUNT(DISTINCT o_orderstatus) FROM base) AS BIGINT) FROM n
+UNION ALL
+SELECT 'o_totalprice', n_rows,
+  CAST((SELECT COUNT(*) FROM base WHERE o_totalprice IS NULL) AS BIGINT),
+  CAST((SELECT COUNT(DISTINCT o_totalprice) FROM base) AS BIGINT) FROM n
+UNION ALL
+SELECT 'o_orderpriority', n_rows,
+  CAST((SELECT COUNT(*) FROM base WHERE o_orderpriority IS NULL) AS BIGINT),
+  CAST((SELECT COUNT(DISTINCT o_orderpriority) FROM base) AS BIGINT) FROM n
+"""

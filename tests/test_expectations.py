@@ -72,3 +72,16 @@ def test_expectations_no_rules(spark):
     df = _df(spark)
     clean, bad = expectations.quarantine_split(df)
     assert clean.count() == df.count() and bad.count() == 0
+
+
+def test_profile_columns_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (None, "b")],
+        "id long, s string",
+    )
+    prof = {r.col_name: r for r in expectations.profile_columns(df).collect()}
+    assert prof["id"].n_rows == 4
+    assert prof["id"].n_nulls == 1 and prof["id"].n_distinct == 3
+    assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
+    sub = expectations.profile_columns(df, ["s"]).collect()
+    assert len(sub) == 1 and sub[0].col_name == "s"
