@@ -216,6 +216,8 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_skew_report": analytics.q_events_skew_report,
         # round-7 addition (SURVEY §2 #103): column profiling
         "lake_profile": cdc_queries.lake_profile,
+        # round-7 addition (SURVEY §2 #104): record linkage
+        "q_part_fuzzy_match": llm_queries.q_part_fuzzy_match,
         # rows-only (sketch internals differ across engines by design;
         # the tolerance pytest pins values against the exact percentile)
         "q_orders_price_quantiles_approx": analytics.q_orders_price_quantiles_approx,
@@ -311,6 +313,7 @@ def secondary_oracle_sql() -> dict[str, str]:
         "q_events_gapfill": analytics.Q_EVENTS_GAPFILL_SQL,
         "q_events_skew_report": analytics.Q_EVENTS_SKEW_REPORT_SQL,
         "lake_profile": cdc_queries.LAKE_PROFILE_SQL,
+        "q_part_fuzzy_match": llm_queries.Q_PART_FUZZY_MATCH_SQL,
         "dedup_incremental": llm_queries.DEDUP_INCREMENTAL_SQL,
         "emb_quantize": llm_queries.EMB_QUANTIZE_SQL,
         "q_customer_value_ranks": tpch_ext.Q_CUSTOMER_VALUE_RANKS_SQL,

@@ -881,3 +881,69 @@ def substring_dup_report(
         F.col("n_dup_windows"),
         (F.col("n_dup_windows").cast("double") / F.col("n_windows")).alias("dup_frac"),
     )
+
+
+# ------------------------------------------- fuzzy record linkage (#104)
+
+def fuzzy_join(
+    a: DataFrame,
+    b: DataFrame,
+    id_a: str,
+    col_a: str,
+    id_b: str,
+    col_b: str,
+    threshold: float,
+) -> DataFrame:
+    """Cross-table fuzzy string join on character-trigram Jaccard.
+
+    Record linkage / entity resolution (Fellegi & Sunter 1969 lineage;
+    the trigram-blocked form every dirty-lookup pipeline runs): rows of
+    ``a`` match rows of ``b`` whose strings share enough character
+    trigrams. Unlike the single-corpus near-dup family this is
+    two-sided — a dirty feed against a clean dimension.
+
+    Plan: distinct lowercase trigrams per row (map-side HOF), explode →
+    one trigram-keyed equi-join (candidates = pairs sharing ≥1 trigram,
+    never |a|×|b|), groupBy pair counts the intersection EXACTLY, and
+    Jaccard = inter / (|A| + |B| − inter) is one division — so the
+    DuckDB oracle reproduces every double bit-for-bit. Trigram doc
+    frequency is Zipf-bounded on real names; a hot shared trigram
+    (stop-syllables) inflates candidates, which the threshold then
+    discards — cap the per-trigram fanout upstream if a pathological
+    feed needs it (same lever as ngram blocking's ``block_cap``).
+
+    Returns (id_a, id_b, jaccard) for pairs at/above ``threshold``.
+    """
+    def tri(colname: str):
+        # Spark's sequence(1, 0) DESCENDS instead of returning empty, so
+        # strings shorter than one trigram need the explicit empty guard
+        grams = F.expr(
+            f"transform(sequence(1, length(lower({colname})) - 2),"
+            f" i -> substr(lower({colname}), i, 3))"
+        )
+        return F.array_distinct(
+            F.when(F.length(F.col(colname)) >= 3, grams).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+
+    ta = a.select(
+        F.col(id_a), tri(col_a).alias("_g")
+    ).withColumn("_na", F.size("_g"))
+    tb = b.select(
+        F.col(id_b), tri(col_b).alias("_g")
+    ).withColumn("_nb", F.size("_g"))
+    ea = ta.select(id_a, "_na", F.explode("_g").alias("_t"))
+    eb = tb.select(id_b, "_nb", F.explode("_g").alias("_t"))
+    inter = (
+        ea.join(eb, "_t")
+        .groupBy(id_a, id_b, "_na", "_nb")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    jac = F.col("_inter").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("_inter")
+    ).cast("double")
+    return (
+        inter.select(F.col(id_a), F.col(id_b), jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -1133,3 +1133,92 @@ SELECT anchor_id, neg_id, cosine, CAST(rn AS INT) AS rn FROM r WHERE rn <= {HARD
 
 
 EMB_HARD_NEGATIVES_SQL = _hard_negatives_sql()
+
+
+# ------------------------------------------- fuzzy record linkage (#104)
+
+FUZZY_THRESHOLD = 0.5
+
+
+def q_part_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage gate (#104): a deterministic 'dirty feed' (part
+    names with their last two chars clipped) is re-linked to the clean
+    name domain by trigram Jaccard; best match per dirty value, ties to
+    the lexically smallest name.
+
+    Deliberately VALUE-level: fuzzy similarity depends only on the
+    strings, so matching runs on the DISTINCT name domains (one
+    distinct shuffle each side, then a domain-sized match) and results
+    map back to rows by plain equi-join — the standard linkage shape.
+    Row-level matching here would be quadratic for free: this table
+    repeats 64 names across millions of rows at scale.
+    """
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    dirty = (
+        part.where(F.col("p_partkey") % 20 == 3)
+        .select(
+            F.expr("substr(p_name, 1, greatest(length(p_name) - 2, 1))").alias(
+                "dirty_name"
+            )
+        )
+        .distinct()
+    )
+    clean = part.select(F.col("p_name")).distinct()
+    pairs = dedup.fuzzy_join(
+        dirty, clean, "dirty_name", "dirty_name", "p_name", "p_name",
+        FUZZY_THRESHOLD,
+    )
+    w = Window.partitionBy("dirty_name").orderBy(
+        F.col("jaccard").desc(), F.col("p_name")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("dirty_name", F.col("p_name").alias("matched_name"), "jaccard")
+    )
+
+
+Q_PART_FUZZY_MATCH_SQL = f"""
+WITH dirty AS (
+  SELECT DISTINCT substr(p_name, 1, greatest(length(p_name) - 2, 1)) AS dirty_name
+  FROM part WHERE p_partkey % 20 = 3
+),
+clean AS (SELECT DISTINCT p_name FROM part),
+ga AS (
+  SELECT dirty_name, len(g) AS na, unnest(g) AS t FROM (
+    SELECT dirty_name,
+      list_distinct(CASE WHEN length(dirty_name) >= 3
+        THEN [substr(lower(dirty_name), i, 3) for i in range(1, length(dirty_name) - 1)]
+        ELSE [] END) AS g
+    FROM dirty
+  )
+),
+gb AS (
+  SELECT p_name, len(g) AS nb, unnest(g) AS t FROM (
+    SELECT p_name,
+      list_distinct(CASE WHEN length(p_name) >= 3
+        THEN [substr(lower(p_name), i, 3) for i in range(1, length(p_name) - 1)]
+        ELSE [] END) AS g
+    FROM clean
+  )
+),
+inter AS (
+  SELECT ga.dirty_name, gb.p_name, ga.na, gb.nb,
+    CAST(COUNT(*) AS BIGINT) AS i
+  FROM ga JOIN gb USING (t)
+  GROUP BY ga.dirty_name, gb.p_name, ga.na, gb.nb
+),
+scored AS (
+  SELECT dirty_name, p_name,
+    i::DOUBLE / (na + nb - i)::DOUBLE AS jaccard
+  FROM inter
+),
+best AS (
+  SELECT dirty_name, p_name AS matched_name, jaccard,
+    ROW_NUMBER() OVER (PARTITION BY dirty_name ORDER BY jaccard DESC, p_name) AS rn
+  FROM scored WHERE jaccard >= {FUZZY_THRESHOLD}
+)
+SELECT dirty_name, matched_name, jaccard FROM best WHERE rn = 1
+"""

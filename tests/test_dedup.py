@@ -294,3 +294,38 @@ def test_substring_report_invariants_on_real_docs(spark):
         assert 0 <= r.n_dup_windows <= r.n_windows
         assert r.n_windows == toks[r.doc_id] - k + 1
         assert abs(r.dup_frac - r.n_dup_windows / r.n_windows) < 1e-15
+
+
+def test_fuzzy_join_trigram_jaccard(spark):
+    a = spark.createDataFrame(
+        [(1, "chocolate"), (2, "xy")], "id_a long, name string"
+    )
+    b = spark.createDataFrame(
+        [(10, "chocolate"), (11, "chocolat"), (12, "vanilla")],
+        "id_b long, name string",
+    )
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.fuzzy_join(a, b, "id_a", "name", "id_b", "name", 0.5).collect()
+    }
+    assert out[(1, 10)] == 1.0
+    # chocolate: 7 trigrams; chocolat: 6; shared: 6 -> 6/7
+    assert abs(out[(1, 11)] - 6 / 7) < 1e-12
+    assert (1, 12) not in out          # below threshold
+    assert not any(k[0] == 2 for k in out)  # <3 chars: no trigrams, no match
+
+
+def test_fuzzy_match_relinks_clipped_names(spark):
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import llm_queries
+    from tests.conftest import SF_SMOKE
+
+    out = llm_queries.q_part_fuzzy_match(spark, SF_SMOKE).collect()
+    assert len(out) > 0
+    # every clipped value must at least link back to its own source name
+    # as a candidate; the best match may differ (the vocabulary reuses
+    # words), but each dirty value must produce exactly one best row
+    names = {r.dirty_name for r in out}
+    assert len(names) == len(out)
+    for r in out:
+        assert r.jaccard >= llm_queries.FUZZY_THRESHOLD
+        assert r.matched_name.startswith(r.dirty_name[:3])
