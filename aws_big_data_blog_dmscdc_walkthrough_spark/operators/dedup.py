@@ -912,6 +912,12 @@ def fuzzy_join(
     discards — cap the per-trigram fanout upstream if a pathological
     feed needs it (same lever as ngram blocking's ``block_cap``).
 
+    When the match columns repeat values heavily, run this on the
+    DISTINCT value domains and map back by equi-join: similarity
+    depends only on the strings, and row-level matching multiplies
+    every value pair by its row counts (measured quadratic on a
+    64-value domain — see q_part_fuzzy_match).
+
     Returns (id_a, id_b, jaccard) for pairs at/above ``threshold``.
     """
     def tri(colname: str):
