@@ -97,3 +97,108 @@ def test_soft_delete_keeps_tombstones(spark, batch, target_keys):
     assert live == expected_live
     assert dead == set(expected_dead)  # tombstones survive with flag set
     assert len(rows) == len(set(r.pk for r in rows))  # one row per key
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batch=batches(), target_keys=st.sets(KEYS, max_size=8))
+def test_scd2_versions_match_model(spark, batch, target_keys):
+    """SCD2 over an arbitrary op soup: versions = target rows + every
+    non-D change; each version's valid_to is the NEXT seq on its key;
+    exactly one open version per live key; none for deleted keys."""
+    target = spark.createDataFrame(
+        [(k, 1000 + k) for k in sorted(target_keys)] or [(99, 0)], "pk int, v int"
+    )
+    changes = spark.createDataFrame(
+        [(k, op, seq + 1, val) for k, op, seq, val in batch],
+        "pk int, op string, seq int, v int",
+    ).select("pk", "v", "op", "seq")
+    out = cdc.scd2_history(target, changes, ["pk"], "seq").collect()
+
+    # model: per key, ordered (seq, op, val) with target at seq 0
+    # (the empty-target fixture row is (99, 0), not 1000+k)
+    per_key: dict[int, list] = (
+        {k: [(0, "I", 1000 + k)] for k in target_keys}
+        if target_keys
+        else {99: [(0, "I", 0)]}
+    )
+    for k, op, seq, val in batch:
+        per_key.setdefault(k, []).append((seq + 1, op, val))
+    want = []
+    for k, ops in per_key.items():
+        ops.sort()
+        for i, (seq, op, val) in enumerate(ops):
+            if op == "D":
+                continue
+            nxt = ops[i + 1][0] if i + 1 < len(ops) else None
+            want.append((k, val, seq, nxt, nxt is None))
+    got = sorted((r.pk, r.v, r.valid_from_seq, r.valid_to_seq, r.is_current) for r in out)
+    assert got == sorted(want)
+    # at most one open version per key, and only when the key is live
+    open_keys = [k for k, _, _, nxt, cur in want if cur]
+    assert len(open_keys) == len(set(open_keys))
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batch=batches(), target_keys=st.sets(KEYS, max_size=8), split=st.integers(0, 12))
+def test_scd2_fold_equals_one_shot_at_any_split(spark, batch, target_keys, split):
+    """Folding the change log in two arbitrary (seq-ordered) pieces is
+    identical to one-shot history — for ANY split point."""
+    target = spark.createDataFrame(
+        [(k, 1000 + k) for k in sorted(target_keys)] or [(99, 0)], "pk int, v int"
+    )
+    rows = sorted(
+        [(k, op, seq + 1, val) for k, op, seq, val in batch], key=lambda r: r[2]
+    )
+    cut = min(split, len(rows))
+    b1, b2 = rows[:cut], rows[cut:]
+
+    def frame(rs):
+        return spark.createDataFrame(
+            rs or [(0, "U", -1, 0)], "pk int, op string, seq int, v int"
+        ).where("seq >= 0").select("pk", "v", "op", "seq")
+
+    one_shot = cdc.scd2_history(target, frame(rows), ["pk"], "seq")
+    h = cdc.scd2_history(target, frame(b1), ["pk"], "seq")
+    folded = cdc.scd2_fold_batch(h, frame(b2), ["pk"], "seq")
+    a = sorted(map(tuple, one_shot.collect()))
+    b = sorted(map(tuple, folded.select(*one_shot.columns).collect()))
+    assert a == b
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    old_rows=st.dictionaries(KEYS, st.integers(0, 100), max_size=8),
+    new_rows=st.dictionaries(KEYS, st.integers(0, 100), max_size=8),
+)
+def test_snapshot_diff_round_trips(spark, old_rows, new_rows):
+    """apply_changes(old, snapshot_diff(old, new)) == new, for ANY pair
+    of snapshots."""
+    old = spark.createDataFrame(
+        list(old_rows.items()) or [(99, 0)], "pk int, v int"
+    )
+    new = spark.createDataFrame(
+        list(new_rows.items()) or [(98, 0)], "pk int, v int"
+    )
+    diff = cdc.snapshot_diff(old, new, ["pk"])
+    from pyspark.sql import functions as F
+
+    applied = cdc.apply_changes(old, diff.withColumn("seq", F.lit(1)), ["pk"], "seq")
+    assert sorted(map(tuple, applied.collect())) == sorted(map(tuple, new.collect()))
+    # ops classify exactly
+    ko, kn = set(old_rows or {99: 0}), set(new_rows or {98: 0})
+    ops = {r.pk: r.op for r in diff.collect()}
+    for k in ko - kn:
+        assert ops[k] == "D"
+    for k in kn - ko:
+        assert ops[k] == "I"
