@@ -202,3 +202,48 @@ def test_snapshot_diff_round_trips(spark, old_rows, new_rows):
         assert ops[k] == "D"
     for k in kn - ko:
         assert ops[k] == "I"
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base_rows=st.dictionaries(KEYS, st.integers(0, 100), min_size=1, max_size=8),
+    batch=batches(),
+)
+def test_incremental_agg_equals_recompute(spark, base_rows, batch):
+    """Maintained grouped state == from-scratch recompute over the
+    merged table, for arbitrary change batches (groups = v % 3 so
+    updates MOVE rows between groups)."""
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(k, v, v % 3) for k, v in base_rows.items()], "pk int, v int, grp int"
+    )
+    changes = spark.createDataFrame(
+        [(k, val, val % 3, op, seq + 1) for k, op, seq, val in batch],
+        "pk int, v int, grp int, op string, seq int",
+    )
+    merged = cdc.apply_changes(base, changes, ["pk"], "seq")
+    keys = changes.select("pk").distinct()
+    state = cdc.maintain_grouped_agg(
+        cdc.grouped_agg_state(base, ["grp"], "v"),
+        base.join(keys, "pk", "leftsemi"),
+        merged.join(keys, "pk", "leftsemi"),
+        ["grp"],
+        "v",
+    )
+    got = sorted(
+        map(tuple, cdc.agg_state_report(state, ["grp"], "s").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            cdc.agg_state_report(
+                cdc.grouped_agg_state(merged, ["grp"], "v"), ["grp"], "s"
+            ).collect(),
+        )
+    )
+    assert got == want
