@@ -218,6 +218,8 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_profile": cdc_queries.lake_profile,
         # round-7 addition (SURVEY §2 #104): record linkage
         "q_part_fuzzy_match": llm_queries.q_part_fuzzy_match,
+        # round-7 addition (SURVEY §2 #105): model evaluation
+        "eval_langid_report": llm_queries.eval_langid_report,
         # rows-only (sketch internals differ across engines by design;
         # the tolerance pytest pins values against the exact percentile)
         "q_orders_price_quantiles_approx": analytics.q_orders_price_quantiles_approx,
@@ -314,6 +316,7 @@ def secondary_oracle_sql() -> dict[str, str]:
         "q_events_skew_report": analytics.Q_EVENTS_SKEW_REPORT_SQL,
         "lake_profile": cdc_queries.LAKE_PROFILE_SQL,
         "q_part_fuzzy_match": llm_queries.Q_PART_FUZZY_MATCH_SQL,
+        "eval_langid_report": llm_queries.EVAL_LANGID_REPORT_SQL,
         "dedup_incremental": llm_queries.DEDUP_INCREMENTAL_SQL,
         "emb_quantize": llm_queries.EMB_QUANTIZE_SQL,
         "q_customer_value_ranks": tpch_ext.Q_CUSTOMER_VALUE_RANKS_SQL,

@@ -1,0 +1,83 @@
+"""Model evaluation over lake tables (#105): classification report.
+
+The missing half of running classifiers in the pipeline (#26 langid,
+#85 quality classifier): measuring them. Standard multi-class
+precision / recall / F1 per label (the scikit-learn
+``classification_report`` shape, public since forever), computed as
+DataFrame plans so a 100 TB prediction table evaluates in one
+confusion-matrix aggregation:
+
+- ONE groupBy (pred, gold) builds the confusion matrix — output
+  cardinality |labels|², label-scale not data-scale;
+- everything else (per-label totals, diagonal, metrics) derives from
+  that tiny frame; metrics are single exact-count divisions, so the
+  DuckDB oracle reproduces every double bit-for-bit;
+- a label with no predictions has NULL precision (0/0 is undefined,
+  not zero) and the F1 of a NULL precision/recall is NULL — both
+  engines agree because the CASE/when guards are structurally
+  identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def classification_report(
+    df: DataFrame, pred_col: str, gold_col: str
+) -> DataFrame:
+    """Per-label (label, support, tp, fp, fn, precision, recall, f1)."""
+    cm = (
+        df.select(F.col(pred_col).alias("_p"), F.col(gold_col).alias("_g"))
+        .groupBy("_p", "_g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    labels = (
+        cm.select(F.col("_p").alias("label"))
+        .union(cm.select(F.col("_g").alias("label")))
+        .distinct()
+    )
+    pred_tot = cm.groupBy(F.col("_p").alias("label")).agg(
+        F.sum("_n").alias("_ptot")
+    )
+    gold_tot = cm.groupBy(F.col("_g").alias("label")).agg(
+        F.sum("_n").alias("_gtot")
+    )
+    diag = cm.where(F.col("_p") == F.col("_g")).select(
+        F.col("_p").alias("label"), F.col("_n").alias("_tp")
+    )
+    j = (
+        labels.join(diag, "label", "left")
+        .join(pred_tot, "label", "left")
+        .join(gold_tot, "label", "left")
+        .select(
+            "label",
+            F.coalesce(F.col("_tp"), F.lit(0)).alias("tp"),
+            F.coalesce(F.col("_ptot"), F.lit(0)).alias("_ptot"),
+            F.coalesce(F.col("_gtot"), F.lit(0)).alias("_gtot"),
+        )
+    )
+    prec = F.when(
+        F.col("_ptot") > 0, F.col("tp").cast("double") / F.col("_ptot").cast("double")
+    )
+    rec = F.when(
+        F.col("_gtot") > 0, F.col("tp").cast("double") / F.col("_gtot").cast("double")
+    )
+    out = j.select(
+        "label",
+        F.col("_gtot").alias("support"),
+        "tp",
+        (F.col("_ptot") - F.col("tp")).alias("fp"),
+        (F.col("_gtot") - F.col("tp")).alias("fn"),
+        prec.alias("precision"),
+        rec.alias("recall"),
+    )
+    f1 = F.when(
+        F.col("precision") + F.col("recall") > 0,
+        F.lit(2.0)
+        * F.col("precision")
+        * F.col("recall")
+        / (F.col("precision") + F.col("recall")),
+    )
+    return out.withColumn("f1", f1)

@@ -1222,3 +1222,68 @@ best AS (
 )
 SELECT dirty_name, matched_name, jaccard FROM best WHERE rn = 1
 """
+
+
+# ---------------------------------------------- model evaluation (#105)
+
+def eval_langid_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classification report (#105): the langid heuristic (#26) measured
+    against the documents table's gold lang column — per-label
+    precision/recall/F1 from one confusion-matrix aggregation.
+
+    On THIS corpus the report correctly exposes that the gold labels
+    carry no signal: every synthetic doc draws from one English-ish
+    vocabulary regardless of its lang tag, so the heuristic collapses
+    to the majority class (measured en P 0.41 / R 1.0 at sf0.1, other
+    labels never predicted). That is the evaluation doing its job —
+    the gate certifies the METRIC computation, not the heuristic."""
+    from ..operators import evaluation, text as text_ops
+
+    pred = text_ops.text_langid(spark, sf_dir).select("doc_id", "lang_pred")
+    gold = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    joined = pred.join(gold, "doc_id")
+    return evaluation.classification_report(joined, "lang_pred", "lang")
+
+
+def _eval_langid_sql() -> str:
+    from ..operators.text import TEXT_LANGID_SQL
+
+    return f"""
+WITH pred AS (
+  SELECT doc_id, lang_pred FROM ({TEXT_LANGID_SQL})
+),
+pairs AS (
+  SELECT p.lang_pred AS _p, d.lang AS _g FROM pred p
+  JOIN documents d USING (doc_id)
+),
+cm AS (SELECT _p, _g, CAST(COUNT(*) AS BIGINT) AS _n FROM pairs GROUP BY _p, _g),
+labels AS (SELECT DISTINCT label FROM (
+  SELECT _p AS label FROM cm UNION SELECT _g FROM cm
+)),
+ptot AS (SELECT _p AS label, CAST(SUM(_n) AS BIGINT) AS _ptot FROM cm GROUP BY _p),
+gtot AS (SELECT _g AS label, CAST(SUM(_n) AS BIGINT) AS _gtot FROM cm GROUP BY _g),
+diag AS (SELECT _p AS label, _n AS _tp FROM cm WHERE _p = _g),
+j AS (
+  SELECT l.label,
+    CAST(COALESCE(d._tp, 0) AS BIGINT) AS tp,
+    CAST(COALESCE(p._ptot, 0) AS BIGINT) AS _ptot,
+    CAST(COALESCE(g._gtot, 0) AS BIGINT) AS _gtot
+  FROM labels l
+  LEFT JOIN diag d USING (label)
+  LEFT JOIN ptot p USING (label)
+  LEFT JOIN gtot g USING (label)
+),
+m AS (
+  SELECT label, _gtot AS support, tp, _ptot - tp AS fp, _gtot - tp AS fn,
+    CASE WHEN _ptot > 0 THEN tp::DOUBLE / _ptot::DOUBLE END AS precision,
+    CASE WHEN _gtot > 0 THEN tp::DOUBLE / _gtot::DOUBLE END AS recall
+  FROM j
+)
+SELECT label, support, tp, fp, fn, precision, recall,
+  CASE WHEN precision + recall > 0
+    THEN 2.0 * precision * recall / (precision + recall) END AS f1
+FROM m
+"""
+
+
+EVAL_LANGID_REPORT_SQL = _eval_langid_sql()
