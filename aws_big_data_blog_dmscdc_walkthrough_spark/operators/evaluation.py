@@ -27,7 +27,12 @@ from pyspark.sql import functions as F
 def classification_report(
     df: DataFrame, pred_col: str, gold_col: str
 ) -> DataFrame:
-    """Per-label (label, support, tp, fp, fn, precision, recall, f1)."""
+    """Per-label (label, support, tp, fp, fn, precision, recall, f1).
+
+    Labels must be NON-NULL: a NULL label never matches the per-label
+    equi-joins, so its counts would silently vanish from the totals —
+    filter or fillna("(missing)") a nullable prediction column first.
+    """
     cm = (
         df.select(F.col(pred_col).alias("_p"), F.col(gold_col).alias("_g"))
         .groupBy("_p", "_g")

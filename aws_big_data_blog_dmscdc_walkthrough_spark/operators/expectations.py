@@ -157,6 +157,8 @@ def profile_columns(df: DataFrame, columns: Sequence[str] = ()) -> DataFrame:
     scan, k-way shuffle), melted to one row per column with ``stack``.
     Counts only, deliberately: min/max/top-value string forms differ
     across engines and per type; counts are type-free and exact.
+    Each exact distinct adds an expand branch to the one pass — profile
+    a very wide table (100+ columns) in column batches.
     """
     cols = list(columns) or list(df.columns)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
