@@ -86,9 +86,7 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
 
 
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # No spread(): pure-JVM token plans; re-scanning the column-pruned
-    # parquet per branch beats shuffling + caching the full table
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return tfidf_top_terms(docs, k=3)
 
 
@@ -164,8 +162,7 @@ def bm25_scores(docs: DataFrame, query_terms: list[str]) -> DataFrame:
 
 
 def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # No spread(): same rationale as text_tfidf_topk above
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return bm25_scores(docs, BM25_QUERY_TERMS)
 
 

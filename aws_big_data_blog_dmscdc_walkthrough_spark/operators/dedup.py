@@ -165,7 +165,15 @@ def _parse_bytes(raw: str) -> int:
 
 
 def spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition + persist when the input is under-split.
+    """Measured trade (round 7, text word-count queries): at sf0.1 the
+    repartition+persist round-trip is most of a 0.5 s query (the input
+    is one 8 MB file), but at sf1..sf10 it WINS — the repartition
+    parallelizes single-file explodes across all cores and the persist
+    stops multi-branch plans (tf-idf's tf→df reuse) from recomputing
+    tokenization per branch (tfidf sf10: 5.3 s with vs 24.4 s without).
+    Scale wins; the small-SF overhead is the accepted cost.
+
+    Round-robin repartition + persist when the input is under-split.
 
     Signature computation is CPU-bound per row; a small single-file scan
     arrives as one partition and would serialize it. Repartition alone

@@ -247,11 +247,7 @@ def text_word_topk(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame:
     shuffle carries one row per (partition, word) — vocabulary-bounded,
     not corpus-bounded. Deterministic tie-break on the word itself.
     """
-    # No spread(): pure-JVM explode+agg — the repartition+persist
-    # round-trip costs more than single-digit-partition compute at small
-    # SF (measured 0.3 s of the 0.5 s total), and real-scale parquet
-    # arrives multi-partition anyway (the text_fingerprint rationale)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
         .groupBy("word")
