@@ -165,15 +165,7 @@ def _parse_bytes(raw: str) -> int:
 
 
 def spread(df: DataFrame) -> DataFrame:
-    """Measured trade (round 7, text word-count queries): at sf0.1 the
-    repartition+persist round-trip is most of a 0.5 s query (the input
-    is one 8 MB file), but at sf1..sf10 it WINS — the repartition
-    parallelizes single-file explodes across all cores and the persist
-    stops multi-branch plans (tf-idf's tf→df reuse) from recomputing
-    tokenization per branch (tfidf sf10: 5.3 s with vs 24.4 s without).
-    Scale wins; the small-SF overhead is the accepted cost.
-
-    Round-robin repartition + persist when the input is under-split.
+    """Round-robin repartition + persist when the input is under-split.
 
     Signature computation is CPU-bound per row; a small single-file scan
     arrives as one partition and would serialize it. Repartition alone
@@ -184,6 +176,14 @@ def spread(df: DataFrame) -> DataFrame:
     post-shuffle partitions. At real scale inputs arrive multi-partition
     and this is a no-op — no shuffle, no cache. Persisted frames are
     tracked; call release_persisted() after consuming the result.
+
+    Measured trade (round 7, text word-count queries): at sf0.1 the
+    repartition+persist round-trip is most of a 0.5 s query (the input
+    is one 8 MB file), but at sf1..sf10 it WINS — the repartition
+    parallelizes single-file explodes across all cores and the persist
+    stops multi-branch plans (tf-idf's tf→df reuse) from recomputing
+    tokenization per branch (tfidf sf10: 5.3 s with vs 24.4 s without).
+    Scale wins; the small-SF overhead is the accepted cost.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     est = _estimated_scan_partitions(df)
