@@ -349,6 +349,188 @@ def merge_on_read_incremental(
     )
 
 
+PK_BUCKET_COL = "pk_bucket"
+
+
+def _pk_bucket_expr(primary_keys: Sequence[str], n_buckets: int):
+    """Deterministic PK→bucket partition value. Derived from the key
+    alone, so every version of a key lands in one partition directory —
+    what lets the SCD2 history prune reads AND bound rewrites by the
+    batch's buckets."""
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in primary_keys]), F.lit(n_buckets)
+    ).cast("int")
+
+
+def scd2_merge_on_read(
+    spark: SparkSession,
+    changes: DataFrame,
+    out_path: str,
+    primary_keys: Sequence[str],
+    seq_col: str = "_seq",
+    op_col: str = cdc.OP_COL,
+    bucket_partitions: int | None = None,
+    stats_cols: Sequence[str] = (),
+) -> None:
+    """Incremental SCD2 history maintenance with O(batch) writes.
+
+    The history-table twin of :func:`merge_on_read_incremental`, and the
+    scale fix for the old full-table ``_swap_rewrite`` per micro-batch:
+    a history table only ever GROWS, and the only rows a batch can
+    modify are the impacted keys' OPEN versions (closed versions are
+    immutable by construction). So each fold writes exactly
+
+      * one position-delete file over the superseded open rows,
+      * one append holding their closed replacements (``valid_to_seq``
+        stamped, ``is_current`` false) plus the batch's new versions,
+      * one manifest commit making both visible atomically.
+
+    No data file is ever rewritten — per-batch write volume is bounded
+    by the batch, never by the table. Read via ``manifest.read_table``
+    (the DV anti-join hides superseded open rows); a scheduled
+    ``compact_table(use_manifest=True)`` pass materializes accumulated
+    DVs so read amplification stays bounded.
+
+    ``bucket_partitions=N`` partitions the history by a deterministic
+    hash bucket of the primary key (``_pk_bucket``): all versions of a
+    key co-locate, so both the replay-guard scan and the open-version
+    lookup prune to the batch's buckets (an ``isin`` partition filter),
+    and compaction can proceed partition-by-partition. Pass the SAME
+    value on every call for a given table — the bucket of an appended
+    row must match the creation-time layout (guarded below).
+
+    Replay-safe the same way the swap path was (``scd2_fresh_changes``
+    drops already-recorded seqs), and crash-safe the MOR way: nothing is
+    visible before the manifest commit, so a retry either re-runs the
+    whole fold (crash before commit — first attempt's files are
+    unlisted orphans for ``manifest.vacuum``) or no-ops (crash after).
+    """
+    pks = list(primary_keys)
+    if not pks:
+        raise ValueError("SCD2 history needs primary keys")
+    part_keys = [PK_BUCKET_COL] if bucket_partitions else []
+
+    if not target_exists(spark, out_path):
+        empty_target = changes.drop(op_col, seq_col).limit(0)
+        folded = cdc.scd2_history(empty_target, changes, pks, seq_col, op_col)
+        if bucket_partitions:
+            folded = folded.withColumn(
+                PK_BUCKET_COL, _pk_bucket_expr(pks, bucket_partitions)
+            )
+        _append_with_optional_manifest(
+            spark, folded, out_path, part_keys, True, stats_cols
+        )
+        return
+
+    man = manifest_mod.read_manifest(spark, out_path)
+    if man is None:
+        raise ValueError(
+            f"{out_path} has no manifest; the incremental SCD2 history "
+            "requires manifest-committed tables (write the first batch "
+            "through this function)"
+        )
+    pkeys = man.get("partition_keys") or []
+    bucketed = PK_BUCKET_COL in pkeys
+    if bucketed and not bucket_partitions:
+        raise ValueError(
+            f"{out_path} is bucket-partitioned; pass the same "
+            "bucket_partitions used at creation"
+        )
+
+    changes = changes.persist(StorageLevel.MEMORY_AND_DISK)
+    live = manifest_mod.read_table_with_positions(spark, out_path)
+    if bucketed:
+        # bucket values derive from the batch's keys: a bounded isin
+        # list (≤ n_buckets) that turns both scans below into
+        # partition-pruned reads
+        buckets = [
+            r["b"]
+            for r in changes.select(
+                _pk_bucket_expr(pks, bucket_partitions).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        live = live.where(F.col(PK_BUCKET_COL).isin(buckets))
+    # replay guard: only changes strictly above each key's recorded
+    # high-water seq survive (column-pruned scan: pk + the two seqs)
+    fresh = cdc.scd2_fresh_changes(live, changes, pks, seq_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    open_rows = None
+    try:
+        if fresh.isEmpty():  # full replay after a committed fold: no-op
+            return
+        fresh_keys = cdc._maybe_broadcast(
+            fresh.select(*pks).distinct(), cdc.BROADCAST_KEYS_MAX_BYTES
+        )
+        open_rows = (
+            live.where(F.col("is_current"))
+            .join(fresh_keys, pks, "left_semi")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        hits = open_rows.select(
+            manifest_mod.DV_FILE_COL, manifest_mod.DV_POS_COL
+        )
+        added_dv, targets = manifest_mod.stage_deletion_vectors(
+            spark, out_path, hits
+        )
+        first_seq = fresh.groupBy(*pks).agg(
+            F.min(F.col(seq_col)).alias("_close_seq")
+        )
+        vt_type = open_rows.schema["valid_to_seq"].dataType
+        drop_cols = [manifest_mod.DV_FILE_COL, manifest_mod.DV_POS_COL]
+        if bucketed:
+            drop_cols.append(PK_BUCKET_COL)  # recomputed on append
+        closed = (
+            open_rows.drop(*drop_cols)
+            .join(first_seq, pks, "left")
+            .withColumn("valid_to_seq", F.col("_close_seq").cast(vt_type))
+            .withColumn("is_current", F.lit(False))
+            .drop("_close_seq")
+        )
+        # scd2_apply against a zero-row history emits exactly the
+        # batch's own versions (chained valid_from/valid_to within the
+        # batch) — one code path with the batch operator
+        new_versions = cdc.scd2_apply(
+            live.drop(*drop_cols).limit(0), fresh, pks, seq_col, op_col
+        )
+        appended = closed.unionByName(new_versions)
+        if bucketed:
+            appended = appended.withColumn(
+                PK_BUCKET_COL, _pk_bucket_expr(pks, bucket_partitions)
+            )
+        before = set(
+            manifest_mod.list_data_files(spark, out_path, recursive=bucketed)
+        )
+        writer = appended.write.mode("append")
+        if bucketed:
+            writer = writer.partitionBy(PK_BUCKET_COL)
+        writer.parquet(out_path)
+        added = [
+            f
+            for f in manifest_mod.list_data_files(
+                spark, out_path, recursive=bucketed
+            )
+            if f not in before
+        ]
+        live_files = man["files"] + added
+        stats = manifest_mod.stats_for_commit(
+            spark, out_path, live_files, list(stats_cols), man
+        )
+        carried = man.get("delete_files") or []
+        manifest_mod.commit_manifest(
+            spark, out_path, live_files, stats=stats,
+            delete_files=carried + added_dv, dv_targets=targets,
+            schema_json=appended.schema.json(),
+        )
+    finally:
+        fresh.unpersist()
+        changes.unpersist()
+        if open_rows is not None:
+            open_rows.unpersist()
+
+
 def _precheck_merge_eligible(
     spark: SparkSession,
     changes: DataFrame,

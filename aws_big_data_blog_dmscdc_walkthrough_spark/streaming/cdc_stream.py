@@ -19,7 +19,6 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
 
-from ..operators import cdc
 from ..pipeline.controller import prepare_dms_batch
 from ..sources import lake_writer
 
@@ -37,6 +36,7 @@ def start_cdc_stream(
     merge_on_read: bool = False,
     compact_every: int | None = None,
     history_mode: bool = False,
+    history_buckets: int | None = None,
 ):
     """Stream landing-folder parquet into a merged lake table.
 
@@ -47,17 +47,25 @@ def start_cdc_stream(
 
     ``history_mode=True`` maintains an SCD TYPE 2 HISTORY table instead
     of a latest-state table: each micro-batch folds through
-    ``cdc.scd2_fold_batch`` (open versions of impacted keys closed,
-    batch versions appended; replay-safe via the per-key seq high-water
-    mark) and the history swaps atomically. The version sequence is the
-    (file, row) order flattened to one lexically-ordered string, so —
-    unlike the latest-state modes, where only within-batch order
-    matters — landing file names MUST be lexically monotonic across
-    batches (the DMS S3 contract the reference's incremental discovery
-    already depends on: files named after their timestamp, each sorting
-    after the last processed one). A non-monotonic name would make a
-    later change sort below the recorded high-water mark and be dropped
-    as already-applied.
+    ``lake_writer.scd2_merge_on_read`` — the impacted keys' open
+    versions are superseded by a position-delete file and their closed
+    replacements + the batch's new versions APPEND, one manifest commit
+    per batch (read via ``manifest.read_table``). Per-batch write volume
+    is bounded by the batch, never by the ever-growing history (a
+    history table's closed versions are immutable, so nothing else can
+    need rewriting). ``history_buckets=N`` hash-partitions the history
+    by primary key so the replay-guard and open-version scans prune to
+    the batch's buckets; ``compact_every`` schedules the DV
+    materialization pass, same as MOR mode. Replay-safe via the per-key
+    seq high-water mark: the version sequence is the (file, row) order
+    flattened to one lexically-ordered string, so — unlike the
+    latest-state modes, where only within-batch order matters — landing
+    file names MUST be lexically monotonic across batches (the DMS S3
+    contract the reference's incremental discovery already depends on:
+    files named after their timestamp, each sorting after the last
+    processed one). A non-monotonic name would make a later change sort
+    below the recorded high-water mark and be dropped as
+    already-applied.
 
     ``merge_on_read=True`` applies each micro-batch through
     ``lake_writer.merge_on_read_incremental`` — position deletes + an
@@ -78,7 +86,10 @@ def start_cdc_stream(
     # _metadata.file_path/row_index for deterministic within-file order
     stream = reader.parquet(source_dir).select("*", "_metadata")
     if history_mode and (merge_on_read or partition_keys):
-        raise ValueError("history mode writes one unpartitioned COW history table")
+        raise ValueError(
+            "history mode is merge-on-read already and partitions by PK "
+            "bucket (history_buckets), not by data columns"
+        )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -104,28 +115,18 @@ def start_cdc_stream(
                 .withColumnRenamed("Op", "op")
                 .drop("_metadata")
             )
-            if lake_writer.target_exists(sess, out_path):
-                history = sess.read.parquet(out_path)
-                fresh = cdc.scd2_fresh_changes(
-                    history, flat, primary_keys, "_hseq"
+            lake_writer.scd2_merge_on_read(
+                sess, flat, out_path, primary_keys,
+                seq_col="_hseq", op_col="op",
+                bucket_partitions=history_buckets,
+            )
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                lake_writer.compact_table(
+                    sess, out_path, use_manifest=True,
+                    partition_keys=(
+                        (lake_writer.PK_BUCKET_COL,) if history_buckets else ()
+                    ),
                 )
-                if fresh.isEmpty():  # full replay: leave the table alone
-                    return
-                folded = cdc.scd2_apply(
-                    history, fresh, primary_keys, "_hseq"
-                )
-                lake_writer._swap_rewrite(sess, folded, out_path)
-            else:
-                empty_target = flat.drop("op", "_hseq").limit(0)
-                folded = cdc.scd2_history(
-                    empty_target, flat, primary_keys, "_hseq"
-                )
-                folded.write.mode("overwrite").parquet(out_path)
-            # foreachBatch hands us a CLONED session; the swap's refresh
-            # cleared the clone's listing cache, not the caller's — the
-            # outer session would otherwise resolve the pre-swap part
-            # files on its next read and die with FILE_NOT_EXIST
-            spark.catalog.refreshByPath(out_path)
             return
         changes = prepare_dms_batch(batch_df, primary_keys)
         if merge_on_read:

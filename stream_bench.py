@@ -108,9 +108,10 @@ def bench_cdc_stream(spark, sf_dir: str, work: str, n_batches: int = 8) -> dict:
         q.awaitTermination()
         wall = time.perf_counter() - t0
         if kw.get("history_mode"):
+            from aws_big_data_blog_dmscdc_walkthrough_spark.sources import manifest
             # SCD2 conservation: with no deletes, every change row is a
             # version, and current versions = live keys
-            table = spark.read.parquet(lake)
+            table = manifest.read_table(spark, lake)
             assert table.count() == n_changes, (mode, table.count(), n_changes)
             merged = table.where("is_current").count()
         elif kw.get("merge_on_read"):
@@ -210,7 +211,48 @@ def bench_sparse_updates(spark, sf_dir: str, work: str, n_batches: int = 8) -> d
         mor["write_amplification_vs_cow"] = round(
             cow["mb_written"] / mor["mb_written"], 1
         )
-    return {"cow": cow, "mor": mor}
+
+    # SCD2 history under the same sparse-update stream: the incremental
+    # fold (DV + append per batch) must write ~batch-sized MBs, never
+    # history-sized — the workload the old full-table swap rewrite was
+    # fatal on. Keys are disjoint across batches (k % 977 == b), so the
+    # random landing file names can't violate per-key seq monotonicity.
+    lake, ckpt = f"{work}/sparse_lake_scd2", f"{work}/sparse_ckpt_scd2"
+    init = base.select(
+        F.lit("I").alias("op"),
+        # bootstrap seqs must sort below every landing-file _hseq
+        # ("0" < "file:/..."): version 0 of every key
+        F.lit("0").alias("_hseq"),
+        "o_orderkey", "o_custkey", "o_totalprice",
+    )
+    lake_writer.scd2_merge_on_read(
+        spark, init, lake, ["o_orderkey"], seq_col="_hseq",
+        bucket_partitions=16,
+    )
+    bytes0 = _total_output_bytes(spark)
+    t0 = time.perf_counter()
+    q = cdc_stream.start_cdc_stream(
+        spark, src, lake, ["o_orderkey"], schema, ckpt,
+        available_now=True, max_files_per_trigger=1,
+        history_mode=True, history_buckets=16,
+    )
+    q.awaitTermination()
+    wall = time.perf_counter() - t0
+    bytes1 = _total_output_bytes(spark)
+    hist = manifest.read_table(spark, lake)
+    n_versions = hist.count()
+    assert n_versions == n_keys + n_changes, (n_versions, n_keys, n_changes)
+    assert hist.where("is_current").count() == n_keys
+    scd2 = {"rows": n_changes, "keys": n_keys, "batches": n_batches,
+            "versions": n_versions, "sec": round(wall, 2),
+            "batches_per_sec": round(n_batches / wall, 2)}
+    if bytes0 is not None and bytes1 is not None and bytes1 >= bytes0:
+        scd2["mb_written"] = round((bytes1 - bytes0) / 1e6, 1)
+        if "mb_written" in cow and scd2["mb_written"]:
+            scd2["write_reduction_vs_cow"] = round(
+                cow["mb_written"] / scd2["mb_written"], 1
+            )
+    return {"cow": cow, "mor": mor, "scd2": scd2}
 
 
 def bench_windowed_agg(spark, sf_dir: str, work: str) -> dict:
@@ -242,7 +284,16 @@ def bench_windowed_agg(spark, sf_dir: str, work: str) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # UI on: the REST API is how the bench measures bytes written per mode
-    spark = get_spark("dmscdc-stream-bench", extra_conf={"spark.ui.enabled": "true"})
+    spark = get_spark(
+        "dmscdc-stream-bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            # the bytes-written metric sums outputBytes over COMPLETED
+            # stages; the default retention (1000) evicts early stages
+            # mid-run and makes the cumulative sum go BACKWARDS
+            "spark.ui.retainedStages": "100000",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     work = tempfile.mkdtemp(prefix="stream_bench_")
     try:
@@ -262,6 +313,7 @@ def main() -> None:
             "cdc_scd2_history": cdc["hist"],
             "sparse_update_cow": sparse["cow"],
             "sparse_update_mor": sparse["mor"],
+            "sparse_update_scd2": sparse["scd2"],
             "windowed_agg": win,
         },
         "sf": sf,

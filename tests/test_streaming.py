@@ -239,11 +239,10 @@ def test_stream_interval_join_equals_batch(spark, tmp_path):
 
 def test_stream_scd2_history_mode(spark, tmp_path):
     """History mode: versions accumulate with validity intervals; a
-    replayed batch (fresh checkpoint over the same files) is a no-op."""
-    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import cdc
-    from aws_big_data_blog_dmscdc_walkthrough_spark.pipeline.controller import (
-        prepare_dms_batch,
-    )
+    replayed batch (fresh checkpoint over the same files) is a no-op.
+    Incremental write path: the second fold must APPEND + DV, never
+    rewrite the first batch's data files."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import manifest
 
     src, out = str(tmp_path / "src"), str(tmp_path / "out")
     ck1, ck2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
@@ -257,16 +256,17 @@ def test_stream_scd2_history_mode(spark, tmp_path):
 
     _drop_file(spark, [("I", 1, "a"), ("I", 2, "b")], src, "20240101-01.parquet")
     run(ck1)
-    h1 = spark.read.parquet(out)
+    h1 = manifest.read_table(spark, out)
     assert h1.count() == 2
     assert {r.id for r in h1.where("is_current").collect()} == {1, 2}
+    files_v1 = set(manifest.read_manifest(spark, out)["files"])
 
     _drop_file(
         spark, [("U", 1, "a2"), ("D", 2, None), ("I", 3, "c")], src,
         "20240102-01.parquet",
     )
     run(ck1)
-    h2 = spark.read.parquet(out)
+    h2 = manifest.read_table(spark, out)
     rows = {(r.id, r.name): (r.is_current, r.valid_to_seq is None)
             for r in h2.collect()}
     # id=1: closed v "a" + open v "a2"; id=2: closed v "b"; id=3: open "c"
@@ -274,9 +274,95 @@ def test_stream_scd2_history_mode(spark, tmp_path):
     assert rows[(2, "b")] == (False, False)
     assert rows[(3, "c")] == (True, True)
     assert h2.count() == 4
+    # incremental, not a rewrite: batch 1's files are still live, the
+    # fold appended new ones and staged a DV over the superseded opens
+    man2 = manifest.read_manifest(spark, out)
+    assert files_v1 <= set(man2["files"])
+    assert man2.get("delete_files")
 
     # replay: a FRESH checkpoint re-delivers both files; the seq
     # high-water mark must make the re-application a no-op
     run(ck2)
-    h3 = spark.read.parquet(out)
+    h3 = manifest.read_table(spark, out)
     assert sorted(map(tuple, h3.collect())) == sorted(map(tuple, h2.collect()))
+
+
+def test_stream_scd2_history_bucketed_with_compaction(spark, tmp_path):
+    """Bucketed history: same fold results, `pk_bucket=` partition
+    directories on disk, and the scheduled compaction materializes the
+    DVs without changing what readers see."""
+    import os as _os
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import manifest
+
+    src, out, ck = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _drop_file(spark, [("I", 1, "a"), ("I", 2, "b")], src, "20240101-01.parquet")
+    _drop_file(
+        spark, [("U", 1, "a2"), ("D", 2, None), ("I", 3, "c")], src,
+        "20240102-01.parquet",
+    )
+    q = cdc_stream.start_cdc_stream(
+        spark, src, out, ["id"], SCHEMA, ck,
+        available_now=True, max_files_per_trigger=1,
+        history_mode=True, history_buckets=4, compact_every=2,
+    )
+    q.awaitTermination(120)
+    h = manifest.read_table(spark, out)
+    rows = {(r.id, r.name): (r.is_current, r.valid_to_seq is None)
+            for r in h.collect()}
+    assert rows[(1, "a")] == (False, False) and rows[(1, "a2")] == (True, True)
+    assert rows[(2, "b")] == (False, False)
+    assert rows[(3, "c")] == (True, True)
+    assert h.count() == 4
+    assert any(d.startswith("pk_bucket=") for d in _os.listdir(out))
+    # compact_every=2 ran after the second batch: DVs materialized
+    assert not manifest.read_manifest(spark, out).get("delete_files")
+
+
+def test_scd2_merge_on_read_equals_one_shot(spark, tmp_path):
+    """Folding batches through scd2_merge_on_read must equal the
+    one-shot scd2_history over the concatenated change log — at every
+    split point, bucketed or not — and a replayed batch is a no-op."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import cdc
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import lake_writer, manifest
+
+    log = [
+        ("I", 1, 1, "a"), ("I", 1, 2, "b"),
+        ("U", 2, 1, "a2"), ("D", 2, 2, None), ("I", 2, 3, "c"),
+        ("U", 3, 3, "c2"), ("I", 3, 2, "b2"), ("U", 3, 1, "a3"),
+    ]
+    sch = "op string, _seq long, id long, name string"
+    full = spark.createDataFrame(log, sch)
+    want = sorted(
+        map(
+            tuple,
+            cdc.scd2_history(
+                full.drop("op", "_seq").limit(0), full, ["id"], "_seq"
+            ).collect(),
+        )
+    )
+    for buckets in (None, 3):
+        for split in (1, 2):
+            out = str(tmp_path / f"h_{buckets}_{split}")
+            batches = [
+                spark.createDataFrame([r for r in log if r[1] <= split], sch),
+                spark.createDataFrame([r for r in log if r[1] > split], sch),
+            ]
+            for b in batches:
+                lake_writer.scd2_merge_on_read(
+                    spark, b, out, ["id"], bucket_partitions=buckets
+                )
+            got = manifest.read_table(spark, out)
+            if buckets:
+                got = got.drop(lake_writer.PK_BUCKET_COL)
+            assert sorted(map(tuple, got.collect())) == want, (buckets, split)
+            # replay the last batch: high-water guard makes it a no-op
+            v = manifest.read_manifest(spark, out)["version"]
+            lake_writer.scd2_merge_on_read(
+                spark, batches[-1], out, ["id"], bucket_partitions=buckets
+            )
+            assert manifest.read_manifest(spark, out)["version"] == v
+            got2 = manifest.read_table(spark, out)
+            if buckets:
+                got2 = got2.drop(lake_writer.PK_BUCKET_COL)
+            assert sorted(map(tuple, got2.collect())) == want
