@@ -113,25 +113,24 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_range_join": analytics.q_events_range_join,
         "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
         "q18_large_volume_customers": analytics.q18_large_volume_customers,
-        # ROUND-7 NEW-OPERATOR SLOTS: the four round-7 flagship curation
-        # ops (#84-#87) take driver-gate slots in their debut round so
-        # CORRECTNESS_r07 carries hash evidence for them; the four
-        # displaced keys (q_events_daily_users, q_orders_median_price,
-        # sample_stratified, sketch_count_min — all hash-green in r06,
-        # so within the gated-once-per-two-rounds invariant) move to
-        # secondary_queries() and rotate back in round 8.
-        "dedup_semantic": llm_queries.dedup_semantic,
-        "dedup_substring": llm_queries.dedup_substring,
-        "text_quality_classifier": text.text_quality_classifier,
-        "ann_pq_topk": llm_queries.ann_pq_topk,
-        # ROUND-8 ROTATION PLAN: the four #84-#87 debut slots below will
-        # have hash evidence in CORRECTNESS_r07 — rotate them to
-        # secondary next round and debut the late-round-7 additions in
-        # their place (cdc_scd2, cdc_snapshot_diff, cdc_incremental_agg,
-        # lake_expectations first; then q_events_funnel/retention,
-        # text_surprisal, corpus_temperature_mix, q_lineitem_bloom_semi,
-        # emb_hard_negatives in round 9), keeping every oracled query
-        # driver-gated at least once per two-to-three rounds.
+        # ROUND-8 DEBUT SLOTS (the committed round-7 rotation plan): the
+        # four #84-#87 round-7 debuts hash-matched in CORRECTNESS_r07 and
+        # move to secondary_queries(); the four late-round-7 CDC/lake
+        # capabilities (#89, #90, #94, #100) take their driver-gate slots
+        # so CORRECTNESS_r08 carries hash evidence for them.
+        "cdc_scd2": cdc_queries.cdc_scd2,
+        "cdc_snapshot_diff": cdc_queries.cdc_snapshot_diff,
+        "cdc_incremental_agg": cdc_queries.cdc_incremental_agg,
+        "lake_expectations": cdc_queries.lake_expectations,
+        # ROUND-9 ROTATION PLAN: demote the four round-8 debuts above
+        # once CORRECTNESS_r08 is green and debut q_events_funnel,
+        # q_events_retention, text_surprisal, corpus_temperature_mix in
+        # their place (then q_lineitem_bloom_semi, emb_hard_negatives,
+        # lake_profile, q_events_gapfill in round 10), keeping every
+        # oracled query driver-gated at least once per two-to-three
+        # rounds. q_events_daily_users / q_orders_median_price /
+        # sample_stratified / sketch_count_min (hash-green r06) remain
+        # pytest-oracled in secondary until a debut slot frees up.
         # ROUND-7 GATE ROTATION (back): q2/q9/q11/q13/q15/q21 took these
         # six slots in round 6 and hash-matched (CORRECTNESS_r06); the
         # displaced keys below are restored so every registered query is
@@ -193,23 +192,22 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_count_min": text.sketch_count_min,
         # round-7 addition (SURVEY §2 #88)
         "dedup_source_matrix": llm_queries.dedup_source_matrix,
-        # round-7 additions (SURVEY §2 #89-#90): CDC consumers
-        "cdc_scd2": cdc_queries.cdc_scd2,
-        "cdc_snapshot_diff": cdc_queries.cdc_snapshot_diff,
         # round-7 additions (SURVEY §2 #91-#92): corpus quality + mixing
         "text_surprisal": text.text_surprisal,
         "corpus_temperature_mix": text.corpus_temperature_mix,
         # round-7 addition (SURVEY §2 #93): explicit bloom runtime filter
         "q_lineitem_bloom_semi": analytics.q_lineitem_bloom_semi,
-        # round-7 addition (SURVEY §2 #94): incremental view maintenance
-        "cdc_incremental_agg": cdc_queries.cdc_incremental_agg,
         # round-7 additions (SURVEY §2 #95-#96): product analytics
         "q_events_funnel": analytics.q_events_funnel,
         "q_events_retention": analytics.q_events_retention,
         # round-7 addition (SURVEY §2 #99): metric-learning mining
         "emb_hard_negatives": llm_queries.emb_hard_negatives,
-        # round-7 addition (SURVEY §2 #100): data-quality expectations
-        "lake_expectations": cdc_queries.lake_expectations,
+        # rotated out of the driver gate after hash-matching in round 7
+        # (SURVEY §2 #84-#87); pytest-oracled here every round
+        "dedup_semantic": llm_queries.dedup_semantic,
+        "dedup_substring": llm_queries.dedup_substring,
+        "text_quality_classifier": text.text_quality_classifier,
+        "ann_pq_topk": llm_queries.ann_pq_topk,
         # round-7 addition (SURVEY §2 #101): time-series densification
         "q_events_gapfill": analytics.q_events_gapfill,
         # round-7 addition (SURVEY §2 #102): hot-key diagnostics
@@ -274,10 +272,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_batch_topk": llm_queries.ANN_BATCH_TOPK_SQL,
         "emb_label_centroids": llm_queries.EMB_LABEL_CENTROIDS_SQL,
         "pipeline_curate_corpus": llm_queries.PIPELINE_CURATE_CORPUS_SQL,
-        "dedup_semantic": llm_queries.DEDUP_SEMANTIC_SQL,
-        "dedup_substring": llm_queries.DEDUP_SUBSTRING_SQL,
-        "text_quality_classifier": text.TEXT_QUALITY_CLASSIFIER_SQL,
-        "ann_pq_topk": llm_queries.ANN_PQ_TOPK_SQL,
+        "cdc_scd2": cdc_queries.CDC_SCD2_SQL,
+        "cdc_snapshot_diff": cdc_queries.CDC_SNAPSHOT_DIFF_SQL,
+        "cdc_incremental_agg": cdc_queries.CDC_INCREMENTAL_AGG_SQL,
+        "lake_expectations": cdc_queries.LAKE_EXPECTATIONS_SQL,
     }
 
 
@@ -302,16 +300,16 @@ def secondary_oracle_sql() -> dict[str, str]:
         "sample_stratified": text.SAMPLE_STRATIFIED_SQL,
         "sketch_count_min": text.SKETCH_COUNT_MIN_SQL,
         "dedup_source_matrix": llm_queries.DEDUP_SOURCE_MATRIX_SQL,
-        "cdc_scd2": cdc_queries.CDC_SCD2_SQL,
-        "cdc_snapshot_diff": cdc_queries.CDC_SNAPSHOT_DIFF_SQL,
         "text_surprisal": text.TEXT_SURPRISAL_SQL,
         "corpus_temperature_mix": text.CORPUS_TEMPERATURE_MIX_SQL,
         "q_lineitem_bloom_semi": analytics.Q_LINEITEM_BLOOM_SEMI_SQL,
-        "cdc_incremental_agg": cdc_queries.CDC_INCREMENTAL_AGG_SQL,
+        "dedup_semantic": llm_queries.DEDUP_SEMANTIC_SQL,
+        "dedup_substring": llm_queries.DEDUP_SUBSTRING_SQL,
+        "text_quality_classifier": text.TEXT_QUALITY_CLASSIFIER_SQL,
+        "ann_pq_topk": llm_queries.ANN_PQ_TOPK_SQL,
         "q_events_funnel": analytics.Q_EVENTS_FUNNEL_SQL,
         "q_events_retention": analytics.Q_EVENTS_RETENTION_SQL,
         "emb_hard_negatives": llm_queries.EMB_HARD_NEGATIVES_SQL,
-        "lake_expectations": cdc_queries.LAKE_EXPECTATIONS_SQL,
         "q_events_gapfill": analytics.Q_EVENTS_GAPFILL_SQL,
         "q_events_skew_report": analytics.Q_EVENTS_SKEW_REPORT_SQL,
         "lake_profile": cdc_queries.LAKE_PROFILE_SQL,
