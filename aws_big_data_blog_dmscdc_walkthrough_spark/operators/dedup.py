@@ -77,6 +77,32 @@ def release_persisted() -> int:
     return n
 
 
+def _scan_sizes(df: DataFrame) -> list[int] | None:
+    """On-disk byte sizes of the frame's leaf scan files, or None for
+    non-local / non-file sources (createDataFrame fixtures, object
+    stores), where callers fall back to the RDD probe."""
+    import os
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    sizes: list[int] = []
+    for uri in files:
+        if not uri.startswith("file:"):
+            return None
+        path = uri[len("file:"):]
+        while path.startswith("//"):
+            path = path[1:]
+        try:
+            sizes.append(os.path.getsize(path))
+        except OSError:
+            return None
+    return sizes
+
+
 def _estimated_scan_partitions(df: DataFrame) -> int | None:
     """Estimate how many partitions this frame's file scan will produce.
 
@@ -99,25 +125,9 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
     sources (createDataFrame fixtures, object stores), where the caller
     should fall back to the RDD probe.
     """
-    import os
-
-    try:
-        files = df.inputFiles()
-    except Exception:
+    sizes = _scan_sizes(df)
+    if sizes is None:
         return None
-    if not files:
-        return None
-    sizes: list[int] = []
-    for uri in files:
-        if not uri.startswith("file:"):
-            return None
-        path = uri[len("file:"):]
-        while path.startswith("//"):
-            path = path[1:]
-        try:
-            sizes.append(os.path.getsize(path))
-        except OSError:
-            return None
     conf = df.sparkSession.conf
     max_bytes = _parse_bytes(
         conf.get("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
@@ -164,7 +174,14 @@ def _parse_bytes(raw: str) -> int:
     return int(s)
 
 
-def spread(df: DataFrame) -> DataFrame:
+# Below this many scan bytes (compressed, on disk) a single task
+# finishes the CPU work faster than the spread round-trip costs:
+# sf0.1's 0.6 MB documents file serial-tokenizes in ~0.3 s, while the
+# 4-8 MB sf1 file is where serial explode crosses into seconds.
+SPREAD_MIN_INPUT_BYTES = 4 * 1024 * 1024
+
+
+def spread(df: DataFrame, min_bytes: int | None = SPREAD_MIN_INPUT_BYTES) -> DataFrame:
     """Round-robin repartition + persist when the input is under-split.
 
     Signature computation is CPU-bound per row; a small single-file scan
@@ -178,14 +195,32 @@ def spread(df: DataFrame) -> DataFrame:
     tracked; call release_persisted() after consuming the result.
 
     Measured trade (round 7, text word-count queries): at sf0.1 the
-    repartition+persist round-trip is most of a 0.5 s query (the input
-    is one 8 MB file), but at sf1..sf10 it WINS — the repartition
-    parallelizes single-file explodes across all cores and the persist
-    stops multi-branch plans (tf-idf's tf→df reuse) from recomputing
-    tokenization per branch (tfidf sf10: 5.3 s with vs 24.4 s without).
-    Scale wins; the small-SF overhead is the accepted cost.
+    repartition+persist round-trip was most of a 0.5 s query, but at
+    sf1..sf10 it WINS — the repartition parallelizes single-file
+    explodes across all cores and the persist stops multi-branch plans
+    (tf-idf's tf→df reuse) from recomputing tokenization per branch
+    (tfidf sf10: 5.3 s with vs 24.4 s without). Round 8 made the trade
+    ADAPTIVE on scan size: an under-split input below
+    ``SPREAD_MIN_INPUT_BYTES`` is cheap even serial (sf0.1 documents is
+    one 0.6 MB file; its whole tokenize-and-count ran 0.29 s
+    single-task in r5), so the shuffle+cache round-trip can only add
+    wall there and is skipped; past the threshold the serial cost
+    crosses into seconds and spreading dominates. The threshold reads
+    the same leaf-file listing the partition estimate uses — no job.
+
+    Callers whose downstream chain is expensive PER BYTE pass
+    ``min_bytes=0`` to spread unconditionally: the r8 per-query deltas
+    showed the skip reclaiming 0.3-1.1 s on every word-count/ANN/map
+    query while costing 2-5× on exactly three shapes — the n-gram
+    shingle+pair chain (serial Arrow hashing dominates even at 0.6 MB),
+    the embedding all-pairs base (feeds both sides of a self-join), and
+    the count-min 8-way row explode.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
+    if min_bytes:
+        sizes = _scan_sizes(df)
+        if sizes is not None and sum(sizes) < min_bytes:
+            return df
     est = _estimated_scan_partitions(df)
     if est is None:
         est = df.rdd.getNumPartitions()
@@ -329,7 +364,9 @@ def ngram_jaccard_pairs(
     """
     sh = _materialize(
         _track(
-            shingle_frame(spread(df), id_col, text_col, block_cols, k)
+            # min_bytes=0: the shingle hash chain is expensive per byte
+            # (serial Arrow hashing cost 5.7x at bench scale without it)
+            shingle_frame(spread(df, min_bytes=0), id_col, text_col, block_cols, k)
             .where(F.size("_sh") > 0)
             .persist()  # feeds both join sides; avoid recomputing the hash chain
         )

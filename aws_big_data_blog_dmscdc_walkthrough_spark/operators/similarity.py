@@ -56,7 +56,10 @@ def cosine_pairs(
     # norms precompute map-side: each pair then traverses the arrays
     # ONCE (the dot) instead of three times — same arithmetic, same
     # result, 3x fewer interpreted higher-order evals at 200k+ pairs
-    base = spread(df).select(
+    # min_bytes=0: base feeds BOTH sides of the pair self-join below —
+    # without the spread persist the vector cast+norm recomputes per
+    # side (measured 2.5x at bench scale)
+    base = spread(df, min_bytes=0).select(
         F.col(id_col), *[F.col(c) for c in block_cols], as_double(F.col(vec_col)).alias("_v")
     ).withColumn("_n", norm(F.col("_v")))
     a = base.select(

@@ -584,7 +584,10 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin reproduces the sketch bit-for-bit; estimator error bounds are
     pinned in tests.
     """
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    # min_bytes=0: the d-way posexplode multiplies every token by d
+    # rows before the shuffle — serial pre-shuffle fan-out cost 2x at
+    # bench scale without the spread
+    docs = spread(load_table(spark, sf_dir, "documents"), min_bytes=0)
     words = docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
     h = hashing.poly_hash(F.col("word"))
     rows = F.array(
