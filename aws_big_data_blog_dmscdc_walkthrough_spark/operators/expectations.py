@@ -30,6 +30,8 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .cdc import BROADCAST_KEYS_MAX_BYTES, _maybe_broadcast
+
 
 def _flags(
     df: DataFrame,
@@ -74,8 +76,11 @@ def _flags(
     for c, (dim, dim_col) in references.items():
         name = f"references:{c}"
         rules.append(name)
-        present = dim.select(F.col(dim_col).alias(c)).distinct().select(
-            c, F.lit(True).alias("_present")
+        present = _maybe_broadcast(
+            dim.select(F.col(dim_col).alias(c)).distinct().select(
+                c, F.lit(True).alias("_present")
+            ),
+            BROADCAST_KEYS_MAX_BYTES,
         )
         out = out.join(present, c, "left").withColumn(
             # NULL FKs are not violations (declare not_null separately)
@@ -145,31 +150,50 @@ def quarantine_split(
     return clean, bad
 
 
-def profile_columns(df: DataFrame, columns: Sequence[str] = ()) -> DataFrame:
+# Exact-distinct columns per aggregate pass: each adds an expand branch
+# (the scan's row count multiplies by the branch count before the
+# shuffle), so one unbounded pass over a 200-column table would expand
+# every row 200x. 16 keeps the expand factor at worst 16x per pass —
+# the deequ-style sweet spot between pass count and expand blowup.
+PROFILE_BATCH_COLS = 16
+
+
+def profile_columns(
+    df: DataFrame, columns: Sequence[str] = (), batch_cols: int = PROFILE_BATCH_COLS
+) -> DataFrame:
     """Per-column profile (#103): (col_name, n_rows, n_nulls, n_distinct).
 
     The discovery half of data quality (the deequ/Great-Expectations
     profiling shape): run it on an unfamiliar landing table to DERIVE
     the expectations worth declaring — a column with zero nulls wants
     ``not_null``, n_distinct == n_rows suggests a key, tiny n_distinct
-    suggests an ``isin`` domain. One wide aggregate pass over the table
-    (Catalyst plans the multi-column exact distincts via expand — one
-    scan, k-way shuffle), melted to one row per column with ``stack``.
+    suggests an ``isin`` domain. One wide aggregate pass per
+    ``batch_cols`` columns (Catalyst plans the multi-column exact
+    distincts via expand — one scan, k-way shuffle; the batching bounds
+    the expand's row multiplication, so a 200-column table profiles in
+    ceil(200/16) scans instead of one 200-way expand), melted to one
+    row per column with ``stack`` and unioned across batches.
     Counts only, deliberately: min/max/top-value string forms differ
     across engines and per type; counts are type-free and exact.
-    Each exact distinct adds an expand branch to the one pass — profile
-    a very wide table (100+ columns) in column batches.
     """
     cols = list(columns) or list(df.columns)
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in cols:
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{c}"))
-        aggs.append(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
-    wide = df.agg(*aggs)
-    stack = ", ".join(f"'{c}', `_nn_{c}`, `_nd_{c}`" for c in cols)
-    return wide.select(
-        F.expr(
-            f"stack({len(cols)}, {stack}) AS (col_name, n_nulls, n_distinct)"
-        ),
-        F.col("n_rows"),
-    ).select("col_name", "n_rows", "n_nulls", "n_distinct")
+
+    def one_batch(batch: list[str]) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for c in batch:
+            aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{c}"))
+            aggs.append(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
+        wide = df.agg(*aggs)
+        stack = ", ".join(f"'{c}', `_nn_{c}`, `_nd_{c}`" for c in batch)
+        return wide.select(
+            F.expr(
+                f"stack({len(batch)}, {stack}) AS (col_name, n_nulls, n_distinct)"
+            ),
+            F.col("n_rows"),
+        ).select("col_name", "n_rows", "n_nulls", "n_distinct")
+
+    out = None
+    for i in range(0, len(cols), max(1, batch_cols)):
+        part = one_batch(cols[i : i + max(1, batch_cols)])
+        out = part if out is None else out.unionByName(part)
+    return out

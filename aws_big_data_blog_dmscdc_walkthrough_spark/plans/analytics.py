@@ -880,12 +880,22 @@ FROM counts
 
 # --------------------------------------------- retention cohorts (#96)
 
-def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_events_retention(
+    spark: SparkSession, sf_dir: str, max_day_offset: int | None = None
+) -> DataFrame:
     """Retention cohort matrix (#96): users grouped by first-active day,
     distinct-user counts per day offset since that day. Two user-keyed
-    aggregations + one linear equi-join; cohort×offset output is
-    calendar-bounded (tiny), the distinct-count shuffle is the same
-    shape as the daily-active-users gate."""
+    aggregations + one linear equi-join; the distinct-count shuffle is
+    the same shape as the daily-active-users gate.
+
+    Scale note: the cohort×offset OUTPUT grows with the SQUARE of the
+    calendar span (every cohort day × every later offset — ~(365·years)²/2
+    rows), and so does each user's contribution to the distinct-count
+    shuffle. The test table spans weeks, where unbounded is fine; on a
+    multi-year event log pass ``max_day_offset`` (product analytics
+    reads the matrix out to 30/90 days anyway). The cap filters BEFORE
+    the aggregation, so the shuffle and the output are both bounded by
+    cohorts × cap rather than span²."""
     # date_trunc (midnight TIMESTAMP), not to_date: the oracle bridge
     # compares DuckDB dates as midnight timestamps, the same convention
     # q_events_daily_users uses
@@ -894,15 +904,15 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
     activity = ev.distinct()
-    return (
-        activity.join(first, "user_id")
-        .select(
-            "user_id",
-            "cohort_day",
-            F.datediff(F.col("d"), F.col("cohort_day")).alias("day_offset"),
-        )
-        .groupBy("cohort_day", "day_offset")
-        .agg(F.count_distinct("user_id").alias("n_users"))
+    offsets = activity.join(first, "user_id").select(
+        "user_id",
+        "cohort_day",
+        F.datediff(F.col("d"), F.col("cohort_day")).alias("day_offset"),
+    )
+    if max_day_offset is not None:
+        offsets = offsets.where(F.col("day_offset") <= max_day_offset)
+    return offsets.groupBy("cohort_day", "day_offset").agg(
+        F.count_distinct("user_id").alias("n_users")
     )
 
 

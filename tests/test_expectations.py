@@ -85,3 +85,28 @@ def test_profile_columns_counts(spark):
     assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
     sub = expectations.profile_columns(df, ["s"]).collect()
     assert len(sub) == 1 and sub[0].col_name == "s"
+
+
+def test_profile_columns_wide_table_batches(spark):
+    """A 200-column table profiles in one call: the internal batching
+    caps each pass's expand factor, and the unioned output matches a
+    per-column recount exactly."""
+    from pyspark.sql import functions as F
+
+    n_cols = 200
+    df = spark.range(50).select(
+        *[
+            F.when(F.col("id") % (i % 7 + 2) != 0, F.col("id") % (i + 1))
+            .alias(f"c{i}")
+            for i in range(n_cols)
+        ]
+    )
+    prof = {r.col_name: r for r in expectations.profile_columns(df).collect()}
+    assert len(prof) == n_cols
+    for i in (0, 15, 16, 99, 199):  # batch boundaries + ends
+        c = f"c{i}"
+        want_nulls = df.where(F.col(c).isNull()).count()
+        want_distinct = df.select(c).where(F.col(c).isNotNull()).distinct().count()
+        assert prof[c].n_rows == 50
+        assert prof[c].n_nulls == want_nulls, c
+        assert prof[c].n_distinct == want_distinct, c

@@ -98,3 +98,25 @@ def test_cobucketed_join_has_no_exchange(spark, tmp_path):
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan  # co-located: bucket metadata removes both shuffles
     assert joined.count() == 3000
+
+
+def test_retention_capped_offset_matches_filtered_unbounded(spark):
+    """max_day_offset bounds the cohort matrix: the capped result is
+    exactly the unbounded matrix filtered to the cap (the filter runs
+    BEFORE the distinct-count aggregation, so counts are unaffected),
+    and no emitted offset exceeds the cap."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import analytics
+    from tests.conftest import SF_SMOKE
+
+    cap = 3
+    capped = analytics.q_events_retention(spark, SF_SMOKE, max_day_offset=cap)
+    rows = capped.collect()
+    assert rows and max(r.day_offset for r in rows) <= cap
+    unbounded = analytics.q_events_retention(spark, SF_SMOKE)
+    want = {
+        (r.cohort_day, r.day_offset): r.n_users
+        for r in unbounded.collect()
+        if r.day_offset <= cap
+    }
+    got = {(r.cohort_day, r.day_offset): r.n_users for r in rows}
+    assert got == want
