@@ -94,6 +94,31 @@ def test_lsh_multiprobe_improves_recall(spark, corpus):
     assert multi >= 0.15, f"multi-probe LSH recall {multi}"
 
 
+def test_lsh_query_directed_probing_beats_blanket_and_reaches_midtier(
+    spark, corpus
+):
+    """Query-directed probing (Lv et al. ranked perturbation sets):
+    at the SAME 37-bucket budget it must beat blanket hamming-2, and at
+    probe_t=64 (65/256 buckets ≈ 25% scan) it must clear the documented
+    mid-tier floor. Measured round 8: 0.38 vs 0.33 at equal budget,
+    0.57 at probe_t=64 (floors leave noise room)."""
+    emb, Xn, ids = corpus
+    blanket = _recall(
+        spark, emb, Xn, ids,
+        lambda q: sim.lsh_topk(emb, "vec_id", "embedding", q, K, probe_hamming=2),
+    )
+    directed = _recall(
+        spark, emb, Xn, ids,
+        lambda q: sim.lsh_topk(emb, "vec_id", "embedding", q, K, probe_t=36),
+    )
+    assert directed > blanket, (directed, blanket)
+    midtier = _recall(
+        spark, emb, Xn, ids,
+        lambda q: sim.lsh_topk(emb, "vec_id", "embedding", q, K, probe_t=64),
+    )
+    assert midtier >= 0.5, f"query-directed probe_t=64 recall {midtier}"
+
+
 def test_pq_adc_recall_and_rerank_floor(spark, corpus):
     """PQ (#87) quality on the same hard corpus, against exact
     squared-L2 truth (PQ's own metric): trained m=8/k=256 codebooks
