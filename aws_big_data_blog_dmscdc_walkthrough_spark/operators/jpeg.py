@@ -1,10 +1,12 @@
-"""Baseline JPEG codec in numpy + stdlib — no PIL.
+"""JPEG codec (baseline + progressive) in numpy + stdlib — no PIL.
 
 The dominant real-corpus image format gets an in-repo decode path:
-baseline sequential DCT, 8-bit, grayscale or YCbCr, any 1-2× chroma
-subsampling (4:4:4 / 4:2:2 / 4:2:0), restart markers. Progressive and
-arithmetic-coded streams raise ``NotImplementedError`` and stay behind
-the PIL import-gate in ``multimodal._decode_compressed``.
+baseline sequential DCT and progressive DCT (spectral selection +
+successive approximation, T.81 Annex G — the large share of web JPEGs),
+8-bit, grayscale or YCbCr, any 1-2× chroma subsampling (4:4:4 / 4:2:2 /
+4:2:0), restart markers, EOBn run coding. Arithmetic-coded, lossless
+and hierarchical processes raise ``NotImplementedError`` and stay
+behind the PIL import-gate in ``multimodal._decode_compressed``.
 
 Everything here follows the public ITU-T T.81 spec (the JPEG standard):
 Annex K's example Huffman tables ride in the ENCODER's DHT segments and
@@ -298,6 +300,265 @@ def encode_jpeg_baseline(
     return bytes(out)
 
 
+# ----------------------------------------------------- progressive encoder
+#
+# Exists so the progressive DECODER is testable round-trip without PIL
+# (same reason the baseline encoder exists). Writes a spectral-selection
+# + successive-approximation scan script: DC first (Al=1) → DC refine →
+# per-component AC first scans in TWO spectral bands (Al=1) → the
+# matching AC refinement scans — exercising every progressive scan kind,
+# EOBn run coding included. Tables are FLAT canonical Huffman codes (all
+# 256 AC symbols at 9 bits, 16 DC symbols at 5 bits): Annex K's baseline
+# tables lack the EOBn symbols (0x10..0xE0) progressive needs, and a
+# flat table is trivially Kraft-valid — compression is not the point.
+
+_DC_FLAT = ([0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], list(range(16)))
+# 255 symbols at 9 bits + 1 at 10 (a DHT BITS entry is one byte, so a
+# single length caps at 255 codes); Kraft sum 255/512 + 1/1024 < 1
+_AC_FLAT = (
+    [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0],
+    list(range(256)),
+)
+
+
+class _ProgACWriter:
+    """Per-scan AC emitter with EOBn run accumulation (mirrors the
+    public libjpeg encode_mcu_AC_* structure)."""
+
+    def __init__(self, bw: _BitWriter, codes):
+        self.bw = bw
+        self.codes = codes
+        self.eobrun = 0
+        self.pending: list[int] = []  # correction bits awaiting a symbol
+
+    def sym(self, rs: int) -> None:
+        length, code = self.codes[rs]
+        self.bw.write(code, length)
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            self.sym(r << 4)
+            if r:
+                self.bw.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.pending:
+            self.bw.write(b, 1)
+        self.pending = []
+
+    def bump_eobrun(self, block_bits: list[int]) -> None:
+        self.eobrun += 1
+        self.pending.extend(block_bits)
+        if self.eobrun == 0x7FFF:
+            self.flush_eobrun()
+
+
+def _encode_ac_first(w: _ProgACWriter, band_vals: list[int]) -> None:
+    run = 0
+    for t in band_vals:
+        if t == 0:
+            run += 1
+            continue
+        w.flush_eobrun()
+        while run > 15:
+            w.sym(0xF0)
+            run -= 16
+        s = _category(t)
+        w.sym((run << 4) | s)
+        w.bw.write(t if t > 0 else t + (1 << s) - 1, s)
+        run = 0
+    if run:  # trailing zeros → this block joins the EOB run
+        w.bump_eobrun([])
+
+
+def _encode_ac_refine(w: _ProgACWriter, vals: list[int], al: int) -> None:
+    """vals = the band's RAW coefficients (natural sign). Mirrors the
+    spec's figure G.7 flow: the zero run counts only ZERO-HISTORY
+    positions; correction bits for already-significant coefficients
+    buffer until the next emitted symbol (ZRL / newly-significant /
+    EOBn) so the decoder's traversal reads them in position order."""
+    absv = [abs(v) >> al for v in vals]
+    run = 0
+    br: list[int] = []
+    for i, a in enumerate(absv):
+        if a == 0:
+            run += 1
+            continue
+        # ZRLs are due at ANY nonzero position once 16 zero-history
+        # slots accumulated — deferring them past a correction
+        # coefficient would put its bit on the wrong side of the symbol
+        while run > 15:
+            w.flush_eobrun()
+            w.sym(0xF0)
+            run -= 16
+            for b in br:
+                w.bw.write(b, 1)
+            br = []
+        if a > 1:  # already significant: one correction bit
+            br.append(a & 1)
+            continue
+        # newly significant (magnitude exactly 1 at this bit plane)
+        w.flush_eobrun()
+        w.sym((run << 4) | 1)
+        w.bw.write(1 if vals[i] > 0 else 0, 1)
+        for b in br:
+            w.bw.write(b, 1)
+        br = []
+        run = 0
+    if run or br:
+        w.bump_eobrun(br)
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quant: int = 1, subsample: bool = False
+) -> bytes:
+    """Progressive (SOF2) JFIF encode of a (h, w[, 1|3]) uint8 image.
+
+    Same pixel semantics as :func:`encode_jpeg_baseline` — the scans
+    carry the identical DCT coefficients, split by spectral band and
+    one successive-approximation bit plane — so a decoder must
+    reproduce the baseline round-trip within the same tolerance.
+    """
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, nc = pixels.shape
+    if nc not in (1, 3):
+        raise ValueError("encode_jpeg_progressive: 1 or 3 channels")
+    if not 1 <= quant <= 255 or int(quant) != quant:
+        raise ValueError("quant must be an integer in [1, 255]")
+    qt = np.full((8, 8), float(quant))
+
+    if nc == 3:
+        rgb = pixels.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128
+        cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128
+        planes = [y, cb, cr]
+    else:
+        planes = [pixels[..., 0].astype(np.float64)]
+
+    lu = (2, 2) if (nc == 3 and subsample) else (1, 1)
+    sampling = [lu] + [(1, 1)] * (nc - 1)
+    max_h = max(s[0] for s in sampling)
+    max_v = max(s[1] for s in sampling)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+
+    # quantized coefficient arrays per component, zigzag order — the
+    # scans below re-read these; DCT runs once
+    comp_coefs = []
+    comp_dims = []
+    for p, (sh, sv) in zip(planes, sampling):
+        if (sh, sv) != (max_h, max_v):
+            fx, fy = max_h // sh, max_v // sv
+            ph = _pad_to_blocks(p, -(-p.shape[0] // fy) * fy, -(-p.shape[1] // fx) * fx)
+            p = ph.reshape(ph.shape[0] // fy, fy, ph.shape[1] // fx, fx).mean(axis=(1, 3))
+        full = _pad_to_blocks(p, mcus_y * sv * 8, mcus_x * sh * 8)
+        by, bx = full.shape[0] // 8, full.shape[1] // 8
+        blocks = full.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ij,yxjk,kl->yxil", _DCT, blocks - 128.0, _DCT.T)
+        q = np.rint(coef.reshape(by, bx, 64) / qt.reshape(64)).astype(np.int64)
+        comp_coefs.append(q[..., np.array(ZIGZAG)])  # natural → zigzag order
+        comp_dims.append((by, bx))
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(
+        0xFFDB, bytes([0]) + bytes(int(qt.flat[ZIGZAG[i]]) for i in range(64))
+    )
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i, (sh, sv) in enumerate(sampling):
+        sof += bytes([i + 1, (sh << 4) | sv, 0])
+    out += _seg(0xFFC2, sof)  # SOF2: progressive DCT
+    for cls, tid, (bits, vals) in ((0, 0, _DC_FLAT), (1, 0, _AC_FLAT)):
+        out += _seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    dc_codes = _canonical_codes(*_DC_FLAT)
+    ac_codes = _canonical_codes(*_AC_FLAT)
+
+    def sos_header(comp_ids, ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0])  # DC and AC table 0 for every scan
+        body += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xFFDA, body)
+
+    # --- scan 1: DC first, interleaved, Al=1 (arithmetic shift, G.1.2.1)
+    out += sos_header(list(range(1, nc + 1)), 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * nc
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(nc):
+                sh, sv = sampling[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        v = int(comp_coefs[ci][my * sv + by, mx * sh + bx, 0]) >> 1
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        s = _category(diff)
+                        length, code = dc_codes[s]
+                        bw.write(code, length)
+                        if s:
+                            bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    bw.flush()
+    out += bytes(bw.buf)
+
+    # --- scan 2: DC refinement, Al=0 (raw bits, no Huffman)
+    out += sos_header(list(range(1, nc + 1)), 0, 0, 1, 0)
+    bw = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(nc):
+                sh, sv = sampling[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        bw.write(int(comp_coefs[ci][my * sv + by, mx * sh + bx, 0]) & 1, 1)
+    bw.flush()
+    out += bytes(bw.buf)
+
+    # --- AC scans: two spectral bands per component, first then refine
+    bands = [(1, 5), (6, 63)]
+
+    def comp_scan_blocks(ci):
+        sh, sv = sampling[ci]
+        cw = -(-w * sh // max_h)
+        ch = -(-h * sv // max_v)
+        rows, cols = -(-ch // 8), -(-cw // 8)
+        for by in range(rows):
+            for bx in range(cols):
+                yield comp_coefs[ci][by, bx]
+
+    for ss, se in bands:
+        for ci in range(nc):
+            out += sos_header([ci + 1], ss, se, 0, 1)
+            bw = _BitWriter()
+            wtr = _ProgACWriter(bw, ac_codes)
+            for zz in comp_scan_blocks(ci):
+                band = [
+                    int(v) // 2 if v >= 0 else -((-int(v)) >> 1)
+                    for v in zz[ss:se + 1]
+                ]
+                _encode_ac_first(wtr, band)
+            wtr.flush_eobrun()
+            bw.flush()
+            out += bytes(bw.buf)
+    for ss, se in bands:
+        for ci in range(nc):
+            out += sos_header([ci + 1], ss, se, 1, 0)
+            bw = _BitWriter()
+            wtr = _ProgACWriter(bw, ac_codes)
+            for zz in comp_scan_blocks(ci):
+                _encode_ac_refine(wtr, [int(v) for v in zz[ss:se + 1]], 0)
+            wtr.flush_eobrun()
+            bw.flush()
+            out += bytes(bw.buf)
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ---------------------------------------------------------------- decoder
 
 
@@ -393,17 +654,23 @@ def _peek_dims(data: bytes) -> tuple[int, int, int]:
     raise ValueError("no SOF marker found")
 
 
-def decode_jpeg_baseline(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to an (h, w, c) uint8 array.
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline OR progressive JPEG to an (h, w, c) uint8 array.
 
-    Progressive (SOF2) and arithmetic-coded (SOF9+) streams raise
-    ``NotImplementedError`` — multimodal's PIL import-gate stays the
-    answer for those profiles in this sandbox.
+    Arithmetic-coded / lossless / hierarchical processes (SOF3, SOF9+)
+    raise ``NotImplementedError`` — multimodal's PIL import-gate stays
+    the answer for those rare profiles in this sandbox.
     """
     try:
         return _decode_jpeg(data)
     except (IndexError, struct.error) as exc:
         raise ValueError("truncated or corrupt JPEG stream") from exc
+
+
+# kept under its round-7 name for callers/tests of the baseline profile;
+# since round 8 it decodes progressive streams too (same coefficients,
+# different scan structure)
+decode_jpeg_baseline = decode_jpeg
 
 
 def _decode_jpeg(data: bytes) -> np.ndarray:
@@ -414,6 +681,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     restart_interval = 0
+    coefs: list[np.ndarray] | None = None  # progressive accumulation
     while True:
         if data[pos] != 0xFF:
             pos += 1
@@ -422,8 +690,17 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         if marker == 0xFF:  # T.81 B.1.1.2: optional fill byte, skip one
             pos += 1
             continue
+        if marker == 0x00:  # stuffed byte in residual entropy data
+            pos += 2
+            continue
         pos += 2
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            if (
+                frame is not None
+                and frame.get("progressive")
+                and frame.get("n_scans", 0) > 0
+            ):
+                return _reconstruct_progressive(frame, coefs, qt)
             raise ValueError("no scan data")
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue
@@ -453,7 +730,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[b + 17:b + 17 + n])
                 huff[(tc, th)] = _decoder_table(bits, vals)
                 b += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # baseline / ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
             precision, h, w, nc = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -461,14 +738,26 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 15, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker == 0xC2:
-            raise NotImplementedError(
-                "progressive JPEG: decode needs PIL (baseline decodes natively)"
-            )
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+            if marker == 0xC2:
+                max_h = max(c["h"] for c in comps)
+                max_v = max(c["v"] for c in comps)
+                frame["max_h"], frame["max_v"] = max_h, max_v
+                frame["mcus_x"] = -(-w // (8 * max_h))
+                frame["mcus_y"] = -(-h // (8 * max_v))
+                # per-component coefficient buffers, ZIGZAG order in the
+                # last axis — every scan refines these until EOI
+                coefs = [
+                    np.zeros(
+                        (frame["mcus_y"] * c["v"], frame["mcus_x"] * c["h"], 64),
+                        dtype=np.int32,
+                    )
+                    for c in comps
+                ]
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "non-baseline JPEG process: decode needs PIL"
+                "non-baseline JPEG process (lossless/arithmetic/hierarchical): "
+                "decode needs PIL"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
@@ -479,9 +768,22 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             scan = []
             for i in range(ns):
                 cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
-                comp = next(c for c in frame["comps"] if c["id"] == cid)
-                scan.append((comp, tabs >> 4, tabs & 15))
-            return _decode_scan(data, end, frame, scan, qt, huff, restart_interval)
+                ci, comp = next(
+                    (j, c) for j, c in enumerate(frame["comps"]) if c["id"] == cid
+                )
+                scan.append((comp, tabs >> 4, tabs & 15, ci))
+            if frame.get("progressive"):
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ah_al = body[3 + 2 * ns]
+                pos = _decode_progressive_scan(
+                    data, end, frame, scan, huff, restart_interval, coefs,
+                    ss, se, ah_al >> 4, ah_al & 15,
+                )
+                frame["n_scans"] = frame.get("n_scans", 0) + 1
+                continue
+            return _decode_scan(
+                data, end, frame, [s[:3] for s in scan], qt, huff, restart_interval
+            )
         pos = end
 
 
@@ -536,6 +838,189 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
                         y0 = (my * comp["v"] + by) * 8
                         x0 = (mx * comp["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
+    return _finish_planes(planes, comps, max_h, max_v, h, w)
+
+
+# ------------------------------------------------- progressive decoding
+#
+# T.81 Annex G: a progressive frame carries the SAME coefficients as a
+# baseline one, split across scans by spectral band (Ss..Se) and bit
+# plane (successive approximation Ah/Al). Decoding accumulates into
+# per-component coefficient buffers; the IDCT runs once at EOI.
+
+
+def _comp_scan_dims(frame, comp) -> tuple[int, int]:
+    """Block grid of a NON-interleaved scan for this component (G.1):
+    ceil over the component's own sample dimensions, not the padded MCU
+    grid — the trailing MCU-padding blocks carry no coded data."""
+    cw = -(-frame["w"] * comp["h"] // frame["max_h"])
+    ch = -(-frame["h"] * comp["v"] // frame["max_v"])
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_progressive_scan(
+    data, pos, frame, scan, huff, restart_interval, coefs, ss, se, ah, al
+):
+    """Decode one progressive scan into ``coefs``; returns the stream
+    position after its entropy data. Four scan kinds (DC/AC ×
+    first/refinement); interleaved scans are DC-only per G.1.1.1.1."""
+    reader = _BitReader(data, pos)
+    preds = [0] * len(scan)
+    eobrun = 0
+    if len(scan) == 1 and ss > 0:  # AC scan: always single-component
+        comp, _dc_t, ac_t, ci = scan[0]
+        rows, cols = _comp_scan_dims(frame, comp)
+        table = huff[(1, ac_t)]
+        n = 0
+        for by in range(rows):
+            for bx in range(cols):
+                if restart_interval and n and n % restart_interval == 0:
+                    reader.restart((n // restart_interval - 1) % 8)
+                    eobrun = 0
+                block = coefs[ci][by, bx]
+                if ah == 0:
+                    eobrun = _ac_first(reader, block, table, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine(reader, block, table, ss, se, al, eobrun)
+                n += 1
+        return reader.pos
+    if ss != 0 or se != 0:
+        raise ValueError("interleaved progressive scan must be DC-only")
+    # DC scan: interleaved MCU order (or single-component block order)
+    if len(scan) == 1:
+        comp, dc_t, _ac_t, ci = scan[0]
+        rows, cols = _comp_scan_dims(frame, comp)
+        units = [(ci, by, bx) for by in range(rows) for bx in range(cols)]
+        groups = [[u] for u in units]
+        tables = {ci: huff.get((0, dc_t))}
+    else:
+        groups = []
+        tables = {}
+        for my in range(frame["mcus_y"]):
+            for mx in range(frame["mcus_x"]):
+                g = []
+                for comp, dc_t, _ac_t, ci in scan:
+                    tables[ci] = huff.get((0, dc_t))
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            g.append((ci, my * comp["v"] + by, mx * comp["h"] + bx))
+                groups.append(g)
+    ci_to_slot = {s[3]: i for i, s in enumerate(scan)}
+    for n, group in enumerate(groups):
+        if restart_interval and n and n % restart_interval == 0:
+            reader.restart((n // restart_interval - 1) % 8)
+            preds = [0] * len(scan)
+        for ci, by, bx in group:
+            block = coefs[ci][by, bx]
+            if ah == 0:
+                slot = ci_to_slot[ci]
+                s = _read_huff(reader, tables[ci])
+                diff = _extend(reader.receive(s), s) if s else 0
+                preds[slot] += diff
+                block[0] = preds[slot] << al
+            elif reader.read_bit():
+                block[0] |= 1 << al
+    return reader.pos
+
+
+def _ac_first(reader, block, table, ss, se, al, eobrun) -> int:
+    """First AC scan for one block (G.1.2.2): magnitudes at bit plane
+    ``al``, zero runs + EOBn run-length coding across blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_huff(reader, table)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:
+                run = (1 << r) - 1
+                if r:
+                    run += reader.receive(r)
+                return run
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run past spectral band end")
+        block[k] = _extend(reader.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(reader, block, table, ss, se, al, eobrun) -> int:
+    """AC refinement scan for one block (G.1.2.3): one correction bit
+    per already-significant coefficient, newly-significant ±1<<al
+    insertions between them."""
+    p1 = 1 << al
+    m1 = -p1
+
+    def correct(k: int) -> None:
+        v = int(block[k])
+        if reader.read_bit() and not (v & p1):
+            block[k] = v + (p1 if v >= 0 else m1)
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_huff(reader, table)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError("AC refinement magnitude must be 1")
+                newval = p1 if reader.read_bit() else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.receive(r)
+                break  # EOB path handles the band tail below
+            # advance past r zero-HISTORY coefficients, emitting
+            # correction bits for the nonzero-history ones on the way
+            while k <= se:
+                if block[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("AC refinement run past band end")
+                block[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if block[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_progressive(frame, coefs, qt) -> np.ndarray:
+    """Dequantize + IDCT the accumulated coefficients (one vectorized
+    pass per component), then the shared upsample/crop/color tail."""
+    comps = frame["comps"]
+    planes = []
+    zz = np.array(ZIGZAG)
+    for ci, comp in enumerate(comps):
+        c = coefs[ci]
+        by, bx = c.shape[0], c.shape[1]
+        nat = np.zeros((by, bx, 64), dtype=np.float64)
+        nat[..., zz] = c
+        nat *= qt[comp["tq"]].reshape(64)
+        blocks = nat.reshape(by, bx, 8, 8)
+        pix = np.einsum("ij,yxjk,kl->yxil", _DCT.T, blocks, _DCT) + 128.0
+        planes.append(pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
+    return _finish_planes(
+        planes, comps, frame["max_h"], frame["max_v"], frame["h"], frame["w"]
+    )
+
+
+def _finish_planes(planes, comps, max_h, max_v, h, w) -> np.ndarray:
+    """Upsample subsampled planes, crop the MCU padding, color-convert."""
     out_planes = []
     for ci, comp in enumerate(comps):
         p = planes[ci]

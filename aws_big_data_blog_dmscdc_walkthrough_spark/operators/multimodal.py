@@ -17,8 +17,8 @@ Decoders — three tiers:
     uint16 width/height/channels/frames, packed frame bytes) — the
     canonical internal representation; resize/sample emit it, and tests
     synthesize it for byte-exact checks.
-  * remaining compressed codecs (progressive JPEG/MP4…, plus PNG's palette /
-    16-bit / interlaced corners) require PIL/ffmpeg, absent in this
+  * remaining compressed codecs (arithmetic-coded JPEG/MP4…, plus PNG's
+    palette / 16-bit / interlaced corners) require PIL/ffmpeg, absent in this
     environment — that path is import-gated and raises
     ``NotImplementedError`` with the reason; the mapInPandas plumbing
     is identical, so installing the lib changes one function.
@@ -413,23 +413,24 @@ def decode_image(blob: bytes) -> "np.ndarray":
 
 
 def _decode_compressed(blob: bytes, mime: str):
-    """Compressed codecs: JPEG baseline decodes natively (operators/
-    jpeg.py — huffman + dequant + IDCT in numpy); progressive/arithmetic
+    """Compressed codecs: JPEG baseline AND progressive decode natively
+    (operators/jpeg.py — huffman + dequant + IDCT in numpy, multi-scan
+    coefficient accumulation for progressive); arithmetic-coded/lossless
     JPEG and video remain PIL/ffmpeg import-gated, absent here."""
     if mime == "image/jpeg":
         from . import jpeg as _jpeg
 
         try:
-            return _jpeg.decode_jpeg_baseline(blob)[None]
+            return _jpeg.decode_jpeg(blob)[None]
         except NotImplementedError:
-            pass  # non-baseline profile → PIL gate below
+            pass  # arithmetic/lossless/hierarchical profile → PIL gate
     try:
         from PIL import Image
     except ImportError as exc:  # pragma: no cover - env has no PIL
         raise NotImplementedError(
-            f"decoding {mime} (beyond baseline JPEG) requires PIL/ffmpeg, "
-            "absent in this environment; JPEG-baseline/BMP/PPM/PGM/PNG/"
-            "WAV/MMRW decode natively"
+            f"decoding {mime} (beyond baseline+progressive JPEG) requires "
+            "PIL/ffmpeg, absent in this environment; JPEG/BMP/PPM/PGM/PNG/"
+            "GIF/WAV/MMRW decode natively"
         ) from exc
     arr = np.asarray(Image.open(io.BytesIO(blob)))  # pragma: no cover
     if arr.ndim == 2:  # pragma: no cover

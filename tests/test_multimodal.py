@@ -102,23 +102,24 @@ def test_features_feed_ann(spark, media):
 
 
 def test_compressed_codec_is_clearly_stubbed(spark):
-    # PROGRESSIVE JPEG (SOF2): baseline decodes natively now, so only
-    # non-baseline profiles hit the PIL gate — which must say so
-    sof2 = (
+    # ARITHMETIC-CODED JPEG (SOF9): baseline AND progressive decode
+    # natively now, so only arithmetic/lossless/hierarchical profiles
+    # hit the PIL gate — which must say so
+    sof9 = (
         b"\xff\xd8"
-        + b"\xff\xc2" + struct.pack(">H", 11)
+        + b"\xff\xc9" + struct.pack(">H", 11)
         + struct.pack(">BHHB", 8, 4, 4, 1) + bytes([1, 0x11, 0])
         + b"\xff\xd9"
     )
     # metadata still works (dims come from the SOF header, any profile)
-    meta = mm._blob_meta(sof2)
+    meta = mm._blob_meta(sof9)
     assert (meta["width"], meta["height"]) == (4, 4)
-    # ...but PIXEL decode of a non-baseline profile hits the PIL gate
+    # ...but PIXEL decode of a non-DCT-huffman profile hits the PIL gate
     with pytest.raises(NotImplementedError) as ei:
-        mm.decode_image(sof2)
+        mm.decode_image(sof9)
     assert "PIL" in str(ei.value)
     # and through the Spark resize path the gate surfaces too
-    df = spark.createDataFrame([(0, sof2, None)], mm.MEDIA_SCHEMA)
+    df = spark.createDataFrame([(0, sof9, None)], mm.MEDIA_SCHEMA)
     with pytest.raises(Exception) as ei:
         mm.resize_images(df, out_w=2, out_h=2).collect()
     assert "PIL" in str(ei.value) or "NotImplementedError" in str(ei.value)
@@ -343,14 +344,15 @@ def test_jpeg_peek_dims_progressive_header():
 
     sof2 = (
         b"\xff\xd8"
-        + b"\xff\xc2" + struct.pack(">H", 11)
+        + b"\xff\xc2" + struct.pack(">H", 17)
         + struct.pack(">BHHB", 8, 480, 640, 3)
-        + bytes([1, 0x22, 0])
+        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
         + b"\xff\xd9"
     )
     assert jpeg.peek_dims(sof2) == (480, 640, 3)
-    with pytest.raises(NotImplementedError, match="progressive"):
-        jpeg.decode_jpeg_baseline(sof2)
+    # a progressive frame with ZERO scans is not decodable image data
+    with pytest.raises(ValueError, match="no scan data"):
+        jpeg.decode_jpeg(sof2)
 
 
 def test_jpeg_truncated_raises_value_error():
@@ -468,3 +470,56 @@ def test_decode_image_dispatches_gif(spark):
     assert multimodal.sniff_mime(blob) == "image/gif"
     out = multimodal.decode_image(blob)
     assert out.shape == (1, 5, 6, 3) and (out[0] == img).all()
+
+
+def test_jpeg_progressive_roundtrip_matches_baseline():
+    """Progressive (SOF2) decode: spectral selection + successive
+    approximation scans carry the SAME coefficients as a baseline
+    stream, so decode must match the baseline round-trip exactly —
+    grayscale, RGB, 4:2:0, non-multiple-of-8 dims."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import jpeg
+
+    rng = np.random.default_rng(7)
+    cases = [((24, 31, 1), False), ((24, 31, 3), False), ((37, 50, 3), True)]
+    for shape, sub in cases:
+        base = rng.integers(0, 255, (4, 4, shape[2]))
+        img = np.clip(
+            np.kron(base, np.ones((shape[0] // 4 + 1, shape[1] // 4 + 1, 1)))[
+                : shape[0], : shape[1]
+            ]
+            + rng.normal(0, 12, shape),
+            0,
+            255,
+        ).astype(np.uint8)
+        prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img, subsample=sub))
+        seq = jpeg.decode_jpeg(jpeg.encode_jpeg_baseline(img, subsample=sub))
+        assert prog.shape == img.shape
+        assert np.array_equal(prog, seq), (shape, sub)
+
+
+def test_jpeg_progressive_eob_runs_and_quant():
+    """A smooth image at quant=8 leaves long all-zero AC tails: the
+    EOBn run coding must survive the round-trip (tolerance vs source,
+    exact vs the baseline twin)."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import jpeg
+
+    x = np.linspace(0, 255, 64, dtype=np.float64)
+    smooth = np.clip(x[None, :] * 0.5 + x[:, None] * 0.5, 0, 255).astype(np.uint8)
+    smooth = smooth[:, :, None]
+    prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(smooth, quant=8))
+    seq = jpeg.decode_jpeg(jpeg.encode_jpeg_baseline(smooth, quant=8))
+    assert np.array_equal(prog, seq)
+    assert np.max(np.abs(prog.astype(int) - smooth.astype(int))) <= 16
+
+
+def test_jpeg_progressive_dispatches_through_decode_image():
+    """multimodal.decode_image must route SOF2 blobs to the native
+    progressive path (no PIL in this sandbox)."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import jpeg
+
+    rng = np.random.default_rng(13)
+    rgb = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    blob = jpeg.encode_jpeg_progressive(rgb)
+    frames = mm.decode_image(blob)
+    assert frames.shape == (1, 16, 24, 3)
+    assert np.array_equal(frames[0], jpeg.decode_jpeg(blob))
