@@ -19,6 +19,7 @@ from aws_big_data_blog_dmscdc_walkthrough_spark.operators import (
 from aws_big_data_blog_dmscdc_walkthrough_spark.plans import (
     analytics,
     cdc_queries,
+    corpus_ml,
     llm_queries,
     tpch_ext,
     tpch_rest,
@@ -221,6 +222,12 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (sketch internals differ across engines by design;
         # the tolerance pytest pins values against the exact percentile)
         "q_orders_price_quantiles_approx": analytics.q_orders_price_quantiles_approx,
+        # round-8 additions (SURVEY §2 #106-#110)
+        "text_paragraph_dedup": corpus_ml.text_paragraph_dedup,
+        "emb_random_projection": corpus_ml.emb_random_projection,
+        "q_events_user_anomaly": corpus_ml.q_events_user_anomaly,
+        "emb_knn_label_propagation": corpus_ml.emb_knn_label_propagation,
+        "corpus_source_top_terms": corpus_ml.corpus_source_top_terms,
     }
 
 
@@ -329,4 +336,9 @@ def secondary_oracle_sql() -> dict[str, str]:
         "q6_forecast_revenue": tpch_rest.Q6_SQL,
         "q12_priority_by_linestatus": tpch_rest.Q12_SQL,
         "q20_part_promotion_suppliers": tpch_rest.Q20_SQL,
+        "text_paragraph_dedup": corpus_ml.TEXT_PARAGRAPH_DEDUP_SQL,
+        "emb_random_projection": corpus_ml.EMB_RANDOM_PROJECTION_SQL,
+        "q_events_user_anomaly": corpus_ml.Q_EVENTS_USER_ANOMALY_SQL,
+        "emb_knn_label_propagation": corpus_ml.EMB_KNN_LABEL_PROPAGATION_SQL,
+        "corpus_source_top_terms": corpus_ml.CORPUS_SOURCE_TOP_TERMS_SQL,
     }

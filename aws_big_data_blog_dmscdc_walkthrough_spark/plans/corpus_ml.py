@@ -1,0 +1,256 @@
+"""Round-8 corpus/ML queries (#106-#110): paragraph dedup, random
+projection, per-user anomaly counts, KNN label propagation, per-source
+top terms. Each query has a DuckDB oracle twin; float-bearing outputs
+use the fixed left-fold dot-product convention the ANN oracles share
+(explicit ``+`` chains — IEEE-identical across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double
+from ..operators import paragraphs
+from ..operators.projection import RP_COMPONENTS, random_projection, rp_weight
+from ..session import load_table
+from .llm_queries import EMB_DIM, _dot_sql
+
+# ------------------------------------------ paragraph-level dedup (#106)
+
+
+def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph dedup over the documents table: duplicate
+    paragraphs drop corpus-wide (first occurrence wins), per-doc
+    retained counts + reassembled text. See operators/paragraphs.py
+    for the plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return paragraphs.paragraph_dedup(docs, "doc_id", "text")
+
+
+TEXT_PARAGRAPH_DEDUP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+paras AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pidx,
+         array_to_string(t[(u.i*10+1):(u.i*10+10)], ' ') AS para
+  FROM toks, UNNEST(range(CAST(ceil(len(t)/10.0) AS BIGINT))) AS u(i)
+),
+flagged AS (
+  SELECT doc_id, pidx, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pidx) = 1 AS kept
+  FROM paras
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_paras,
+  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  COALESCE(string_agg(CASE WHEN kept THEN para END, ' ' ORDER BY pidx), '')
+    AS text_dedup
+FROM flagged GROUP BY doc_id
+"""
+
+
+# ---------------------------------------- random projection (#107)
+
+
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss-style reduction of the embeddings to 4
+    deterministic integer directions — map-only, fixed fold order, so
+    the oracle's explicit arithmetic chain reproduces every double
+    bit-for-bit. PCA (operators/projection.pca_fit) is the fitted
+    variant; its driver-side eigh keeps it pytest-verified vs numpy
+    rather than SQL-oracled."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return random_projection(emb, "embedding", EMB_DIM, RP_COMPONENTS)
+
+
+def _rp_sql_term(comp: int) -> str:
+    return " + ".join(
+        f"(embedding[{i + 1}]::DOUBLE * {float(rp_weight(comp, i))})"
+        for i in range(EMB_DIM)
+    )
+
+
+EMB_RANDOM_PROJECTION_SQL = f"""
+SELECT vec_id,
+  {", ".join(f"({_rp_sql_term(c)}) AS proj_{c}" for c in range(RP_COMPONENTS))}
+FROM embeddings
+"""
+
+
+# ------------------------------------- per-user anomaly counts (#108)
+
+
+def q_events_user_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user outlier report: events whose value sits more than 2
+    population standard deviations from that user's mean. One window
+    shuffle on the user key (the sessionization footprint); integer
+    outputs only, so the gate hash is float-drift-free."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    w = Window.partitionBy("user_id")
+    flagged = ev.select(
+        "user_id",
+        (
+            F.abs(F.col("value") - F.avg("value").over(w))
+            > 2 * F.stddev_pop("value").over(w)
+        ).alias("_anom"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("_anom").cast("long")).alias("n_anomalies"),
+    )
+
+
+Q_EVENTS_USER_ANOMALY_SQL = """
+WITH z AS (
+  SELECT user_id,
+    abs(value - AVG(value) OVER (PARTITION BY user_id))
+      > 2 * stddev_pop(value) OVER (PARTITION BY user_id) AS anom
+  FROM events
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CASE WHEN anom THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM z GROUP BY user_id
+"""
+
+
+# --------------------------------- KNN label propagation (#109)
+
+KNN_K = 5
+KNN_UNLABELED_MOD = 10
+
+
+def emb_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised labeling: rows with ``vec_id % 10 == 0`` play
+    the unlabeled set; each gets the majority label of its 5
+    cosine-nearest labeled neighbors (ties: larger vote count, then
+    smaller label). The candidate stage here is the exact pair join —
+    at corpus scale swap it for ``batch_lsh_topk``/IVF probing (the
+    vote stage is identical); the gate keeps the exact form so the
+    oracle can replay it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("_v")
+    )
+    unlabeled = base.where(F.col("vec_id") % KNN_UNLABELED_MOD == 0).select(
+        F.col("vec_id").alias("uid"), F.col("_v").alias("_q")
+    )
+    labeled = base.where(F.col("vec_id") % KNN_UNLABELED_MOD != 0)
+    dot = F.aggregate(
+        F.zip_with(F.col("_q"), F.col("_v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731 - local fold helper
+        F.aggregate(
+            F.zip_with(c, c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+    )
+    pairs = unlabeled.crossJoin(labeled).select(
+        "uid",
+        "label",
+        F.col("vec_id"),
+        (dot / (nrm(F.col("_q")) * nrm(F.col("_v")))).alias("cosine"),
+    )
+    topk = Window.partitionBy("uid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    votes = (
+        pairs.withColumn("_rk", F.row_number().over(topk))
+        .where(F.col("_rk") <= KNN_K)
+        .groupBy("uid", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+    )
+    best = Window.partitionBy("uid").orderBy(
+        F.col("votes").desc(), F.col("label")
+    )
+    return (
+        votes.withColumn("_rk", F.row_number().over(best))
+        .where(F.col("_rk") == 1)
+        .select(
+            F.col("uid").alias("vec_id"),
+            F.col("label").alias("label_pred"),
+            "votes",
+        )
+    )
+
+
+EMB_KNN_LABEL_PROPAGATION_SQL = f"""
+WITH u AS (
+  SELECT vec_id AS uid, embedding AS q FROM embeddings
+  WHERE vec_id % {KNN_UNLABELED_MOD} = 0
+),
+l AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  WHERE vec_id % {KNN_UNLABELED_MOD} <> 0
+),
+pairs AS (
+  SELECT u.uid, l.label, l.vec_id,
+    ({_dot_sql('q', 'embedding')})
+      / (sqrt({_dot_sql('q', 'q')}) * sqrt({_dot_sql('embedding', 'embedding')}))
+      AS cosine
+  FROM u, l
+),
+topk AS (
+  SELECT uid, label,
+    row_number() OVER (PARTITION BY uid ORDER BY cosine DESC, vec_id) AS rk
+  FROM pairs
+),
+votes AS (
+  SELECT uid, label, CAST(COUNT(*) AS BIGINT) AS votes FROM topk
+  WHERE rk <= {KNN_K} GROUP BY uid, label
+)
+SELECT uid AS vec_id, label AS label_pred, votes FROM (
+  SELECT uid, label, votes,
+    row_number() OVER (PARTITION BY uid ORDER BY votes DESC, label) AS rk
+  FROM votes
+) WHERE rk = 1
+"""
+
+
+# ------------------------------------ per-source top terms (#110)
+
+TOP_TERMS_K = 5
+
+
+def corpus_source_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-card vocabulary panel: each source's most frequent
+    terms (count-ranked, ties to the lexically smaller word). One
+    explode + one (source, word) aggregation; the per-source top-k
+    window re-shuffles only the COUNTS frame — vocabulary-sized, not
+    corpus-sized (plan: 2 exchanges, the second over |sources × words|
+    rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    )
+    counts = words.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    top = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("word"))
+    return (
+        counts.withColumn("_rk", F.row_number().over(top))
+        .where(F.col("_rk") <= TOP_TERMS_K)
+        .select("source", "word", "n", F.col("_rk").cast("long").alias("rank"))
+    )
+
+
+CORPUS_SOURCE_TOP_TERMS_SQL = rf"""
+WITH words AS (
+  SELECT source, u.word
+  FROM documents, UNNEST(string_split_regex(trim(text), '\s+')) AS u(word)
+),
+counts AS (
+  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM words GROUP BY source, word
+)
+SELECT source, word, n, CAST(rk AS BIGINT) AS rank FROM (
+  SELECT source, word, n,
+    row_number() OVER (PARTITION BY source ORDER BY n DESC, word) AS rk
+  FROM counts
+) WHERE rk <= {TOP_TERMS_K}
+"""
