@@ -118,30 +118,26 @@ FROM z GROUP BY user_id
 # --------------------------------- KNN label propagation (#109)
 
 KNN_K = 5
-KNN_UNLABELED_MOD = 10
+KNN_UNLABELED_BELOW = 50
 
 
 def emb_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-supervised labeling: rows with ``vec_id % 10 == 0`` play
-    the unlabeled set; each gets the majority label of its 5
+    """Semi-supervised labeling: rows with ``vec_id < 50`` play the
+    unlabeled query batch; each gets the majority label of its 5
     cosine-nearest labeled neighbors (ties: larger vote count, then
-    smaller label). The candidate stage here is the exact pair join —
-    at corpus scale swap it for ``batch_lsh_topk``/IVF probing (the
-    vote stage is identical); the gate keeps the exact form so the
-    oracle can replay it."""
+    smaller label).
+
+    The query set is BOUNDED BY CONSTRUCTION (a fixed id range, not a
+    corpus fraction) — the decontaminate / batch-ANN / hard-negatives
+    policy: queries broadcast, the labeled corpus stays a map-only
+    scan, and the only shuffle is the per-query top-k window keyed on
+    the bounded query id. The round-8 scale curve caught the original
+    corpus-proportional form (10% of ids) going quadratic — 295 s at
+    sf1 vs 3 s for this shape. For corpus-scale propagation (label
+    EVERYTHING), swap the candidate stage for ``batch_lsh_topk``/IVF
+    probing; the vote stage is identical. The gate keeps the exact
+    pair form so the oracle can replay it."""
     emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.select(
-        "vec_id", "label", as_double(F.col("embedding")).alias("_v")
-    )
-    unlabeled = base.where(F.col("vec_id") % KNN_UNLABELED_MOD == 0).select(
-        F.col("vec_id").alias("uid"), F.col("_v").alias("_q")
-    )
-    labeled = base.where(F.col("vec_id") % KNN_UNLABELED_MOD != 0)
-    dot = F.aggregate(
-        F.zip_with(F.col("_q"), F.col("_v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
     nrm = lambda c: F.sqrt(  # noqa: E731 - local fold helper
         F.aggregate(
             F.zip_with(c, c, lambda x, y: x * y),
@@ -149,11 +145,27 @@ def emb_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, t: acc + t,
         )
     )
-    pairs = unlabeled.crossJoin(labeled).select(
+    # norms precompute map-side PER SIDE: each pair then folds the
+    # arrays once (the dot) instead of three times
+    base = emb.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("_v")
+    ).withColumn("_n", nrm(F.col("_v")))
+    unlabeled = base.where(F.col("vec_id") < KNN_UNLABELED_BELOW).select(
+        F.col("vec_id").alias("uid"),
+        F.col("_v").alias("_q"),
+        F.col("_n").alias("_qn"),
+    )
+    labeled = base.where(F.col("vec_id") >= KNN_UNLABELED_BELOW)
+    dot = F.aggregate(
+        F.zip_with(F.col("_q"), F.col("_v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    pairs = F.broadcast(unlabeled).crossJoin(labeled).select(
         "uid",
         "label",
         F.col("vec_id"),
-        (dot / (nrm(F.col("_q")) * nrm(F.col("_v")))).alias("cosine"),
+        (dot / (F.col("_qn") * F.col("_n"))).alias("cosine"),
     )
     topk = Window.partitionBy("uid").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
@@ -181,11 +193,11 @@ def emb_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_KNN_LABEL_PROPAGATION_SQL = f"""
 WITH u AS (
   SELECT vec_id AS uid, embedding AS q FROM embeddings
-  WHERE vec_id % {KNN_UNLABELED_MOD} = 0
+  WHERE vec_id < {KNN_UNLABELED_BELOW}
 ),
 l AS (
   SELECT vec_id, label, embedding FROM embeddings
-  WHERE vec_id % {KNN_UNLABELED_MOD} <> 0
+  WHERE vec_id >= {KNN_UNLABELED_BELOW}
 ),
 pairs AS (
   SELECT u.uid, l.label, l.vec_id,
