@@ -63,8 +63,22 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     score = tf * (N + 1) / (df + 1) — the log-free tf-idf variant (see
     module docstring for why no ``ln``).  Rank ties break on term text,
     so top-k is fully deterministic.
+
+    The (doc, term, tf) frame feeds BOTH the document-frequency branch
+    and the scoring join: on large inputs it is persisted and eagerly
+    materialized so the two downstream stages read one cached
+    tokenization instead of racing the unpopulated cache and each
+    re-running the explode+count (measured at sf10: 35 s racing vs
+    10.5 s pinned). Below the spread threshold the recompute is cheaper
+    than the extra materialize pass (sf0.1: 0.9 s vs 1.6 s), so small
+    inputs skip the pin — the same size gate spread() uses.
     """
+    from .dedup import SPREAD_MIN_INPUT_BYTES, _materialize, _scan_sizes, _track
+
     terms = _doc_terms(docs)
+    sizes = _scan_sizes(docs)
+    if sizes is None or sum(sizes) >= SPREAD_MIN_INPUT_BYTES:
+        terms = _materialize(_track(terms.persist()))
     df_tbl = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
     score = (

@@ -42,6 +42,8 @@ def fit_driver_line(result: dict, timings: dict, limit: int = 1900) -> tuple[str
         kept.pop(next(reversed(kept)))
         result["queries"] = {n: round(t, 1) for n, t in kept.items()}
         result["queries_omitted"] = len(timings) - len(kept)
+        # name the omission set so the one-line record is self-describing
+        result["omitted"] = "fastest; full map in BENCH_LOCAL sidecar"
         line = json.dumps(result, separators=(",", ":"))
     return line, len(kept)
 
