@@ -439,6 +439,25 @@ def scd2_merge_on_read(
 
     changes = changes.persist(StorageLevel.MEMORY_AND_DISK)
     live = manifest_mod.read_table_with_positions(spark, out_path)
+    # additive schema evolution, same contract as the latest-state
+    # merges: a batch may carry columns the history lacks (source ALTER
+    # TABLE) — widen both sides with typed NULLs so old versions read
+    # back NULL and new versions carry the value; a type CHANGE raises
+    # (cdc.align_schemas). The widened schema reaches the manifest via
+    # the commit below; mergeSchema reads reconcile the narrow files.
+    meta_cols = {
+        "valid_from_seq", "valid_to_seq", "is_current",
+        manifest_mod.DV_FILE_COL, manifest_mod.DV_POS_COL, PK_BUCKET_COL,
+    }
+    data_now = live.select(*[c for c in live.columns if c not in meta_cols])
+    _widened, changes = cdc.align_schemas(
+        data_now, changes, extra_cols=(op_col, seq_col)
+    )
+    for c in changes.columns:
+        if c not in (op_col, seq_col) and c not in live.columns:
+            live = live.withColumn(
+                c, F.lit(None).cast(changes.schema[c].dataType)
+            )
     if bucketed:
         # bucket values derive from the batch's keys: a bounded isin
         # list (≤ n_buckets) that turns both scans below into

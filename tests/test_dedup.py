@@ -329,3 +329,38 @@ def test_fuzzy_match_relinks_clipped_names(spark):
     for r in out:
         assert r.jaccard >= llm_queries.FUZZY_THRESHOLD
         assert r.matched_name.startswith(r.dirty_name[:3])
+
+
+def test_spread_adaptive_size_gate(spark, tmp_path):
+    """spread() contract (round 8): a small under-split scan passes
+    through untouched (no shuffle, no cache); past the byte threshold it
+    repartitions+persists; min_bytes=0 forces the spread regardless."""
+    from pyspark.sql import functions as F
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators.dedup import (
+        SPREAD_MIN_INPUT_BYTES,
+        release_persisted,
+        spread,
+    )
+
+    small_p = str(tmp_path / "small")
+    spark.range(100).coalesce(1).write.parquet(small_p)
+    small = spark.read.parquet(small_p)
+    out = spread(small)
+    assert out is small  # no repartition, no persist
+
+    forced = spread(small, min_bytes=0)
+    assert forced is not small
+    assert forced.storageLevel.useMemory or forced.storageLevel.useDisk
+    assert forced.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+    big_p = str(tmp_path / "big")
+    # one file comfortably past the threshold (incompressible payload)
+    spark.range(SPREAD_MIN_INPUT_BYTES // 24).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("s")
+    ).coalesce(1).write.parquet(big_p)
+    big = spark.read.parquet(big_p)
+    out_big = spread(big)
+    assert out_big is not big
+    assert out_big.storageLevel.useMemory or out_big.storageLevel.useDisk
+    release_persisted()

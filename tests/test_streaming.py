@@ -366,3 +366,67 @@ def test_scd2_merge_on_read_equals_one_shot(spark, tmp_path):
             if buckets:
                 got2 = got2.drop(lake_writer.PK_BUCKET_COL)
             assert sorted(map(tuple, got2.collect())) == want
+
+
+def test_scd2_bucketed_history_scan_partition_prunes(spark, tmp_path):
+    """The bucket filter scd2_merge_on_read applies to its replay-guard
+    and open-version scans must reach the scan as a PartitionFilter —
+    the mechanism that bounds per-batch reads by the batch's buckets
+    at scale (not just the fold's correctness)."""
+    from pyspark.sql import functions as F
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import lake_writer, manifest
+
+    out = str(tmp_path / "h")
+    b1 = spark.createDataFrame(
+        [("I", 1, i, f"v{i}") for i in range(40)],
+        "op string, _seq long, id long, name string",
+    )
+    lake_writer.scd2_merge_on_read(spark, b1, out, ["id"], bucket_partitions=8)
+    live = manifest.read_table_with_positions(spark, out).where(
+        F.col(lake_writer.PK_BUCKET_COL).isin([0, 3])
+    )
+    plan = live._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "pk_bucket" in pf.group(1), pf and pf.group(1)
+
+
+def test_scd2_history_additive_schema_evolution(spark, tmp_path):
+    """A change batch carrying a NEW column widens the history: old
+    versions read back NULL, new versions carry the value, and a type
+    CHANGE on an existing column raises instead of corrupting."""
+    import pytest
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import lake_writer, manifest
+
+    out = str(tmp_path / "h")
+    b1 = spark.createDataFrame(
+        [("I", 1, 1, "a"), ("I", 1, 2, "b")],
+        "op string, _seq long, id long, name string",
+    )
+    lake_writer.scd2_merge_on_read(spark, b1, out, ["id"])
+    b2 = spark.createDataFrame(
+        [("U", 2, 1, "a2", "a@x.org"), ("I", 2, 3, "c", "c@x.org")],
+        "op string, _seq long, id long, name string, email string",
+    )
+    lake_writer.scd2_merge_on_read(spark, b2, out, ["id"])
+    rows = {
+        (r.id, r.name): (r.email, r.is_current)
+        for r in manifest.read_table(spark, out).collect()
+    }
+    assert rows[(1, "a")] == (None, False)      # pre-evolution version
+    assert rows[(1, "a2")] == ("a@x.org", True)
+    assert rows[(2, "b")] == (None, True)
+    assert rows[(3, "c")] == ("c@x.org", True)
+
+    bad = spark.createDataFrame(
+        [("U", 3, 1, 42, "t@x.org")],
+        "op string, _seq long, id long, name long, email string",
+    )
+    with pytest.raises(Exception, match="type|Type"):
+        lake_writer.scd2_merge_on_read(spark, bad, out, ["id"])
