@@ -409,8 +409,19 @@ def _encode_ac_refine(w: _ProgACWriter, vals: list[int], al: int) -> None:
         w.bump_eobrun(br)
 
 
+def _rst(out: bytearray, bw: _BitWriter, rst_i: int) -> _BitWriter:
+    """Flush the entropy segment, emit RSTn, hand back a fresh writer."""
+    bw.flush()
+    out += bytes(bw.buf)
+    out += bytes([0xFF, 0xD0 + rst_i % 8])
+    return _BitWriter()
+
+
 def encode_jpeg_progressive(
-    pixels: np.ndarray, quant: int = 1, subsample: bool = False
+    pixels: np.ndarray,
+    quant: int = 1,
+    subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive (SOF2) JFIF encode of a (h, w[, 1|3]) uint8 image.
 
@@ -418,6 +429,10 @@ def encode_jpeg_progressive(
     carry the identical DCT coefficients, split by spectral band and
     one successive-approximation bit plane — so a decoder must
     reproduce the baseline round-trip within the same tolerance.
+    ``restart_interval`` > 0 emits DRI + RSTn every that many MCUs
+    (interleaved DC scans) / blocks (non-interleaved scans), with the
+    spec's per-interval resets: DC predictors, and EOB runs flushed so
+    they never cross a restart boundary.
     """
     pixels = np.asarray(pixels, dtype=np.uint8)
     if pixels.ndim == 2:
@@ -474,6 +489,8 @@ def encode_jpeg_progressive(
     out += _seg(0xFFC2, sof)  # SOF2: progressive DCT
     for cls, tid, (bits, vals) in ((0, 0, _DC_FLAT), (1, 0, _AC_FLAT)):
         out += _seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     dc_codes = _canonical_codes(*_DC_FLAT)
     ac_codes = _canonical_codes(*_AC_FLAT)
 
@@ -488,33 +505,44 @@ def encode_jpeg_progressive(
     out += sos_header(list(range(1, nc + 1)), 0, 0, 0, 1)
     bw = _BitWriter()
     preds = [0] * nc
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for ci in range(nc):
-                sh, sv = sampling[ci]
-                for by in range(sv):
-                    for bx in range(sh):
-                        v = int(comp_coefs[ci][my * sv + by, mx * sh + bx, 0]) >> 1
-                        diff = v - preds[ci]
-                        preds[ci] = v
-                        s = _category(diff)
-                        length, code = dc_codes[s]
-                        bw.write(code, length)
-                        if s:
-                            bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    rst_i = 0
+    for n_mcu, (my, mx) in enumerate(
+        (my, mx) for my in range(mcus_y) for mx in range(mcus_x)
+    ):
+        if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+            bw = _rst(out, bw, rst_i)
+            rst_i += 1
+            preds = [0] * nc
+        for ci in range(nc):
+            sh, sv = sampling[ci]
+            for by in range(sv):
+                for bx in range(sh):
+                    v = int(comp_coefs[ci][my * sv + by, mx * sh + bx, 0]) >> 1
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    s = _category(diff)
+                    length, code = dc_codes[s]
+                    bw.write(code, length)
+                    if s:
+                        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
     bw.flush()
     out += bytes(bw.buf)
 
     # --- scan 2: DC refinement, Al=0 (raw bits, no Huffman)
     out += sos_header(list(range(1, nc + 1)), 0, 0, 1, 0)
     bw = _BitWriter()
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for ci in range(nc):
-                sh, sv = sampling[ci]
-                for by in range(sv):
-                    for bx in range(sh):
-                        bw.write(int(comp_coefs[ci][my * sv + by, mx * sh + bx, 0]) & 1, 1)
+    rst_i = 0
+    for n_mcu, (my, mx) in enumerate(
+        (my, mx) for my in range(mcus_y) for mx in range(mcus_x)
+    ):
+        if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+            bw = _rst(out, bw, rst_i)
+            rst_i += 1
+        for ci in range(nc):
+            sh, sv = sampling[ci]
+            for by in range(sv):
+                for bx in range(sh):
+                    bw.write(int(comp_coefs[ci][my * sv + by, mx * sh + bx, 0]) & 1, 1)
     bw.flush()
     out += bytes(bw.buf)
 
@@ -530,30 +558,36 @@ def encode_jpeg_progressive(
             for bx in range(cols):
                 yield comp_coefs[ci][by, bx]
 
-    for ss, se in bands:
-        for ci in range(nc):
-            out += sos_header([ci + 1], ss, se, 0, 1)
-            bw = _BitWriter()
-            wtr = _ProgACWriter(bw, ac_codes)
-            for zz in comp_scan_blocks(ci):
+    def ac_scan(ci: int, ss: int, se: int, refine: bool) -> None:
+        bw = _BitWriter()
+        wtr = _ProgACWriter(bw, ac_codes)
+        rst_i = 0
+        for n_blk, zz in enumerate(comp_scan_blocks(ci)):
+            if restart_interval and n_blk and n_blk % restart_interval == 0:
+                # EOB runs may not cross a restart boundary
+                wtr.flush_eobrun()
+                wtr.bw = bw = _rst(out, wtr.bw, rst_i)
+                rst_i += 1
+            if refine:
+                _encode_ac_refine(wtr, [int(v) for v in zz[ss:se + 1]], 0)
+            else:
                 band = [
                     int(v) // 2 if v >= 0 else -((-int(v)) >> 1)
                     for v in zz[ss:se + 1]
                 ]
                 _encode_ac_first(wtr, band)
-            wtr.flush_eobrun()
-            bw.flush()
-            out += bytes(bw.buf)
+        wtr.flush_eobrun()
+        wtr.bw.flush()
+        out.extend(wtr.bw.buf)  # .extend: += would shadow `out` as local
+
+    for ss, se in bands:
+        for ci in range(nc):
+            out += sos_header([ci + 1], ss, se, 0, 1)
+            ac_scan(ci, ss, se, refine=False)
     for ss, se in bands:
         for ci in range(nc):
             out += sos_header([ci + 1], ss, se, 1, 0)
-            bw = _BitWriter()
-            wtr = _ProgACWriter(bw, ac_codes)
-            for zz in comp_scan_blocks(ci):
-                _encode_ac_refine(wtr, [int(v) for v in zz[ss:se + 1]], 0)
-            wtr.flush_eobrun()
-            bw.flush()
-            out += bytes(bw.buf)
+            ac_scan(ci, ss, se, refine=True)
 
     out += b"\xff\xd9"
     return bytes(out)
