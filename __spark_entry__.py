@@ -228,6 +228,7 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_user_anomaly": corpus_ml.q_events_user_anomaly,
         "emb_knn_label_propagation": corpus_ml.emb_knn_label_propagation,
         "corpus_source_top_terms": corpus_ml.corpus_source_top_terms,
+        "corpus_collocations": corpus_ml.corpus_collocations,
     }
 
 
@@ -341,4 +342,5 @@ def secondary_oracle_sql() -> dict[str, str]:
         "q_events_user_anomaly": corpus_ml.Q_EVENTS_USER_ANOMALY_SQL,
         "emb_knn_label_propagation": corpus_ml.EMB_KNN_LABEL_PROPAGATION_SQL,
         "corpus_source_top_terms": corpus_ml.CORPUS_SOURCE_TOP_TERMS_SQL,
+        "corpus_collocations": corpus_ml.CORPUS_COLLOCATIONS_SQL,
     }

@@ -223,6 +223,83 @@ SELECT uid AS vec_id, label AS label_pred, votes FROM (
 """
 
 
+# ----------------------------------- PMI collocations (#111)
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 25
+
+
+def corpus_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation detection (Manning & Schütze ch.5): adjacent word
+    pairs that co-occur far more than independence predicts, ranked by
+    log-free lift = N_tokens · c(w1 w2) / (c(w1) · c(w2)) — the PMI
+    argument without libm (one int multiply chain + one divide, IEEE-
+    identical cross-engine). ``min_count`` kills the hapax pairs whose
+    lift is huge by accident (the standard guard).
+
+    Plan: one bigram-count shuffle + one unigram-count shuffle (both
+    vocabulary-bounded), two word-keyed joins of the SURVIVING bigrams
+    (≥ min_count — tiny) against the unigram table, top-k. Corpus
+    tokens are scanned twice, shuffled never beyond vocab width."""
+    from ..operators.text import _bigram_strings, _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    words = docs.select(F.explode(toks).alias("w"))
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_tokens = words.agg(F.count(F.lit(1)).alias("_n"))
+    bi = (
+        docs.select(F.explode(_bigram_strings(toks)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= PMI_MIN_COUNT)
+        .withColumn("w1", F.split(F.col("bigram"), " ")[0])
+        .withColumn("w2", F.split(F.col("bigram"), " ")[1])
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    lift = (
+        F.col("n_pair").cast("double")
+        * F.col("_n").cast("double")
+        / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+    )
+    return (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_tokens))
+        .select("bigram", "n_pair", "c1", "c2", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), F.col("bigram"))
+        .limit(PMI_TOP_K)
+    )
+
+
+CORPUS_COLLOCATIONS_SQL = rf"""
+WITH toks AS (
+  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+words AS (SELECT unnest(t) AS w FROM toks),
+uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM words GROUP BY w),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM words),
+bi AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM (
+    SELECT unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS bigram
+    FROM toks
+  )
+  GROUP BY bigram HAVING COUNT(*) >= {PMI_MIN_COUNT}
+)
+SELECT bigram, n_pair, u1.c AS c1, u2.c AS c2,
+  CAST(n_pair AS DOUBLE) * CAST(n_tokens AS DOUBLE)
+    / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS lift
+FROM bi
+JOIN uni u1 ON u1.w = string_split(bigram, ' ')[1]
+JOIN uni u2 ON u2.w = string_split(bigram, ' ')[2]
+CROSS JOIN n
+ORDER BY lift DESC, bigram
+LIMIT {PMI_TOP_K}
+"""
+
+
 # ------------------------------------ per-source top terms (#110)
 
 TOP_TERMS_K = 5

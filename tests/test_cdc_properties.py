@@ -247,3 +247,45 @@ def test_incremental_agg_equals_recompute(spark, base_rows, batch):
         )
     )
     assert got == want
+
+
+@settings(
+    max_examples=10,  # two table writes per example — bound the wall
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batch=batches(), split=st.integers(0, 12))
+def test_scd2_merge_on_read_equals_one_shot(spark, tmp_path, batch, split):
+    """The incremental MOR history writer (DV + append + manifest
+    commit per fold) must land EXACTLY the one-shot scd2_history rows
+    for any op soup at any split point — through real table writes."""
+    import uuid
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import (
+        lake_writer,
+        manifest,
+    )
+
+    rows = sorted(
+        [(k, op, seq + 1, val) for k, op, seq, val in batch], key=lambda r: r[2]
+    )
+    cut = min(split, len(rows))
+    b1, b2 = rows[:cut], rows[cut:]
+
+    def frame(rs):
+        return spark.createDataFrame(
+            rs or [(0, "U", -1, 0)], "pk int, op string, seq int, v int"
+        ).where("seq >= 0").select("pk", "v", "op", "seq")
+
+    empty = frame(rows).drop("op", "seq").limit(0)
+    want = sorted(
+        map(tuple, cdc.scd2_history(empty, frame(rows), ["pk"], "seq").collect())
+    )
+    out = str(tmp_path / f"h_{uuid.uuid4().hex[:8]}")
+    for piece in (b1, b2):
+        if piece:
+            lake_writer.scd2_merge_on_read(
+                spark, frame(piece), out, ["pk"], seq_col="seq"
+            )
+    got = sorted(map(tuple, manifest.read_table(spark, out).collect())) if rows else []
+    assert got == want
