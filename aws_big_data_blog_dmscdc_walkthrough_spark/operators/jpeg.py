@@ -699,6 +699,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         return _decode_jpeg(data)
     except (IndexError, struct.error) as exc:
         raise ValueError("truncated or corrupt JPEG stream") from exc
+    except KeyError as exc:  # scan references an undefined DQT/DHT id
+        raise ValueError(f"JPEG stream references undefined table {exc}") from exc
 
 
 # kept under its round-7 name for callers/tests of the baseline profile;
@@ -926,7 +928,7 @@ def _decode_progressive_scan(
         rows, cols = _comp_scan_dims(frame, comp)
         units = [(ci, by, bx) for by in range(rows) for bx in range(cols)]
         groups = [[u] for u in units]
-        tables = {ci: huff.get((0, dc_t))}
+        tables = {ci: huff[(0, dc_t)]} if ah == 0 else {ci: None}
     else:
         groups = []
         tables = {}
@@ -934,7 +936,7 @@ def _decode_progressive_scan(
             for mx in range(frame["mcus_x"]):
                 g = []
                 for comp, dc_t, _ac_t, ci in scan:
-                    tables[ci] = huff.get((0, dc_t))
+                    tables[ci] = huff[(0, dc_t)] if ah == 0 else None
                     for by in range(comp["v"]):
                         for bx in range(comp["h"]):
                             g.append((ci, my * comp["v"] + by, mx * comp["h"] + bx))
