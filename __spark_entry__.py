@@ -229,6 +229,7 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_label_propagation": corpus_ml.emb_knn_label_propagation,
         "corpus_source_top_terms": corpus_ml.corpus_source_top_terms,
         "corpus_collocations": corpus_ml.corpus_collocations,
+        "corpus_split_leakage": corpus_ml.corpus_split_leakage,
     }
 
 
@@ -343,4 +344,5 @@ def secondary_oracle_sql() -> dict[str, str]:
         "emb_knn_label_propagation": corpus_ml.EMB_KNN_LABEL_PROPAGATION_SQL,
         "corpus_source_top_terms": corpus_ml.CORPUS_SOURCE_TOP_TERMS_SQL,
         "corpus_collocations": corpus_ml.CORPUS_COLLOCATIONS_SQL,
+        "corpus_split_leakage": corpus_ml.CORPUS_SPLIT_LEAKAGE_SQL,
     }

@@ -223,6 +223,84 @@ SELECT uid AS vec_id, label AS label_pred, votes FROM (
 """
 
 
+# --------------------------------- split-leakage audit (#112)
+
+
+def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test LEAKAGE audit: near-duplicate pairs whose members
+    fall in DIFFERENT splits — the contamination an eval set must not
+    have (a val doc near-duplicating a train doc inflates every metric
+    on it). Composes the MinHash-LSH pair set (#21's exact params) with
+    the deterministic split assignment (#76's hash) and reports pair
+    counts + worst similarity per (split, split) cell; the diagonal
+    (within-split dup pairs) rides along as the baseline. Same scale
+    shape as the cross-source matrix (#88): bounded LSH pair set, two
+    linear doc-keyed joins, exact/order-independent aggregates only.
+    """
+    from ..operators import dedup as dedup_ops
+    from ..operators.text import split_column
+    from .llm_queries import MINHASH_JACCARD_THRESHOLD
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ops.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=MINHASH_JACCARD_THRESHOLD
+    )
+    sp = docs.select("doc_id", split_column("doc_id").alias("split"))
+    j = (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("_pa")),
+            "id_a",
+        ).join(
+            sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("_pb")),
+            "id_b",
+        )
+    )
+    return (
+        j.select(
+            F.least("_pa", "_pb").alias("split_a"),
+            F.greatest("_pa", "_pb").alias("split_b"),
+            "jaccard",
+        )
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .withColumn("leaks", F.col("split_a") != F.col("split_b"))
+    )
+
+
+def _split_leakage_sql() -> str:
+    from ..operators.text import (
+        SAMPLE_MOD,
+        SAMPLE_MULT,
+        SPLIT_TEST_PCT,
+        SPLIT_VAL_PCT,
+    )
+    from .llm_queries import DEDUP_MINHASH_LSH_SQL
+
+    case = f"""CASE
+    WHEN ((doc_id % {SAMPLE_MOD}) * {SAMPLE_MULT}) % {SAMPLE_MOD} % 100 < {SPLIT_VAL_PCT} THEN 'val'
+    WHEN ((doc_id % {SAMPLE_MOD}) * {SAMPLE_MULT}) % {SAMPLE_MOD} % 100 < {SPLIT_VAL_PCT + SPLIT_TEST_PCT} THEN 'test'
+    ELSE 'train'
+  END"""
+    return f"""
+WITH sp AS (SELECT doc_id, {case} AS split FROM documents)
+SELECT least(a.split, b.split) AS split_a,
+  greatest(a.split, b.split) AS split_b,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  MAX(p.jaccard) AS max_jaccard,
+  least(a.split, b.split) <> greatest(a.split, b.split) AS leaks
+FROM ({DEDUP_MINHASH_LSH_SQL}) p
+JOIN sp a ON a.doc_id = p.id_a
+JOIN sp b ON b.doc_id = p.id_b
+GROUP BY split_a, split_b
+"""
+
+
+CORPUS_SPLIT_LEAKAGE_SQL = _split_leakage_sql()
+
+
 # ----------------------------------- PMI collocations (#111)
 
 PMI_MIN_COUNT = 5
