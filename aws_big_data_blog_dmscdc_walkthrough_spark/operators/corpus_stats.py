@@ -77,7 +77,21 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
 
     terms = _doc_terms(docs)
     sizes = _scan_sizes(docs)
-    if sizes is None or sum(sizes) >= SPREAD_MIN_INPUT_BYTES:
+    if sizes is not None:
+        pin = sum(sizes) >= SPREAD_MIN_INPUT_BYTES
+    else:
+        # size unknown: pin only when the frame is backed by a real
+        # file scan (object stores report URIs but not local sizes —
+        # those inputs are presumed large). createDataFrame fixtures
+        # have no input files at all; for them the recompute is cheaper
+        # than an eager materialize + a tracked cache entry the caller
+        # must remember to release — the same small-input default
+        # spread() takes.
+        try:
+            pin = bool(docs.inputFiles())
+        except Exception:
+            pin = False
+    if pin:
         terms = _materialize(_track(terms.persist()))
     df_tbl = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))

@@ -40,22 +40,37 @@ def paragraph_dedup(
     paragraph counts before/after and the reassembled retained text
     (empty string when every paragraph was seen earlier). First
     occurrence = smallest (doc id, paragraph position).
+
+    Every input document appears in the output: NULL or whitespace-only
+    text reports ``n_paras=0, n_kept=0, text_dedup=''`` rather than
+    silently dropping the row (real web corpora carry null text). Such
+    docs never enter the election window — they rejoin via a doc-keyed
+    skeleton join, so a corpus that is mostly empty docs cannot skew a
+    single NULL-paragraph window partition.
     """
     w = words_per_para
     toks = docs.select(
-        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_t")
+        F.col(id_col),
+        F.filter(
+            F.split(
+                F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
+            ),
+            lambda t: t != "",
+        ).alias("_t"),
     )
     n_paras = F.ceil(F.size("_t") / F.lit(w)).cast("int")
+    # NULL array when the doc has no tokens: posexplode drops the row
+    # here (guarding the descending sequence(0,-1) edge) and the
+    # skeleton join below restores it with zero counts
+    arr = F.when(
+        n_paras > F.lit(0),
+        F.transform(
+            F.sequence(F.lit(0), n_paras - 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i * w + 1, w)),
+        ),
+    )
     paras = toks.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_paras - 1),
-                lambda i: F.concat_ws(
-                    " ", F.slice(F.col("_t"), i * w + 1, w)
-                ),
-            )
-        ).alias("pidx", "para"),
+        F.col(id_col), F.posexplode(arr).alias("pidx", "para")
     )
     first = Window.partitionBy("para").orderBy(F.col(id_col), F.col("pidx"))
     flagged = paras.withColumn("kept", F.row_number().over(first) == 1)
@@ -64,10 +79,16 @@ def paragraph_dedup(
             F.when(F.col("kept"), F.struct(F.col("pidx"), F.col("para")))
         )
     )
-    return flagged.groupBy(id_col).agg(
+    agg = flagged.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_paras"),
         F.sum(F.col("kept").cast("long")).alias("n_kept"),
         F.concat_ws(
             " ", F.transform(kept_sorted, lambda s: s["para"])
         ).alias("text_dedup"),
+    )
+    return docs.select(id_col).join(agg, [id_col], "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_paras"), F.lit(0).cast("long")).alias("n_paras"),
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
     )

@@ -30,7 +30,10 @@ def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_PARAGRAPH_DEDUP_SQL = r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
 ),
 paras AS (
   SELECT doc_id, CAST(u.i AS BIGINT) AS pidx,
@@ -41,13 +44,20 @@ flagged AS (
   SELECT doc_id, pidx, para,
          row_number() OVER (PARTITION BY para ORDER BY doc_id, pidx) = 1 AS kept
   FROM paras
+),
+agg AS (
+  SELECT doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_paras,
+    CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+    COALESCE(string_agg(CASE WHEN kept THEN para END, ' ' ORDER BY pidx), '')
+      AS text_dedup
+  FROM flagged GROUP BY doc_id
 )
-SELECT doc_id,
-  CAST(COUNT(*) AS BIGINT) AS n_paras,
-  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-  COALESCE(string_agg(CASE WHEN kept THEN para END, ' ' ORDER BY pidx), '')
-    AS text_dedup
-FROM flagged GROUP BY doc_id
+SELECT d.doc_id,
+  COALESCE(a.n_paras, 0) AS n_paras,
+  COALESCE(a.n_kept, 0) AS n_kept,
+  COALESCE(a.text_dedup, '') AS text_dedup
+FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
 """
 
 

@@ -422,12 +422,15 @@ def scd2_merge_on_read(
     if not target_exists(spark, out_path):
         empty_target = changes.drop(op_col, seq_col).limit(0)
         folded = cdc.scd2_history(empty_target, changes, pks, seq_col, op_col)
+        props = None
         if bucket_partitions:
             folded = folded.withColumn(
                 PK_BUCKET_COL, _pk_bucket_expr(pks, bucket_partitions)
             )
+            props = {"bucket_partitions": int(bucket_partitions)}
         _append_with_optional_manifest(
-            spark, folded, out_path, part_keys, True, stats_cols
+            spark, folded, out_path, part_keys, True, stats_cols,
+            properties=props,
         )
         return
 
@@ -445,6 +448,28 @@ def scd2_merge_on_read(
             f"{out_path} is bucket-partitioned; pass the same "
             "bucket_partitions used at creation"
         )
+    if bucket_partitions and not bucketed:
+        raise ValueError(
+            f"{out_path} is not bucket-partitioned, but "
+            f"bucket_partitions={bucket_partitions} was passed — pruning "
+            "would silently not apply; drop the argument (or rebuild the "
+            "history bucketed)"
+        )
+    if bucketed:
+        # layout invariant: the bucket of an appended row must match the
+        # creation-time hash layout, or old open versions become
+        # invisible to the pruned scans (never closed; replay guard
+        # misses their seqs). The count is recorded in the manifest at
+        # creation; a legacy manifest without it gets it backfilled on
+        # this fold's commit.
+        recorded = (man.get("properties") or {}).get("bucket_partitions")
+        if recorded is not None and int(recorded) != int(bucket_partitions):
+            raise ValueError(
+                f"{out_path} was created with bucket_partitions="
+                f"{recorded}; this fold passed {bucket_partitions}. The "
+                "PK-hash layout is fixed at creation — pass the recorded "
+                "value (or rewrite the history to re-bucket)"
+            )
 
     changes = changes.persist(StorageLevel.MEMORY_AND_DISK)
     live = manifest_mod.read_table_with_positions(spark, out_path)
@@ -551,6 +576,12 @@ def scd2_merge_on_read(
             spark, out_path, live_files, stats=stats,
             delete_files=carried + added_dv, dv_targets=targets,
             schema_json=appended.schema.json(),
+            # validated against the recorded value above; also backfills
+            # the property into legacy pre-guard manifests
+            properties=(
+                {"bucket_partitions": int(bucket_partitions)}
+                if bucketed else None
+            ),
         )
     finally:
         fresh.unpersist()
@@ -594,6 +625,7 @@ def _append_with_optional_manifest(
     partition_keys: Sequence[str],
     use_manifest: bool,
     stats_cols: Sequence[str] = (),
+    properties: dict | None = None,
 ) -> None:
     recursive = bool(partition_keys)
     if use_manifest:
@@ -615,7 +647,7 @@ def _append_with_optional_manifest(
         )
         manifest_mod.commit_manifest(
             spark, out_path, live, stats=stats, schema_json=out.schema.json(),
-            partition_keys=list(partition_keys),
+            partition_keys=list(partition_keys), properties=properties,
         )
 
 

@@ -237,6 +237,7 @@ def commit_manifest(
     dv_targets: dict[str, list[str]] | None = None,
     schema_json: str | None = None,
     partition_keys: list[str] | None = None,
+    properties: dict | None = None,
 ) -> int:
     """Atomically publish the live-file list; returns the new version.
 
@@ -298,6 +299,14 @@ def commit_manifest(
         partition_keys = (prev or {}).get("partition_keys")
     if partition_keys:
         doc["partition_keys"] = list(partition_keys)
+    # table properties (e.g. the SCD2 history's bucket_partitions count):
+    # recorded once, carried forward when None — same contract as
+    # partition_keys, so layout invariants survive commits that don't
+    # know about them
+    if properties is None:
+        properties = (prev or {}).get("properties")
+    if properties:
+        doc["properties"] = dict(properties)
     if stats:
         doc["stats"] = stats
     if delete_files:

@@ -289,3 +289,51 @@ def test_scd2_merge_on_read_equals_one_shot(spark, tmp_path, batch, split):
             )
     got = sorted(map(tuple, manifest.read_table(spark, out).collect())) if rows else []
     assert got == want
+
+def test_scd2_merge_on_read_bucket_count_guards(spark, tmp_path):
+    """The PK-hash bucket layout is fixed at creation: the count is
+    recorded in the manifest and a fold with a different count (which
+    would prune to the WRONG buckets and silently corrupt the history)
+    raises; so does passing bucket_partitions on a non-bucketed table
+    (pruning would silently not apply)."""
+    import pytest
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import (
+        lake_writer,
+        manifest,
+    )
+
+    def frame(rs):
+        return spark.createDataFrame(rs, "pk int, v int, op string, seq int")
+
+    out = str(tmp_path / "hist_bucketed")
+    lake_writer.scd2_merge_on_read(
+        spark, frame([(1, 10, "I", 1)]), out, ["pk"],
+        seq_col="seq", bucket_partitions=8,
+    )
+    man = manifest.read_manifest(spark, out)
+    assert man["properties"]["bucket_partitions"] == 8
+    with pytest.raises(ValueError, match="bucket_partitions=8"):
+        lake_writer.scd2_merge_on_read(
+            spark, frame([(1, 11, "U", 2)]), out, ["pk"],
+            seq_col="seq", bucket_partitions=4,
+        )
+    # the recorded count still folds, and the property survives the commit
+    lake_writer.scd2_merge_on_read(
+        spark, frame([(1, 11, "U", 2)]), out, ["pk"],
+        seq_col="seq", bucket_partitions=8,
+    )
+    man2 = manifest.read_manifest(spark, out)
+    assert man2["properties"]["bucket_partitions"] == 8
+    got = sorted(map(tuple, manifest.read_table(spark, out).collect()))
+    assert len(got) == 2  # closed v=10 + open v=11
+
+    out2 = str(tmp_path / "hist_flat")
+    lake_writer.scd2_merge_on_read(
+        spark, frame([(1, 10, "I", 1)]), out2, ["pk"], seq_col="seq"
+    )
+    with pytest.raises(ValueError, match="not bucket-partitioned"):
+        lake_writer.scd2_merge_on_read(
+            spark, frame([(1, 11, "U", 2)]), out2, ["pk"],
+            seq_col="seq", bucket_partitions=8,
+        )

@@ -71,3 +71,24 @@ def test_paragraph_dedup_first_occurrence_and_reassembly(spark):
     assert out[1].text_dedup == " ".join(["c"] * 10 + ["d"] * 3)
     assert (out[2].n_paras, out[2].n_kept) == (1, 0)
     assert out[2].text_dedup == ""
+
+
+def test_paragraph_dedup_keeps_null_and_empty_docs(spark):
+    """NULL / whitespace-only text must report n_paras=0, not vanish
+    from the per-document output (round-9 advice fix)."""
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(["a"] * 10)),
+            (1, None),
+            (2, ""),
+            (3, "   \t  "),
+            (4, " ".join(["a"] * 10)),  # duplicate of doc 0's para
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in paragraphs.paragraph_dedup(docs).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    for d in (1, 2, 3):
+        assert (out[d].n_paras, out[d].n_kept, out[d].text_dedup) == (0, 0, "")
+    assert (out[0].n_paras, out[0].n_kept) == (1, 1)
+    assert (out[4].n_paras, out[4].n_kept) == (1, 0)
