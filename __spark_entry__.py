@@ -114,24 +114,27 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_range_join": analytics.q_events_range_join,
         "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
         "q18_large_volume_customers": analytics.q18_large_volume_customers,
-        # ROUND-8 DEBUT SLOTS (the committed round-7 rotation plan): the
-        # four #84-#87 round-7 debuts hash-matched in CORRECTNESS_r07 and
-        # move to secondary_queries(); the four late-round-7 CDC/lake
-        # capabilities (#89, #90, #94, #100) take their driver-gate slots
-        # so CORRECTNESS_r08 carries hash evidence for them.
-        "cdc_scd2": cdc_queries.cdc_scd2,
-        "cdc_snapshot_diff": cdc_queries.cdc_snapshot_diff,
-        "cdc_incremental_agg": cdc_queries.cdc_incremental_agg,
-        "lake_expectations": cdc_queries.lake_expectations,
-        # ROUND-9 ROTATION PLAN: demote the four round-8 debuts above
-        # once CORRECTNESS_r08 is green and debut q_events_funnel,
-        # q_events_retention, text_surprisal, corpus_temperature_mix in
-        # their place (then q_lineitem_bloom_semi, emb_hard_negatives,
-        # lake_profile, q_events_gapfill in round 10), keeping every
-        # oracled query driver-gated at least once per two-to-three
-        # rounds. q_events_daily_users / q_orders_median_price /
-        # sample_stratified / sketch_count_min (hash-green r06) remain
-        # pytest-oracled in secondary until a debut slot frees up.
+        # ROUND-9 DEBUT SLOTS (the committed round-8 rotation plan): the
+        # four round-8 debuts (#89, #90, #94, #100: cdc_scd2,
+        # cdc_snapshot_diff, cdc_incremental_agg, lake_expectations)
+        # hash-matched in CORRECTNESS_r08 and move to
+        # secondary_queries(); the product-analytics + corpus-quality
+        # four (#95, #96, #91, #92) take their driver-gate slots so
+        # CORRECTNESS_r09 carries hash evidence for them.
+        "q_events_funnel": analytics.q_events_funnel,
+        "q_events_retention": analytics.q_events_retention,
+        "text_surprisal": text.text_surprisal,
+        "corpus_temperature_mix": text.corpus_temperature_mix,
+        # ROUND-10 ROTATION PLAN: demote the four round-9 debuts above
+        # once CORRECTNESS_r09 is green and debut q_lineitem_bloom_semi,
+        # emb_hard_negatives, lake_profile, q_events_gapfill in their
+        # place (then q_events_skew_report, q_part_fuzzy_match,
+        # eval_langid_report + one round-9 addition in round 11),
+        # keeping every oracled query driver-gated at least once per
+        # two-to-three rounds. q_events_daily_users /
+        # q_orders_median_price / sample_stratified / sketch_count_min
+        # (hash-green r06) remain pytest-oracled in secondary until a
+        # debut slot frees up.
         # ROUND-7 GATE ROTATION (back): q2/q9/q11/q13/q15/q21 took these
         # six slots in round 6 and hash-matched (CORRECTNESS_r06); the
         # displaced keys below are restored so every registered query is
@@ -193,16 +196,16 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_count_min": text.sketch_count_min,
         # round-7 addition (SURVEY §2 #88)
         "dedup_source_matrix": llm_queries.dedup_source_matrix,
-        # round-7 additions (SURVEY §2 #91-#92): corpus quality + mixing
-        "text_surprisal": text.text_surprisal,
-        "corpus_temperature_mix": text.corpus_temperature_mix,
         # round-7 addition (SURVEY §2 #93): explicit bloom runtime filter
         "q_lineitem_bloom_semi": analytics.q_lineitem_bloom_semi,
-        # round-7 additions (SURVEY §2 #95-#96): product analytics
-        "q_events_funnel": analytics.q_events_funnel,
-        "q_events_retention": analytics.q_events_retention,
         # round-7 addition (SURVEY §2 #99): metric-learning mining
         "emb_hard_negatives": llm_queries.emb_hard_negatives,
+        # rotated out of the driver gate after hash-matching in round 8
+        # (SURVEY §2 #89, #90, #94, #100); pytest-oracled here every round
+        "cdc_scd2": cdc_queries.cdc_scd2,
+        "cdc_snapshot_diff": cdc_queries.cdc_snapshot_diff,
+        "cdc_incremental_agg": cdc_queries.cdc_incremental_agg,
+        "lake_expectations": cdc_queries.lake_expectations,
         # rotated out of the driver gate after hash-matching in round 7
         # (SURVEY §2 #84-#87); pytest-oracled here every round
         "dedup_semantic": llm_queries.dedup_semantic,
@@ -281,10 +284,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_batch_topk": llm_queries.ANN_BATCH_TOPK_SQL,
         "emb_label_centroids": llm_queries.EMB_LABEL_CENTROIDS_SQL,
         "pipeline_curate_corpus": llm_queries.PIPELINE_CURATE_CORPUS_SQL,
-        "cdc_scd2": cdc_queries.CDC_SCD2_SQL,
-        "cdc_snapshot_diff": cdc_queries.CDC_SNAPSHOT_DIFF_SQL,
-        "cdc_incremental_agg": cdc_queries.CDC_INCREMENTAL_AGG_SQL,
-        "lake_expectations": cdc_queries.LAKE_EXPECTATIONS_SQL,
+        "q_events_funnel": analytics.Q_EVENTS_FUNNEL_SQL,
+        "q_events_retention": analytics.Q_EVENTS_RETENTION_SQL,
+        "text_surprisal": text.TEXT_SURPRISAL_SQL,
+        "corpus_temperature_mix": text.CORPUS_TEMPERATURE_MIX_SQL,
     }
 
 
@@ -309,15 +312,15 @@ def secondary_oracle_sql() -> dict[str, str]:
         "sample_stratified": text.SAMPLE_STRATIFIED_SQL,
         "sketch_count_min": text.SKETCH_COUNT_MIN_SQL,
         "dedup_source_matrix": llm_queries.DEDUP_SOURCE_MATRIX_SQL,
-        "text_surprisal": text.TEXT_SURPRISAL_SQL,
-        "corpus_temperature_mix": text.CORPUS_TEMPERATURE_MIX_SQL,
+        "cdc_scd2": cdc_queries.CDC_SCD2_SQL,
+        "cdc_snapshot_diff": cdc_queries.CDC_SNAPSHOT_DIFF_SQL,
+        "cdc_incremental_agg": cdc_queries.CDC_INCREMENTAL_AGG_SQL,
+        "lake_expectations": cdc_queries.LAKE_EXPECTATIONS_SQL,
         "q_lineitem_bloom_semi": analytics.Q_LINEITEM_BLOOM_SEMI_SQL,
         "dedup_semantic": llm_queries.DEDUP_SEMANTIC_SQL,
         "dedup_substring": llm_queries.DEDUP_SUBSTRING_SQL,
         "text_quality_classifier": text.TEXT_QUALITY_CLASSIFIER_SQL,
         "ann_pq_topk": llm_queries.ANN_PQ_TOPK_SQL,
-        "q_events_funnel": analytics.Q_EVENTS_FUNNEL_SQL,
-        "q_events_retention": analytics.Q_EVENTS_RETENTION_SQL,
         "emb_hard_negatives": llm_queries.EMB_HARD_NEGATIVES_SQL,
         "q_events_gapfill": analytics.Q_EVENTS_GAPFILL_SQL,
         "q_events_skew_report": analytics.Q_EVENTS_SKEW_REPORT_SQL,
