@@ -342,26 +342,51 @@ def ngram_jaccard_pairs(
     k: int = 3,
     block_cap: int | None = None,
 ) -> DataFrame:
-    """Exact Jaccard over word k-shingles within blocking groups.
+    """Exact Jaccard over word k-shingles, inverted-index formulation.
 
-    Blocked all-pairs: the join key is the block, so pair volume is
-    Σ block_size² — pick blocks (source, length bucket, …) accordingly.
+    AllPairs-style (Bayardo/Ma/Srikant, WWW'07 — public): explode each
+    doc's distinct shingle hashes, self-join on (*block_cols, hash), and
+    COUNT the hits per doc pair — that count IS |A∩B| exactly (arrays
+    hold distinct hashes), so jaccard = inter/(|A|+|B|−inter) needs no
+    ``array_intersect`` at all. Pairs sharing zero shingles never
+    materialize, which is what makes this sublinear in practice: the
+    old blocked all-pairs ran the intersect on every same-block pair
+    (11M at sf3, 90% of them overlap-0 — measured round 9), while the
+    index join generates only Σ_token df² candidate rows (1.7M there).
+    Exact: every pair with jaccard ≥ threshold shares ≥1 shingle
+    (threshold > 0 is required and enforced), and a size-ratio
+    predicate inside the join prunes pairs that cannot reach the
+    threshold before the aggregation.
 
-    Scale guards (both exact — they never drop a pair with
-    jaccard ≥ threshold):
+    At 100 TB: both shuffles are key-shaped (token hash → pair key) and
+    the join's group sizes are token document-frequencies, not block
+    populations — vocabulary grows with the corpus, so per-token df
+    (and with it pair volume) stays bounded on natural text.
 
-      * with NO ``block_cols``, docs are length-bucketed by
-        floor(log2(shingle-count)) instead of all-pairs'd: J(A,B) ≥ t
-        forces |A|/|B| ≤ 1/t, so each doc joins only its own bucket plus
-        the next ceil(log2(1/t)) (home/guest replication, each pair
-        meeting exactly once at the larger side's home bucket);
-      * a size-ratio predicate inside the join prunes pairs that cannot
-        reach the threshold BEFORE the (expensive) intersect runs.
+    ``block_cap`` (optional, LOSSY like the LSH ``bucket_cap``): drop
+    (*block_cols, shingle) index groups with more than this many docs —
+    the hard bound against a pathological corpus where one shingle (or
+    one block's shared boilerplate) appears in everything and df²
+    explodes. Pairs whose every shared shingle is that hot lose recall,
+    exactly the minhash hot-bucket trade. (On the small-input direct
+    path below, the cap bounds whole block populations instead — the
+    pre-round-9 semantics; both are recall-for-boundedness trades.)
 
-    ``block_cap`` (optional, lossy like the LSH ``bucket_cap``): drop
-    join groups with more than this many docs — the hard bound against a
-    pathological corpus whose blocks are all one size.
+    Small-input adaptivity: the index plan costs two extra shuffles
+    (token join + pair aggregation) whose fixed stage overhead is most
+    of the query under a few MB of input — there, the pre-round-9
+    direct blocked join + ``array_intersect`` wins (measured at sf0.1:
+    1.5 s direct vs 2.0 s indexed, while sf3 flips to 9.4 s indexed vs
+    18.8 s direct). Same trade and same size gate as :func:`spread`;
+    both plans are exact, so the output is identical either way.
     """
+    if threshold <= 0:
+        raise ValueError(
+            "ngram_jaccard_pairs requires threshold > 0: the inverted-"
+            "index plan only materializes pairs sharing >=1 shingle "
+            "(threshold <= 0 would mean every same-block pair - a "
+            "quadratic scan no formulation survives at scale)"
+        )
     sh = _materialize(
         _track(
             # min_bytes=0: the shingle hash chain is expensive per byte
@@ -371,85 +396,104 @@ def ngram_jaccard_pairs(
             .persist()  # feeds both join sides; avoid recomputing the hash chain
         )
     )
-    if block_cols:
-        join_cols = list(block_cols)
-        a = sh.select(
-            F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"), *join_cols
-        )
-        b = sh.select(
-            F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"), *join_cols
-        )
-    else:
-        # home/guest length buckets: home = floor(log2(|sh|)); the left
-        # side also joins the next `span` buckets so any pair within
-        # size ratio 1/t meets exactly once — at the LARGER doc's home.
-        import math
-
-        span = max(1, math.ceil(math.log2(1.0 / threshold))) if threshold < 1 else 1
-        join_cols = ["_lb"]
-        home = F.floor(F.log2(F.size("_sh")))
-        a = sh.select(
-            F.col(id_col).alias("id_a"),
-            F.col("_sh").alias("_sh_a"),
-            F.explode(
-                F.array(*[home + F.lit(d) for d in range(span + 1)])
-            ).alias("_lb"),
-        )
-        b = sh.select(
-            F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"), home.alias("_lb")
-        )
+    bc = list(block_cols)
+    if bc:
+        sizes = _scan_sizes(df)
+        if sizes is not None:
+            small = sum(sizes) < SPREAD_MIN_INPUT_BYTES
+        else:
+            # unknown size: createDataFrame fixtures (no input files)
+            # are small; a file scan without local sizes (object store)
+            # is presumed large
+            try:
+                small = not df.inputFiles()
+            except Exception:
+                small = True
+        if small:
+            return _ngram_pairs_direct(sh, id_col, bc, threshold, block_cap)
+    join_cols = bc + ["_t"]
+    tok = sh.select(
+        F.col(id_col).alias("_id"),
+        *bc,
+        F.size("_sh").alias("_sz"),
+        F.explode("_sh").alias("_t"),
+    )
     if block_cap is not None:
         cap_w = Window.partitionBy(*join_cols)
-        b = (
-            b.withColumn("_bn", F.count(F.lit(1)).over(cap_w))
+        tok = (
+            tok.withColumn("_df", F.count(F.lit(1)).over(cap_w))
+            .where(F.col("_df") <= block_cap)
+            .drop("_df")
+        )
+    a = tok.select(
+        F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"), *join_cols
+    )
+    b = tok.select(
+        F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"), *join_cols
+    )
+    # J(A,B) >= t forces min(|A|,|B|)/max(|A|,|B|) >= t
+    ratio_ok = (F.col("_sza") >= F.lit(threshold) * F.col("_szb")) & (
+        F.col("_szb") >= F.lit(threshold) * F.col("_sza")
+    )
+    inter = (
+        a.join(b, join_cols)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(ratio_ok)
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("_inter"),
+            F.first("_sza").alias("_sza"),
+            F.first("_szb").alias("_szb"),
+        )
+    )
+    jaccard = F.col("_inter").cast("double") / (
+        F.col("_sza") + F.col("_szb") - F.col("_inter")
+    )
+    return inter.select(
+        "id_a", "id_b", jaccard.alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
+
+
+def _ngram_pairs_direct(
+    sh: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    threshold: float,
+    block_cap: int | None,
+) -> DataFrame:
+    """Small-input direct plan: blocked all-pairs + ``array_intersect``.
+
+    One join, no index explode — cheapest under a few MB where the
+    quadratic pair count is bounded by construction (the size gate in
+    :func:`ngram_jaccard_pairs` is the only caller). ``block_cap``
+    bounds whole block populations here.
+    """
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"), *block_cols
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"), *block_cols
+    )
+    if block_cap is not None:
+        cap_w = Window.partitionBy(*block_cols)
+        a = (
+            a.withColumn("_bn", F.count(F.lit(1)).over(cap_w))
             .where(F.col("_bn") <= block_cap)
             .drop("_bn")
         )
-        a = (
-            a.withColumn("_bn", F.count(F.lit(1)).over(cap_w))
+        b = (
+            b.withColumn("_bn", F.count(F.lit(1)).over(cap_w))
             .where(F.col("_bn") <= block_cap)
             .drop("_bn")
         )
     ratio_ok = (
         F.size("_sh_a") >= F.lit(threshold) * F.size("_sh_b")
     ) & (F.size("_sh_b") >= F.lit(threshold) * F.size("_sh_a"))
-    if block_cols:
-        pairs = (
-            a.join(b, join_cols)
-            .where(F.col("id_a") < F.col("id_b"))
-            .where(ratio_ok)
-        )
-    else:
-        # Each pair meets exactly once, at the LARGER doc's home bucket:
-        # when both homes equal (a at its own home) dedup by id order;
-        # when a is a guest (bucket above a's home) the orientation is
-        # forced (smaller doc = a side), so every match is unique — then
-        # normalize ids with least/greatest.
-        a_home = F.floor(F.log2(F.size("_sh_a")))
-        once = F.when(
-            F.col("_lb") == a_home, F.col("id_a") < F.col("id_b")
-        ).otherwise(F.lit(True))
-        pairs = (
-            a.join(b, join_cols)
-            .where(F.col("id_a") != F.col("id_b"))
-            .where(once)
-            .where(ratio_ok)
-            .withColumn("_ia", F.least("id_a", "id_b"))
-            .withColumn("_ib", F.greatest("id_a", "id_b"))
-            .withColumn(
-                "_sw",
-                F.when(F.col("_ia") == F.col("id_a"), F.col("_sh_a")).otherwise(F.col("_sh_b")),
-            )
-            .withColumn(
-                "_sh_b", F.when(F.col("_ia") == F.col("id_a"), F.col("_sh_b")).otherwise(F.col("_sh_a"))
-            )
-            .select(
-                F.col("_ia").alias("id_a"),
-                F.col("_ib").alias("id_b"),
-                F.col("_sw").alias("_sh_a"),
-                "_sh_b",
-            )
-        )
+    pairs = (
+        a.join(b, block_cols)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(ratio_ok)
+    )
     return (
         _with_jaccard(pairs, "_sh_a", "_sh_b")
         .select("id_a", "id_b", "jaccard")

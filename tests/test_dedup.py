@@ -364,3 +364,43 @@ def test_spread_adaptive_size_gate(spark, tmp_path):
     assert out_big is not big
     assert out_big.storageLevel.useMemory or out_big.storageLevel.useDisk
     release_persisted()
+
+
+def test_ngram_index_and_direct_paths_agree(spark):
+    """The round-9 inverted-index plan (large inputs) and the direct
+    blocked-join plan (small inputs) are both exact — same pairs, same
+    bit-exact jaccard values — on a corpus dense with near-dups."""
+    import random
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import dedup
+
+    rng = random.Random(9)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(120):
+        base = rng.sample(vocab, 18)
+        rows.append((2 * i, " ".join(base), f"s{i % 3}"))
+        mut = list(base)
+        for _ in range(rng.randint(0, 6)):
+            mut[rng.randrange(len(mut))] = rng.choice(vocab)
+        rows.append((2 * i + 1, " ".join(mut), f"s{i % 3}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def run():
+        dedup.release_persisted()
+        return {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "doc_id", "text", ["source"], 0.2
+            ).collect()
+        }
+
+    direct = run()  # fixture input -> small -> direct path
+    orig = dedup._scan_sizes
+    dedup._scan_sizes = lambda df: [10**9]  # force the index path
+    try:
+        indexed = run()
+    finally:
+        dedup._scan_sizes = orig
+    assert len(direct) > 50  # the corpus really is dense
+    assert direct == indexed  # same pairs AND bit-identical doubles
