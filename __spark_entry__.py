@@ -233,6 +233,8 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_source_top_terms": corpus_ml.corpus_source_top_terms,
         "corpus_collocations": corpus_ml.corpus_collocations,
         "corpus_split_leakage": corpus_ml.corpus_split_leakage,
+        # round-9 addition (SURVEY §2 #113): corpus-scale KNN propagation
+        "emb_knn_propagate_all": corpus_ml.emb_knn_propagate_all,
     }
 
 
@@ -348,4 +350,5 @@ def secondary_oracle_sql() -> dict[str, str]:
         "corpus_source_top_terms": corpus_ml.CORPUS_SOURCE_TOP_TERMS_SQL,
         "corpus_collocations": corpus_ml.CORPUS_COLLOCATIONS_SQL,
         "corpus_split_leakage": corpus_ml.CORPUS_SPLIT_LEAKAGE_SQL,
+        "emb_knn_propagate_all": corpus_ml.EMB_KNN_PROPAGATE_ALL_SQL,
     }

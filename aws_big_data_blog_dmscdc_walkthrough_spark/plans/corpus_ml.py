@@ -233,6 +233,77 @@ SELECT uid AS vec_id, label AS label_pred, votes FROM (
 """
 
 
+# ----------------------- corpus-scale KNN propagation (#113)
+
+KNN_PROP_BITS = 4
+KNN_PROP_BANDS = 2
+KNN_PROP_MOD = 5  # vec_id % 5 == 0 plays the unlabeled side (20%)
+
+
+def emb_knn_propagate_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale propagation: the unlabeled side is a corpus
+    FRACTION (20% by id hash), the shape the exact gated operator
+    refuses by design. Candidates come from two sign-LSH band joins
+    (operators/similarity.knn_propagate) so nothing crosses
+    corpus × corpus; the vote stage matches the exact operator. Fixed
+    bits/bands here keep the DuckDB oracle replayable bit-for-bit —
+    production callers leave ``bits=None`` for corpus-scaled planes."""
+    from ..operators.similarity import knn_propagate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    unlabeled = emb.where(F.col("vec_id") % KNN_PROP_MOD == 0)
+    labeled = emb.where(F.col("vec_id") % KNN_PROP_MOD != 0)
+    return knn_propagate(
+        labeled, unlabeled, "vec_id", "embedding", "label",
+        k=5, bits=KNN_PROP_BITS, bands=KNN_PROP_BANDS,
+    )
+
+
+def _band_sql(col: str, band: int, bits: int = KNN_PROP_BITS) -> str:
+    return " + ".join(
+        f"(CASE WHEN {col}[{band * bits + i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+
+
+EMB_KNN_PROPAGATE_ALL_SQL = f"""
+WITH l AS (
+  SELECT vec_id AS cid, label, embedding AS v,
+         ({_band_sql('embedding', 0)}) AS b0,
+         ({_band_sql('embedding', 1)}) AS b1
+  FROM embeddings WHERE vec_id % {KNN_PROP_MOD} <> 0
+),
+u AS (
+  SELECT vec_id AS uid, embedding AS q,
+         ({_band_sql('embedding', 0)}) AS b0,
+         ({_band_sql('embedding', 1)}) AS b1
+  FROM embeddings WHERE vec_id % {KNN_PROP_MOD} = 0
+),
+cand AS (
+  SELECT uid, cid, label,
+    CASE WHEN (sqrt({_dot_sql('v', 'v')}) * sqrt({_dot_sql('q', 'q')})) > 0
+         THEN ({_dot_sql('v', 'q')})
+              / (sqrt({_dot_sql('v', 'v')}) * sqrt({_dot_sql('q', 'q')}))
+         ELSE 0.0 END AS cosine
+  FROM u JOIN l ON (u.b0 = l.b0 OR u.b1 = l.b1)
+),
+topk AS (
+  SELECT uid, label,
+    row_number() OVER (PARTITION BY uid ORDER BY cosine DESC, cid) AS rk
+  FROM cand
+),
+votes AS (
+  SELECT uid, label, CAST(COUNT(*) AS BIGINT) AS votes FROM topk
+  WHERE rk <= 5 GROUP BY uid, label
+)
+SELECT uid AS vec_id, label AS label_pred, votes FROM (
+  SELECT uid, label, votes,
+    row_number() OVER (PARTITION BY uid ORDER BY votes DESC, label) AS rk
+  FROM votes
+) WHERE rk = 1
+"""
+
+
 # --------------------------------- split-leakage audit (#112)
 
 
