@@ -362,6 +362,26 @@ def _pk_bucket_expr(primary_keys: Sequence[str], n_buckets: int):
     ).cast("int")
 
 
+def _seq_mark(v):
+    """A seq value that can ride the manifest's JSON high-water mark:
+    str or int only (bool excluded). Python and Spark order these the
+    way the guard needs (ints numerically; ASCII strings byte-wise —
+    the streaming path#rownum seq is ASCII by construction)."""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (str, int)):
+        return v
+    return None
+
+
+def _merged_props(prev: dict, **updates) -> dict | None:
+    """Carried properties + non-None updates; None when both are empty
+    (commit_manifest then carries the previous manifest's forward)."""
+    out = dict(prev)
+    out.update({k: v for k, v in updates.items() if v is not None})
+    return out or None
+
+
 def scd2_merge_on_read(
     spark: SparkSession,
     changes: DataFrame,
@@ -371,6 +391,7 @@ def scd2_merge_on_read(
     op_col: str = cdc.OP_COL,
     bucket_partitions: int | None = None,
     stats_cols: Sequence[str] = (),
+    seq_monotonic: bool = False,
 ) -> None:
     """Incremental SCD2 history maintenance with O(batch) writes.
 
@@ -413,6 +434,24 @@ def scd2_merge_on_read(
     slice costs more than the second scan saves, because the guard's
     pass reads three thin columns while the cache materializes every
     column. Columnar pruning beats scan fusion here — keep two passes.
+
+    ``seq_monotonic=True`` (opt-in) declares that fold batches normally
+    arrive in seq order — the streaming history mode's shape (landing
+    file names lexically monotonic; cdc_stream.py docstring). The
+    replay guard then keeps a GLOBAL high-water mark in the manifest's
+    properties (``scd2_seq_hwm``): a batch whose min seq sorts strictly
+    ABOVE the mark is all-fresh by construction and skips the per-key
+    guard scan of the history entirely — the fold's only history read
+    is the impacted open-version pass. Every other batch (replays,
+    straddles, streams that are only per-key monotonic via disjoint
+    keys) takes the exact per-key guard, so the mark is purely an
+    optimization — a batch can never be silently dropped by a wrong
+    declaration, and full replays still no-op (the guard leaves nothing
+    fresh). The min/max aggregate doubles as the change-cache pin, so
+    the fast path costs no extra job. Only string/int seqs ride the
+    mark (JSON-stored; Python and Spark compare ASCII strings
+    identically — the streaming seq is an ASCII path#rownum); other seq
+    types silently use the per-key guard.
     """
     pks = list(primary_keys)
     if not pks:
@@ -422,15 +461,21 @@ def scd2_merge_on_read(
     if not target_exists(spark, out_path):
         empty_target = changes.drop(op_col, seq_col).limit(0)
         folded = cdc.scd2_history(empty_target, changes, pks, seq_col, op_col)
-        props = None
+        props: dict = {}
         if bucket_partitions:
             folded = folded.withColumn(
                 PK_BUCKET_COL, _pk_bucket_expr(pks, bucket_partitions)
             )
-            props = {"bucket_partitions": int(bucket_partitions)}
+            props["bucket_partitions"] = int(bucket_partitions)
+        if seq_monotonic:
+            hi = _seq_mark(
+                changes.agg(F.max(F.col(seq_col)).alias("hi")).first()["hi"]
+            )
+            if hi is not None:
+                props["scd2_seq_hwm"] = hi
         _append_with_optional_manifest(
             spark, folded, out_path, part_keys, True, stats_cols,
-            properties=props,
+            properties=props or None,
         )
         return
 
@@ -505,14 +550,67 @@ def scd2_merge_on_read(
             .collect()
         ]
         live = live.where(F.col(PK_BUCKET_COL).isin(buckets))
-    # replay guard: only changes strictly above each key's recorded
-    # high-water seq survive (column-pruned scan: pk + the two seqs)
-    fresh = cdc.scd2_fresh_changes(live, changes, pks, seq_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # replay guard. seq_monotonic first tries the global high-water
+    # mark: one tiny batch-side aggregate (which doubles as the change
+    # cache pin) decides full-replay no-op / all-fresh / fall back to
+    # the exact per-key guard scan (see docstring).
+    prev_props = dict(man.get("properties") or {})
+    hwm_new = None
+    guard_skip = False
+    hi_m = None
+    if seq_monotonic:
+        prev_hwm = prev_props.get("scd2_seq_hwm")
+        mm = changes.agg(
+            F.min(F.col(seq_col)).alias("lo"), F.max(F.col(seq_col)).alias("hi")
+        ).first()
+        lo_m, hi_m = _seq_mark(mm["lo"]), _seq_mark(mm["hi"])
+        comparable = (
+            hi_m is not None
+            and prev_hwm is not None
+            and type(prev_hwm) is type(hi_m)
+        )
+        if comparable and lo_m > prev_hwm:
+            guard_skip = True  # strictly-after batch: every row is fresh
+            hwm_new = hi_m
+        # anything else — replays, straddles, a stream whose names are
+        # only PER-KEY monotonic (disjoint keys per batch) — takes the
+        # exact per-key guard below: the mark is an optimization, never
+        # a correctness gate, so a batch can never be silently dropped
+    if guard_skip:
+        fresh = changes  # already persisted; the agg above pinned it
+    else:
+        # per-key guard (column-pruned scan: pk + the two seqs). When a
+        # monotonic caller lands here (legacy pre-hwm manifest, or a
+        # straddling batch after a broken contract), also record the
+        # GLOBAL max seq across history ∪ batch so the mark becomes
+        # (or stays) a true upper bound for the next fold's fast path.
+        fresh = cdc.scd2_fresh_changes(live, changes, pks, seq_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        if seq_monotonic:
+            gm_m = _seq_mark(
+                live.agg(
+                    F.max(
+                        F.greatest(
+                            F.col("valid_from_seq"),
+                            F.coalesce(
+                                F.col("valid_to_seq"), F.col("valid_from_seq")
+                            ),
+                        )
+                    ).alias("g")
+                ).first()["g"]
+            )
+            cands = [
+                v
+                for v in (gm_m, hi_m, prev_props.get("scd2_seq_hwm"))
+                if v is not None
+            ]
+            if cands and all(type(v) is type(cands[0]) for v in cands):
+                hwm_new = max(cands)
     open_rows = None
     try:
-        if fresh.isEmpty():  # full replay after a committed fold: no-op
+        if not guard_skip and fresh.isEmpty():
+            # full replay after a committed fold: no-op
             return
         fresh_keys = cdc._maybe_broadcast(
             fresh.select(*pks).distinct(), cdc.BROADCAST_KEYS_MAX_BYTES
@@ -576,11 +674,16 @@ def scd2_merge_on_read(
             spark, out_path, live_files, stats=stats,
             delete_files=carried + added_dv, dv_targets=targets,
             schema_json=appended.schema.json(),
-            # validated against the recorded value above; also backfills
-            # the property into legacy pre-guard manifests
-            properties=(
-                {"bucket_partitions": int(bucket_partitions)}
-                if bucketed else None
+            # merge into the carried properties: bucket count validated
+            # against the recorded value above (also backfills legacy
+            # pre-guard manifests), the seq high-water mark advanced by
+            # this fold's batch
+            properties=_merged_props(
+                prev_props,
+                bucket_partitions=(
+                    int(bucket_partitions) if bucketed else None
+                ),
+                scd2_seq_hwm=hwm_new,
             ),
         )
     finally:

@@ -119,6 +119,12 @@ def start_cdc_stream(
                 sess, flat, out_path, primary_keys,
                 seq_col="_hseq", op_col="op",
                 bucket_partitions=history_buckets,
+                # the lexical-monotonicity contract documented above
+                # (landing names sort after all processed ones) makes
+                # every batch's seqs strictly later than every committed
+                # fold's — the global-hwm replay guard applies, and the
+                # per-fold history guard scan disappears
+                seq_monotonic=True,
             )
             if compact_every and (batch_id + 1) % compact_every == 0:
                 lake_writer.compact_table(

@@ -337,3 +337,98 @@ def test_scd2_merge_on_read_bucket_count_guards(spark, tmp_path):
             spark, frame([(1, 11, "U", 2)]), out2, ["pk"],
             seq_col="seq", bucket_partitions=8,
         )
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batch=batches(), split=st.integers(0, 12))
+def test_scd2_merge_on_read_monotonic_equals_one_shot(spark, tmp_path, batch, split):
+    """seq_monotonic folds (global-hwm guard, no history guard scan)
+    must land exactly the one-shot rows when batches really are
+    seq-ordered — including a full replay of each batch (no-op)."""
+    import uuid
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import (
+        lake_writer,
+        manifest,
+    )
+
+    rows = sorted(
+        [(k, op, seq + 1, val) for k, op, seq, val in batch], key=lambda r: r[2]
+    )
+    cut = min(split, len(rows))
+    b1, b2 = rows[:cut], rows[cut:]
+
+    def frame(rs):
+        return spark.createDataFrame(
+            rs or [(0, "U", -1, 0)], "pk int, op string, seq int, v int"
+        ).where("seq >= 0").select("pk", "v", "op", "seq")
+
+    empty = frame(rows).drop("op", "seq").limit(0)
+    want = sorted(
+        map(tuple, cdc.scd2_history(empty, frame(rows), ["pk"], "seq").collect())
+    )
+    out = str(tmp_path / f"hm_{uuid.uuid4().hex[:8]}")
+    for piece in (b1, b2):
+        if piece:
+            lake_writer.scd2_merge_on_read(
+                spark, frame(piece), out, ["pk"], seq_col="seq",
+                seq_monotonic=True,
+            )
+            # replay the same batch: the per-key guard leaves nothing
+            # fresh, so the content must not change (a D on a
+            # never-seen key may commit an empty version — same as the
+            # pre-hwm behavior — so the version number is not asserted;
+            # the final one-shot equality below covers content)
+            lake_writer.scd2_merge_on_read(
+                spark, frame(piece), out, ["pk"], seq_col="seq",
+                seq_monotonic=True,
+            )
+    got = sorted(map(tuple, manifest.read_table(spark, out).collect())) if rows else []
+    assert got == want
+    if rows:
+        man = manifest.read_manifest(spark, out)
+        assert man["properties"]["scd2_seq_hwm"] == max(r[2] for r in rows)
+
+
+def test_scd2_monotonic_straddling_batch_falls_back_exact(spark, tmp_path):
+    """A batch that straddles the recorded hwm (broken contract) must
+    still fold EXACTLY via the per-key guard — already-recorded seqs
+    drop, new ones apply — and the hwm must advance to the true global
+    max, never regress."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import (
+        lake_writer,
+        manifest,
+    )
+
+    def frame(rs):
+        return spark.createDataFrame(rs, "pk int, v int, op string, seq int")
+
+    out = str(tmp_path / "hist_straddle")
+    lake_writer.scd2_merge_on_read(
+        spark, frame([(1, 10, "I", 1), (2, 20, "I", 5)]), out, ["pk"],
+        seq_col="seq", seq_monotonic=True,
+    )
+    # straddles hwm=5: seq 3 is NEW (key 3, below hwm), seq 7 is new
+    lake_writer.scd2_merge_on_read(
+        spark, frame([(3, 30, "I", 3), (1, 11, "U", 7)]), out, ["pk"],
+        seq_col="seq", seq_monotonic=True,
+    )
+    got = {
+        (r.pk, r.v): (r.valid_from_seq, r.valid_to_seq, r.is_current)
+        for r in manifest.read_table(spark, out).collect()
+    }
+    assert got[(3, 30)] == (3, None, True)   # below-hwm NEW key applied
+    assert got[(1, 10)] == (1, 7, False)
+    assert got[(1, 11)] == (7, None, True)
+    man = manifest.read_manifest(spark, out)
+    assert man["properties"]["scd2_seq_hwm"] == 7
+    # replaying the straddling batch no-ops (per-key guard: nothing fresh)
+    v = man["version"]
+    lake_writer.scd2_merge_on_read(
+        spark, frame([(3, 30, "I", 3), (1, 11, "U", 7)]), out, ["pk"],
+        seq_col="seq", seq_monotonic=True,
+    )
+    assert manifest.read_manifest(spark, out)["version"] == v
