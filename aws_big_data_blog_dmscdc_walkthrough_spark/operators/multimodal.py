@@ -173,6 +173,8 @@ def sniff_mime(blob: bytes) -> str:
         return "image/png"
     if blob[:6] in (b"GIF87a", b"GIF89a"):
         return "image/gif"
+    if len(blob) >= 12 and blob[4:8] == b"ftyp":
+        return "video/mp4"
     return "application/octet-stream"
 
 
@@ -424,6 +426,12 @@ def _decode_compressed(blob: bytes, mime: str):
             return _jpeg.decode_jpeg(blob)[None]
         except NotImplementedError:
             pass  # arithmetic/lossless/hierarchical profile → PIL gate
+    if mime == "video/mp4":
+        raise NotImplementedError(
+            "MP4 frame decode requires ffmpeg, absent in this environment; "
+            "header-only metadata (dims/duration/frames) parses natively "
+            "via mp4_metadata/decode_media"
+        )
     try:
         from PIL import Image
     except ImportError as exc:  # pragma: no cover - env has no PIL
@@ -436,6 +444,86 @@ def _decode_compressed(blob: bytes, mime: str):
     if arr.ndim == 2:  # pragma: no cover
         arr = arr[:, :, None]
     return arr[None]  # pragma: no cover
+
+
+def _mp4_boxes(blob: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for the ISO-BMFF boxes
+    in blob[start:end] (ISO/IEC 14496-12, public spec): 32-bit
+    big-endian size + fourcc, size==1 → 64-bit largesize follows,
+    size==0 → box runs to the end of the enclosing scope."""
+    off = start
+    while off + 8 <= end:
+        (size,) = struct.unpack_from(">I", blob, off)
+        btype = blob[off + 4 : off + 8]
+        payload = off + 8
+        if size == 1:
+            (size,) = struct.unpack_from(">Q", blob, off + 8)
+            payload = off + 16
+        elif size == 0:
+            size = end - off
+        if size < payload - off or off + size > end:
+            raise ValueError("malformed MP4 box tree")
+        yield btype, payload, off + size
+        off += size
+
+
+def mp4_metadata(blob: bytes) -> dict:
+    """Header-only MP4/ISO-BMFF metadata: dims, duration, frame count.
+
+    The same contract the JPEG SOF peek honors — ANY profile's
+    dimensions without a decoder. Walks ftyp/moov: ``mvhd`` gives
+    timescale+duration (v0 and v1 layouts), each ``trak``'s ``tkhd``
+    carries 16.16 fixed-point presentation dims (the first track with
+    nonzero dims is the video track), and that track's ``stsz`` sample
+    count is the frame count. Returns {width, height, n_frames,
+    duration_sec, fps} with zeros where a box is absent — full frame
+    DECODE stays ffmpeg-gated in :func:`decode_image`, exactly like
+    arithmetic-JPEG stays PIL-gated.
+    """
+    def _find(start: int, end: int, *path: bytes):
+        """Payload span of the first box at a nested fourcc path."""
+        for bt, bp, be in _mp4_boxes(blob, start, end):
+            if bt == path[0]:
+                if len(path) == 1:
+                    return bp, be
+                return _find(bp, be, *path[1:])
+        return None
+
+    width = height = n_frames = 0
+    duration_sec = 0.0
+    moov = _find(0, len(blob), b"moov")
+    if moov is not None:
+        mvhd = _find(*moov, b"mvhd")
+        if mvhd is not None:
+            bp = mvhd[0]
+            if blob[bp] == 1:
+                ts, dur = struct.unpack_from(">IQ", blob, bp + 20)
+            else:
+                ts, dur = struct.unpack_from(">II", blob, bp + 12)
+            if ts:
+                duration_sec = dur / ts
+        for bt, bp, be in _mp4_boxes(blob, *moov):
+            if bt != b"trak" or width:
+                continue
+            tkhd = _find(bp, be, b"tkhd")
+            if tkhd is None:
+                continue
+            woff = tkhd[0] + (88 if blob[tkhd[0]] == 1 else 76)
+            w16, h16 = struct.unpack_from(">II", blob, woff)
+            if not (w16 and h16):
+                continue  # audio/hint track: zero presentation dims
+            width, height = w16 >> 16, h16 >> 16
+            stsz = _find(bp, be, b"mdia", b"minf", b"stbl", b"stsz")
+            if stsz is not None:
+                _sz, n_frames = struct.unpack_from(">II", blob, stsz[0] + 4)
+    fps = n_frames / duration_sec if duration_sec and n_frames else 0.0
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "duration_sec": duration_sec,
+        "fps": fps,
+    }
 
 
 def _blob_meta(blob: bytes) -> dict:
@@ -474,6 +562,13 @@ def _blob_meta(blob: bytes) -> dict:
         samples, rate = _decode_wav(blob)
         meta.update(
             channels=samples.shape[1], n_frames=samples.shape[0], sample_rate=rate
+        )
+    elif mime == "video/mp4":
+        # header-only: dims/frames from the moov box tree, no decoder
+        # (full frame decode stays ffmpeg-gated in decode_image)
+        m = mp4_metadata(blob)
+        meta.update(
+            width=m["width"], height=m["height"], n_frames=m["n_frames"]
         )
     else:
         _decode_compressed(blob, mime)

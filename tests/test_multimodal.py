@@ -554,3 +554,60 @@ def test_jpeg_progressive_dispatches_through_decode_image():
     frames = mm.decode_image(blob)
     assert frames.shape == (1, 16, 24, 3)
     assert np.array_equal(frames[0], jpeg.decode_jpeg(blob))  # same path
+
+
+def _box(fourcc: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+
+def _synth_mp4(w=640, h=360, frames=120, timescale=600, duration=3000,
+               mvhd_v1=False, with_audio_track=True) -> bytes:
+    """Minimal ISO-BMFF tree: ftyp + moov(mvhd, [audio trak,] video
+    trak(tkhd + mdia/minf/stbl/stsz)) + mdat — enough structure to
+    exercise the header parser without any codec payload."""
+    if mvhd_v1:
+        mvhd = _box(b"mvhd", bytes([1, 0, 0, 0]) + b"\x00" * 16
+                    + struct.pack(">IQ", timescale, duration) + b"\x00" * 80)
+    else:
+        mvhd = _box(b"mvhd", b"\x00" * 12
+                    + struct.pack(">II", timescale, duration) + b"\x00" * 80)
+
+    def trak(wd, ht, nframes):
+        tkhd = _box(b"tkhd", b"\x00" * 76 + struct.pack(">II", wd << 16, ht << 16))
+        stsz = _box(b"stsz", b"\x00" * 4 + struct.pack(">II", 0, nframes))
+        stbl = _box(b"stbl", stsz)
+        return _box(b"trak", tkhd + _box(b"mdia", _box(b"minf", stbl)))
+
+    traks = b""
+    if with_audio_track:  # zero presentation dims: must be skipped
+        traks += trak(0, 0, 999)
+    traks += trak(w, h, frames)
+    return (
+        _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+        + _box(b"moov", mvhd + traks)
+        + _box(b"mdat", b"\x00" * 32)
+    )
+
+
+def test_mp4_header_only_metadata():
+    blob = _synth_mp4()
+    assert mm.sniff_mime(blob) == "video/mp4"
+    meta = mm.mp4_metadata(blob)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (640, 360, 120)
+    assert meta["duration_sec"] == 5.0  # 3000 / 600
+    assert meta["fps"] == 24.0
+    # v1 mvhd (64-bit times) parses identically
+    m1 = mm.mp4_metadata(_synth_mp4(mvhd_v1=True))
+    assert (m1["duration_sec"], m1["fps"]) == (5.0, 24.0)
+    # full decode stays honestly gated
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        mm.decode_image(blob)
+
+
+def test_decode_media_fills_mp4_meta(spark):
+    rows = [(0, _synth_mp4(), None), (1, _synth_mp4(w=320, h=240, frames=30), None)]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r.media_id: r.meta for r in mm.decode_media(df).collect()}
+    assert out[0].mime == "video/mp4"
+    assert (out[0].width, out[0].height, out[0].n_frames) == (640, 360, 120)
+    assert (out[1].width, out[1].height, out[1].n_frames) == (320, 240, 30)
