@@ -762,6 +762,100 @@ def lsh_topk(
     )
 
 
+def lsh_pq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    codebooks: np.ndarray,
+    k: int,
+    bits: int = LSH_BITS,
+    probe_t: int = 160,
+    rerank: int = 100,
+    codes_df: DataFrame | None = None,
+) -> DataFrame:
+    """ANN mid-tier: query-directed LSH probing × PQ-ADC × exact rerank.
+
+    The composition the two halves were built for: because ADC reads
+    8-byte codes instead of full vectors (32× smaller at d=64/float32),
+    the probe budget that was the mid-tier's ceiling stops being scan-
+    bound — probing 160 of 256 buckets over CODES costs ~2% of the
+    corpus in vector-bytes, plus ``rerank`` exact rows. Stages:
+
+      1. the query's ranked perturbation masks (Lv et al., the same
+         heap walk ``lsh_topk(probe_t=...)`` uses) pick the probe
+         buckets — a literal IN-list, partition-prunable on an
+         ingest-bucketed corpus (#73);
+      2. candidates in probed buckets score by ADC over their PQ codes
+         (map-only Arrow pass, the pq_topk closure);
+      3. the top-``rerank`` shortlist re-scores with EXACT cosine
+         against the stored vectors (isin pushdown) → top-k.
+
+    Measured on the sf0.1 hard corpus (recall@10 vs exact cosine truth,
+    pinned in tests/test_ann_recall.py): 0.87 at probe_t=160/rerank=100
+    (~2% of the corpus in vector-bytes) where exact-scored probing
+    plateaued at 0.57 for a 25% full-width scan — more buckets for
+    fewer bytes is the whole trade. Pass
+    ``codes_df`` (id_col, pq_codes) when the corpus stores codes (the
+    100 TB shape); the default encodes on the fly for convenience.
+    """
+    masks = [0]
+    qrow = query_df.select(as_double(F.col(vec_col)).alias("_q")).first()
+    margins = [float(v) for v in qrow["_q"][:bits]]
+    masks += _probe_masks_query_directed(margins, probe_t)
+    qbkt = 0
+    for i, mvl in enumerate(margins):
+        if mvl >= 0:
+            qbkt |= 1 << i
+    probe = list({qbkt ^ m for m in masks})
+    if codes_df is None:
+        codes_df = pq_encode(df, id_col, vec_col, codebooks)
+    bucketed = df.select(
+        F.col(id_col), sign_bucket(F.col(vec_col), bits).alias("_bkt")
+    ).where(F.col("_bkt").isin(probe))
+    cand_codes = codes_df.join(bucketed.select(id_col), id_col, "left_semi")
+
+    M, K, sub = codebooks.shape
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+    q = np.asarray(qrow["_q"], dtype=np.float64)
+    lut = np.stack(
+        [
+            _seq_fold_sqdist(q[j * sub : (j + 1) * sub][None, :], cb[j])[0]
+            for j in range(M)
+        ]
+    )
+
+    @F.pandas_udf(DoubleType())
+    def adist(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype=np.float64)
+        cm = np.array([np.asarray(c, dtype=np.int64) for c in codes])
+        acc = np.zeros(len(cm), dtype=np.float64)
+        for j in range(M):
+            acc += lut[j][cm[:, j]]
+        return pd.Series(acc)
+
+    shortlist = (
+        cand_codes.select(F.col(id_col), adist(F.col("pq_codes")).alias("adist"))
+        .orderBy(F.col("adist").asc(), F.col(id_col))
+        .limit(max(k, rerank))
+    )
+    ids = [r[id_col] for r in shortlist.select(id_col).collect()]
+    qn = float(np.sqrt((q * q).sum()))
+    exact = df.where(F.col(id_col).isin(ids)).select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("_v")
+    )
+    cosine = _safe_cosine(
+        dot(F.col("_v"), F.lit(q.tolist()).cast("array<double>")),
+        norm(F.col("_v")) * F.lit(qn),
+    )
+    return (
+        exact.select(F.col(id_col), cosine.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def vector_mean_by(
     df: DataFrame,
     group_col: str,
