@@ -235,6 +235,8 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split_leakage": corpus_ml.corpus_split_leakage,
         # round-9 addition (SURVEY §2 #113): corpus-scale KNN propagation
         "emb_knn_propagate_all": corpus_ml.emb_knn_propagate_all,
+        # round-9 addition (SURVEY §2 #115): per-label embedding outliers
+        "emb_label_outliers": corpus_ml.emb_label_outliers,
     }
 
 
@@ -351,4 +353,5 @@ def secondary_oracle_sql() -> dict[str, str]:
         "corpus_collocations": corpus_ml.CORPUS_COLLOCATIONS_SQL,
         "corpus_split_leakage": corpus_ml.CORPUS_SPLIT_LEAKAGE_SQL,
         "emb_knn_propagate_all": corpus_ml.EMB_KNN_PROPAGATE_ALL_SQL,
+        "emb_label_outliers": corpus_ml.EMB_LABEL_OUTLIERS_SQL,
     }

@@ -304,6 +304,81 @@ SELECT uid AS vec_id, label AS label_pred, votes FROM (
 """
 
 
+# ----------------------- per-label embedding outliers (#115)
+
+OUTLIER_K = 5
+
+
+def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabel/contamination screen: per label, the OUTLIER_K members
+    farthest (exact squared L2) from their label's centroid. Rank-based
+    rather than z-scored on purpose — cross-row float aggregation of
+    d² would be fold-order-dependent, while a rank over per-row doubles
+    is bit-deterministic, so the gate hashes exactly.
+
+    Plan: one |labels|×dim centroid aggregation (decimal sums — the
+    gate-proven emb_label_centroids convention), centroids broadcast
+    back as arrays, per-row d² in a fixed left fold, one top-k window
+    keyed on the label. Labels are bounded-small by construction; on a
+    corpus whose per-label populations outgrow a window partition,
+    swap the window for a per-label threshold pre-filter on d² (two
+    bounded aggs) — the centroid stage is already scale-shaped."""
+    from ..operators.similarity import vector_mean_by
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = vector_mean_by(emb, "label", "embedding", EMB_DIM)
+    cent_arr = cents.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean"))),
+            lambda s: s["mean"],
+        ).alias("_c")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            as_double(F.col("embedding")),
+            F.col("_c"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    w = Window.partitionBy("label").orderBy(F.col("d2").desc(), F.col("vec_id"))
+    return (
+        emb.join(F.broadcast(cent_arr), "label")
+        .select("label", "vec_id", d2.alias("d2"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= OUTLIER_K)
+        .select("label", "vec_id", "d2", "rnk")
+    )
+
+
+_D2_SQL = " + ".join(
+    f"((e.embedding[{i}]::DOUBLE - c[{i}]) * (e.embedding[{i}]::DOUBLE - c[{i}]))"
+    for i in range(1, EMB_DIM + 1)
+)
+
+EMB_LABEL_OUTLIERS_SQL = f"""
+WITH cent AS (
+  SELECT label, i - 1 AS pos,
+    CAST(SUM(CAST(embedding[i]::DOUBLE AS DECIMAL(30,10))) AS DOUBLE)
+      / COUNT(*) AS mean
+  FROM embeddings, range(1, {EMB_DIM} + 1) t(i)
+  GROUP BY label, i
+),
+carr AS (SELECT label, list(mean ORDER BY pos) AS c FROM cent GROUP BY label),
+scored AS (
+  SELECT e.label, e.vec_id, ({_D2_SQL}) AS d2
+  FROM embeddings e JOIN carr USING (label)
+)
+SELECT label, vec_id, d2, rnk FROM (
+  SELECT label, vec_id, d2,
+    CAST(row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id)
+         AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= {OUTLIER_K}
+"""
+
+
 # --------------------------------- split-leakage audit (#112)
 
 
