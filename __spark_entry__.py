@@ -234,7 +234,11 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_collocations": corpus_ml.corpus_collocations,
         "corpus_split_leakage": corpus_ml.corpus_split_leakage,
         # round-9 addition (SURVEY §2 #113): corpus-scale KNN propagation
+        # (_all = fixed-plane oracle vehicle; _auto = the corpus-scaled
+        # production form, rows-only — no SQL oracle can carry a
+        # data-dependent plane count)
         "emb_knn_propagate_all": corpus_ml.emb_knn_propagate_all,
+        "emb_knn_propagate_auto": corpus_ml.emb_knn_propagate_auto,
         # round-9 addition (SURVEY §2 #115): per-label embedding outliers
         "emb_label_outliers": corpus_ml.emb_label_outliers,
     }

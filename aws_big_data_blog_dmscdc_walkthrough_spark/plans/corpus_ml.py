@@ -259,6 +259,25 @@ def emb_knn_propagate_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_knn_propagate_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production form of #113: ``bits=None`` auto-scales the plane
+    count with the labeled-corpus size (~256 rows/bucket), bands=4.
+    This is the variant the scale sidecars time — the fixed-bits gated
+    twin above is the ORACLE vehicle and its 2^4 buckets go quadratic
+    once the corpus outgrows them (measured: 628 s at sf3 vs 65 s for
+    this form). No SQL oracle (the plane count depends on the data), so
+    the driver records rows-only; the numpy agreement floor in
+    tests/test_similarity.py covers prediction quality."""
+    from ..operators.similarity import knn_propagate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    unlabeled = emb.where(F.col("vec_id") % KNN_PROP_MOD == 0)
+    labeled = emb.where(F.col("vec_id") % KNN_PROP_MOD != 0)
+    return knn_propagate(
+        labeled, unlabeled, "vec_id", "embedding", "label", k=5, bands=4
+    )
+
+
 def _band_sql(col: str, band: int, bits: int = KNN_PROP_BITS) -> str:
     return " + ".join(
         f"(CASE WHEN {col}[{band * bits + i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
