@@ -241,6 +241,9 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_propagate_auto": corpus_ml.emb_knn_propagate_auto,
         # round-9 addition (SURVEY §2 #115): per-label embedding outliers
         "emb_label_outliers": corpus_ml.emb_label_outliers,
+        # round-9 additions (SURVEY §2 #116-#117): transition matrix + RFM
+        "q_events_transitions": analytics.q_events_transitions,
+        "q_customer_rfm": analytics.q_customer_rfm,
     }
 
 
@@ -358,4 +361,6 @@ def secondary_oracle_sql() -> dict[str, str]:
         "corpus_split_leakage": corpus_ml.CORPUS_SPLIT_LEAKAGE_SQL,
         "emb_knn_propagate_all": corpus_ml.EMB_KNN_PROPAGATE_ALL_SQL,
         "emb_label_outliers": corpus_ml.EMB_LABEL_OUTLIERS_SQL,
+        "q_events_transitions": analytics.Q_EVENTS_TRANSITIONS_SQL,
+        "q_customer_rfm": analytics.Q_CUSTOMER_RFM_SQL,
     }

@@ -1021,3 +1021,133 @@ SELECT user_id, n_rows,
   (n_rows * nkeys + total - 1) // total AS salt_rec
 FROM top CROSS JOIN totals
 """
+
+
+# --------------------------------- event transition matrix (#116)
+
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream: for
+    each (from_type, to_type) pair of CONSECUTIVE events within a user's
+    timeline, the count and the conditional probability p(to|from).
+
+    One user-key window (lead — the sessionization footprint) + one
+    pair-keyed count agg; the probability normalizes over a
+    |event_types|²-bounded frame, never corpus-sized. Integer counts
+    divide as doubles, so the gate hash is float-drift-free.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.withColumn("next_type", F.lead("event_type").over(w)).where(
+        F.col("next_type").isNotNull()
+    )
+    counts = pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = Window.partitionBy("event_type")
+    return counts.select(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(tot)).alias("p"),
+    )
+
+
+Q_EVENTS_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT event_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS next_type
+  FROM events
+),
+counts AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+  n::DOUBLE / CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)::DOUBLE AS p
+FROM counts
+"""
+
+
+# --------------------------------- RFM customer segmentation (#117)
+
+RFM_REF_DATE = "1998-12-31"
+
+
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation over orders: per customer recency (days before
+    a fixed reference date), frequency and decimal-summed monetary,
+    bucketed 1-4 against the EXACT population quartiles of each metric.
+
+    Scale shape: bucketing compares against quartile BOUNDARIES from
+    one bounded aggregate (9 doubles, broadcast back) instead of
+    ntile's global single-partition window — the per-customer agg is
+    the only corpus-sized shuffle. Quartile values interpolate the
+    same way in Spark (percentile) and DuckDB (quantile_cont), the
+    convention the exact-median gate already proves.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(RFM_REF_DATE).cast("date"), F.max("o_orderdate")
+        ).alias("recency_days"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        _dsum(F.col("o_totalprice")).alias("monetary"),
+    )
+    qs = per.agg(
+        *[
+            F.expr(f"percentile({c}, {p})").alias(f"{c[0]}{i + 1}")
+            for c in ("recency_days", "frequency", "monetary")
+            for i, p in enumerate((0.25, 0.5, 0.75))
+        ]
+    )
+
+    def bucket(col, lo, mid, hi):
+        return (
+            F.when(F.col(col) <= F.col(lo), F.lit(1))
+            .when(F.col(col) <= F.col(mid), F.lit(2))
+            .when(F.col(col) <= F.col(hi), F.lit(3))
+            .otherwise(F.lit(4))
+        )
+
+    return per.crossJoin(F.broadcast(qs)).select(
+        F.col("o_custkey").alias("c_custkey"),
+        "recency_days",
+        "frequency",
+        "monetary",
+        bucket("recency_days", "r1", "r2", "r3").alias("r_q"),
+        bucket("frequency", "f1", "f2", "f3").alias("f_q"),
+        bucket("monetary", "m1", "m2", "m3").alias("m_q"),
+    )
+
+
+Q_CUSTOMER_RFM_SQL = f"""
+WITH per AS (
+  SELECT o_custkey AS c_custkey,
+    date_diff('day', MAX(o_orderdate), DATE '{RFM_REF_DATE}') AS recency_days,
+    CAST(COUNT(*) AS BIGINT) AS frequency,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY 1
+),
+q AS (
+  SELECT
+    quantile_cont(recency_days, 0.25) AS r1, quantile_cont(recency_days, 0.5) AS r2,
+    quantile_cont(recency_days, 0.75) AS r3,
+    quantile_cont(frequency, 0.25) AS f1, quantile_cont(frequency, 0.5) AS f2,
+    quantile_cont(frequency, 0.75) AS f3,
+    quantile_cont(monetary, 0.25) AS m1, quantile_cont(monetary, 0.5) AS m2,
+    quantile_cont(monetary, 0.75) AS m3
+  FROM per
+)
+SELECT c_custkey, CAST(recency_days AS INT) AS recency_days, frequency, monetary,
+  CASE WHEN recency_days <= r1 THEN 1 WHEN recency_days <= r2 THEN 2
+       WHEN recency_days <= r3 THEN 3 ELSE 4 END AS r_q,
+  CASE WHEN frequency <= f1 THEN 1 WHEN frequency <= f2 THEN 2
+       WHEN frequency <= f3 THEN 3 ELSE 4 END AS f_q,
+  CASE WHEN monetary <= m1 THEN 1 WHEN monetary <= m2 THEN 2
+       WHEN monetary <= m3 THEN 3 ELSE 4 END AS m_q
+FROM per CROSS JOIN q
+"""
