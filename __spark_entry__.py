@@ -244,6 +244,8 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-9 additions (SURVEY §2 #116-#117): transition matrix + RFM
         "q_events_transitions": analytics.q_events_transitions,
         "q_customer_rfm": analytics.q_customer_rfm,
+        # round-9 addition (SURVEY §2 #118): lang metadata audit
+        "corpus_lang_mismatch": text.corpus_lang_mismatch,
     }
 
 
@@ -363,4 +365,5 @@ def secondary_oracle_sql() -> dict[str, str]:
         "emb_label_outliers": corpus_ml.EMB_LABEL_OUTLIERS_SQL,
         "q_events_transitions": analytics.Q_EVENTS_TRANSITIONS_SQL,
         "q_customer_rfm": analytics.Q_CUSTOMER_RFM_SQL,
+        "corpus_lang_mismatch": text.CORPUS_LANG_MISMATCH_SQL,
     }

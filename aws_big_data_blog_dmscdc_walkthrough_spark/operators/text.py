@@ -163,16 +163,12 @@ FROM t
 
 # ---------------------------------------------------------------- langid
 
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-vote language ID with CJK byte-ratio shortcut.
-
-    Non-ASCII detection uses octet_length-vs-length (multibyte excess),
-    avoiding engine-specific regex hex classes entirely.
-    """
-    docs = spread(load_table(spark, sf_dir, "documents"))
+def _langid_scored(docs: DataFrame, keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Per-doc stopword votes + multibyte excess — the langid features."""
     toks = _tokens(F.lower(F.col("text")))
-    scored = docs.withColumn("_toks", toks).select(
+    return docs.withColumn("_toks", toks).select(
         "doc_id",
+        *keep_cols,
         *[
             _stop_count(F.col("_toks"), STOPWORDS[lang]).alias(f"s_{lang}")
             for lang in ("en", "es", "de", "fr")
@@ -180,15 +176,31 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.octet_length("text") - F.length("text")).alias("_byte_excess"),
         F.length("text").alias("_len"),
     )
+
+
+def _langid_pred():
+    """The vote-resolution rule over a _langid_scored frame's columns."""
     s = {k: F.col(f"s_{k}") for k in ("en", "es", "de", "fr")}
-    pred = (
+    return (
         F.when(F.col("_byte_excess") * 10 > F.col("_len") * 3, F.lit("zh"))
         .when((s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]), F.lit("en"))
         .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]), F.lit("es"))
         .when(s["de"] >= s["fr"], F.lit("de"))
         .otherwise(F.lit("fr"))
     )
-    return scored.select("doc_id", pred.alias("lang_pred"), "s_en", "s_es", "s_de", "s_fr")
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID with CJK byte-ratio shortcut.
+
+    Non-ASCII detection uses octet_length-vs-length (multibyte excess),
+    avoiding engine-specific regex hex classes entirely.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return _langid_scored(docs).select(
+        "doc_id", _langid_pred().alias("lang_pred"),
+        "s_en", "s_es", "s_de", "s_fr",
+    )
 
 
 TEXT_LANGID_SQL = rf"""
@@ -212,6 +224,64 @@ SELECT doc_id,
        ELSE 'fr' END AS lang_pred,
   s_en, s_es, s_de, s_fr
 FROM s
+"""
+
+
+# ----------------------------------- language-consistency audit (#118)
+
+
+def corpus_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-consistency audit: per (source, declared lang), how many
+    docs the stopword-vote language ID (#26's exact rule) disagrees
+    with. The screen a curation pipeline runs before trusting upstream
+    lang tags for filtering or mixture weighting. Map-side scoring +
+    one (source, lang)-keyed count agg — bounded output."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    per = _langid_scored(docs, keep_cols=("source", "lang")).select(
+        "source", "lang", _langid_pred().alias("lang_pred")
+    )
+    n_mismatch = F.sum(
+        (F.col("lang") != F.col("lang_pred")).cast("long")
+    ).alias("n_mismatch")
+    return per.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        n_mismatch,
+    ).select(
+        "source", "lang", "n_docs", "n_mismatch",
+        (F.col("n_mismatch").cast("double") / F.col("n_docs")).alias(
+            "mismatch_rate"
+        ),
+    )
+
+
+CORPUS_LANG_MISMATCH_SQL = rf"""
+WITH t AS (
+  SELECT source, lang, string_split_regex(trim(lower(text)), '\s+') AS toks,
+    strlen(text) - length(text) AS byte_excess, length(text) AS n_len
+  FROM documents
+), s AS (
+  SELECT source, lang, byte_excess, n_len,
+    {_sql_stop_count(STOPWORDS['en'])} AS s_en,
+    {_sql_stop_count(STOPWORDS['es'])} AS s_es,
+    {_sql_stop_count(STOPWORDS['de'])} AS s_de,
+    {_sql_stop_count(STOPWORDS['fr'])} AS s_fr
+  FROM t
+), p AS (
+  SELECT source, lang,
+    CASE WHEN byte_excess * 10 > n_len * 3 THEN 'zh'
+         WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         WHEN s_de >= s_fr THEN 'de'
+         ELSE 'fr' END AS lang_pred
+  FROM s
+)
+SELECT source, lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN lang <> lang_pred THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_mismatch,
+  CAST(SUM(CASE WHEN lang <> lang_pred THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+    / CAST(COUNT(*) AS BIGINT) AS mismatch_rate
+FROM p GROUP BY source, lang
 """
 
 
