@@ -246,6 +246,8 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_customer_rfm": analytics.q_customer_rfm,
         # round-9 addition (SURVEY §2 #118): lang metadata audit
         "corpus_lang_mismatch": text.corpus_lang_mismatch,
+        # round-9 addition (SURVEY §2 #119): bigram LM surprisal
+        "text_bigram_surprisal": text.text_bigram_surprisal,
     }
 
 
@@ -366,4 +368,5 @@ def secondary_oracle_sql() -> dict[str, str]:
         "q_events_transitions": analytics.Q_EVENTS_TRANSITIONS_SQL,
         "q_customer_rfm": analytics.Q_CUSTOMER_RFM_SQL,
         "corpus_lang_mismatch": text.CORPUS_LANG_MISMATCH_SQL,
+        "text_bigram_surprisal": text.TEXT_BIGRAM_SURPRISAL_SQL,
     }

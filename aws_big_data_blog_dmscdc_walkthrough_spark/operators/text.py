@@ -1056,6 +1056,95 @@ def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_surprisal(docs, "doc_id", "text")
 
 
+def bigram_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc mean CONDITIONAL surprisal -log p(token | prev token) in
+    decimal-digit buckets — the context-sensitive LM quality signal
+    (CCNet scores docs with a KenLM n-gram model; this is that shape
+    with the repo's integer-exact digit-bucket log proxy, #91):
+    surprisal(p→c) = digits(count(p as context)) − digits(count(p,c)).
+
+    Plan: bigram pairs form MAP-SIDE from each doc's token array (no
+    per-doc window), then two word-count-shaped aggregations (pair
+    counts, context counts) join back on their own keys and one doc
+    aggregation folds the positions. Linear in corpus tokens. Docs with
+    fewer than two tokens have no bigrams and are absent.
+    """
+    tk = F.filter(_tokens(F.col(text_col)), lambda t: t != "")
+    pairs_arr = F.transform(
+        F.sequence(F.lit(2), F.size("_tk")),
+        lambda i: F.struct(
+            F.element_at(F.col("_tk"), i - 1).alias("p"),
+            F.element_at(F.col("_tk"), i).alias("c"),
+        ),
+    )
+    pr = (
+        df.select(F.col(id_col), tk.alias("_tk"))
+        # NULL when <2 tokens: guards sequence(2,1) descending; explode
+        # drops the row, matching the oracle's empty range
+        .select(
+            F.col(id_col),
+            F.explode(F.when(F.size("_tk") >= 2, pairs_arr)).alias("_pc"),
+        )
+        .select(F.col(id_col), F.col("_pc.p").alias("_p"), F.col("_pc.c").alias("_c"))
+    )
+    big = pr.groupBy("_p", "_c").agg(F.count(F.lit(1)).alias("_cb"))
+    ctx = pr.groupBy("_p").agg(F.count(F.lit(1)).alias("_cp"))
+    bucket = F.length(F.col("_cp").cast("string")) - F.length(
+        F.col("_cb").cast("string")
+    )
+    return (
+        pr.join(big, ["_p", "_c"])
+        .join(ctx, ["_p"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(bucket).alias("sum_surprisal"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_bigrams"),
+            F.col("sum_surprisal"),
+            (
+                F.col("sum_surprisal").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("mean_surprisal"),
+        )
+    )
+
+
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query for #119 over the documents table."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return bigram_surprisal(docs, "doc_id", "text")
+
+
+TEXT_BIGRAM_SURPRISAL_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+pr AS (
+  SELECT doc_id, pair[1] AS p, pair[2] AS c FROM (
+    SELECT doc_id,
+      unnest([[tk[i-1], tk[i]] for i in range(2, len(tk) + 1)]) AS pair
+    FROM t
+  )
+),
+big AS (SELECT p, c, CAST(COUNT(*) AS BIGINT) AS cb FROM pr GROUP BY p, c),
+ctx AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS cp FROM pr GROUP BY p)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(SUM(length(CAST(cp AS VARCHAR)) - length(CAST(cb AS VARCHAR)))
+       AS BIGINT) AS sum_surprisal,
+  CAST(SUM(length(CAST(cp AS VARCHAR)) - length(CAST(cb AS VARCHAR)))
+       AS BIGINT)::DOUBLE / CAST(COUNT(*) AS BIGINT)::DOUBLE
+    AS mean_surprisal
+FROM pr JOIN big USING (p, c) JOIN ctx USING (p)
+GROUP BY doc_id
+"""
+
+
 TEXT_SURPRISAL_SQL = r"""
 WITH tok AS (
   SELECT doc_id,
