@@ -289,3 +289,39 @@ def test_temperature_mix_zero_token_source(spark):
     # positive source so it is kept whole too
     assert out["emptysrc"].rate_ppm == text.MIX_RATE_DENOM
     assert out["big"].rate_ppm == text.MIX_RATE_DENOM
+
+
+def test_bigram_surprisal_hand_computed(spark):
+    """#119 semantics on a corpus small enough to verify by hand.
+
+    Corpus bigrams: doc0 'a b a b c', doc1 'a b x'.
+    Pairs: (a,b)x3, (b,a)x1, (b,c)x1, (b,x)x1.
+    Context counts: a->3, b->3.
+    digits: all counts are single-digit, so surprisal per position is
+    digits(ctx)-digits(pair) = 0 everywhere except nothing — all zeros
+    here; bump one pair over the 10 threshold to get a nonzero bucket.
+    """
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import text as t
+
+    rows = [(0, "a b a b c"), (1, "a b x")]
+    # add 8 more 'a b' docs so count(a,b)=11 (2 digits) while count(b,*)
+    # stays single-digit: ctx(a)=11 too -> bucket still 0 for (a,b);
+    # ctx(b)=3, pair (b,a)=1 -> bucket 1-1=0. To force a nonzero bucket,
+    # repeat 'y z' pairs so ctx(y)=12 but each (y, z_i) pair is rare.
+    rows += [(10 + i, f"y z{i} y z{i} y z{i} y z{i} y z{i} y z{i}") for i in range(2)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in t.bigram_surprisal(docs, "doc_id", "text").collect()}
+    # doc0: 4 bigrams (a,b),(b,a),(a,b),(b,c); doc1: 2 bigrams
+    assert out[0].n_bigrams == 4
+    assert out[1].n_bigrams == 2
+    # docs 10,11: 11 bigrams each; ctx(y) = 12 occurrences as prev
+    # (6 per doc x 2 docs), ctx(z_i) = 5 per doc; pair (y,z_i) = 6,
+    # (z_i,y) = 5 -> buckets digits(12)-digits(6) = 1 for y->z_i,
+    # digits(5)-digits(5) = 0 for z_i->y: sum = 6 per doc
+    assert out[10].n_bigrams == 11
+    assert out[10].sum_surprisal == 6
+    assert out[10].mean_surprisal == 6 / 11
+    # single-token / empty docs are absent
+    extra = spark.createDataFrame([(99, "solo"), (98, "")], "doc_id long, text string")
+    out2 = {r.doc_id for r in t.bigram_surprisal(extra, "doc_id", "text").collect()}
+    assert out2 == set()
