@@ -537,6 +537,12 @@ def scd2_merge_on_read(
             live = live.withColumn(
                 c, F.lit(None).cast(changes.schema[c].dataType)
             )
+    # pre-pruning view: the hwm backfill below must see EVERY bucket —
+    # an aggregate over the isin-pruned frame misses untouched buckets
+    # whose committed seqs may exceed this batch's, and a too-low mark
+    # would let a replayed committed batch through the fast path
+    # (double-apply)
+    live_all = live
     if bucketed:
         # bucket values derive from the batch's keys: a bounded isin
         # list (≤ n_buckets) that turns both scans below into
@@ -588,23 +594,33 @@ def scd2_merge_on_read(
             StorageLevel.MEMORY_AND_DISK
         )
         if seq_monotonic:
-            gm_m = _seq_mark(
-                live.agg(
-                    F.max(
-                        F.greatest(
-                            F.col("valid_from_seq"),
-                            F.coalesce(
-                                F.col("valid_to_seq"), F.col("valid_from_seq")
-                            ),
-                        )
-                    ).alias("g")
-                ).first()["g"]
-            )
-            cands = [
-                v
-                for v in (gm_m, hi_m, prev_props.get("scd2_seq_hwm"))
-                if v is not None
-            ]
+            # the mark must upper-bound EVERY committed seq. A prior
+            # comparable mark already does (induction over folds: each
+            # commit records max(mark, batch hi)), so max(prev, hi)
+            # suffices and the history aggregate is skipped. Only a
+            # legacy pre-hwm manifest (or an incomparable prior mark)
+            # needs the backfill aggregate — and it runs over LIVE_ALL,
+            # the unpruned history: on a bucketed table the isin-pruned
+            # `live` misses untouched buckets (see live_all note above).
+            prev_m = prev_props.get("scd2_seq_hwm")
+            gm_m = None
+            if prev_m is None or (
+                hi_m is not None and type(prev_m) is not type(hi_m)
+            ):
+                gm_m = _seq_mark(
+                    live_all.agg(
+                        F.max(
+                            F.greatest(
+                                F.col("valid_from_seq"),
+                                F.coalesce(
+                                    F.col("valid_to_seq"),
+                                    F.col("valid_from_seq"),
+                                ),
+                            )
+                        ).alias("g")
+                    ).first()["g"]
+                )
+            cands = [v for v in (gm_m, hi_m, prev_m) if v is not None]
             if cands and all(type(v) is type(cands[0]) for v in cands):
                 hwm_new = max(cands)
     open_rows = None

@@ -432,3 +432,64 @@ def test_scd2_monotonic_straddling_batch_falls_back_exact(spark, tmp_path):
         seq_col="seq", seq_monotonic=True,
     )
     assert manifest.read_manifest(spark, out)["version"] == v
+
+
+def test_scd2_bucketed_legacy_hwm_backfill_sees_all_buckets(spark, tmp_path):
+    """Round-9 advice repro (lake_writer.py hwm backfill): on a BUCKETED
+    legacy history (no recorded hwm) the backfill aggregate must run
+    over the UNPRUNED history. If it only sees the batch's buckets, a
+    history row in an untouched bucket with a higher committed seq
+    leaves the mark too low, and a later replay of that committed batch
+    takes the fast path and is double-applied (history corruption)."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import (
+        lake_writer,
+        manifest,
+    )
+
+    def frame(rs):
+        return spark.createDataFrame(rs, "pk int, v int, op string, seq int")
+
+    # pick a key whose pk-hash bucket differs from key 1's, so the
+    # legacy row's bucket is untouched by the backfilling fold
+    n_buckets = 8
+    b_of = {
+        r.pk: r.b
+        for r in frame([(k, 0, "I", 0) for k in range(1, 20)])
+        .select("pk", lake_writer._pk_bucket_expr(["pk"], n_buckets).alias("b"))
+        .collect()
+    }
+    other = next(k for k in range(2, 20) if b_of[k] != b_of[1])
+
+    out = str(tmp_path / "hist_legacy_bucketed")
+    # legacy fold: bucketed, NO seq_monotonic -> manifest has no hwm
+    lake_writer.scd2_merge_on_read(
+        spark, frame([(1, 10, "I", 100)]), out, ["pk"],
+        seq_col="seq", bucket_partitions=n_buckets,
+    )
+    assert "scd2_seq_hwm" not in (
+        manifest.read_manifest(spark, out)["properties"] or {}
+    )
+    # backfilling fold touches ONLY `other`'s bucket, with a LOWER seq
+    lake_writer.scd2_merge_on_read(
+        spark, frame([(other, 20, "I", 50)]), out, ["pk"],
+        seq_col="seq", bucket_partitions=n_buckets, seq_monotonic=True,
+    )
+    man = manifest.read_manifest(spark, out)
+    # the mark must upper-bound EVERY committed seq, incl. bucket 1's 100
+    assert man["properties"]["scd2_seq_hwm"] == 100
+    # replay the committed seq-100 batch: min seq 100 is NOT above the
+    # mark, so the exact per-key guard runs and the fold no-ops
+    v = man["version"]
+    lake_writer.scd2_merge_on_read(
+        spark, frame([(1, 10, "I", 100)]), out, ["pk"],
+        seq_col="seq", bucket_partitions=n_buckets, seq_monotonic=True,
+    )
+    assert manifest.read_manifest(spark, out)["version"] == v
+    got = {
+        (r.pk, r.v): (r.valid_from_seq, r.valid_to_seq, r.is_current)
+        for r in manifest.read_table(spark, out).collect()
+    }
+    assert got == {
+        (1, 10): (100, None, True),
+        (other, 20): (50, None, True),
+    }
