@@ -367,10 +367,15 @@ def ngram_jaccard_pairs(
     (*block_cols, shingle) index groups with more than this many docs —
     the hard bound against a pathological corpus where one shingle (or
     one block's shared boilerplate) appears in everything and df²
-    explodes. Pairs whose every shared shingle is that hot lose recall,
-    exactly the minhash hot-bucket trade. (On the small-input direct
-    path below, the cap bounds whole block populations instead — the
-    pre-round-9 semantics; both are recall-for-boundedness trades.)
+    explodes. Pairs whose EVERY shared shingle is that hot lose recall,
+    exactly the minhash hot-bucket trade — but any pair that still
+    meets via a cold shingle is re-scored exactly (a shortlist join
+    back to the full shingle arrays), so the cap only ever OMITS pairs,
+    never emits an understated jaccard and never threshold-drops a pair
+    on a partial count. (On the small-input direct path below, the cap
+    bounds whole block populations instead — a different lossy recall
+    set, so with ``block_cap`` set the two adaptive plans may omit
+    different pairs; every emitted value is exact on both.)
 
     Small-input adaptivity: the index plan costs two extra shuffles
     (token join + pair aggregation) whose fixed stage overhead is most
@@ -378,7 +383,8 @@ def ngram_jaccard_pairs(
     direct blocked join + ``array_intersect`` wins (measured at sf0.1:
     1.5 s direct vs 2.0 s indexed, while sf3 flips to 9.4 s indexed vs
     18.8 s direct). Same trade and same size gate as :func:`spread`;
-    both plans are exact, so the output is identical either way.
+    with ``block_cap=None`` both plans are exact, so the output is
+    identical either way (capped recall sets differ — see above).
     """
     if threshold <= 0:
         raise ValueError(
@@ -446,12 +452,38 @@ def ngram_jaccard_pairs(
             F.first("_szb").alias("_szb"),
         )
     )
-    jaccard = F.col("_inter").cast("double") / (
-        F.col("_sza") + F.col("_szb") - F.col("_inter")
+    if block_cap is None:
+        # uncapped index: the hit count IS |A∩B| exactly
+        jaccard = F.col("_inter").cast("double") / (
+            F.col("_sza") + F.col("_szb") - F.col("_inter")
+        )
+        return inter.select(
+            "id_a", "id_b", jaccard.alias("jaccard")
+        ).where(F.col("jaccard") >= threshold)
+    # capped index: dropped hot postings make _inter a LOWER bound for
+    # pairs that also shared a hot shingle, so neither the value nor a
+    # threshold filter on it is trustworthy. Re-score the shortlist
+    # exactly: two id-keyed joins back to the full shingle arrays (the
+    # shortlist is cap-bounded by construction — that is the cap's whole
+    # point), then one array_intersect per candidate pair.
+    full_a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
+    full_b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
+    rescored = (
+        inter.select("id_a", "id_b")
+        .join(full_a, "id_a")
+        .join(full_b, "id_b")
+        .withColumn(
+            "_inter", F.size(F.array_intersect("_sh_a", "_sh_b"))
+        )
+        .withColumn(
+            "jaccard",
+            F.col("_inter").cast("double")
+            / (F.size("_sh_a") + F.size("_sh_b") - F.col("_inter")),
+        )
     )
-    return inter.select(
-        "id_a", "id_b", jaccard.alias("jaccard")
-    ).where(F.col("jaccard") >= threshold)
+    return rescored.select("id_a", "id_b", "jaccard").where(
+        F.col("jaccard") >= threshold
+    )
 
 
 def _ngram_pairs_direct(

@@ -47,6 +47,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 MAGIC = b"MMRW"
+
+# ISO-BMFF ftyp major brands that really are MP4 movie containers (the
+# shapes the moov/mvhd metadata walk understands). HEIC/AVIF stills
+# (heic/mif1/avif), QuickTime (qt  ), and 3GP brands are NOT listed —
+# they sniff as octet-stream rather than pretending to be video.
+_MP4_BRANDS = frozenset([
+    b"isom", b"iso2", b"iso3", b"iso4", b"iso5", b"iso6",
+    b"mp41", b"mp42", b"mp71", b"avc1", b"dash", b"M4V ", b"M4VP",
+])
 HEADER_FMT = "<4sHHHH"  # magic, width, height, channels, frames
 HEADER_SIZE = struct.calcsize(HEADER_FMT)
 
@@ -174,7 +183,13 @@ def sniff_mime(blob: bytes) -> str:
     if blob[:6] in (b"GIF87a", b"GIF89a"):
         return "image/gif"
     if len(blob) >= 12 and blob[4:8] == b"ftyp":
-        return "video/mp4"
+        # any ISO-BMFF container carries 'ftyp' — HEIC/AVIF stills and
+        # MOV/3GP would otherwise sniff as video and send _blob_meta
+        # walking a moov that may not exist. Gate on the major brand
+        # (the fourcc right after 'ftyp'); unrecognized brands fall
+        # through to octet-stream instead of a silent zero-dims parse.
+        if blob[8:12] in _MP4_BRANDS:
+            return "video/mp4"
     return "application/octet-stream"
 
 

@@ -588,10 +588,26 @@ def knn_propagate(
     if dim is None:
         row = labeled.select(F.size(F.col(vec_col)).alias("d")).first()
         dim = int(row["d"]) if row else 0
+    if dim <= 0:
+        # fail here with a clear input error: dim=0 would drive the
+        # auto bits to 0 and the band-bucket expression would then be a
+        # plain Python 0 (sum over no planes), surfacing as a baffling
+        # plan-time TypeError inside F.array
+        raise ValueError(
+            "knn_propagate needs a non-empty labeled frame of "
+            f"fixed-width vectors; got embedding dim {dim} "
+            "(empty labeled input?)"
+        )
     if bits is None:
         n = labeled.count()
         bits = max(4, math.ceil(math.log2(max(n, 1) / KNN_PROPAGATE_TARGET_BUCKET + 1)))
         bits = min(bits, dim // max(bands, 1))
+    if bits < 1:
+        raise ValueError(
+            f"computed {bits} hyperplane bits per band: embedding dim "
+            f"{dim} is too narrow for bands={bands} disjoint slices — "
+            "lower bands or pass bits explicitly"
+        )
     if bands * bits > dim:
         raise ValueError(
             f"bands*bits = {bands * bits} exceeds the embedding dim {dim}: "

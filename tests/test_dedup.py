@@ -94,6 +94,42 @@ def test_ngram_block_cap_bounds_pathological_corpus(spark):
     assert uncapped_small.count() == 20 * 19 // 2
 
 
+def test_ngram_block_cap_rescores_cold_survivors_exactly(spark):
+    """Round-9 advice repro: with block_cap set, a pair that still meets
+    via COLD shingles must be emitted with its EXACT jaccard (full
+    arrays), not the understated cold-only count — the cap may only
+    OMIT pairs, never change a reported value."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import dedup
+
+    # 60 docs all share one hot shingle source ("omega psi chi" k=3 runs
+    # through every text); doc pairs (2i, 2i+1) additionally share a
+    # long cold tail, so they meet via cold shingles even when the hot
+    # postings are dropped.
+    rows = []
+    for i in range(30):
+        tail = f"tail{i} alpha{i} beta{i} gamma{i} delta{i} epsilon{i}"
+        rows.append((2 * i, f"omega psi chi {tail} one"))
+        rows.append((2 * i + 1, f"omega psi chi {tail} two"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r.id_a, r.id_b): round(r.jaccard, 12)
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", (), 0.3
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): round(r.jaccard, 12)
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", (), 0.3, block_cap=10
+        ).collect()
+    }
+    assert capped  # the cold tails keep the twin pairs alive
+    # capped ⊆ exact with IDENTICAL values (omission-only semantics)
+    for pair, j in capped.items():
+        assert exact[pair] == j
+    assert set(capped) <= set(exact)
+
+
 def test_release_persisted_drains_all_caches(spark):
     import __spark_entry__ as entry_mod
     from aws_big_data_blog_dmscdc_walkthrough_spark.operators import dedup

@@ -611,3 +611,23 @@ def test_decode_media_fills_mp4_meta(spark):
     assert out[0].mime == "video/mp4"
     assert (out[0].width, out[0].height, out[0].n_frames) == (640, 360, 120)
     assert (out[1].width, out[1].height, out[1].n_frames) == (320, 240, 30)
+
+
+def test_sniff_mime_gates_isobmff_on_major_brand():
+    """Round-9 advice: every ISO-BMFF container carries 'ftyp' — HEIC /
+    AVIF stills and QuickTime must NOT sniff as video/mp4 (the moov
+    metadata walk would silently report zero dims); real MP4 brands do."""
+    import struct
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import (
+        multimodal as mm,
+    )
+
+    def ftyp(brand: bytes) -> bytes:
+        body = brand + b"\x00\x00\x02\x00" + brand
+        return struct.pack(">I", 8 + len(body)) + b"ftyp" + body
+
+    for brand in (b"isom", b"mp42", b"avc1", b"M4V "):
+        assert mm.sniff_mime(ftyp(brand)) == "video/mp4", brand
+    for brand in (b"heic", b"mif1", b"avif", b"qt  ", b"3gp5"):
+        assert mm.sniff_mime(ftyp(brand)) == "application/octet-stream", brand

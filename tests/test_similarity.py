@@ -444,3 +444,30 @@ def test_knn_propagate_guards_band_overflow(spark):
             "vec_id", "embedding", "label",
             bits=32, bands=4,  # 128 > 64 dims
         )
+
+def test_knn_propagate_empty_labeled_raises_clear_error(spark):
+    """Round-9 advice: bits=None on an EMPTY labeled frame used to drive
+    dim→0, bits→0, and band_bucket then produced a bare Python 0 that
+    blew up inside F.array as an opaque plan-time TypeError. Must raise
+    a descriptive ValueError instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators.similarity import (
+        knn_propagate,
+    )
+    from aws_big_data_blog_dmscdc_walkthrough_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="empty labeled input"):
+        knn_propagate(
+            emb.limit(0), emb.limit(10), "vec_id", "embedding", "label"
+        )
+    # narrow vectors: dim // bands == 0 -> clear error, not F.array TypeError
+    narrow = emb.limit(5).select(
+        "vec_id", F.slice("embedding", 1, 1).alias("embedding"), "label"
+    )
+    with pytest.raises(ValueError, match="too narrow"):
+        knn_propagate(
+            narrow, emb.limit(10), "vec_id", "embedding", "label", bands=2
+        )
