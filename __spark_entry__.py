@@ -114,24 +114,23 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_range_join": analytics.q_events_range_join,
         "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
         "q18_large_volume_customers": analytics.q18_large_volume_customers,
-        # ROUND-9 DEBUT SLOTS (the committed round-8 rotation plan): the
-        # four round-8 debuts (#89, #90, #94, #100: cdc_scd2,
-        # cdc_snapshot_diff, cdc_incremental_agg, lake_expectations)
-        # hash-matched in CORRECTNESS_r08 and move to
-        # secondary_queries(); the product-analytics + corpus-quality
-        # four (#95, #96, #91, #92) take their driver-gate slots so
-        # CORRECTNESS_r09 carries hash evidence for them.
-        "q_events_funnel": analytics.q_events_funnel,
-        "q_events_retention": analytics.q_events_retention,
-        "text_surprisal": text.text_surprisal,
-        "corpus_temperature_mix": text.corpus_temperature_mix,
-        # ROUND-10 ROTATION PLAN: demote the four round-9 debuts above
-        # once CORRECTNESS_r09 is green and debut q_lineitem_bloom_semi,
-        # emb_hard_negatives, lake_profile, q_events_gapfill in their
-        # place (then q_events_skew_report, q_part_fuzzy_match,
-        # eval_langid_report + one round-9 addition in round 11),
-        # keeping every oracled query driver-gated at least once per
-        # two-to-three rounds. q_events_daily_users /
+        # ROUND-10 DEBUT SLOTS (the committed round-9 rotation plan):
+        # the four round-9 debuts (#95, #96, #91, #92: q_events_funnel,
+        # q_events_retention, text_surprisal, corpus_temperature_mix)
+        # hash-matched in CORRECTNESS_r09 (50/50 green) and move to
+        # secondary_queries(); the bloom/mining/profiling/densification
+        # four (#93, #99, #103, #101) take their driver-gate slots so
+        # CORRECTNESS_r10 carries hash evidence for them.
+        "q_lineitem_bloom_semi": analytics.q_lineitem_bloom_semi,
+        "emb_hard_negatives": llm_queries.emb_hard_negatives,
+        "lake_profile": cdc_queries.lake_profile,
+        "q_events_gapfill": analytics.q_events_gapfill,
+        # ROUND-11 ROTATION PLAN: demote the four round-10 debuts above
+        # once CORRECTNESS_r10 is green and debut q_events_skew_report,
+        # q_part_fuzzy_match, eval_langid_report + one round-9/10
+        # addition (e.g. emb_knn_propagate_all or corpus_collocations)
+        # in their place, keeping every oracled query driver-gated at
+        # least once per two-to-three rounds. q_events_daily_users /
         # q_orders_median_price / sample_stratified / sketch_count_min
         # (hash-green r06) remain pytest-oracled in secondary until a
         # debut slot frees up.
@@ -196,10 +195,12 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_count_min": text.sketch_count_min,
         # round-7 addition (SURVEY §2 #88)
         "dedup_source_matrix": llm_queries.dedup_source_matrix,
-        # round-7 addition (SURVEY §2 #93): explicit bloom runtime filter
-        "q_lineitem_bloom_semi": analytics.q_lineitem_bloom_semi,
-        # round-7 addition (SURVEY §2 #99): metric-learning mining
-        "emb_hard_negatives": llm_queries.emb_hard_negatives,
+        # rotated out of the driver gate after hash-matching in round 9
+        # (SURVEY §2 #95, #96, #91, #92); pytest-oracled here every round
+        "q_events_funnel": analytics.q_events_funnel,
+        "q_events_retention": analytics.q_events_retention,
+        "text_surprisal": text.text_surprisal,
+        "corpus_temperature_mix": text.corpus_temperature_mix,
         # rotated out of the driver gate after hash-matching in round 8
         # (SURVEY §2 #89, #90, #94, #100); pytest-oracled here every round
         "cdc_scd2": cdc_queries.cdc_scd2,
@@ -212,12 +213,8 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": llm_queries.dedup_substring,
         "text_quality_classifier": text.text_quality_classifier,
         "ann_pq_topk": llm_queries.ann_pq_topk,
-        # round-7 addition (SURVEY §2 #101): time-series densification
-        "q_events_gapfill": analytics.q_events_gapfill,
         # round-7 addition (SURVEY §2 #102): hot-key diagnostics
         "q_events_skew_report": analytics.q_events_skew_report,
-        # round-7 addition (SURVEY §2 #103): column profiling
-        "lake_profile": cdc_queries.lake_profile,
         # round-7 addition (SURVEY §2 #104): record linkage
         "q_part_fuzzy_match": llm_queries.q_part_fuzzy_match,
         # round-7 addition (SURVEY §2 #105): model evaluation
@@ -299,10 +296,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_batch_topk": llm_queries.ANN_BATCH_TOPK_SQL,
         "emb_label_centroids": llm_queries.EMB_LABEL_CENTROIDS_SQL,
         "pipeline_curate_corpus": llm_queries.PIPELINE_CURATE_CORPUS_SQL,
-        "q_events_funnel": analytics.Q_EVENTS_FUNNEL_SQL,
-        "q_events_retention": analytics.Q_EVENTS_RETENTION_SQL,
-        "text_surprisal": text.TEXT_SURPRISAL_SQL,
-        "corpus_temperature_mix": text.CORPUS_TEMPERATURE_MIX_SQL,
+        "q_lineitem_bloom_semi": analytics.Q_LINEITEM_BLOOM_SEMI_SQL,
+        "emb_hard_negatives": llm_queries.EMB_HARD_NEGATIVES_SQL,
+        "lake_profile": cdc_queries.LAKE_PROFILE_SQL,
+        "q_events_gapfill": analytics.Q_EVENTS_GAPFILL_SQL,
     }
 
 
@@ -331,15 +328,15 @@ def secondary_oracle_sql() -> dict[str, str]:
         "cdc_snapshot_diff": cdc_queries.CDC_SNAPSHOT_DIFF_SQL,
         "cdc_incremental_agg": cdc_queries.CDC_INCREMENTAL_AGG_SQL,
         "lake_expectations": cdc_queries.LAKE_EXPECTATIONS_SQL,
-        "q_lineitem_bloom_semi": analytics.Q_LINEITEM_BLOOM_SEMI_SQL,
+        "q_events_funnel": analytics.Q_EVENTS_FUNNEL_SQL,
+        "q_events_retention": analytics.Q_EVENTS_RETENTION_SQL,
+        "text_surprisal": text.TEXT_SURPRISAL_SQL,
+        "corpus_temperature_mix": text.CORPUS_TEMPERATURE_MIX_SQL,
         "dedup_semantic": llm_queries.DEDUP_SEMANTIC_SQL,
         "dedup_substring": llm_queries.DEDUP_SUBSTRING_SQL,
         "text_quality_classifier": text.TEXT_QUALITY_CLASSIFIER_SQL,
         "ann_pq_topk": llm_queries.ANN_PQ_TOPK_SQL,
-        "emb_hard_negatives": llm_queries.EMB_HARD_NEGATIVES_SQL,
-        "q_events_gapfill": analytics.Q_EVENTS_GAPFILL_SQL,
         "q_events_skew_report": analytics.Q_EVENTS_SKEW_REPORT_SQL,
-        "lake_profile": cdc_queries.LAKE_PROFILE_SQL,
         "q_part_fuzzy_match": llm_queries.Q_PART_FUZZY_MATCH_SQL,
         "eval_langid_report": llm_queries.EVAL_LANGID_REPORT_SQL,
         "dedup_incremental": llm_queries.DEDUP_INCREMENTAL_SQL,
