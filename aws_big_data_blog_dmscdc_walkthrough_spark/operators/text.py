@@ -653,12 +653,24 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     the polynomial fold, cell via (a·h + b) mod P mod w — so the DuckDB
     twin reproduces the sketch bit-for-bit; estimator error bounds are
     pinned in tests.
+
+    Plan shape (round 10): count words FIRST, hash the DISTINCT
+    vocabulary after. The cell sum over tokens equals the
+    count-weighted cell sum over distinct words, so the Arrow hash pass
+    and the d-way posexplode run on |vocab| rows instead of every
+    corpus token — the expensive per-row work shrinks by the
+    token/vocab ratio (~40× on natural text) and the fan-out happens
+    AFTER the word shuffle's map-side combine. That also retires the
+    unconditional ``spread``: the pre-shuffle stage is now a plain
+    tokenize-and-count (cheap serial at small scans), so the adaptive
+    size gate applies like the other word-count queries.
     """
-    # min_bytes=0: the d-way posexplode multiplies every token by d
-    # rows before the shuffle — serial pre-shuffle fan-out cost 2x at
-    # bench scale without the spread
-    docs = spread(load_table(spark, sf_dir, "documents"), min_bytes=0)
-    words = docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
     h = hashing.poly_hash(F.col("word"))
     rows = F.array(
         *[
@@ -667,9 +679,9 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return (
-        words.select(F.posexplode(rows).alias("row", "col"))
+        counts.select(F.posexplode(rows).alias("row", "col"), "_cnt")
         .groupBy("row", "col")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("_cnt").alias("n"))
     )
 
 
