@@ -245,6 +245,12 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_lang_mismatch": text.corpus_lang_mismatch,
         # round-9 addition (SURVEY §2 #119): bigram LM surprisal
         "text_bigram_surprisal": text.text_bigram_surprisal,
+        # round-10 additions (SURVEY §2 #120-#124)
+        "q_basket_affinity": analytics.q_basket_affinity,
+        "q_events_decay_score": analytics.q_events_decay_score,
+        "q_events_attribution": analytics.q_events_attribution,
+        "sample_weighted": text.sample_weighted,
+        "dedup_containment": llm_queries.dedup_containment,
     }
 
 
@@ -366,4 +372,9 @@ def secondary_oracle_sql() -> dict[str, str]:
         "q_customer_rfm": analytics.Q_CUSTOMER_RFM_SQL,
         "corpus_lang_mismatch": text.CORPUS_LANG_MISMATCH_SQL,
         "text_bigram_surprisal": text.TEXT_BIGRAM_SURPRISAL_SQL,
+        "q_basket_affinity": analytics.Q_BASKET_AFFINITY_SQL,
+        "q_events_decay_score": analytics.Q_EVENTS_DECAY_SCORE_SQL,
+        "q_events_attribution": analytics.Q_EVENTS_ATTRIBUTION_SQL,
+        "sample_weighted": text.SAMPLE_WEIGHTED_SQL,
+        "dedup_containment": llm_queries.DEDUP_CONTAINMENT_SQL,
     }

@@ -1074,3 +1074,113 @@ def fuzzy_join(
         inter.select(F.col(id_a), F.col(id_b), jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+# ------------------------------------ directed n-gram containment (#124)
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str] = (),
+    threshold: float = 0.5,
+    k: int = 3,
+    block_cap: int | None = None,
+) -> DataFrame:
+    """Directed shingle containment C(inner→outer) = |I∩O| / |I| (#124).
+
+    Jaccard misses the sub-document duplication a training corpus cares
+    about most: a short doc pasted verbatim inside a long one scores
+    near-zero Jaccard (the union is huge) but containment 1.0. This is
+    the asymmetric twin of :func:`ngram_jaccard_pairs` on the same
+    inverted-index plan (AllPairs-style count join over distinct
+    shingle hashes — the count IS |I∩O| exactly), emitting BOTH
+    directions of every co-shingled pair and keeping those at or above
+    the threshold. No size-ratio prune exists here by design: for
+    t ≤ 1 one direction is always feasible regardless of the length
+    skew (that skew is the signal), so the only pruning is the ≥1
+    shared shingle the index join gives for free.
+
+    At 100 TB the shape is identical to the jaccard twin: token-keyed
+    then pair-keyed shuffles, candidate volume Σ_token df². ``block_cap``
+    is the same hot-posting guard with the same omission-only contract:
+    dropped (block, shingle) groups can lose pairs whose EVERY shared
+    shingle is hot, and every surviving pair is re-scored exactly from
+    the full arrays (never an understated value).
+    """
+    if threshold <= 0:
+        raise ValueError(
+            "ngram_containment_pairs requires threshold > 0 (the index "
+            "plan only materializes pairs sharing >=1 shingle)"
+        )
+    sh = _materialize(
+        _track(
+            shingle_frame(spread(df, min_bytes=0), id_col, text_col, block_cols, k)
+            .where(F.size("_sh") > 0)
+            .persist()
+        )
+    )
+    bc = list(block_cols)
+    join_cols = bc + ["_t"]
+    tok = sh.select(
+        F.col(id_col).alias("_id"),
+        *bc,
+        F.size("_sh").alias("_sz"),
+        F.explode("_sh").alias("_t"),
+    )
+    if block_cap is not None:
+        cap_w = Window.partitionBy(*join_cols)
+        tok = (
+            tok.withColumn("_df", F.count(F.lit(1)).over(cap_w))
+            .where(F.col("_df") <= block_cap)
+            .drop("_df")
+        )
+    a = tok.select(
+        F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"), *join_cols
+    )
+    b = tok.select(
+        F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"), *join_cols
+    )
+    inter = (
+        a.join(b, join_cols)
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("_inter"),
+            F.first("_sza").alias("_sza"),
+            F.first("_szb").alias("_szb"),
+        )
+    )
+    if block_cap is not None:
+        # same omission-only contract as the jaccard twin: re-score the
+        # cap-bounded shortlist exactly from the full shingle arrays
+        full_a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
+        full_b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
+        inter = (
+            inter.select("id_a", "id_b")
+            .join(full_a, "id_a")
+            .join(full_b, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("_sh_a", "_sh_b")).alias("_inter"),
+                F.size("_sh_a").alias("_sza"),
+                F.size("_sh_b").alias("_szb"),
+            )
+        )
+    fwd = inter.select(
+        F.col("id_a").alias("id_inner"),
+        F.col("id_b").alias("id_outer"),
+        (F.col("_inter").cast("double") / F.col("_sza").cast("double")).alias(
+            "containment"
+        ),
+    )
+    rev = inter.select(
+        F.col("id_b").alias("id_inner"),
+        F.col("id_a").alias("id_outer"),
+        (F.col("_inter").cast("double") / F.col("_szb").cast("double")).alias(
+            "containment"
+        ),
+    )
+    return fwd.unionByName(rev).where(F.col("containment") >= threshold)

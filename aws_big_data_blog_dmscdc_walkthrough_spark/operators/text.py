@@ -1260,3 +1260,67 @@ SELECT wc.doc_id, wc.source, rates.rate_ppm,
     AS keep
 FROM wc JOIN rates USING (source)
 """
+
+
+# ------------------------- weighted sampling without replacement (#123)
+
+WEIGHTED_SAMPLE_K = 20  # rows kept per source stratum
+
+
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (#123).
+
+    Efraimidis–Spirakis (IPL 2006, public): each row draws a key
+    u^(1/w) from a uniform u and weight w; the k largest keys per
+    stratum are EXACTLY a weighted sample without replacement. The
+    uniform is derived from the row id with the same multiplicative-
+    hash arithmetic as :func:`sample_stratified` — no RNG state, so the
+    sample is reproducible in any engine, stable across reruns and
+    repartitions, and a document's inclusion never flips when unrelated
+    rows arrive (u is per-row, w is per-row). Weight = n_chars: longer
+    documents are proportionally likelier, the standard token-budget-
+    aware corpus draw.
+
+    Plan: one map pass computes the key (integer hash + one pow), one
+    per-stratum top-k (row_number over a 20-source partition — the
+    window's partition count is the source cardinality, never corpus-
+    wide). At 100 TB the window would be replaced by a per-partition
+    partial top-k + merge (the same two-level shape used elsewhere);
+    with rank bounded at k·|sources| rows the final shuffle is tiny.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        ((F.col("doc_id") % F.lit(SAMPLE_MOD)) * F.lit(SAMPLE_MULT))
+        % F.lit(SAMPLE_MOD)
+        + F.lit(1)
+    ).cast("double") / F.lit(float(SAMPLE_MOD + 1))
+    key = F.pow(u, F.lit(1.0) / F.greatest(F.col("n_chars"), F.lit(1)).cast("double"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("_key").desc(), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars", key.alias("_key"))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= WEIGHTED_SAMPLE_K)
+        .select("doc_id", "source", "n_chars", F.col("_key").alias("sample_key"))
+    )
+
+
+SAMPLE_WEIGHTED_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+    POW(
+      (((doc_id % {SAMPLE_MOD}) * {SAMPLE_MULT}) % {SAMPLE_MOD} + 1)::DOUBLE
+        / {float(SAMPLE_MOD + 1)},
+      1.0 / GREATEST(n_chars, 1)::DOUBLE
+    ) AS sample_key
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY sample_key DESC, doc_id
+  ) AS rk FROM keyed
+)
+SELECT doc_id, source, n_chars, sample_key FROM ranked
+WHERE rk <= {WEIGHTED_SAMPLE_K}
+"""

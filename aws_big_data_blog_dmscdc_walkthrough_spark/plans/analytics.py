@@ -1151,3 +1151,221 @@ SELECT c_custkey, CAST(recency_days AS INT) AS recency_days, frequency, monetary
        WHEN monetary <= m3 THEN 3 ELSE 4 END AS m_q
 FROM per CROSS JOIN q
 """
+
+
+# --------------------------------------- market-basket affinity (#120)
+
+BASKET_MIN_SUPPORT = 3  # pairs must co-occur in at least this many orders
+
+
+def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise part co-occurrence with support and lift (#120).
+
+    The classic market-basket shape a recommender/feature pipeline runs
+    over transactional CDC output: which part pairs land in the same
+    order more often than chance. Pair generation is a self-join on the
+    order key, so the fan-out is Σ_orders C(n_o, 2) with n_o bounded by
+    the per-order line count (≤7 in TPC-H-shaped data, never corpus-
+    sized) — the quadratic term is *per basket*, not per table. All
+    shuffles are key-shaped: (order) for the pair join, (part_a,
+    part_b) for the support count, (part) for the two marginal joins.
+    The min-support filter runs on the aggregated pair counts BEFORE
+    the marginal joins, so the join inputs are already sparse. Lift =
+    P(a,b) / (P(a)·P(b)) computed from exact integer counts and one
+    double division per surviving pair.
+    """
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    n_orders = items.select(F.countDistinct("ok").alias("_n"))
+    part_n = items.groupBy("pk").agg(F.count(F.lit(1)).alias("_pn"))
+    a = items.select("ok", F.col("pk").alias("part_a"))
+    b = items.select("ok", F.col("pk").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+        .where(F.col("pair_orders") >= BASKET_MIN_SUPPORT)
+    )
+    return (
+        pairs.join(
+            part_n.select(F.col("pk").alias("part_a"), F.col("_pn").alias("_na")),
+            "part_a",
+        )
+        .join(
+            part_n.select(F.col("pk").alias("part_b"), F.col("_pn").alias("_nb")),
+            "part_b",
+        )
+        .join(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_orders",
+            (
+                F.col("pair_orders").cast("double") * F.col("_n").cast("double")
+                / (F.col("_na").cast("double") * F.col("_nb").cast("double"))
+            ).alias("lift"),
+        )
+    )
+
+
+Q_BASKET_AFFINITY_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+n_orders AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM items),
+part_n AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS pn FROM items GROUP BY pk),
+pairs AS (
+  SELECT a.pk AS part_a, b.pk AS part_b, CAST(COUNT(*) AS BIGINT) AS pair_orders
+  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY a.pk, b.pk
+  HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+)
+SELECT part_a, part_b, pair_orders,
+  pair_orders::DOUBLE * n::DOUBLE / (na.pn::DOUBLE * nb.pn::DOUBLE) AS lift
+FROM pairs
+JOIN part_n na ON na.pk = part_a
+JOIN part_n nb ON nb.pk = part_b
+CROSS JOIN n_orders
+"""
+
+
+# --------------------------------- time-decayed engagement score (#121)
+
+DECAY_HALF_LIFE_DAYS = 7.0
+# event weights: revenue-proximal actions count more
+DECAY_WEIGHTS = {"purchase": 5, "signup": 3, "click": 2, "view": 1}
+
+
+def q_events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially time-decayed engagement score (#121).
+
+    The recency-weighted activity feature every ranking/churn pipeline
+    derives from an event stream: score = Σ w(type) · 2^(−Δdays / H)
+    with Δdays measured back from the corpus max timestamp (in-plan
+    aggregate, broadcast — no driver round-trip) and H the half-life.
+    Map-only per event after one tiny broadcast join; one user-keyed
+    aggregation ends the plan, so the shuffle carries one row per user.
+    Per-row decay terms are cast to DECIMAL before summing (module
+    docstring: order-independent sums, oracle-identical), and weights
+    live in a CASE expression — no UDF, full codegen.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    anchor = ev.agg(F.max("ts").alias("_t_max"))
+    w = F.lit(None).cast("int")
+    for k, v in DECAY_WEIGHTS.items():
+        w = F.when(F.col("event_type") == k, F.lit(v)).otherwise(w)
+    # NTZ → LTZ → double epoch seconds (lossless: session is UTC-pinned,
+    # same rationale as streaming/windows._watermarkable)
+    d_days = (
+        F.col("_t_max").cast("timestamp").cast("double")
+        - F.col("ts").cast("timestamp").cast("double")
+    ) / F.lit(86400.0)
+    term = F.col("_w").cast("double") * F.pow(
+        F.lit(2.0), -d_days / F.lit(DECAY_HALF_LIFE_DAYS)
+    )
+    return (
+        ev.select("user_id", "ts", w.alias("_w"))
+        .where(F.col("_w").isNotNull())
+        .join(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(term).alias("decay_score"),
+        )
+    )
+
+
+Q_EVENTS_DECAY_SCORE_SQL = f"""
+WITH anchor AS (SELECT MAX(ts) AS t_max FROM events),
+weighted AS (
+  SELECT user_id,
+    CASE event_type
+      WHEN 'purchase' THEN 5 WHEN 'signup' THEN 3
+      WHEN 'click' THEN 2 WHEN 'view' THEN 1 END AS w,
+    (epoch(t_max) - epoch(ts)) / 86400.0 AS d_days
+  FROM events CROSS JOIN anchor
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(w::DOUBLE * POW(2.0, -d_days / {DECAY_HALF_LIFE_DAYS})
+       AS DECIMAL(30,10))) AS DOUBLE) AS decay_score
+FROM weighted WHERE w IS NOT NULL
+GROUP BY user_id
+"""
+
+
+# ------------------------------------- last-touch attribution (#122)
+
+ATTRIBUTION_WINDOW_DAYS = 7
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution by channel (#122).
+
+    For every purchase, credit the user's most recent click/view
+    strictly before it; purchases with no touch inside the attribution
+    window fall into the 'direct' bucket. One window pass per user
+    (ordered by ts with event_id tiebreak, last_value IGNORE NULLS over
+    the preceding frame) — a single user-keyed shuffle over the stream,
+    no self-join, then a channel-keyed aggregate of counts and exact
+    DECIMAL revenue. The product-analytics twin of the funnel/retention
+    family (#95/#96).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_ts = F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w)
+    touch_ch = F.last(
+        F.when(is_touch, F.col("event_type")), ignorenulls=True
+    ).over(w)
+    stale = (
+        touch_ts.isNull()
+        | (
+            F.col("ts").cast("timestamp").cast("double")
+            - touch_ts.cast("timestamp").cast("double")
+            > ATTRIBUTION_WINDOW_DAYS * 86400.0
+        )
+    )
+    return (
+        ev.select(
+            "*",
+            F.when(stale, F.lit("direct")).otherwise(touch_ch).alias("channel"),
+        )
+        .where(F.col("event_type") == "purchase")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("purchases"),
+            _dsum(F.col("value")).alias("revenue"),
+        )
+    )
+
+
+Q_EVENTS_ATTRIBUTION_SQL = f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_type, value,
+    last_value(CASE WHEN event_type IN ('click','view') THEN ts END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ts,
+    last_value(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ch
+  FROM events
+)
+SELECT
+  CASE WHEN touch_ts IS NULL
+         OR epoch(ts) - epoch(touch_ts) > {ATTRIBUTION_WINDOW_DAYS} * 86400.0
+       THEN 'direct' ELSE touch_ch END AS channel,
+  CAST(COUNT(*) AS BIGINT) AS purchases,
+  CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS revenue
+FROM tagged WHERE event_type = 'purchase'
+GROUP BY 1
+"""

@@ -1287,3 +1287,31 @@ FROM m
 
 
 EVAL_LANGID_REPORT_SQL = _eval_langid_sql()
+
+
+# --------------------------------------- directed containment (#124)
+
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query for #124: sub-document duplication via directed
+    shingle containment (|I∩O|/|I|), source-blocked like the jaccard
+    twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_containment_pairs(
+        docs, "doc_id", "text", ["source"], CONTAINMENT_THRESHOLD
+    )
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH {_SHINGLES_CTE},
+pairs AS (
+  SELECT a.doc_id AS id_inner, b.doc_id AS id_outer,
+    len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh)::DOUBLE AS containment
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id <> b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+)
+SELECT id_inner, id_outer, containment FROM pairs
+WHERE containment >= {CONTAINMENT_THRESHOLD}
+"""

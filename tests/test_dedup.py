@@ -440,3 +440,51 @@ def test_ngram_index_and_direct_paths_agree(spark):
         dedup._scan_sizes = orig
     assert len(direct) > 50  # the corpus really is dense
     assert direct == indexed  # same pairs AND bit-identical doubles
+
+
+def test_containment_detects_subdocument_jaccard_misses(spark):
+    """A short doc pasted inside a long one: containment(short→long)
+    is 1.0 while jaccard stays below any useful threshold — the exact
+    asymmetry #124 exists for. Both directions emitted independently."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import dedup
+
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i}" for i in range(40))
+    rows = [(1, short), (2, f"{filler} {short}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_inner, r.id_outer): round(r.containment, 9)
+        for r in dedup.ngram_containment_pairs(
+            df, "doc_id", "text", (), 0.3
+        ).collect()
+    }
+    assert got[(1, 2)] == 1.0          # short fully contained
+    assert (2, 1) not in got           # long barely contained in short
+    jac = dedup.ngram_jaccard_pairs(df, "doc_id", "text", (), 0.3)
+    assert jac.count() == 0            # jaccard misses it entirely
+
+
+def test_containment_block_cap_omission_only(spark):
+    """With block_cap, surviving pairs carry EXACT containment (full
+    arrays), and capped output is a subset of the uncapped output."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import dedup
+
+    rows = []
+    for i in range(30):
+        tail = f"tail{i} alpha{i} beta{i} gamma{i} delta{i} epsilon{i}"
+        rows.append((2 * i, f"omega psi chi {tail} one"))
+        rows.append((2 * i + 1, f"omega psi chi {tail} two"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r.id_inner, r.id_outer): round(r.containment, 9)
+        for r in dedup.ngram_containment_pairs(df, "doc_id", "text", (), 0.3).collect()
+    }
+    capped = {
+        (r.id_inner, r.id_outer): round(r.containment, 9)
+        for r in dedup.ngram_containment_pairs(
+            df, "doc_id", "text", (), 0.3, block_cap=10
+        ).collect()
+    }
+    assert capped and set(capped) <= set(exact)
+    for pair, c in capped.items():
+        assert exact[pair] == c

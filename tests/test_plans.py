@@ -120,3 +120,98 @@ def test_retention_capped_offset_matches_filtered_unbounded(spark):
     }
     got = {(r.cohort_day, r.day_offset): r.n_users for r in rows}
     assert got == want
+
+
+def test_basket_affinity_hand_computed_lift(spark, monkeypatch, tmp_path):
+    """3-order fixture: parts (1,2) co-occur twice of 3 orders; lift =
+    P(1,2)/(P(1)P(2)) = (2/3)/((3/3)*(2/3)) = 1.0; support filter drops
+    singletons."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import analytics
+
+    rows = [
+        (1, 101), (1, 102),           # order 1: parts 101,102
+        (2, 101), (2, 102), (2, 103), # order 2: parts 101,102,103
+        (3, 101),                     # order 3: part 101
+    ]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = str(tmp_path / "lineitem.parquet")
+    df.write.parquet(out)
+
+    monkeypatch.setattr(analytics, "BASKET_MIN_SUPPORT", 2)
+    import aws_big_data_blog_dmscdc_walkthrough_spark.session as sess
+    real = sess.load_table
+    monkeypatch.setattr(
+        "aws_big_data_blog_dmscdc_walkthrough_spark.plans.analytics.load_table",
+        lambda sp, sf, t: sp.read.parquet(out) if t == "lineitem" else real(sp, sf, t),
+    )
+    got = {
+        (r.part_a, r.part_b): (r.pair_orders, round(r.lift, 9))
+        for r in analytics.q_basket_affinity(spark, "ignored").collect()
+    }
+    assert got == {(101, 102): (2, round((2 * 3) / (3 * 2), 9))}
+
+
+def test_attribution_window_and_direct_bucket(spark, monkeypatch, tmp_path):
+    """Purchase credits the LATEST preceding touch; an out-of-window
+    touch and a no-touch user both fall to 'direct'."""
+    from datetime import datetime as dt
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import analytics
+
+    rows = [
+        # user 1: view then click then purchase -> credit click (latest)
+        (1, dt(2024, 1, 10, 9), 1, "view", 0.0),
+        (2, dt(2024, 1, 10, 10), 1, "click", 0.0),
+        (3, dt(2024, 1, 10, 11), 1, "purchase", 30.0),
+        # user 2: touch 8 days before purchase -> stale -> direct
+        (4, dt(2024, 1, 1, 0), 2, "click", 0.0),
+        (5, dt(2024, 1, 9, 1), 2, "purchase", 10.0),
+        # user 3: purchase with no touches at all -> direct
+        (6, dt(2024, 1, 5, 0), 3, "purchase", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    )
+    out = str(tmp_path / "events.parquet")
+    df.write.parquet(out)
+    import aws_big_data_blog_dmscdc_walkthrough_spark.session as sess
+    real = sess.load_table
+    monkeypatch.setattr(
+        "aws_big_data_blog_dmscdc_walkthrough_spark.plans.analytics.load_table",
+        lambda sp, sf, t: sp.read.parquet(out) if t == "events" else real(sp, sf, t),
+    )
+    got = {
+        r.channel: (r.purchases, round(r.revenue, 6))
+        for r in analytics.q_events_attribution(spark, "ignored").collect()
+    }
+    assert got == {"click": (1, 30.0), "direct": (2, 15.0)}
+
+
+def test_decay_score_half_life_pin(spark, monkeypatch, tmp_path):
+    """One purchase exactly one half-life before the corpus max ts
+    scores w·0.5; the anchor event itself scores w·1.0."""
+    from datetime import datetime as dt
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import analytics
+
+    rows = [
+        (1, dt(2024, 1, 1, 0), 1, "purchase", 0.0),   # 7 days before max
+        (2, dt(2024, 1, 8, 0), 2, "purchase", 0.0),   # the anchor
+        (3, dt(2024, 1, 8, 0), 3, "error", 0.0),      # unweighted: absent
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    )
+    out = str(tmp_path / "events.parquet")
+    df.write.parquet(out)
+    import aws_big_data_blog_dmscdc_walkthrough_spark.session as sess
+    real = sess.load_table
+    monkeypatch.setattr(
+        "aws_big_data_blog_dmscdc_walkthrough_spark.plans.analytics.load_table",
+        lambda sp, sf, t: sp.read.parquet(out) if t == "events" else real(sp, sf, t),
+    )
+    got = {
+        r.user_id: round(r.decay_score, 9)
+        for r in analytics.q_events_decay_score(spark, "ignored").collect()
+    }
+    assert got == {1: 2.5, 2: 5.0}

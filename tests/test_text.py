@@ -325,3 +325,28 @@ def test_bigram_surprisal_hand_computed(spark):
     extra = spark.createDataFrame([(99, "solo"), (98, "")], "doc_id long, text string")
     out2 = {r.doc_id for r in t.bigram_surprisal(extra, "doc_id", "text").collect()}
     assert out2 == set()
+
+
+def test_sample_weighted_prefers_heavy_rows(spark, monkeypatch, tmp_path):
+    """ES keys u^(1/w): a row with overwhelming weight is essentially
+    guaranteed into the per-stratum top-k (key → 1), and the output is
+    exactly k rows per stratum."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import text as text_ops
+
+    rows = [(i, "t", "en", "s0", 10) for i in range(200)]
+    rows.append((999, "t", "en", "s0", 10_000_000))  # key ≈ 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars int")
+    out = str(tmp_path / "documents.parquet")
+    df.write.parquet(out)
+    import aws_big_data_blog_dmscdc_walkthrough_spark.session as sess
+    real = sess.load_table
+    monkeypatch.setattr(
+        "aws_big_data_blog_dmscdc_walkthrough_spark.operators.text.load_table",
+        lambda sp, sf, t: sp.read.parquet(out) if t == "documents" else real(sp, sf, t),
+    )
+    got = text_ops.sample_weighted(spark, "ignored").collect()
+    assert len(got) == text_ops.WEIGHTED_SAMPLE_K
+    assert 999 in {r.doc_id for r in got}
+    # keys are valid ES draws: in (0, 1], descending beats ascending
+    ks = sorted((r.sample_key for r in got), reverse=True)
+    assert all(0.0 < k <= 1.0 for k in ks)
