@@ -900,20 +900,32 @@ def simhash_pairs(
     driver of a 16× superlinear wall at 10× data), while composite keys
     bucket only docs agreeing on 30 specific bits.
 
-    Pair generation groups signatures into composite-key buckets and
-    explodes i<j combinations inside each bucket (posexplode + slice —
-    codegen, no HOF) instead of self-joining: a self-join evaluates the
-    pandas-UDF signature stage on BOTH sides (observed 2× ArrowEval, 6
-    exchanges), while this computes each signature once and shuffles
-    only the tiny (id, simhash) tuples — 20 band rows per doc. The
-    Hamming filter runs before the pair distinct, so the distinct
-    shuffles survivors only. ``bucket_cap`` (optional) drops degenerate
-    hot buckets — the quadratic-blowup guard at corpus scale, same
-    lever as the LSH band cap.
+    Pair generation is a self-join of the banded signatures on the
+    composite key, with the SIGNATURE FRAME PERSISTED first (tracked;
+    ``release_persisted`` drains it). The persist is what makes the
+    join shape safe: un-cached, a self-join evaluates the pandas-UDF
+    signature stage on BOTH sides (observed 2× ArrowEval) — that was
+    the round-5 reason for a collect_list + slice-explode formulation
+    instead. But the cache is tiny ((id, simhash) = 16 B/doc — ~16 GB
+    cluster-wide at 1B docs, MEMORY_AND_DISK), and with it the join
+    wins on BOTH axes the explode traded away: 2.0 s → 1.0 s at sf0.1
+    (no array materialization, both sides stream through codegen) and
+    hot composite-key buckets get AQE's skew-join split, which
+    collect_list never does. The Hamming filter runs inside the join
+    projection, so the pair distinct shuffles survivors only.
+    ``bucket_cap`` (optional) drops degenerate hot buckets before the
+    join — the quadratic-blowup guard at corpus scale, same lever as
+    the LSH band cap.
     """
     from itertools import combinations
 
-    sig = simhash_signatures(df, id_col, text_col)
+    from pyspark import StorageLevel
+
+    sig = _track(
+        simhash_signatures(df, id_col, text_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
 
     def chunk_val(j: int):
         return F.shiftright(F.col("simhash"), j * SIMHASH_BAND_BITS).bitwiseAND(
@@ -934,19 +946,26 @@ def simhash_pairs(
         *[combo_key(i, combo) for i, combo in enumerate(combos)]
     )
     banded = sig.select(
-        F.struct(F.col(id_col).alias("_id"), F.col("simhash")).alias("_m"),
-        F.explode(chunks).alias("_ck"),
+        F.col(id_col).alias("_id"), "simhash", F.explode(chunks).alias("_ck")
     )
-    pairs = bucket_pair_explode(banded, "_ck", "_m", bucket_cap)
-    hamming = F.bit_count(
-        F.col("_a.simhash").bitwiseXOR(F.col("_b.simhash"))
-    )
-    return (
-        pairs.select(
-            F.least("_a._id", "_b._id").alias("id_a"),
-            F.greatest("_a._id", "_b._id").alias("id_b"),
-            hamming.alias("hamming"),
+    if bucket_cap is not None:
+        cap_w = Window.partitionBy("_ck")
+        banded = (
+            banded.withColumn("_bn", F.count(F.lit(1)).over(cap_w))
+            .where(F.col("_bn") <= bucket_cap)
+            .drop("_bn")
         )
+    a = banded.select(
+        F.col("_id").alias("id_a"), F.col("simhash").alias("_sa"), "_ck"
+    )
+    b = banded.select(
+        F.col("_id").alias("id_b"), F.col("simhash").alias("_sb"), "_ck"
+    )
+    hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return (
+        a.join(b, "_ck")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
