@@ -244,39 +244,11 @@ def _materialize(df: DataFrame) -> DataFrame:
     return df
 
 
-def bucket_pair_explode(
-    banded: DataFrame,
-    key_col: str,
-    member_col: str,
-    bucket_cap: int | None = None,
-) -> DataFrame:
-    """All unordered member pairs per bucket, WITHOUT self-joining.
-
-    A self-join on the bucket key evaluates everything upstream of
-    ``banded`` twice — fatal when upstream is a pandas-UDF signature
-    stage (observed 2× ArrowEval). Instead: collect each bucket's
-    members, pair position i with every later position (slice is
-    1-based, hence i+2), and round-robin repartition between slicing
-    and exploding so one hot bucket's O(k²) pairs spread across the
-    cluster instead of exploding inside a single task (collect_list
-    gets no AQE skew split, unlike a join). Shuffle volume is exactly
-    the candidate-pair count: each row carries only the tail it
-    explodes. Output: ``_a``/``_b`` member pairs, each bucket's pair
-    once (dedup across buckets is the caller's).
-    """
-    bucketed = (
-        banded.groupBy(key_col)
-        .agg(F.collect_list(member_col).alias("_ms"))
-        .where(F.size("_ms") >= 2)
-    )
-    if bucket_cap is not None:
-        bucketed = bucketed.where(F.size("_ms") <= bucket_cap)
-    lhs = bucketed.select(F.posexplode("_ms").alias("_i", "_a"), "_ms")
-    tails = lhs.select("_a", F.expr("slice(_ms, _i + 2, size(_ms))").alias("_tail"))
-    spread_tails = tails.repartition(
-        banded.sparkSession.sparkContext.defaultParallelism
-    )
-    return spread_tails.select("_a", F.explode("_tail").alias("_b"))
+# (bucket_pair_explode, the collect_list + slice-explode pair generator
+# that avoided self-joins before the banded frames were persisted, was
+# retired in round 10: both former callers — simhash_pairs and
+# minhash_lsh_pairs — now persist their tiny key frames and self-join,
+# which measured ~2× faster and gets AQE skew-join splitting.)
 
 
 def shingle_frame(
@@ -573,21 +545,38 @@ def minhash_lsh_pairs(
     (band index, band key) → distinct pairs → verify true Jaccard.
     ``bucket_cap`` drops band buckets larger than the cap (hot-bucket
     guard for skewed corpora).
+
+    Pair generation is a self-join of the banded keys on the band key,
+    with the BANDED FRAME PERSISTED first (tracked; the shingle persist
+    alone doesn't cover the signature UDF on top — un-cached, the
+    self-join would evaluate minhash_signature_pandas on both sides,
+    which is why this used to be a collect_list + slice-explode). The
+    cache is (id, band-key string) × bands rows — spillable and linear
+    in the corpus; with it the join wins the same two ways the simhash
+    twin does: 2.0 s → 0.9 s at sf0.1, and hot band buckets get AQE's
+    skew-join split, which collect_list never does.
     """
+    from pyspark import StorageLevel
+
     bands = NUM_MINHASH // rows_per_band
     # persist: the shingle arrays feed band generation AND two verify-join
     # branches; recomputing the (interpreted) hash chain 3× dominates cost
     sh = _prepared_shingles(df, id_col, text_col)
-    banded = _banded_keys(sh, rows_per_band)
-    # bucket-group pair generation: the old banded self-join evaluated
-    # the minhash-signature UDF on BOTH sides (persist() above only
-    # covers the shingles, not the signatures)
-    cand = (
-        bucket_pair_explode(banded, "_bk", "_id", bucket_cap)
-        .select(
-            F.least("_a", "_b").alias("id_a"),
-            F.greatest("_a", "_b").alias("id_b"),
+    banded = _track(
+        _banded_keys(sh, rows_per_band).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if bucket_cap is not None:
+        cap_w = Window.partitionBy("_bk")
+        banded = (
+            banded.withColumn("_bn", F.count(F.lit(1)).over(cap_w))
+            .where(F.col("_bn") <= bucket_cap)
+            .drop("_bn")
         )
+    cand = (
+        banded.select(F.col("_id").alias("id_a"), "_bk")
+        .join(banded.select(F.col("_id").alias("id_b"), "_bk"), "_bk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .distinct()
     )
     verified = (
