@@ -37,13 +37,18 @@ class TableFolder:
 
     @property
     def format(self) -> str:
-        """"parquet", "csv" or "json", from the files' extension (DMS
-        writes one format per endpoint, so per-folder detection is safe)."""
+        """"parquet", "csv", "json" or "orc", from the files' extension
+        (DMS writes one format per endpoint, so per-folder detection is
+        safe). ORC isn't a DMS target format, but mixed lakes land it
+        from Hive/Trino producers and Spark reads it natively — same
+        self-describing contract as parquet."""
         for f in self.initial_files + self.incremental_files:
             if f.endswith(".csv") or f.endswith(".csv.gz"):
                 return "csv"
             if f.endswith(".json") or f.endswith(".jsonl") or f.endswith(".json.gz"):
                 return "json"
+            if f.endswith(".orc"):
+                return "orc"
         return "parquet"
 
 
@@ -127,6 +132,8 @@ def read_initial(spark: SparkSession, folder: TableFolder, schema_ddl: str = "")
     scale). Full-load files carry NO Op column in any format."""
     if folder.format == "parquet":
         return spark.read.parquet(*folder.initial_files)
+    if folder.format == "orc":
+        return spark.read.orc(*folder.initial_files)
     if folder.format == "json":
         return spark.read.schema(_require_ddl(folder, schema_ddl)).json(
             folder.initial_files
@@ -145,6 +152,8 @@ def read_incremental(
     CDC records carry an ``Op`` field alongside the data fields."""
     if folder.format == "parquet":
         return spark.read.parquet(*files)
+    if folder.format == "orc":
+        return spark.read.orc(*files)
     if folder.format == "json":
         ddl = "Op STRING, " + _require_ddl(folder, schema_ddl)
         return spark.read.schema(ddl).json(files)

@@ -434,6 +434,45 @@ def test_json_landing_full_flow(spark, env):
     assert rows[1001].name == "widget-x"
 
 
+def test_orc_landing_full_flow(spark, env):
+    """ORC landing folders (Hive/Trino producers in a mixed lake) read
+    through the same self-describing path as parquet — no DDL needed;
+    CDC files carry their Op column in-band."""
+    d = f"{env['landing']}/sampledb/product"
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        [(1001, "widget", "tools"), (1002, "gadget", "toys"), (1003, "sprocket", "tools")],
+        "id long, name string, dept string",
+    ).coalesce(1).write.mode("overwrite").orc(f"{env['landing']}/_tmp_orc_load")
+    inc = spark.createDataFrame(
+        [("U", 1001, "widget-x", "tools"), ("D", 1002, None, None), ("I", 1004, "doohickey", "toys")],
+        "Op string, id long, name string, dept string",
+    )
+    inc.coalesce(1).write.mode("overwrite").orc(f"{env['landing']}/_tmp_orc_inc")
+    import glob
+    import shutil
+    shutil.move(glob.glob(f"{env['landing']}/_tmp_orc_load/part-*.orc")[0], f"{d}/LOAD00000001.orc")
+    store = JsonStateStore(env["state"])
+    controller.run_once(spark, env["landing"], env["lake"], store)  # registers
+    st = store.all()[0]
+    st.active, st.primary_key = True, "id"
+    store.put(st)
+
+    r1 = controller.run_once(spark, env["landing"], env["lake"], store)
+    assert r1.tables[0].did_initial
+    assert spark.read.parquet(f"{env['lake']}/sampledb/product").count() == 3
+
+    shutil.move(glob.glob(f"{env['landing']}/_tmp_orc_inc/part-*.orc")[0], f"{d}/20240101-000000001.orc")
+    r2 = controller.run_once(spark, env["landing"], env["lake"], store)
+    assert r2.tables[0].incremental_files == 1
+    rows = {
+        r.id: r
+        for r in spark.read.parquet(f"{env['lake']}/sampledb/product").collect()
+    }
+    assert set(rows) == {1001, 1003, 1004}
+    assert rows[1001].name == "widget-x"
+
+
 def test_catalog_registration_enables_sql_by_name(spark, env):
     """The reference's crawler/Athena consumer step: after run_once, SQL
     users query the lake table by NAME, no path knowledge needed."""
