@@ -666,8 +666,15 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     size gate applies like the other word-count queries.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
+    return count_min_cells(docs, "text")
+
+
+def count_min_cells(df: DataFrame, text_col: str) -> DataFrame:
+    """(row, col, n) cell sums of the corpus count-min sketch — the
+    mergeable form :func:`sketch_count_min` gates and
+    :func:`fold_count_min` maintains incrementally."""
     counts = (
-        docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+        df.select(F.explode(_tokens(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("_cnt"))
     )
@@ -683,6 +690,40 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("row", "col")
         .agg(F.sum("_cnt").alias("n"))
     )
+
+
+def fold_count_min(
+    spark: SparkSession, batch: DataFrame, text_col: str, out_path: str
+) -> None:
+    """Incrementally maintain a persisted count-min sketch table (#125).
+
+    The sketch twin of the incremental materialized-view family
+    (operators/cdc.py grouped_agg_state): cell-wise addition is the CMS
+    merge operation, so per ingest batch the stored sketch advances by
+    ONE batch-sized pass — never a corpus recompute. The stored table
+    is FIXED SIZE (≤ d·w cells) regardless of corpus width, so the
+    "rewrite" of the state is O(1) by construction and goes through the
+    same staging + rename swap the compaction paths use (crash before
+    the rename leaves the old sketch intact; after, the new one —
+    never a torn mix). At 100 TB the per-batch cost is the batch's own
+    tokenize + a d·w-bounded shuffle; the corpus never re-enters.
+
+    Fold(b1) ∘ fold(b2) ≡ sketch(b1 ∪ b2) exactly (integer cell sums;
+    pinned by the property test).
+    """
+    from ..sources import lake_writer
+
+    cells = count_min_cells(batch, text_col)
+    if not lake_writer.target_exists(spark, out_path):
+        cells.write.parquet(out_path)
+        return
+    prev = spark.read.parquet(out_path)
+    merged = (
+        prev.unionByName(cells).groupBy("row", "col").agg(F.sum("n").alias("n"))
+    )
+    # the staging write materializes the merge BEFORE the old directory
+    # moves, so reading prev from out_path during the write is safe
+    lake_writer._swap_rewrite(spark, merged, out_path)
 
 
 _CMS_POLY = (

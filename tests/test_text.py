@@ -350,3 +350,32 @@ def test_sample_weighted_prefers_heavy_rows(spark, monkeypatch, tmp_path):
     # keys are valid ES draws: in (0, 1], descending beats ascending
     ks = sorted((r.sample_key for r in got), reverse=True)
     assert all(0.0 < k <= 1.0 for k in ks)
+
+
+def test_fold_count_min_equals_one_shot(spark, tmp_path):
+    """fold(b1) ∘ fold(b2) ∘ fold(b3) must equal the one-shot sketch of
+    the union, cell-for-cell (integer sums — the CMS merge property),
+    and the estimator must read identically from the folded store."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import text as text_ops
+
+    texts = [
+        "alpha beta gamma alpha", "beta beta delta", "gamma alpha epsilon",
+        "zeta eta theta", "alpha alpha alpha", "delta epsilon zeta eta",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "cms_store")
+    for lo, hi in ((0, 2), (2, 3), (3, 6)):
+        text_ops.fold_count_min(
+            spark, df.where(f"doc_id >= {lo} AND doc_id < {hi}"), "text", out
+        )
+    folded = {
+        (r.row, r.col): r.n for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.row, r.col): r.n
+        for r in text_ops.count_min_cells(df, "text").collect()
+    }
+    assert folded == want
+    est = text_ops.cms_estimate(spark.read.parquet(out).collect(), "alpha")
+    assert est >= 6  # true count 6; CMS never underestimates
