@@ -211,10 +211,12 @@ def spread(df: DataFrame, min_bytes: int | None = SPREAD_MIN_INPUT_BYTES) -> Dat
     Callers whose downstream chain is expensive PER BYTE pass
     ``min_bytes=0`` to spread unconditionally: the r8 per-query deltas
     showed the skip reclaiming 0.3-1.1 s on every word-count/ANN/map
-    query while costing 2-5× on exactly three shapes — the n-gram
-    shingle+pair chain (serial Arrow hashing dominates even at 0.6 MB),
-    the embedding all-pairs base (feeds both sides of a self-join), and
-    the count-min 8-way row explode.
+    query while costing 2-5× on shapes whose downstream chain is
+    expensive per byte — the n-gram shingle+pair chain (serial Arrow
+    hashing dominates even at 0.6 MB) and the embedding all-pairs base
+    (feeds both sides of a self-join). (The count-min explode was a
+    third such caller until round 10 moved its fan-out behind the word
+    shuffle; it now uses the adaptive default.)
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     if min_bytes:
@@ -413,16 +415,20 @@ def ngram_jaccard_pairs(
     ratio_ok = (F.col("_sza") >= F.lit(threshold) * F.col("_szb")) & (
         F.col("_szb") >= F.lit(threshold) * F.col("_sza")
     )
+    # the capped branch rescores from the full arrays and never reads
+    # the counted sizes - skip shuffling two first() columns over the
+    # quadratic candidate volume there
+    size_aggs = (
+        [F.first("_sza").alias("_sza"), F.first("_szb").alias("_szb")]
+        if block_cap is None
+        else []
+    )
     inter = (
         a.join(b, join_cols)
         .where(F.col("id_a") < F.col("id_b"))
         .where(ratio_ok)
         .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("_inter"),
-            F.first("_sza").alias("_sza"),
-            F.first("_szb").alias("_szb"),
-        )
+        .agg(F.count(F.lit(1)).alias("_inter"), *size_aggs)
     )
     if block_cap is None:
         # uncapped index: the hit count IS |A∩B| exactly
@@ -562,8 +568,10 @@ def minhash_lsh_pairs(
     # persist: the shingle arrays feed band generation AND two verify-join
     # branches; recomputing the (interpreted) hash chain 3× dominates cost
     sh = _prepared_shingles(df, id_col, text_col)
-    banded = _track(
-        _banded_keys(sh, rows_per_band).persist(StorageLevel.MEMORY_AND_DISK)
+    banded = _materialize(
+        _track(
+            _banded_keys(sh, rows_per_band).persist(StorageLevel.MEMORY_AND_DISK)
+        )
     )
     if bucket_cap is not None:
         cap_w = Window.partitionBy("_bk")
@@ -910,9 +918,11 @@ def simhash_pairs(
 
     from pyspark import StorageLevel
 
-    sig = _track(
-        simhash_signatures(df, id_col, text_col).persist(
-            StorageLevel.MEMORY_AND_DISK
+    sig = _materialize(
+        _track(
+            simhash_signatures(df, id_col, text_col).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
         )
     )
 
@@ -1150,15 +1160,16 @@ def ngram_containment_pairs(
     b = tok.select(
         F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"), *join_cols
     )
+    size_aggs = (
+        []
+        if block_cap is not None
+        else [F.first("_sza").alias("_sza"), F.first("_szb").alias("_szb")]
+    )
     inter = (
         a.join(b, join_cols)
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("_inter"),
-            F.first("_sza").alias("_sza"),
-            F.first("_szb").alias("_szb"),
-        )
+        .agg(F.count(F.lit(1)).alias("_inter"), *size_aggs)
     )
     if block_cap is not None:
         # same omission-only contract as the jaccard twin: re-score the

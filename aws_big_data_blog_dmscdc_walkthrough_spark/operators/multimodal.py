@@ -48,14 +48,32 @@ from pyspark.sql import types as T
 
 MAGIC = b"MMRW"
 
-# ISO-BMFF ftyp major brands that really are MP4 movie containers (the
-# shapes the moov/mvhd metadata walk understands). HEIC/AVIF stills
-# (heic/mif1/avif), QuickTime (qt  ), and 3GP brands are NOT listed —
-# they sniff as octet-stream rather than pretending to be video.
+# ISO-BMFF brands that really are MP4 movie containers (the shapes the
+# moov/mvhd metadata walk understands). HEIC/AVIF stills (heic/mif1/
+# avif/miaf) and QuickTime (qt  ) never list any of these — they sniff
+# as octet-stream rather than pretending to be video. The check scans
+# the ftyp box's COMPATIBLE brands too (standard sniffing fallback):
+# exotic major brands routinely list isom/mp42 there.
 _MP4_BRANDS = frozenset([
-    b"isom", b"iso2", b"iso3", b"iso4", b"iso5", b"iso6",
-    b"mp41", b"mp42", b"mp71", b"avc1", b"dash", b"M4V ", b"M4VP",
+    b"isom", b"iso2", b"iso3", b"iso4", b"iso5", b"iso6", b"iso7",
+    b"iso8", b"iso9", b"mp41", b"mp42", b"mp4v", b"mp71", b"avc1",
+    b"avc2", b"avc3", b"avc4", b"dash", b"cmfc", b"cmf2", b"f4v ",
+    b"M4V ", b"M4VP", b"MSNV",
 ])
+
+
+def _isobmff_brands(blob: bytes) -> list[bytes]:
+    """Major + compatible brands from a leading ftyp box (empty when
+    the box is malformed/truncated — callers fall through to
+    octet-stream rather than guessing)."""
+    if len(blob) < 16 or blob[4:8] != b"ftyp":
+        return []
+    (size,) = struct.unpack_from(">I", blob, 0)
+    if size < 16 or size % 4:
+        return []
+    end = min(size, len(blob))
+    # bytes 8-12 major brand, 12-16 minor version, 16+ compatible brands
+    return [blob[8:12]] + [blob[o:o + 4] for o in range(16, end - 3, 4)]
 HEADER_FMT = "<4sHHHH"  # magic, width, height, channels, frames
 HEADER_SIZE = struct.calcsize(HEADER_FMT)
 
@@ -184,11 +202,11 @@ def sniff_mime(blob: bytes) -> str:
         return "image/gif"
     if len(blob) >= 12 and blob[4:8] == b"ftyp":
         # any ISO-BMFF container carries 'ftyp' — HEIC/AVIF stills and
-        # MOV/3GP would otherwise sniff as video and send _blob_meta
-        # walking a moov that may not exist. Gate on the major brand
-        # (the fourcc right after 'ftyp'); unrecognized brands fall
-        # through to octet-stream instead of a silent zero-dims parse.
-        if blob[8:12] in _MP4_BRANDS:
+        # QuickTime would otherwise sniff as video and send _blob_meta
+        # walking a moov that may not exist. Gate on the brand list
+        # (major + compatible); unrecognized brand sets fall through to
+        # octet-stream instead of a silent zero-dims parse.
+        if any(b in _MP4_BRANDS for b in _isobmff_brands(blob)):
             return "video/mp4"
     return "application/octet-stream"
 

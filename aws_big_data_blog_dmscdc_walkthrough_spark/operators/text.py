@@ -702,20 +702,27 @@ def fold_count_min(
     merge operation, so per ingest batch the stored sketch advances by
     ONE batch-sized pass — never a corpus recompute. The stored table
     is FIXED SIZE (≤ d·w cells) regardless of corpus width, so the
-    "rewrite" of the state is O(1) by construction and goes through the
-    same staging + rename swap the compaction paths use (crash before
-    the rename leaves the old sketch intact; after, the new one —
-    never a torn mix). At 100 TB the per-batch cost is the batch's own
-    tokenize + a d·w-bounded shuffle; the corpus never re-enters.
+    "rewrite" of the state is O(1) by construction. At 100 TB the
+    per-batch cost is the batch's own tokenize + a d·w-bounded shuffle;
+    the corpus never re-enters.
+
+    Crash safety: creation goes through staging + one rename (a bare
+    write would leave committed partial part-files a retry reads back
+    as a real sketch and double-counts into); updates go through the
+    compaction swap, whose only crash window (between its two renames)
+    leaves the complete previous sketch in the ``__old`` trash dir —
+    recovered here before the missing-table branch can mistake it for
+    "start fresh" and silently reset the counts.
 
     Fold(b1) ∘ fold(b2) ≡ sketch(b1 ∪ b2) exactly (integer cell sums;
     pinned by the property test).
     """
     from ..sources import lake_writer
 
+    lake_writer._recover_swap_trash(spark, out_path)
     cells = count_min_cells(batch, text_col)
     if not lake_writer.target_exists(spark, out_path):
-        cells.write.parquet(out_path)
+        lake_writer._staged_create(spark, cells, out_path)
         return
     prev = spark.read.parquet(out_path)
     merged = (

@@ -1174,10 +1174,18 @@ def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     P(a,b) / (P(a)·P(b)) computed from exact integer counts and one
     double division per surviving pair.
     """
-    items = (
+    from ..operators import dedup as _dedup
+
+    # `items` (scan + distinct shuffle) feeds four branches: n_orders,
+    # both marginal frames, and both sides of the pair self-join. Only
+    # alias-identical subtrees get ReusedExchange, so persist it —
+    # tracked in the shared registry the queries() wrapper drains after
+    # each entry (same convention as the dedup shingle frames).
+    items = _dedup._track(
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
         .distinct()
+        .persist()
     )
     n_orders = items.select(F.countDistinct("ok").alias("_n"))
     part_n = items.groupBy("pk").agg(F.count(F.lit(1)).alias("_pn"))

@@ -452,6 +452,15 @@ def scd2_merge_on_read(
     mark (JSON-stored; Python and Spark compare ASCII strings
     identically — the streaming seq is an ASCII path#rownum); other seq
     types silently use the per-key guard.
+
+    The mark's invariant — it upper-bounds EVERY committed seq — is
+    maintained by every fold, not just monotonic ones: a
+    ``seq_monotonic=False`` fold on a marked table advances the mark
+    over its batch (one tiny aggregate), and any fold whose batch seqs
+    can't be mark-compared REMOVES the mark instead of carrying it
+    stale. Without that, an interleaved non-monotonic backfill could
+    commit seqs above the mark and a later replay of that batch would
+    slip past the fast path and double-apply.
     """
     pks = list(primary_keys)
     if not pks:
@@ -562,8 +571,25 @@ def scd2_merge_on_read(
     # the exact per-key guard scan (see docstring).
     prev_props = dict(man.get("properties") or {})
     hwm_new = None
+    drop_hwm = False
     guard_skip = False
     hi_m = None
+    if not seq_monotonic and prev_props.get("scd2_seq_hwm") is not None:
+        # INVARIANT: a recorded mark upper-bounds EVERY committed seq —
+        # the monotonic fast path trusts exactly that. A non-monotonic
+        # fold interleaved on a marked table (backfill job, mixed
+        # callers) must therefore advance the mark over its own batch,
+        # or REMOVE it when the batch's seqs aren't mark-comparable;
+        # carrying it stale would let a later replay of this very batch
+        # slip past the fast path and double-apply (round-10 review).
+        prev_m = prev_props["scd2_seq_hwm"]
+        hi = _seq_mark(
+            changes.agg(F.max(F.col(seq_col)).alias("hi")).first()["hi"]
+        )
+        if hi is not None and type(hi) is type(prev_m):
+            hwm_new = max(prev_m, hi)
+        else:
+            drop_hwm = True
     if seq_monotonic:
         prev_hwm = prev_props.get("scd2_seq_hwm")
         mm = changes.agg(
@@ -595,8 +621,9 @@ def scd2_merge_on_read(
         )
         if seq_monotonic:
             # the mark must upper-bound EVERY committed seq. A prior
-            # comparable mark already does (induction over folds: each
-            # commit records max(mark, batch hi)), so max(prev, hi)
+            # comparable mark already does (induction: EVERY fold —
+            # monotonic or not, see the non-monotonic maintenance
+            # above — advances or removes it), so max(prev, hi)
             # suffices and the history aggregate is skipped. Only a
             # legacy pre-hwm manifest (or an incomparable prior mark)
             # needs the backfill aggregate — and it runs over LIVE_ALL,
@@ -621,8 +648,17 @@ def scd2_merge_on_read(
                     ).first()["g"]
                 )
             cands = [v for v in (gm_m, hi_m, prev_m) if v is not None]
-            if cands and all(type(v) is type(cands[0]) for v in cands):
+            if (
+                hi_m is not None
+                and cands
+                and all(type(v) is type(cands[0]) for v in cands)
+            ):
                 hwm_new = max(cands)
+            elif prev_m is not None:
+                # no sound new mark covers this batch (unmarkable seq
+                # type, or mixed types across folds): remove the stale
+                # one rather than leave a bound the fast path would trust
+                drop_hwm = True
     open_rows = None
     try:
         if not guard_skip and fresh.isEmpty():
@@ -686,21 +722,25 @@ def scd2_merge_on_read(
             spark, out_path, live_files, list(stats_cols), man
         )
         carried = man.get("delete_files") or []
+        # merge into the carried properties: bucket count validated
+        # against the recorded value above (also backfills legacy
+        # pre-guard manifests), the seq high-water mark advanced by
+        # this fold's batch — or REMOVED when no sound bound exists
+        # (an empty dict, unlike None, tells commit_manifest to write
+        # no properties rather than carry the stale ones forward)
+        props = _merged_props(
+            prev_props,
+            bucket_partitions=(int(bucket_partitions) if bucketed else None),
+            scd2_seq_hwm=hwm_new,
+        )
+        if drop_hwm:
+            props = dict(props or {})
+            props.pop("scd2_seq_hwm", None)
         manifest_mod.commit_manifest(
             spark, out_path, live_files, stats=stats,
             delete_files=carried + added_dv, dv_targets=targets,
             schema_json=appended.schema.json(),
-            # merge into the carried properties: bucket count validated
-            # against the recorded value above (also backfills legacy
-            # pre-guard manifests), the seq high-water mark advanced by
-            # this fold's batch
-            properties=_merged_props(
-                prev_props,
-                bucket_partitions=(
-                    int(bucket_partitions) if bucketed else None
-                ),
-                scd2_seq_hwm=hwm_new,
-            ),
+            properties=props,
         )
     finally:
         fresh.unpersist()
@@ -1310,6 +1350,38 @@ def compact_table(
     else:
         _swap_rewrite(spark, out, path)
     return n_files
+
+
+def _staged_create(spark: SparkSession, df: DataFrame, out_path: str) -> None:
+    """First write of a table through staging + ONE rename: a crash
+    leaves either nothing at ``out_path`` or the complete directory —
+    never committed partial part-files that a retried job would read
+    back as real data (``target_exists`` would return True for those).
+    """
+    jvm = spark._jvm
+    staging = out_path.rstrip("/") + f"__staging_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(staging)
+    p_out = jvm.org.apache.hadoop.fs.Path(out_path)
+    fs = p_out.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.rename(jvm.org.apache.hadoop.fs.Path(staging), p_out)
+
+
+def _recover_swap_trash(spark: SparkSession, out_path: str) -> bool:
+    """Heal :func:`_swap_rewrite`'s mid-window crash: between its two
+    renames the table is absent from ``out_path`` while the complete
+    previous version sits at ``<out_path>__old``. Restores it (one
+    rename) and returns True; returns False when there is nothing to
+    recover. Callers that treat a missing table as "start fresh" MUST
+    call this first, or a crashed swap silently resets their state."""
+    jvm = spark._jvm
+    p_out = jvm.org.apache.hadoop.fs.Path(out_path)
+    p_trash = jvm.org.apache.hadoop.fs.Path(out_path.rstrip("/") + "__old")
+    fs = p_out.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p_out) or not fs.exists(p_trash):
+        return False
+    fs.rename(p_trash, p_out)
+    spark.catalog.refreshByPath(out_path)
+    return True
 
 
 def _swap_rewrite(spark: SparkSession, df: DataFrame, out_path: str) -> None:

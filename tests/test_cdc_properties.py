@@ -493,3 +493,84 @@ def test_scd2_bucketed_legacy_hwm_backfill_sees_all_buckets(spark, tmp_path):
         (1, 10): (100, None, True),
         (other, 20): (50, None, True),
     }
+
+
+def test_scd2_hwm_survives_interleaved_non_monotonic_folds(spark, tmp_path):
+    """Round-10 review repro: a seq_monotonic=False fold interleaved on
+    a marked table commits seqs ABOVE the mark. The mark must advance
+    over that batch (or be removed), or a later monotonic replay of the
+    very same batch takes the fast path and double-applies."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import (
+        lake_writer,
+        manifest,
+    )
+
+    def frame(rs):
+        return spark.createDataFrame(rs, "pk int, v int, op string, seq int")
+
+    out = str(tmp_path / "hist_interleaved")
+    lake_writer.scd2_merge_on_read(
+        spark, frame([(1, 10, "I", 100)]), out, ["pk"],
+        seq_col="seq", seq_monotonic=True,
+    )
+    assert manifest.read_manifest(spark, out)["properties"]["scd2_seq_hwm"] == 100
+    # interleaved backfill job, NOT declaring monotonicity, seq 300
+    lake_writer.scd2_merge_on_read(
+        spark, frame([(2, 20, "I", 300)]), out, ["pk"], seq_col="seq",
+    )
+    man = manifest.read_manifest(spark, out)
+    # the mark now covers the non-monotonic fold's seqs
+    assert man["properties"]["scd2_seq_hwm"] == 300
+    v = man["version"]
+    # replay the backfill batch WITH monotonicity declared: lo=300 is
+    # NOT above the mark, so the exact guard runs and the fold no-ops
+    lake_writer.scd2_merge_on_read(
+        spark, frame([(2, 20, "I", 300)]), out, ["pk"],
+        seq_col="seq", seq_monotonic=True,
+    )
+    assert manifest.read_manifest(spark, out)["version"] == v
+    got = {
+        (r.pk, r.v): (r.valid_from_seq, r.valid_to_seq, r.is_current)
+        for r in manifest.read_table(spark, out).collect()
+    }
+    assert got == {(1, 10): (100, None, True), (2, 20): (300, None, True)}
+
+
+def test_scd2_hwm_removed_when_mark_is_not_comparable(spark, tmp_path):
+    """A mark the batch's seqs can't be compared against (foreign
+    writer, hand-edited manifest — a seq TYPE change can't happen
+    through the API, align_schemas rejects it) must be REMOVED by the
+    next fold rather than carried forward as a bound the fast path
+    would wrongly trust."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import (
+        lake_writer,
+        manifest,
+    )
+
+    def frame(rs):
+        return spark.createDataFrame(rs, "pk int, v int, op string, seq int")
+
+    out = str(tmp_path / "hist_foreign_mark")
+    lake_writer.scd2_merge_on_read(
+        spark, frame([(1, 10, "I", 100)]), out, ["pk"],
+        seq_col="seq", seq_monotonic=True,
+    )
+    man = manifest.read_manifest(spark, out)
+    assert man["properties"]["scd2_seq_hwm"] == 100
+    # a foreign writer re-commits with a string mark over int seqs
+    manifest.commit_manifest(
+        spark, out, man["files"],
+        properties={**man["properties"], "scd2_seq_hwm": "zzz"},
+    )
+    lake_writer.scd2_merge_on_read(
+        spark, frame([(2, 20, "I", 300)]), out, ["pk"], seq_col="seq",
+    )
+    props = manifest.read_manifest(spark, out).get("properties") or {}
+    assert "scd2_seq_hwm" not in props
+    # and the monotonic path heals it: the backfill aggregate restores
+    # a TRUE bound on the next declared-monotonic fold
+    lake_writer.scd2_merge_on_read(
+        spark, frame([(3, 30, "I", 50)]), out, ["pk"],
+        seq_col="seq", seq_monotonic=True,
+    )
+    assert manifest.read_manifest(spark, out)["properties"]["scd2_seq_hwm"] == 300

@@ -627,7 +627,19 @@ def test_sniff_mime_gates_isobmff_on_major_brand():
         body = brand + b"\x00\x00\x02\x00" + brand
         return struct.pack(">I", 8 + len(body)) + b"ftyp" + body
 
-    for brand in (b"isom", b"mp42", b"avc1", b"M4V "):
+    for brand in (b"isom", b"mp42", b"avc1", b"M4V ", b"iso7", b"cmfc"):
         assert mm.sniff_mime(ftyp(brand)) == "video/mp4", brand
     for brand in (b"heic", b"mif1", b"avif", b"qt  ", b"3gp5"):
         assert mm.sniff_mime(ftyp(brand)) == "application/octet-stream", brand
+
+    # exotic major brand + isom in COMPATIBLE brands → still video
+    # (standard sniffing fallback); HEIC's typical brand set stays out
+    def ftyp_compat(major: bytes, compat: list) -> bytes:
+        body = major + b"\x00\x00\x02\x00" + b"".join(compat)
+        return struct.pack(">I", 8 + len(body)) + b"ftyp" + body
+
+    assert mm.sniff_mime(ftyp_compat(b"XVID", [b"xvid", b"isom"])) == "video/mp4"
+    assert (
+        mm.sniff_mime(ftyp_compat(b"heic", [b"mif1", b"miaf", b"heic"]))
+        == "application/octet-stream"
+    )

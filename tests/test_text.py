@@ -379,3 +379,27 @@ def test_fold_count_min_equals_one_shot(spark, tmp_path):
     assert folded == want
     est = text_ops.cms_estimate(spark.read.parquet(out).collect(), "alpha")
     assert est >= 6  # true count 6; CMS never underestimates
+
+
+def test_fold_count_min_recovers_crashed_swap_window(spark, tmp_path):
+    """A crash between the swap's two renames leaves the sketch only in
+    the __old trash dir; the next fold must recover it, not restart the
+    counts from the incoming batch alone."""
+    import os
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha gamma")], "doc_id long, text string"
+    )
+    out = str(tmp_path / "cms_store")
+    text_ops.fold_count_min(spark, df.where("doc_id = 0"), "text", out)
+    # simulate the mid-window crash: table renamed away, stage lost
+    os.rename(out, out + "__old")
+    text_ops.fold_count_min(spark, df.where("doc_id = 1"), "text", out)
+    folded = {(r.row, r.col): r.n for r in spark.read.parquet(out).collect()}
+    want = {
+        (r.row, r.col): r.n
+        for r in text_ops.count_min_cells(df, "text").collect()
+    }
+    assert folded == want  # both batches counted — nothing reset
