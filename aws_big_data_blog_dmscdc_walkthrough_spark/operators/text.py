@@ -693,8 +693,12 @@ def count_min_cells(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def fold_count_min(
-    spark: SparkSession, batch: DataFrame, text_col: str, out_path: str
-) -> None:
+    spark: SparkSession,
+    batch: DataFrame,
+    text_col: str,
+    out_path: str,
+    batch_id: int | None = None,
+) -> bool:
     """Incrementally maintain a persisted count-min sketch table (#125).
 
     The sketch twin of the incremental materialized-view family
@@ -702,35 +706,60 @@ def fold_count_min(
     merge operation, so per ingest batch the stored sketch advances by
     ONE batch-sized pass — never a corpus recompute. The stored table
     is FIXED SIZE (≤ d·w cells) regardless of corpus width, so the
-    "rewrite" of the state is O(1) by construction. At 100 TB the
-    per-batch cost is the batch's own tokenize + a d·w-bounded shuffle;
-    the corpus never re-enters.
+    state rewrite is O(1) by construction. At 100 TB the per-batch cost
+    is the batch's own tokenize + a d·w-bounded shuffle; the corpus
+    never re-enters. Read via ``manifest.read_table(spark, out_path)``.
 
-    Crash safety: creation goes through staging + one rename (a bare
-    write would leave committed partial part-files a retry reads back
-    as a real sketch and double-counts into); updates go through the
-    compaction swap, whose only crash window (between its two renames)
-    leaves the complete previous sketch in the ``__old`` trash dir —
-    recovered here before the missing-table branch can mistake it for
-    "start fresh" and silently reset the counts.
+    Storage is MANIFEST-COMMITTED, the repo's lake format: each fold
+    appends the merged cells as new files and commits a manifest
+    listing ONLY them (the old state's files become unreferenced —
+    ``manifest.vacuum`` reclaims them), so a crash before the commit
+    leaves orphans and the retry re-runs cleanly; nothing is ever
+    partially visible. ``batch_id`` (e.g. the foreachBatch id) rides
+    the SAME commit as the ``cms_folded_through`` property, which makes
+    replays idempotent — a retried micro-batch whose id is already
+    committed returns False without touching the sketch. Cell sums are
+    NOT idempotent on their own (unlike the CDC merges' replay guards),
+    so streaming callers must pass it; :func:`start_sketch_stream`
+    (streaming/sketch_stream.py) does.
 
     Fold(b1) ∘ fold(b2) ≡ sketch(b1 ∪ b2) exactly (integer cell sums;
     pinned by the property test).
     """
     from ..sources import lake_writer
+    from ..sources import manifest as manifest_mod
 
-    lake_writer._recover_swap_trash(spark, out_path)
-    cells = count_min_cells(batch, text_col)
-    if not lake_writer.target_exists(spark, out_path):
-        lake_writer._staged_create(spark, cells, out_path)
-        return
-    prev = spark.read.parquet(out_path)
-    merged = (
-        prev.unionByName(cells).groupBy("row", "col").agg(F.sum("n").alias("n"))
+    man = (
+        manifest_mod.read_manifest(spark, out_path)
+        if lake_writer.target_exists(spark, out_path)
+        else None
     )
-    # the staging write materializes the merge BEFORE the old directory
-    # moves, so reading prev from out_path during the write is safe
-    lake_writer._swap_rewrite(spark, merged, out_path)
+    if man is not None and batch_id is not None:
+        done = (man.get("properties") or {}).get("cms_folded_through")
+        if isinstance(done, int) and batch_id <= done:
+            return False  # replayed micro-batch: already folded
+    merged = count_min_cells(batch, text_col)
+    if man is not None:
+        prev = manifest_mod.read_table(spark, out_path)
+        merged = (
+            prev.unionByName(merged)
+            .groupBy("row", "col")
+            .agg(F.sum("n").alias("n"))
+        )
+    before = set(manifest_mod.list_data_files(spark, out_path))
+    merged.write.mode("append").parquet(out_path)
+    added = [
+        f for f in manifest_mod.list_data_files(spark, out_path)
+        if f not in before
+    ]
+    props = dict((man or {}).get("properties") or {})
+    if batch_id is not None:
+        props["cms_folded_through"] = int(batch_id)
+    manifest_mod.commit_manifest(
+        spark, out_path, added, schema_json=merged.schema.json(),
+        properties=props or None,
+    )
+    return True
 
 
 _CMS_POLY = (

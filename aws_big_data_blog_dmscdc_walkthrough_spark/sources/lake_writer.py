@@ -1352,38 +1352,6 @@ def compact_table(
     return n_files
 
 
-def _staged_create(spark: SparkSession, df: DataFrame, out_path: str) -> None:
-    """First write of a table through staging + ONE rename: a crash
-    leaves either nothing at ``out_path`` or the complete directory —
-    never committed partial part-files that a retried job would read
-    back as real data (``target_exists`` would return True for those).
-    """
-    jvm = spark._jvm
-    staging = out_path.rstrip("/") + f"__staging_{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(staging)
-    p_out = jvm.org.apache.hadoop.fs.Path(out_path)
-    fs = p_out.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.rename(jvm.org.apache.hadoop.fs.Path(staging), p_out)
-
-
-def _recover_swap_trash(spark: SparkSession, out_path: str) -> bool:
-    """Heal :func:`_swap_rewrite`'s mid-window crash: between its two
-    renames the table is absent from ``out_path`` while the complete
-    previous version sits at ``<out_path>__old``. Restores it (one
-    rename) and returns True; returns False when there is nothing to
-    recover. Callers that treat a missing table as "start fresh" MUST
-    call this first, or a crashed swap silently resets their state."""
-    jvm = spark._jvm
-    p_out = jvm.org.apache.hadoop.fs.Path(out_path)
-    p_trash = jvm.org.apache.hadoop.fs.Path(out_path.rstrip("/") + "__old")
-    fs = p_out.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(p_out) or not fs.exists(p_trash):
-        return False
-    fs.rename(p_trash, p_out)
-    spark.catalog.refreshByPath(out_path)
-    return True
-
-
 def _swap_rewrite(spark: SparkSession, df: DataFrame, out_path: str) -> None:
     """Full rewrite through staging + rename (unpartitioned tables).
 

@@ -430,3 +430,39 @@ def test_scd2_history_additive_schema_evolution(spark, tmp_path):
     )
     with pytest.raises(Exception, match="type|Type"):
         lake_writer.scd2_merge_on_read(spark, bad, out, ["id"])
+
+
+def test_sketch_stream_folds_batches_and_restarts(spark, tmp_path):
+    """The streaming sketch fold: drain a backlog, then new files after
+    a restart increment the SAME sketch — final cells equal the one-shot
+    sketch of everything streamed (replay-safe via the batch-id marker
+    on the manifest commit)."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import text as text_ops
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import manifest
+    from aws_big_data_blog_dmscdc_walkthrough_spark.streaming.sketch_stream import (
+        start_sketch_stream,
+    )
+
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+    d1 = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha alpha")], "doc_id long, text string"
+    )
+    d1.write.parquet(src)
+    q = start_sketch_stream(
+        spark, src, out, "text", "doc_id long, text string", ckpt
+    )
+    q.awaitTermination(120)
+    d2 = spark.createDataFrame([(2, "beta delta")], "doc_id long, text string")
+    d2.write.mode("append").parquet(src)
+    q2 = start_sketch_stream(
+        spark, src, out, "text", "doc_id long, text string", ckpt
+    )
+    q2.awaitTermination(120)
+    got = {(r.row, r.col): r.n for r in manifest.read_table(spark, out).collect()}
+    want = {
+        (r.row, r.col): r.n
+        for r in text_ops.count_min_cells(d1.unionByName(d2), "text").collect()
+    }
+    assert got == want

@@ -369,37 +369,43 @@ def test_fold_count_min_equals_one_shot(spark, tmp_path):
         text_ops.fold_count_min(
             spark, df.where(f"doc_id >= {lo} AND doc_id < {hi}"), "text", out
         )
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import manifest
+
     folded = {
-        (r.row, r.col): r.n for r in spark.read.parquet(out).collect()
+        (r.row, r.col): r.n for r in manifest.read_table(spark, out).collect()
     }
     want = {
         (r.row, r.col): r.n
         for r in text_ops.count_min_cells(df, "text").collect()
     }
     assert folded == want
-    est = text_ops.cms_estimate(spark.read.parquet(out).collect(), "alpha")
+    est = text_ops.cms_estimate(manifest.read_table(spark, out).collect(), "alpha")
     assert est >= 6  # true count 6; CMS never underestimates
 
 
-def test_fold_count_min_recovers_crashed_swap_window(spark, tmp_path):
-    """A crash between the swap's two renames leaves the sketch only in
-    the __old trash dir; the next fold must recover it, not restart the
-    counts from the incoming batch alone."""
-    import os
-
+def test_fold_count_min_replay_and_crash_safety(spark, tmp_path):
+    """Manifest-committed folds: a replayed micro-batch (same batch_id)
+    is a no-op returning False, and orphan files from a crash before
+    the commit are invisible to the manifest read — counts never
+    double, never reset."""
     from aws_big_data_blog_dmscdc_walkthrough_spark.operators import text as text_ops
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import manifest
 
     df = spark.createDataFrame(
         [(0, "alpha beta"), (1, "alpha gamma")], "doc_id long, text string"
     )
     out = str(tmp_path / "cms_store")
-    text_ops.fold_count_min(spark, df.where("doc_id = 0"), "text", out)
-    # simulate the mid-window crash: table renamed away, stage lost
-    os.rename(out, out + "__old")
-    text_ops.fold_count_min(spark, df.where("doc_id = 1"), "text", out)
-    folded = {(r.row, r.col): r.n for r in spark.read.parquet(out).collect()}
+    assert text_ops.fold_count_min(spark, df.where("doc_id = 0"), "text", out, batch_id=0)
+    # crash-before-commit simulation: an orphan data file in the dir
+    spark.createDataFrame([(0, 0, 999)], "row int, col int, n long").write.mode(
+        "append"
+    ).parquet(out)
+    assert text_ops.fold_count_min(spark, df.where("doc_id = 1"), "text", out, batch_id=1)
+    # replay of batch 1: already folded -> untouched
+    assert not text_ops.fold_count_min(spark, df.where("doc_id = 1"), "text", out, batch_id=1)
+    folded = {(r.row, r.col): r.n for r in manifest.read_table(spark, out).collect()}
     want = {
         (r.row, r.col): r.n
         for r in text_ops.count_min_cells(df, "text").collect()
     }
-    assert folded == want  # both batches counted — nothing reset
+    assert folded == want  # orphan ignored, replay ignored, both batches in
