@@ -245,12 +245,15 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_lang_mismatch": text.corpus_lang_mismatch,
         # round-9 addition (SURVEY §2 #119): bigram LM surprisal
         "text_bigram_surprisal": text.text_bigram_surprisal,
-        # round-10 additions (SURVEY §2 #120-#124)
+        # round-10 additions (SURVEY §2 #120-#124, #127-#129)
         "q_basket_affinity": analytics.q_basket_affinity,
         "q_events_decay_score": analytics.q_events_decay_score,
         "q_events_attribution": analytics.q_events_attribution,
         "sample_weighted": text.sample_weighted,
         "dedup_containment": llm_queries.dedup_containment,
+        "q_customer_feature_matrix": analytics.q_customer_feature_matrix,
+        "q_part_fuzzy_levenshtein": llm_queries.q_part_fuzzy_levenshtein,
+        "eval_centroid_classifier": corpus_ml.eval_centroid_classifier,
     }
 
 
@@ -377,4 +380,7 @@ def secondary_oracle_sql() -> dict[str, str]:
         "q_events_attribution": analytics.Q_EVENTS_ATTRIBUTION_SQL,
         "sample_weighted": text.SAMPLE_WEIGHTED_SQL,
         "dedup_containment": llm_queries.DEDUP_CONTAINMENT_SQL,
+        "q_customer_feature_matrix": analytics.Q_CUSTOMER_FEATURE_MATRIX_SQL,
+        "q_part_fuzzy_levenshtein": llm_queries.Q_PART_FUZZY_LEVENSHTEIN_SQL,
+        "eval_centroid_classifier": corpus_ml.EVAL_CENTROID_CLASSIFIER_SQL,
     }

@@ -1377,3 +1377,71 @@ SELECT
 FROM tagged WHERE event_type = 'purchase'
 GROUP BY 1
 """
+
+
+# ----------------------------- customer ML feature matrix (#127)
+
+FEATURE_WINDOWS_DAYS = (30, 90, 365)
+
+
+def q_customer_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer trailing-window feature matrix (#127).
+
+    The feature-engineering shape a churn/LTV training pipeline derives
+    from transactional CDC output: per customer, order counts and exact
+    DECIMAL-summed spend over trailing 30/90/365-day windows (anchored
+    at the corpus max order date — in-plan aggregate, broadcast), plus
+    recency and average order value. One conditional aggregation pass:
+    every window is a CASE inside the same customer-keyed groupBy, so
+    the plan is one scan + one shuffle regardless of how many windows
+    are configured — never one join per feature.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d"), "o_totalprice"
+    )
+    anchor = o.agg(F.max("d").alias("_dmax"))
+    age = F.datediff(F.col("_dmax"), F.col("d"))
+    aggs = [
+        F.count(F.lit(1)).alias("orders_total"),
+        _dsum(F.col("o_totalprice")).alias("spend_total"),
+        F.min(age).alias("days_since_last_order"),
+        (
+            _dsum(F.col("o_totalprice"))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_order_value"),
+    ]
+    for w in FEATURE_WINDOWS_DAYS:
+        in_w = age < F.lit(w)
+        aggs.append(
+            F.sum(F.when(in_w, 1).otherwise(0)).alias(f"orders_{w}d")
+        )
+        aggs.append(
+            F.coalesce(
+                _dsum(F.when(in_w, F.col("o_totalprice"))), F.lit(0.0)
+            ).alias(f"spend_{w}d")
+        )
+    return o.join(F.broadcast(anchor)).groupBy("o_custkey").agg(*aggs)
+
+
+_FM_WINDOW_COLS = ",\n  ".join(
+    f"CAST(SUM(CASE WHEN age < {w} THEN 1 ELSE 0 END) AS BIGINT) AS orders_{w}d,\n"
+    f"  COALESCE(CAST(SUM(CASE WHEN age < {w} THEN CAST(o_totalprice AS DECIMAL(30,10)) END) AS DOUBLE), 0.0) AS spend_{w}d"
+    for w in FEATURE_WINDOWS_DAYS
+)
+
+Q_CUSTOMER_FEATURE_MATRIX_SQL = f"""
+WITH anchor AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS dmax FROM orders),
+aged AS (
+  SELECT o_custkey, o_totalprice,
+    datediff('day', CAST(o_orderdate AS DATE), dmax) AS age
+  FROM orders CROSS JOIN anchor
+)
+SELECT o_custkey,
+  CAST(COUNT(*) AS BIGINT) AS orders_total,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE) AS spend_total,
+  CAST(MIN(age) AS INT) AS days_since_last_order,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+    / COUNT(*)::DOUBLE AS avg_order_value,
+  {_FM_WINDOW_COLS}
+FROM aged GROUP BY o_custkey
+"""

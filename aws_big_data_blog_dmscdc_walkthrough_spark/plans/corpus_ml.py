@@ -596,3 +596,101 @@ SELECT source, word, n, CAST(rk AS BIGINT) AS rank FROM (
   FROM counts
 ) WHERE rk <= {TOP_TERMS_K}
 """
+
+
+# ---------------------- nearest-centroid classifier eval (#129)
+
+CENTROID_EVAL_MOD = 10  # vec_id % MOD == 0 → held-out test slice
+
+
+def eval_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification accuracy per label (#129).
+
+    The embedding-quality smoke test a training pipeline runs before
+    trusting labels or embeddings: fit per-label mean vectors on a
+    deterministic train split (vec_id % 10 != 0), assign each held-out
+    vector to its nearest centroid by squared L2, and report per-label
+    n / correct / accuracy. Catches collapsed embeddings, label noise,
+    and drift after re-embedding.
+
+    Plan: centroids come from the shared decimal-summed long-format
+    aggregation (|labels|·dim rows — broadcast); the test side explodes
+    to (vec, pos) once and the centroid join fans out by |labels|, so
+    the shuffle after map-side combine is |test|·|labels| rows of
+    partial distance sums — labels are bounded, the corpus never pairs
+    with itself. Per-term squared deviations are cast to DECIMAL before
+    summing, so distances (and the argmin) are order-independent and
+    engine-identical; argmin ties break to the smaller label.
+    """
+    from ..operators.similarity import vector_mean_by
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    is_test = F.col("vec_id") % CENTROID_EVAL_MOD == 0
+    cents = vector_mean_by(embs.where(~is_test), "label", "embedding", EMB_DIM)
+    test = embs.where(is_test).select(
+        "vec_id", "label",
+        F.posexplode(as_double(F.col("embedding"))).alias("pos", "x"),
+    )
+    dev = F.col("x") - F.col("mean")
+    dists = (
+        test.join(
+            F.broadcast(cents.select(F.col("label").alias("_cand"), "pos", "mean")),
+            "pos",
+        )
+        .groupBy("vec_id", "label", "_cand")
+        .agg(F.sum((dev * dev).cast("decimal(30,10)")).alias("_d"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("_d").asc(), F.col("_cand").asc())
+    assigned = (
+        dists.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("vec_id", "label", F.col("_cand").alias("pred"))
+    )
+    return assigned.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("pred") == F.col("label"), 1).otherwise(0)).alias(
+            "correct"
+        ),
+        (
+            F.sum(
+                F.when(F.col("pred") == F.col("label"), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("accuracy"),
+    )
+
+
+EVAL_CENTROID_CLASSIFIER_SQL = f"""
+WITH cents AS (
+  SELECT label AS cand, i - 1 AS pos,
+    CAST(SUM(CAST(embedding[i]::DOUBLE AS DECIMAL(30,10))) AS DOUBLE)
+      / COUNT(*) AS mean
+  FROM embeddings, range(1, {EMB_DIM} + 1) t(i)
+  WHERE vec_id % {CENTROID_EVAL_MOD} <> 0
+  GROUP BY label, i
+),
+test AS (
+  SELECT vec_id, label, i - 1 AS pos, embedding[i]::DOUBLE AS x
+  FROM embeddings, range(1, {EMB_DIM} + 1) t(i)
+  WHERE vec_id % {CENTROID_EVAL_MOD} = 0
+),
+dists AS (
+  SELECT vec_id, label, cand,
+    SUM(CAST((x - mean) * (x - mean) AS DECIMAL(30,10))) AS d
+  FROM test JOIN cents USING (pos)
+  GROUP BY vec_id, label, cand
+),
+assigned AS (
+  SELECT vec_id, label, cand AS pred
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY d ASC, cand ASC
+    ) AS rk FROM dists
+  ) WHERE rk = 1
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+  SUM(CASE WHEN pred = label THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE
+    AS accuracy
+FROM assigned GROUP BY label
+"""

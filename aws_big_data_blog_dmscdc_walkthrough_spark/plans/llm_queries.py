@@ -1315,3 +1315,52 @@ pairs AS (
 SELECT id_inner, id_outer, containment FROM pairs
 WHERE containment >= {CONTAINMENT_THRESHOLD}
 """
+
+
+# ---------------------------- edit-distance record linkage (#128)
+
+LEVENSHTEIN_MAX_EDITS = 3
+
+
+def q_part_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-match pairs over the part-name domain (#128).
+
+    The exact-verification twin of #104's trigram linkage: trigram
+    Jaccard screens cheaply but scores transpositions and short strings
+    coarsely; Levenshtein is the exactness standard for short entity
+    names (addresses, SKUs, vendor names). Same VALUE-DOMAIN shape —
+    the distance depends only on the strings, so pairs form over the
+    DISTINCT name domain (vocabulary-sized, not row-count-sized) with a
+    length-band prune inside the join: |len(a)−len(b)| > k already
+    implies distance > k, so the quadratic term never sees pairs a
+    cheap predicate can refute. ``F.levenshtein`` is JVM-side codegen
+    and definitionally identical to DuckDB's ``levenshtein`` (unit-cost
+    insert/delete/substitute), so the gate is value-exact. At 100 TB
+    the domain join is bounded by the name vocabulary; rows map back by
+    equi-join like #104.
+    """
+    names = (
+        load_table(spark, sf_dir, "part").select("p_name").distinct()
+    )
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    k = LEVENSHTEIN_MAX_EDITS
+    band = (
+        F.abs(F.length("name_a") - F.length("name_b")) <= F.lit(k)
+    )
+    return (
+        a.join(b, (F.col("name_a") < F.col("name_b")) & band)
+        .withColumn("edits", F.levenshtein("name_a", "name_b"))
+        .where(F.col("edits") <= k)
+    )
+
+
+Q_PART_FUZZY_LEVENSHTEIN_SQL = f"""
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edits
+FROM names a JOIN names b
+  ON a.p_name < b.p_name
+ AND abs(length(a.p_name) - length(b.p_name)) <= {LEVENSHTEIN_MAX_EDITS}
+WHERE levenshtein(a.p_name, b.p_name) <= {LEVENSHTEIN_MAX_EDITS}
+"""
