@@ -61,6 +61,9 @@ AUDITED = [
     ("q_events_attribution", "one user-key window pass; no self-join"),
     ("sample_weighted", "map-only ES keys; per-stratum bounded window"),
     ("dedup_containment", "index count join (jaccard twin); both directions from one agg"),
+    ("q_customer_feature_matrix", "all windows CASEs in ONE customer agg; anchor broadcast"),
+    ("q_part_fuzzy_levenshtein", "distinct name domain; length-band prune inside the join"),
+    ("eval_centroid_classifier", "centroids broadcast; shuffle is |test|x|labels| partial sums"),
 ]
 
 
