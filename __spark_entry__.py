@@ -254,6 +254,7 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_customer_feature_matrix": analytics.q_customer_feature_matrix,
         "q_part_fuzzy_levenshtein": llm_queries.q_part_fuzzy_levenshtein,
         "eval_centroid_classifier": corpus_ml.eval_centroid_classifier,
+        "corpus_quality_filter": text.corpus_quality_filter,
     }
 
 
@@ -383,4 +384,5 @@ def secondary_oracle_sql() -> dict[str, str]:
         "q_customer_feature_matrix": analytics.Q_CUSTOMER_FEATURE_MATRIX_SQL,
         "q_part_fuzzy_levenshtein": llm_queries.Q_PART_FUZZY_LEVENSHTEIN_SQL,
         "eval_centroid_classifier": corpus_ml.EVAL_CENTROID_CLASSIFIER_SQL,
+        "corpus_quality_filter": text.CORPUS_QUALITY_FILTER_SQL,
     }

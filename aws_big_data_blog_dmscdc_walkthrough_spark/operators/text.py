@@ -1401,3 +1401,64 @@ ranked AS (
 SELECT doc_id, source, n_chars, sample_key FROM ranked
 WHERE rk <= {WEIGHTED_SAMPLE_K}
 """
+
+
+# -------------------- per-source quality-quartile filter (#130)
+
+QUALITY_FILTER_PCT = 0.25  # drop each source's bottom quartile
+
+
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop each source's bottom quality quartile (#130).
+
+    The curation step after scoring (#27): a GLOBAL score cutoff lets
+    one clean source crowd out another whose honest ceiling is lower
+    (code vs prose, forum vs news), so production filters threshold
+    PER SOURCE. The boundary is the exact population P25 of the #27
+    quality blend within each source — computed by one bounded
+    aggregate (|sources| rows, broadcast back), never a global ntile
+    window; the scoring itself is map-side. Kept rows carry their score
+    and their source's boundary so downstream stages (and audits) can
+    see how close each survivor sat. Same quantile-interpolation
+    convention as the exact-median gate and #117's RFM quartiles.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id", "source", quality_score_col("text").alias("quality_score")
+    )
+    bounds = scored.groupBy("source").agg(
+        F.expr(f"percentile(quality_score, {QUALITY_FILTER_PCT})").alias(
+            "src_p25"
+        )
+    )
+    return (
+        scored.join(F.broadcast(bounds), "source")
+        .where(F.col("quality_score") > F.col("src_p25"))
+        .select("doc_id", "source", "quality_score", "src_p25")
+    )
+
+
+CORPUS_QUALITY_FILTER_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks,
+    length(text) AS n_chars,
+    length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS n_alpha,
+    length(text) - length(regexp_replace(text, ' ', '', 'g')) AS n_space
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source,
+    (CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.4
+      + (CAST({_EN_SQL} AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.3
+      + (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.2
+      + (CAST(n_space AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.1 AS quality_score
+  FROM t
+),
+bounds AS (
+  SELECT source, quantile_cont(quality_score, {QUALITY_FILTER_PCT}) AS src_p25
+  FROM scored GROUP BY source
+)
+SELECT doc_id, source, quality_score, src_p25
+FROM scored JOIN bounds USING (source)
+WHERE quality_score > src_p25
+"""
