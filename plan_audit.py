@@ -64,6 +64,7 @@ AUDITED = [
     ("q_customer_feature_matrix", "all windows CASEs in ONE customer agg; anchor broadcast"),
     ("q_part_fuzzy_levenshtein", "distinct name domain; length-band prune inside the join"),
     ("eval_centroid_classifier", "centroids broadcast; shuffle is |test|x|labels| partial sums"),
+    ("corpus_quality_filter", "map-side scoring; |sources| boundary agg broadcast back"),
 ]
 
 
