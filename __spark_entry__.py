@@ -255,6 +255,7 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_part_fuzzy_levenshtein": llm_queries.q_part_fuzzy_levenshtein,
         "eval_centroid_classifier": corpus_ml.eval_centroid_classifier,
         "corpus_quality_filter": text.corpus_quality_filter,
+        "q_events_attribution_linear": analytics.q_events_attribution_linear,
     }
 
 
@@ -385,4 +386,5 @@ def secondary_oracle_sql() -> dict[str, str]:
         "q_part_fuzzy_levenshtein": llm_queries.Q_PART_FUZZY_LEVENSHTEIN_SQL,
         "eval_centroid_classifier": corpus_ml.EVAL_CENTROID_CLASSIFIER_SQL,
         "corpus_quality_filter": text.CORPUS_QUALITY_FILTER_SQL,
+        "q_events_attribution_linear": analytics.Q_EVENTS_ATTRIBUTION_LINEAR_SQL,
     }

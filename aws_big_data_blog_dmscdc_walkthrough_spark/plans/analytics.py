@@ -1445,3 +1445,93 @@ SELECT o_custkey,
   {_FM_WINDOW_COLS}
 FROM aged GROUP BY o_custkey
 """
+
+
+# ---------------------- linear multi-touch attribution (#131)
+
+
+def q_events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution by channel (#131).
+
+    The multi-touch complement of #122's last-touch rule: every
+    click/view inside the window before a purchase shares its revenue
+    equally (credit = value / n_touches); purchases with no in-window
+    touch stay whole in the 'direct' bucket. The purchase×touch pair
+    set is a per-user range join — bounded by each user's own event
+    count inside the window, the same fan-out argument as the as-of /
+    range joins (#47/#48) — followed by one purchase-keyed count and a
+    channel-keyed DECIMAL credit sum. Per-pair credit is a double
+    division (IEEE-identical cross-engine); sums go through DECIMAL.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_val"),
+    )
+    t = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    win_s = ATTRIBUTION_WINDOW_DAYS * 86400.0
+    age = (
+        F.col("p_ts").cast("timestamp").cast("double")
+        - F.col("t_ts").cast("timestamp").cast("double")
+    )
+    pairs = p.join(t, "u").where((age > 0) & (age <= win_s))
+    n_t = pairs.groupBy("p_id").agg(F.count(F.lit(1)).alias("_nt"))
+    credited = (
+        pairs.join(n_t, "p_id")
+        .groupBy("channel")
+        .agg(
+            F.countDistinct("p_id").alias("touched_purchases"),
+            _dsum(F.col("p_val") / F.col("_nt").cast("double")).alias("credit"),
+        )
+    )
+    direct = (
+        p.join(n_t.select("p_id"), "p_id", "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("touched_purchases"),
+            F.coalesce(_dsum(F.col("p_val")), F.lit(0.0)).alias("credit"),
+        )
+        .select(F.lit("direct").alias("channel"), "touched_purchases", "credit")
+        .where(F.col("touched_purchases") > 0)
+    )
+    return credited.unionByName(direct)
+
+
+Q_EVENTS_ATTRIBUTION_LINEAR_SQL = f"""
+WITH p AS (
+  SELECT event_id AS p_id, user_id AS u, ts AS p_ts, value AS p_val
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id AS u, ts AS t_ts, event_type AS channel
+  FROM events WHERE event_type IN ('click', 'view')
+),
+pairs AS (
+  SELECT p_id, p_val, channel
+  FROM p JOIN t USING (u)
+  WHERE epoch(p_ts) - epoch(t_ts) > 0
+    AND epoch(p_ts) - epoch(t_ts) <= {ATTRIBUTION_WINDOW_DAYS} * 86400.0
+),
+n_t AS (SELECT p_id, COUNT(*) AS nt FROM pairs GROUP BY p_id),
+credited AS (
+  SELECT channel,
+    CAST(COUNT(DISTINCT p_id) AS BIGINT) AS touched_purchases,
+    CAST(SUM(CAST(p_val / nt::DOUBLE AS DECIMAL(30,10))) AS DOUBLE) AS credit
+  FROM pairs JOIN n_t USING (p_id)
+  GROUP BY channel
+),
+direct AS (
+  SELECT 'direct' AS channel,
+    CAST(COUNT(*) AS BIGINT) AS touched_purchases,
+    COALESCE(CAST(SUM(CAST(p_val AS DECIMAL(30,10))) AS DOUBLE), 0.0) AS credit
+  FROM p WHERE p_id NOT IN (SELECT p_id FROM n_t)
+)
+SELECT * FROM credited
+UNION ALL
+SELECT * FROM direct WHERE touched_purchases > 0
+"""
