@@ -73,12 +73,18 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     than the extra materialize pass (sf0.1: 0.9 s vs 1.6 s), so small
     inputs skip the pin — the same size gate spread() uses.
     """
-    from .dedup import SPREAD_MIN_INPUT_BYTES, _materialize, _scan_sizes, _track
+    from .dedup import SPREAD_MIN_INPUT_BYTES, _materialize, _track, scan_bytes
 
     terms = _doc_terms(docs)
-    sizes = _scan_sizes(docs)
-    if sizes is not None:
-        pin = sum(sizes) >= SPREAD_MIN_INPUT_BYTES
+    # scan_bytes (NOT _scan_sizes): spread() outputs report no input
+    # files, so a direct probe here returned None and the round-9
+    # inputFiles() fallback ALSO saw nothing — pin never engaged on the
+    # exact inputs it exists for (the round-10 sf10 regression, ~27 s
+    # vs ~8 s). spread() now stamps the raw frame's measured bytes on
+    # its output; scan_bytes reads the stamp first.
+    total = scan_bytes(docs)
+    if total is not None:
+        pin = total >= SPREAD_MIN_INPUT_BYTES
     else:
         # size unknown: pin only when the frame is backed by a real
         # file scan (object stores report URIs but not local sizes —

@@ -103,7 +103,40 @@ def _scan_sizes(df: DataFrame) -> list[int] | None:
     return sizes
 
 
-def _estimated_scan_partitions(df: DataFrame) -> int | None:
+# Attribute spread() stamps on the frames it returns, carrying the
+# RAW input's measured scan bytes across the repartition+persist (whose
+# own inputFiles() is empty — a post-spread _scan_sizes probe is blind,
+# the round-10 tfidf pin regression). Downstream adaptive gates read it
+# via scan_bytes() instead of probing the frame directly.
+_SCAN_BYTES_ATTR = "_sg_scan_bytes"
+
+
+def scan_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes behind this frame, or None when unknown.
+
+    Prefers the measurement ``spread()`` stamped on its output (the
+    repartitioned frame itself reports no input files, so a direct
+    probe would wrongly say "unknown" — exactly how the round-10
+    tfidf pin regression happened); falls back to a live leaf-file
+    probe for raw frames. EVERY adaptive size gate downstream of a
+    possible spread() must use this, never _scan_sizes directly.
+    """
+    cached = getattr(df, _SCAN_BYTES_ATTR, None)
+    if cached is not None:
+        return cached
+    sizes = _scan_sizes(df)
+    return None if sizes is None else sum(sizes)
+
+
+def _stamp_scan_bytes(df: DataFrame, total: int | None) -> DataFrame:
+    if total is not None:
+        setattr(df, _SCAN_BYTES_ATTR, int(total))
+    return df
+
+
+def _estimated_scan_partitions(
+    df: DataFrame, sizes: list[int] | None = None
+) -> int | None:
     """Estimate how many partitions this frame's file scan will produce.
 
     Mirrors Spark's FilePartition packing (FilePartition.maxSplitBytes +
@@ -125,7 +158,8 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
     sources (createDataFrame fixtures, object stores), where the caller
     should fall back to the RDD probe.
     """
-    sizes = _scan_sizes(df)
+    if sizes is None:
+        sizes = _scan_sizes(df)
     if sizes is None:
         return None
     conf = df.sparkSession.conf
@@ -217,18 +251,25 @@ def spread(df: DataFrame, min_bytes: int | None = SPREAD_MIN_INPUT_BYTES) -> Dat
     (feeds both sides of a self-join). (The count-min explode was a
     third such caller until round 10 moved its fan-out behind the word
     shuffle; it now uses the adaptive default.)
+
+    Every return path stamps the RAW input's measured scan bytes on the
+    returned frame (``scan_bytes()`` reads it): the repartitioned
+    output's own ``inputFiles()`` is empty, so a downstream adaptive
+    gate probing the spread output directly sees "unknown size" and
+    mis-decides — the round-10 tfidf pin regression. Probe-before-
+    spread is the rule; the stamp makes probe-after-spread equivalent.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if min_bytes:
-        sizes = _scan_sizes(df)
-        if sizes is not None and sum(sizes) < min_bytes:
-            return df
-    est = _estimated_scan_partitions(df)
+    sizes = _scan_sizes(df)
+    total = None if sizes is None else sum(sizes)
+    if min_bytes and total is not None and total < min_bytes:
+        return _stamp_scan_bytes(df, total)
+    est = _estimated_scan_partitions(df, sizes)
     if est is None:
         est = df.rdd.getNumPartitions()
     if est < target:
-        return _track(df.repartition(target).persist())
-    return df
+        return _stamp_scan_bytes(_track(df.repartition(target).persist()), total)
+    return _stamp_scan_bytes(df, total)
 
 
 def _materialize(df: DataFrame) -> DataFrame:
@@ -378,9 +419,9 @@ def ngram_jaccard_pairs(
     )
     bc = list(block_cols)
     if bc:
-        sizes = _scan_sizes(df)
-        if sizes is not None:
-            small = sum(sizes) < SPREAD_MIN_INPUT_BYTES
+        total = scan_bytes(df)
+        if total is not None:
+            small = total < SPREAD_MIN_INPUT_BYTES
         else:
             # unknown size: createDataFrame fixtures (no input files)
             # are small; a file scan without local sizes (object store)

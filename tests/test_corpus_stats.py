@@ -74,3 +74,51 @@ def test_oracle_constants_in_sync():
     assert f"{corpus_stats.CHUNK_SIZE}" in corpus_stats.TEXT_CHUNKS_SQL
     for t in corpus_stats.BM25_QUERY_TERMS:
         assert f"'{t}'" in corpus_stats.TEXT_BM25_SQL
+
+
+def test_tfidf_pin_engages_on_spread_frames(spark, tmp_path):
+    """Round-11 regression for the r10 sf10 pin break: text_tfidf_topk
+    spreads its input FIRST, and spread outputs report no inputFiles —
+    so the r9 size probe (and its inputFiles fallback) both saw nothing
+    and the tf→df branches raced the unpopulated cache again. The pin
+    decision must now ride the scan bytes spread() stamps on its output:
+    a spread frame backed by >SPREAD_MIN_INPUT_BYTES of files pins (one
+    extra tracked persist beyond spread's own), a small one does not."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import dedup
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators.dedup import (
+        SPREAD_MIN_INPUT_BYTES,
+        release_persisted,
+        spread,
+    )
+
+    big_p = str(tmp_path / "docs_big")
+    (
+        spark.range(SPREAD_MIN_INPUT_BYTES // 72)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.sha2(F.col("id").cast("string"), 256),
+                F.sha2((F.col("id") + 1).cast("string"), 256),
+            ).alias("text"),
+        )
+        .coalesce(1)
+        .write.parquet(big_p)
+    )
+    release_persisted()
+    big = spread(spark.read.parquet(big_p))
+    n_spread = len(dedup._PERSISTED)
+    assert n_spread >= 1  # spread itself repartitioned+persisted
+    corpus_stats.tfidf_top_terms(big, k=1).count()
+    assert len(dedup._PERSISTED) == n_spread + 1  # the pinned terms frame
+    release_persisted()
+
+    small_p = str(tmp_path / "docs_small")
+    spark.createDataFrame(
+        [(i, f"alpha beta w{i}") for i in range(50)], ["doc_id", "text"]
+    ).coalesce(1).write.parquet(small_p)
+    small = spread(spark.read.parquet(small_p))
+    n_spread = len(dedup._PERSISTED)
+    corpus_stats.tfidf_top_terms(small, k=1).count()
+    assert len(dedup._PERSISTED) == n_spread  # below threshold: no pin
+    release_persisted()

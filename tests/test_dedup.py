@@ -376,6 +376,7 @@ def test_spread_adaptive_size_gate(spark, tmp_path):
     from aws_big_data_blog_dmscdc_walkthrough_spark.operators.dedup import (
         SPREAD_MIN_INPUT_BYTES,
         release_persisted,
+        scan_bytes,
         spread,
     )
 
@@ -384,6 +385,8 @@ def test_spread_adaptive_size_gate(spark, tmp_path):
     small = spark.read.parquet(small_p)
     out = spread(small)
     assert out is small  # no repartition, no persist
+    # even the pass-through stamps the measured bytes for downstream gates
+    assert scan_bytes(out) is not None and scan_bytes(out) < SPREAD_MIN_INPUT_BYTES
 
     forced = spread(small, min_bytes=0)
     assert forced is not small
@@ -399,6 +402,13 @@ def test_spread_adaptive_size_gate(spark, tmp_path):
     out_big = spread(big)
     assert out_big is not big
     assert out_big.storageLevel.useMemory or out_big.storageLevel.useDisk
+    # round-11 regression (the r10 tfidf pin break): the repartitioned
+    # output itself reports no inputFiles, so a direct probe is blind —
+    # the stamped measurement must survive the spread and report the
+    # RAW frame's size to downstream adaptive gates
+    assert not out_big.inputFiles()
+    assert scan_bytes(out_big) == scan_bytes(big)
+    assert scan_bytes(out_big) >= SPREAD_MIN_INPUT_BYTES
     release_persisted()
 
 
