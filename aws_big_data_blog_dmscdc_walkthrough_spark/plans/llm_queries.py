@@ -1328,30 +1328,47 @@ def q_part_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact-verification twin of #104's trigram linkage: trigram
     Jaccard screens cheaply but scores transpositions and short strings
     coarsely; Levenshtein is the exactness standard for short entity
-    names (addresses, SKUs, vendor names). Same VALUE-DOMAIN shape —
-    the distance depends only on the strings, so pairs form over the
-    DISTINCT name domain (vocabulary-sized, not row-count-sized) with a
-    length-band prune inside the join: |len(a)−len(b)| > k already
-    implies distance > k, so the quadratic term never sees pairs a
-    cheap predicate can refute. ``F.levenshtein`` is JVM-side codegen
-    and definitionally identical to DuckDB's ``levenshtein`` (unit-cost
-    insert/delete/substitute), so the gate is value-exact. At 100 TB
-    the domain join is bounded by the name vocabulary; rows map back by
-    equi-join like #104.
+    names (addresses, SKUs, vendor names). Pairs form over the DISTINCT
+    name domain, and — the round-11 rewrite — the length-band prune
+    (|len(a)−len(b)| > k already implies distance > k) is a JOIN KEY,
+    not a theta predicate: one side buckets on its exact length, the
+    other replicates to its ±k neighbor buckets (2k+1 rows, k=3), so
+    bucket equality IS the band and Spark plans a hash join instead of
+    the BroadcastNestedLoopJoin the non-equi form compiled to (round-10
+    review: O(|names|²) predicate evaluations; on TPC-H p_name the
+    domain is row-scale, so the NLJ was quadratic in the part table).
+    The residual work is per-bucket-quadratic — the canonical blocked-
+    linkage shape, shuffled on the bucket key so AQE skew-split applies;
+    a further in-bucket cut (pigeonhole segment blocking) composes on
+    top if a real domain concentrates lengths. ``F.levenshtein`` is
+    JVM-side codegen and definitionally identical to DuckDB's
+    ``levenshtein`` (unit-cost insert/delete/substitute), so the gate is
+    value-exact; bucket membership reproduces the band EXACTLY, so the
+    oracle SQL (still the declarative band form) hashes identically.
+    Rows map back by equi-join like #104.
     """
     names = (
         load_table(spark, sf_dir, "part").select("p_name").distinct()
     )
-    a = names.select(F.col("p_name").alias("name_a"))
-    b = names.select(F.col("p_name").alias("name_b"))
     k = LEVENSHTEIN_MAX_EDITS
-    band = (
-        F.abs(F.length("name_a") - F.length("name_b")) <= F.lit(k)
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.length("p_name").alias("_bucket"),
+    )
+    # each name lands in its 2k+1 neighbor buckets exactly once, so the
+    # equi-join on _bucket enumerates exactly the band pairs, once each
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.explode(
+            F.sequence(F.length("p_name") - k, F.length("p_name") + k)
+        ).alias("_bucket"),
     )
     return (
-        a.join(b, (F.col("name_a") < F.col("name_b")) & band)
+        a.join(b, "_bucket")
+        .where(F.col("name_a") < F.col("name_b"))
         .withColumn("edits", F.levenshtein("name_a", "name_b"))
         .where(F.col("edits") <= k)
+        .select("name_a", "name_b", "edits")
     )
 
 

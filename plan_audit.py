@@ -62,7 +62,7 @@ AUDITED = [
     ("sample_weighted", "map-only ES keys; per-stratum bounded window"),
     ("dedup_containment", "index count join (jaccard twin); both directions from one agg"),
     ("q_customer_feature_matrix", "all windows CASEs in ONE customer agg; anchor broadcast"),
-    ("q_part_fuzzy_levenshtein", "distinct name domain; length-band prune inside the join"),
+    ("q_part_fuzzy_levenshtein", "length-bucket EQUI-join (±k replication); no NLJ"),
     ("eval_centroid_classifier", "centroids broadcast; shuffle is |test|x|labels| partial sums"),
     ("corpus_quality_filter", "map-side scoring; |sources| boundary agg broadcast back"),
 ]

@@ -215,3 +215,20 @@ def test_decay_score_half_life_pin(spark, monkeypatch, tmp_path):
         for r in analytics.q_events_decay_score(spark, "ignored").collect()
     }
     assert got == {1: 2.5, 2: 5.0}
+
+
+def test_levenshtein_linkage_is_hash_join(spark):
+    """Round-11 rewrite guard (#128): the length band must be a JOIN KEY
+    (bucket ±k replication), never a theta predicate — the non-equi form
+    compiled to BroadcastNestedLoopJoin, O(|names|²) on a row-scale name
+    domain. Done = a hash join on the bucket key, no NLJ/cartesian."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import llm_queries
+
+    plan = plan_of(llm_queries.q_part_fuzzy_levenshtein(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
