@@ -725,7 +725,22 @@ def fold_count_min(
 
     Fold(b1) ∘ fold(b2) ≡ sketch(b1 ∪ b2) exactly (integer cell sums;
     pinned by the property test).
+
+    SINGLE-WRITER contract (round-10 advice): two concurrent folds of
+    the same sketch path would each read the same prior state and the
+    later commit would silently drop the earlier fold's counts (the
+    manifest is last-writer-wins). Each fold therefore (a) stages its
+    cells in a UNIQUE per-fold subdirectory and attributes exactly those
+    files — a before/after directory diff would absorb a concurrent
+    writer's uncommitted files into this fold's manifest, double-
+    counting cells — and (b) re-reads the manifest version right before
+    committing and raises on a mid-fold change, so a lost-update race
+    fails loudly instead of silently. The staged orphans of a failed
+    fold are reclaimed by ``manifest.vacuum`` (recursive walk +
+    empty-dir collapse).
     """
+    import uuid
+
     from ..sources import lake_writer
     from ..sources import manifest as manifest_mod
 
@@ -746,12 +761,23 @@ def fold_count_min(
             .groupBy("row", "col")
             .agg(F.sum("n").alias("n"))
         )
-    before = set(manifest_mod.list_data_files(spark, out_path))
-    merged.write.mode("append").parquet(out_path)
+    sub = f"fold-{uuid.uuid4().hex[:12]}"
+    merged.write.parquet(f"{out_path.rstrip('/')}/{sub}")
     added = [
-        f for f in manifest_mod.list_data_files(spark, out_path)
-        if f not in before
+        f"{sub}/{name}"
+        for name in manifest_mod.list_data_files(
+            spark, f"{out_path.rstrip('/')}/{sub}"
+        )
     ]
+    latest = manifest_mod.read_manifest(spark, out_path)
+    if (latest or {}).get("version") != (man or {}).get("version"):
+        raise RuntimeError(
+            f"concurrent fold detected on {out_path}: manifest advanced "
+            f"from {(man or {}).get('version')} to "
+            f"{(latest or {}).get('version')} while this fold ran — the "
+            "sketch store is single-writer; retry the fold (staged files "
+            f"under {sub}/ are orphans, vacuum reclaims them)"
+        )
     props = dict((man or {}).get("properties") or {})
     if batch_id is not None:
         props["cms_folded_through"] = int(batch_id)
@@ -1364,6 +1390,15 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide). At 100 TB the window would be replaced by a per-partition
     partial top-k + merge (the same two-level shape used elsewhere);
     with rank bounded at k·|sources| rows the final shuffle is tiny.
+
+    Cross-engine hashing (round-10 advice): u^(1/w) rides pow(), which
+    is <1-ulp correct in both engines but NOT bit-identical between the
+    JVM and libm. Ranking is unaffected in practice (a flip needs two
+    DISTINCT rows' keys within 1 ulp of each other), but emitting the
+    raw double would hash-diverge on any 1-ulp disagreement, so the
+    OUTPUT key is quantized to an integer grid — ``sample_key_q`` =
+    floor(key·10⁹) as BIGINT, identical in both engines except on the
+    measure-1e-7 grid-straddle set.
     """
     docs = load_table(spark, sf_dir, "documents")
     u = (
@@ -1379,7 +1414,12 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "source", "n_chars", key.alias("_key"))
         .withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= WEIGHTED_SAMPLE_K)
-        .select("doc_id", "source", "n_chars", F.col("_key").alias("sample_key"))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.floor(F.col("_key") * F.lit(1e9)).alias("sample_key_q"),
+        )
     )
 
 
@@ -1398,7 +1438,9 @@ ranked AS (
     PARTITION BY source ORDER BY sample_key DESC, doc_id
   ) AS rk FROM keyed
 )
-SELECT doc_id, source, n_chars, sample_key FROM ranked
+SELECT doc_id, source, n_chars,
+  CAST(FLOOR(sample_key * 1e9) AS BIGINT) AS sample_key_q
+FROM ranked
 WHERE rk <= {WEIGHTED_SAMPLE_K}
 """
 

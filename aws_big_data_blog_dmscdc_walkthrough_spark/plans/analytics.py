@@ -1248,37 +1248,59 @@ DECAY_HALF_LIFE_DAYS = 7.0
 DECAY_WEIGHTS = {"purchase": 5, "signup": 3, "click": 2, "view": 1}
 
 
+# one half-life in exact integer microseconds (7 days)
+_DECAY_HALF_US = int(DECAY_HALF_LIFE_DAYS * 86400) * 1_000_000
+
+
 def q_events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user exponentially time-decayed engagement score (#121).
+    """Per-user time-decayed engagement score (#121).
 
     The recency-weighted activity feature every ranking/churn pipeline
-    derives from an event stream: score = Σ w(type) · 2^(−Δdays / H)
-    with Δdays measured back from the corpus max timestamp (in-plan
-    aggregate, broadcast — no driver round-trip) and H the half-life.
-    Map-only per event after one tiny broadcast join; one user-keyed
-    aggregation ends the plan, so the shuffle carries one row per user.
-    Per-row decay terms are cast to DECIMAL before summing (module
-    docstring: order-independent sums, oracle-identical), and weights
-    live in a CASE expression — no UDF, full codegen.
+    derives from an event stream: score = Σ w(type) · decay(Δt) with Δt
+    measured back from the corpus max timestamp (in-plan aggregate,
+    broadcast — no driver round-trip). decay halves every H=7 days.
+
+    DETERMINISM (round-10 advice): the obvious 2^(−Δt/H) rides pow(),
+    whose 1-ulp cross-engine divergence (JVM Math.pow vs libm) can flip
+    the DECIMAL(30,10) term quantization and break the bit-identical
+    oracle hash. The decay here is instead the piecewise-LINEAR
+    exponential: with q = Δµs div H and r = Δµs mod H (exact BIGINT
+    arithmetic on epoch microseconds),
+
+        decay = (1 − r/(2H)) / 2^q          (2^q via integer shift)
+
+    — exact halving at every whole half-life, linear in between (≤6%
+    relative deviation from the smooth curve, monotone, same tail).
+    Every operation is IEEE exactly-rounded (one divide, one subtract,
+    one exact power-of-two scale, one multiply), so Spark and DuckDB
+    produce bit-identical doubles, and the DECIMAL cast before the sum
+    keeps the aggregate order-independent. Map-only per event after one
+    tiny broadcast join; one user-keyed aggregation ends the plan.
     """
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
     anchor = ev.agg(F.max("ts").alias("_t_max"))
     w = F.lit(None).cast("int")
     for k, v in DECAY_WEIGHTS.items():
         w = F.when(F.col("event_type") == k, F.lit(v)).otherwise(w)
-    # NTZ → LTZ → double epoch seconds (lossless: session is UTC-pinned,
-    # same rationale as streaming/windows._watermarkable)
-    d_days = (
-        F.col("_t_max").cast("timestamp").cast("double")
-        - F.col("ts").cast("timestamp").cast("double")
-    ) / F.lit(86400.0)
-    term = F.col("_w").cast("double") * F.pow(
-        F.lit(2.0), -d_days / F.lit(DECAY_HALF_LIFE_DAYS)
+    h = _DECAY_HALF_US
+    dus = F.unix_micros(F.col("_t_max").cast("timestamp")) - F.unix_micros(
+        F.col("ts").cast("timestamp")
     )
+    q = F.expr(f"_dus div {h}")
+    r = F.col("_dus") % F.lit(h)
+    # beyond 62 half-lives the shift overflows; the true term is < 1e-18,
+    # below the DECIMAL(30,10) grid — exactly 0 in both engines
+    decay = F.when(q > 62, F.lit(0.0)).otherwise(
+        (F.lit(1.0) - r.cast("double") / F.lit(2.0 * h))
+        / F.expr("cast(shiftleft(1L, cast(_q as int)) as double)")
+    )
+    term = F.col("_w").cast("double") * decay
     return (
         ev.select("user_id", "ts", w.alias("_w"))
         .where(F.col("_w").isNotNull())
         .join(F.broadcast(anchor))
+        .withColumn("_dus", dus)
+        .withColumn("_q", q)
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -1294,13 +1316,20 @@ weighted AS (
     CASE event_type
       WHEN 'purchase' THEN 5 WHEN 'signup' THEN 3
       WHEN 'click' THEN 2 WHEN 'view' THEN 1 END AS w,
-    (epoch(t_max) - epoch(ts)) / 86400.0 AS d_days
+    epoch_us(t_max) - epoch_us(ts) AS dus
   FROM events CROSS JOIN anchor
+),
+terms AS (
+  SELECT user_id, w,
+    CASE WHEN dus // {_DECAY_HALF_US} > 62 THEN 0.0
+      ELSE (1.0 - (dus % {_DECAY_HALF_US})::DOUBLE / {float(2 * _DECAY_HALF_US)})
+           / ((1::BIGINT << (dus // {_DECAY_HALF_US})::INT)::DOUBLE)
+    END AS decay
+  FROM weighted WHERE w IS NOT NULL
 )
 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-  CAST(SUM(CAST(w::DOUBLE * POW(2.0, -d_days / {DECAY_HALF_LIFE_DAYS})
-       AS DECIMAL(30,10))) AS DOUBLE) AS decay_score
-FROM weighted WHERE w IS NOT NULL
+  CAST(SUM(CAST(w::DOUBLE * decay AS DECIMAL(30,10))) AS DOUBLE) AS decay_score
+FROM terms
 GROUP BY user_id
 """
 

@@ -374,6 +374,35 @@ def _seq_mark(v):
     return None
 
 
+# Manifest property stamped ALONGSIDE scd2_seq_hwm whenever the mark is
+# written under the round-10+ maintenance rule (every fold — monotonic
+# or not — advances or removes it). A mark WITHOUT this flag is a
+# legacy pre-upgrade mark whose invariant induction has no base: a
+# pre-round-10 non-monotonic fold carried it forward stale, so it may
+# under-bound committed seqs and the monotonic fast path must not trust
+# it. Such marks are healed by one unpruned-history aggregate on the
+# next fold, after which the flag rides the commit (round-10 review).
+HWM_INVARIANT_FLAG = "scd2_hwm_invariant"
+
+
+def _history_seq_max(live_all: DataFrame):
+    """Max committed seq across the UNPRUNED history (open + closed
+    sides): the backfill aggregate that (re)establishes the hwm
+    invariant for legacy manifests and untrusted marks."""
+    return _seq_mark(
+        live_all.agg(
+            F.max(
+                F.greatest(
+                    F.col("valid_from_seq"),
+                    F.coalesce(
+                        F.col("valid_to_seq"), F.col("valid_from_seq")
+                    ),
+                )
+            ).alias("g")
+        ).first()["g"]
+    )
+
+
 def _merged_props(prev: dict, **updates) -> dict | None:
     """Carried properties + non-None updates; None when both are empty
     (commit_manifest then carries the previous manifest's forward)."""
@@ -482,6 +511,7 @@ def scd2_merge_on_read(
             )
             if hi is not None:
                 props["scd2_seq_hwm"] = hi
+                props[HWM_INVARIANT_FLAG] = 1
         _append_with_optional_manifest(
             spark, folded, out_path, part_keys, True, stats_cols,
             properties=props or None,
@@ -574,7 +604,17 @@ def scd2_merge_on_read(
     drop_hwm = False
     guard_skip = False
     hi_m = None
-    if not seq_monotonic and prev_props.get("scd2_seq_hwm") is not None:
+    prev_mark = prev_props.get("scd2_seq_hwm")
+    # TRUST GATE (round-11): only a mark stamped with the invariant
+    # flag was provably maintained under the every-fold rule. A legacy
+    # pre-upgrade mark may under-bound committed seqs (a pre-round-10
+    # non-monotonic fold carried it forward stale), so it must not
+    # enable the fast path and must be healed by the unpruned-history
+    # aggregate below before the flag rides this fold's commit.
+    hwm_trusted = prev_mark is not None and bool(
+        prev_props.get(HWM_INVARIANT_FLAG)
+    )
+    if not seq_monotonic and prev_mark is not None:
         # INVARIANT: a recorded mark upper-bounds EVERY committed seq —
         # the monotonic fast path trusts exactly that. A non-monotonic
         # fold interleaved on a marked table (backfill job, mixed
@@ -582,16 +622,27 @@ def scd2_merge_on_read(
         # or REMOVE it when the batch's seqs aren't mark-comparable;
         # carrying it stale would let a later replay of this very batch
         # slip past the fast path and double-apply (round-10 review).
-        prev_m = prev_props["scd2_seq_hwm"]
         hi = _seq_mark(
             changes.agg(F.max(F.col(seq_col)).alias("hi")).first()["hi"]
         )
-        if hi is not None and type(hi) is type(prev_m):
-            hwm_new = max(prev_m, hi)
+        if hi is not None and type(hi) is type(prev_mark):
+            if hwm_trusted:
+                hwm_new = max(prev_mark, hi)
+            else:
+                # legacy mark: max(prev, hi) would carry a possibly
+                # too-low bound forever — heal it once from the full
+                # history, then the stamped flag skips this aggregate
+                # on every later fold
+                gm_m = _history_seq_max(live_all)
+                cands = [v for v in (gm_m, hi, prev_mark) if v is not None]
+                if all(type(v) is type(cands[0]) for v in cands):
+                    hwm_new = max(cands)
+                else:
+                    drop_hwm = True
         else:
             drop_hwm = True
     if seq_monotonic:
-        prev_hwm = prev_props.get("scd2_seq_hwm")
+        prev_hwm = prev_mark
         mm = changes.agg(
             F.min(F.col(seq_col)).alias("lo"), F.max(F.col(seq_col)).alias("hi")
         ).first()
@@ -599,6 +650,7 @@ def scd2_merge_on_read(
         comparable = (
             hi_m is not None
             and prev_hwm is not None
+            and hwm_trusted  # an unflagged legacy mark never fast-paths
             and type(prev_hwm) is type(hi_m)
         )
         if comparable and lo_m > prev_hwm:
@@ -621,32 +673,24 @@ def scd2_merge_on_read(
         )
         if seq_monotonic:
             # the mark must upper-bound EVERY committed seq. A prior
-            # comparable mark already does (induction: EVERY fold —
-            # monotonic or not, see the non-monotonic maintenance
-            # above — advances or removes it), so max(prev, hi)
-            # suffices and the history aggregate is skipped. Only a
-            # legacy pre-hwm manifest (or an incomparable prior mark)
+            # TRUSTED mark already does (induction: EVERY flag-stamped
+            # fold — monotonic or not, see the non-monotonic
+            # maintenance above — advances or removes it; the flag IS
+            # the induction base), so max(prev, hi) suffices and the
+            # history aggregate is skipped. A legacy pre-hwm manifest,
+            # an UNFLAGGED mark (pre-upgrade writer — possibly stale-
+            # low, round-10 review), or an incomparable prior mark
             # needs the backfill aggregate — and it runs over LIVE_ALL,
             # the unpruned history: on a bucketed table the isin-pruned
             # `live` misses untouched buckets (see live_all note above).
-            prev_m = prev_props.get("scd2_seq_hwm")
+            prev_m = prev_mark
             gm_m = None
-            if prev_m is None or (
-                hi_m is not None and type(prev_m) is not type(hi_m)
+            if (
+                prev_m is None
+                or not hwm_trusted
+                or (hi_m is not None and type(prev_m) is not type(hi_m))
             ):
-                gm_m = _seq_mark(
-                    live_all.agg(
-                        F.max(
-                            F.greatest(
-                                F.col("valid_from_seq"),
-                                F.coalesce(
-                                    F.col("valid_to_seq"),
-                                    F.col("valid_from_seq"),
-                                ),
-                            )
-                        ).alias("g")
-                    ).first()["g"]
-                )
+                gm_m = _history_seq_max(live_all)
             cands = [v for v in (gm_m, hi_m, prev_m) if v is not None]
             if (
                 hi_m is not None
@@ -732,10 +776,14 @@ def scd2_merge_on_read(
             prev_props,
             bucket_partitions=(int(bucket_partitions) if bucketed else None),
             scd2_seq_hwm=hwm_new,
+            # every mark written here was maintained (or healed) under
+            # the every-fold rule — stamp the trust flag with it
+            **({HWM_INVARIANT_FLAG: 1} if hwm_new is not None else {}),
         )
         if drop_hwm:
             props = dict(props or {})
             props.pop("scd2_seq_hwm", None)
+            props.pop(HWM_INVARIANT_FLAG, None)
         manifest_mod.commit_manifest(
             spark, out_path, live_files, stats=stats,
             delete_files=carried + added_dv, dv_targets=targets,

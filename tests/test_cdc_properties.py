@@ -574,3 +574,77 @@ def test_scd2_hwm_removed_when_mark_is_not_comparable(spark, tmp_path):
         seq_col="seq", seq_monotonic=True,
     )
     assert manifest.read_manifest(spark, out)["properties"]["scd2_seq_hwm"] == 300
+
+
+def test_scd2_unflagged_legacy_hwm_not_trusted_and_healed(spark, tmp_path):
+    """Round-10 advice repro (lake_writer.py hwm trust): the every-fold
+    mark maintenance is an induction whose BASE fails for manifests
+    written by pre-round-10 code — a legacy non-monotonic fold carried
+    the mark forward stale-low. Such a mark (present but missing the
+    scd2_hwm_invariant flag) must (1) never enable the monotonic fast
+    path — a replay of a committed batch above the stale mark would
+    double-apply — and (2) be healed from the unpruned history by the
+    next committing fold, which stamps the flag so later folds skip the
+    backfill aggregate."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import (
+        lake_writer,
+        manifest,
+    )
+
+    def frame(rs):
+        return spark.createDataFrame(rs, "pk int, v int, op string, seq int")
+
+    out = str(tmp_path / "hist_legacy_mark")
+    lake_writer.scd2_merge_on_read(
+        spark, frame([(1, 10, "I", 1), (2, 20, "I", 2)]), out, ["pk"],
+        seq_col="seq", seq_monotonic=True,
+    )
+    b2 = [(1, 11, "U", 3), (2, 21, "U", 4)]
+    lake_writer.scd2_merge_on_read(
+        spark, frame(b2), out, ["pk"], seq_col="seq", seq_monotonic=True,
+    )
+    man = manifest.read_manifest(spark, out)
+    assert man["properties"]["scd2_seq_hwm"] == 4
+    assert man["properties"][lake_writer.HWM_INVARIANT_FLAG] == 1
+
+    # simulate the legacy pre-upgrade manifest: a STALE-LOW mark (2 —
+    # committed seqs 3 and 4 exceed it) without the invariant flag
+    manifest.commit_manifest(
+        spark, out, man["files"], properties={"scd2_seq_hwm": 2},
+    )
+    before = sorted(map(tuple, manifest.read_table(spark, out).collect()))
+
+    # replay the COMMITTED batch b2: its lo (3) sorts above the stale
+    # mark (2), so a trusting fast path would re-apply it wholesale;
+    # the untrusted mark must route through the per-key guard -> no-op
+    lake_writer.scd2_merge_on_read(
+        spark, frame(b2), out, ["pk"], seq_col="seq", seq_monotonic=True,
+    )
+    after = sorted(map(tuple, manifest.read_table(spark, out).collect()))
+    assert after == before  # no double-apply
+
+    # a genuinely new monotonic fold heals the mark from the UNPRUNED
+    # history (true committed max is 4, not max(stale=2, batch hi=5)=5
+    # by accident — here both agree at 5; the flag is the real assert)
+    lake_writer.scd2_merge_on_read(
+        spark, frame([(3, 30, "I", 5)]), out, ["pk"],
+        seq_col="seq", seq_monotonic=True,
+    )
+    man2 = manifest.read_manifest(spark, out)
+    assert man2["properties"]["scd2_seq_hwm"] == 5
+    assert man2["properties"][lake_writer.HWM_INVARIANT_FLAG] == 1
+
+    # re-stale the mark and fold NON-monotonically with a batch whose
+    # own hi (4) is BELOW the true committed max (5): the legacy-code
+    # behavior max(stale, hi)=4 would under-bound; the heal must reach
+    # the history aggregate's 5 and stamp the flag
+    man2 = manifest.read_manifest(spark, out)
+    manifest.commit_manifest(
+        spark, out, man2["files"], properties={"scd2_seq_hwm": 2},
+    )
+    lake_writer.scd2_merge_on_read(
+        spark, frame([(4, 40, "I", 4)]), out, ["pk"], seq_col="seq",
+    )
+    man3 = manifest.read_manifest(spark, out)
+    assert man3["properties"]["scd2_seq_hwm"] == 5
+    assert man3["properties"][lake_writer.HWM_INVARIANT_FLAG] == 1

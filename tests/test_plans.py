@@ -189,7 +189,9 @@ def test_attribution_window_and_direct_bucket(spark, monkeypatch, tmp_path):
 
 def test_decay_score_half_life_pin(spark, monkeypatch, tmp_path):
     """One purchase exactly one half-life before the corpus max ts
-    scores w·0.5; the anchor event itself scores w·1.0."""
+    scores w·0.5; the anchor event itself scores w·1.0; a purchase half
+    a half-life back pins the round-11 piecewise-LINEAR interpolation
+    (1 − r/2H = 0.75, not the smooth curve's 2^-0.5 ≈ 0.7071)."""
     from datetime import datetime as dt
 
     from aws_big_data_blog_dmscdc_walkthrough_spark.plans import analytics
@@ -198,6 +200,7 @@ def test_decay_score_half_life_pin(spark, monkeypatch, tmp_path):
         (1, dt(2024, 1, 1, 0), 1, "purchase", 0.0),   # 7 days before max
         (2, dt(2024, 1, 8, 0), 2, "purchase", 0.0),   # the anchor
         (3, dt(2024, 1, 8, 0), 3, "error", 0.0),      # unweighted: absent
+        (4, dt(2024, 1, 4, 12), 4, "purchase", 0.0),  # 3.5 days: linear seg
     ]
     df = spark.createDataFrame(
         rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
@@ -214,7 +217,7 @@ def test_decay_score_half_life_pin(spark, monkeypatch, tmp_path):
         r.user_id: round(r.decay_score, 9)
         for r in analytics.q_events_decay_score(spark, "ignored").collect()
     }
-    assert got == {1: 2.5, 2: 5.0}
+    assert got == {1: 2.5, 2: 5.0, 4: 3.75}
 
 
 def test_levenshtein_linkage_is_hash_join(spark):

@@ -347,9 +347,14 @@ def test_sample_weighted_prefers_heavy_rows(spark, monkeypatch, tmp_path):
     got = text_ops.sample_weighted(spark, "ignored").collect()
     assert len(got) == text_ops.WEIGHTED_SAMPLE_K
     assert 999 in {r.doc_id for r in got}
-    # keys are valid ES draws: in (0, 1], descending beats ascending
-    ks = sorted((r.sample_key for r in got), reverse=True)
-    assert all(0.0 < k <= 1.0 for k in ks)
+    # keys are valid quantized ES draws: floor(u^(1/w)·1e9) in [0, 1e9)
+    # (round-11: the output key is grid-quantized to a BIGINT so a
+    # 1-ulp cross-engine pow() divergence cannot flip the oracle hash)
+    ks = [r.sample_key_q for r in got]
+    assert all(0 <= k < 10**9 for k in ks)
+    # the overwhelming-weight row's key sits at the top of the grid
+    top = next(r.sample_key_q for r in got if r.doc_id == 999)
+    assert top == max(ks)
 
 
 def test_fold_count_min_equals_one_shot(spark, tmp_path):
@@ -409,3 +414,46 @@ def test_fold_count_min_replay_and_crash_safety(spark, tmp_path):
         for r in text_ops.count_min_cells(df, "text").collect()
     }
     assert folded == want  # orphan ignored, replay ignored, both batches in
+
+
+def test_fold_count_min_detects_concurrent_writer(spark, tmp_path):
+    """Round-10 advice: the sketch store is single-writer — a fold whose
+    manifest advanced underneath it (another fold committed in between)
+    must raise instead of silently dropping the other fold's counts, and
+    its staged files must stay orphans (invisible to read_table)."""
+    import pytest
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import text as text_ops
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import manifest
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta gamma")], "doc_id long, text string"
+    )
+    out = str(tmp_path / "cms_racy")
+    text_ops.fold_count_min(spark, df.where("doc_id = 0"), "text", out)
+    want = sorted(map(tuple, manifest.read_table(spark, out).collect()))
+
+    # simulate the race: the fold reads the manifest twice (state read,
+    # then the pre-commit version re-check); a concurrent fold commits
+    # in between
+    orig = manifest.read_manifest
+    calls = {"n": 0}
+
+    def racing_read(sp, path):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            man = orig(sp, path)
+            manifest.commit_manifest(sp, path, man["files"])
+        return orig(sp, path)
+
+    manifest.read_manifest = racing_read
+    try:
+        with pytest.raises(RuntimeError, match="concurrent fold"):
+            text_ops.fold_count_min(spark, df.where("doc_id = 1"), "text", out)
+    finally:
+        manifest.read_manifest = orig
+
+    # the failed fold's staged files are orphans: the committed state is
+    # exactly what the interleaved commit published (the first fold's)
+    got = sorted(map(tuple, manifest.read_table(spark, out).collect()))
+    assert got == want
