@@ -114,26 +114,24 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_range_join": analytics.q_events_range_join,
         "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
         "q18_large_volume_customers": analytics.q18_large_volume_customers,
-        # ROUND-10 DEBUT SLOTS (the committed round-9 rotation plan):
-        # the four round-9 debuts (#95, #96, #91, #92: q_events_funnel,
-        # q_events_retention, text_surprisal, corpus_temperature_mix)
-        # hash-matched in CORRECTNESS_r09 (50/50 green) and move to
-        # secondary_queries(); the bloom/mining/profiling/densification
-        # four (#93, #99, #103, #101) take their driver-gate slots so
-        # CORRECTNESS_r10 carries hash evidence for them.
-        "q_lineitem_bloom_semi": analytics.q_lineitem_bloom_semi,
-        "emb_hard_negatives": llm_queries.emb_hard_negatives,
-        "lake_profile": cdc_queries.lake_profile,
-        "q_events_gapfill": analytics.q_events_gapfill,
-        # ROUND-11 ROTATION PLAN: demote the four round-10 debuts above
-        # once CORRECTNESS_r10 is green and debut q_events_skew_report,
-        # q_part_fuzzy_match, eval_langid_report + one round-9/10
-        # addition (e.g. emb_knn_propagate_all or corpus_collocations)
-        # in their place, keeping every oracled query driver-gated at
-        # least once per two-to-three rounds. q_events_daily_users /
-        # q_orders_median_price / sample_stratified / sketch_count_min
-        # (hash-green r06) remain pytest-oracled in secondary until a
-        # debut slot frees up.
+        # ROUND-11 DEBUT SLOTS (the committed round-10 rotation plan):
+        # the four round-10 debuts (#93, #99, #103, #101:
+        # q_lineitem_bloom_semi, emb_hard_negatives, lake_profile,
+        # q_events_gapfill) hash-matched in CORRECTNESS_r10 (50/50
+        # green) and move to secondary_queries(); the skew-diagnostic /
+        # trigram-linkage / eval-report / collocation four (#102, #104,
+        # #105, #111) take their driver-gate slots so CORRECTNESS_r11
+        # carries hash evidence for them.
+        "q_events_skew_report": analytics.q_events_skew_report,
+        "q_part_fuzzy_match": llm_queries.q_part_fuzzy_match,
+        "eval_langid_report": llm_queries.eval_langid_report,
+        "corpus_collocations": corpus_ml.corpus_collocations,
+        # ROUND-12 ROTATION PLAN: demote the four round-11 debuts above
+        # once CORRECTNESS_r11 is green and debut q_events_daily_users,
+        # q_orders_median_price, sample_stratified, sketch_count_min
+        # (hash-green r06, longest-unrotated block) in their place,
+        # keeping every oracled query driver-gated at least once per
+        # two-to-three rounds.
         # ROUND-7 GATE ROTATION (back): q2/q9/q11/q13/q15/q21 took these
         # six slots in round 6 and hash-matched (CORRECTNESS_r06); the
         # displaced keys below are restored so every registered query is
@@ -213,12 +211,13 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": llm_queries.dedup_substring,
         "text_quality_classifier": text.text_quality_classifier,
         "ann_pq_topk": llm_queries.ann_pq_topk,
-        # round-7 addition (SURVEY §2 #102): hot-key diagnostics
-        "q_events_skew_report": analytics.q_events_skew_report,
-        # round-7 addition (SURVEY §2 #104): record linkage
-        "q_part_fuzzy_match": llm_queries.q_part_fuzzy_match,
-        # round-7 addition (SURVEY §2 #105): model evaluation
-        "eval_langid_report": llm_queries.eval_langid_report,
+        # rotated out of the driver gate after hash-matching in round 10
+        # (SURVEY §2 #93, #99, #103, #101); pytest-oracled here every
+        # round
+        "q_lineitem_bloom_semi": analytics.q_lineitem_bloom_semi,
+        "emb_hard_negatives": llm_queries.emb_hard_negatives,
+        "lake_profile": cdc_queries.lake_profile,
+        "q_events_gapfill": analytics.q_events_gapfill,
         # rows-only (sketch internals differ across engines by design;
         # the tolerance pytest pins values against the exact percentile)
         "q_orders_price_quantiles_approx": analytics.q_orders_price_quantiles_approx,
@@ -228,7 +227,6 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_user_anomaly": corpus_ml.q_events_user_anomaly,
         "emb_knn_label_propagation": corpus_ml.emb_knn_label_propagation,
         "corpus_source_top_terms": corpus_ml.corpus_source_top_terms,
-        "corpus_collocations": corpus_ml.corpus_collocations,
         "corpus_split_leakage": corpus_ml.corpus_split_leakage,
         # round-9 addition (SURVEY §2 #113): corpus-scale KNN propagation
         # (_all = fixed-plane oracle vehicle; _auto = the corpus-scaled
@@ -307,10 +305,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_batch_topk": llm_queries.ANN_BATCH_TOPK_SQL,
         "emb_label_centroids": llm_queries.EMB_LABEL_CENTROIDS_SQL,
         "pipeline_curate_corpus": llm_queries.PIPELINE_CURATE_CORPUS_SQL,
-        "q_lineitem_bloom_semi": analytics.Q_LINEITEM_BLOOM_SEMI_SQL,
-        "emb_hard_negatives": llm_queries.EMB_HARD_NEGATIVES_SQL,
-        "lake_profile": cdc_queries.LAKE_PROFILE_SQL,
-        "q_events_gapfill": analytics.Q_EVENTS_GAPFILL_SQL,
+        "q_events_skew_report": analytics.Q_EVENTS_SKEW_REPORT_SQL,
+        "q_part_fuzzy_match": llm_queries.Q_PART_FUZZY_MATCH_SQL,
+        "eval_langid_report": llm_queries.EVAL_LANGID_REPORT_SQL,
+        "corpus_collocations": corpus_ml.CORPUS_COLLOCATIONS_SQL,
     }
 
 
@@ -347,9 +345,10 @@ def secondary_oracle_sql() -> dict[str, str]:
         "dedup_substring": llm_queries.DEDUP_SUBSTRING_SQL,
         "text_quality_classifier": text.TEXT_QUALITY_CLASSIFIER_SQL,
         "ann_pq_topk": llm_queries.ANN_PQ_TOPK_SQL,
-        "q_events_skew_report": analytics.Q_EVENTS_SKEW_REPORT_SQL,
-        "q_part_fuzzy_match": llm_queries.Q_PART_FUZZY_MATCH_SQL,
-        "eval_langid_report": llm_queries.EVAL_LANGID_REPORT_SQL,
+        "q_lineitem_bloom_semi": analytics.Q_LINEITEM_BLOOM_SEMI_SQL,
+        "emb_hard_negatives": llm_queries.EMB_HARD_NEGATIVES_SQL,
+        "lake_profile": cdc_queries.LAKE_PROFILE_SQL,
+        "q_events_gapfill": analytics.Q_EVENTS_GAPFILL_SQL,
         "dedup_incremental": llm_queries.DEDUP_INCREMENTAL_SQL,
         "emb_quantize": llm_queries.EMB_QUANTIZE_SQL,
         "q_customer_value_ranks": tpch_ext.Q_CUSTOMER_VALUE_RANKS_SQL,
@@ -369,7 +368,6 @@ def secondary_oracle_sql() -> dict[str, str]:
         "q_events_user_anomaly": corpus_ml.Q_EVENTS_USER_ANOMALY_SQL,
         "emb_knn_label_propagation": corpus_ml.EMB_KNN_LABEL_PROPAGATION_SQL,
         "corpus_source_top_terms": corpus_ml.CORPUS_SOURCE_TOP_TERMS_SQL,
-        "corpus_collocations": corpus_ml.CORPUS_COLLOCATIONS_SQL,
         "corpus_split_leakage": corpus_ml.CORPUS_SPLIT_LEAKAGE_SQL,
         "emb_knn_propagate_all": corpus_ml.EMB_KNN_PROPAGATE_ALL_SQL,
         "emb_label_outliers": corpus_ml.EMB_LABEL_OUTLIERS_SQL,
