@@ -1564,3 +1564,306 @@ SELECT * FROM credited
 UNION ALL
 SELECT * FROM direct WHERE touched_purchases > 0
 """
+
+# ------------------- revenue concentration: Gini + Pareto share (#132)
+
+
+def q_customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment revenue concentration: exact Gini + top-20% share.
+
+    The whale-detection diagnostic every marketplace/ads pipeline runs
+    before trusting per-segment averages: Gini over buying customers'
+    lifetime revenue (2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n with x ascending,
+    ties broken by custkey so the rank is a bijection) plus the Pareto
+    top-20% revenue share (the ⌈n/5⌉ highest-revenue customers).
+
+    Determinism: per-customer revenue is an exact DECIMAL sum; the
+    rank·revenue terms are single correctly-rounded double products
+    re-quantized through DECIMAL for an order-independent sum; the
+    final Gini is a fixed chain of exactly-rounded ops — no pow/ln, so
+    Spark and DuckDB agree bit-for-bit. Scale: one customer-keyed agg,
+    one bounded-segment sort window (the exact form; at 100 TB swap the
+    per-group sort for quantile-bucketed partial ranks), one
+    segment-keyed reduce of |segments| rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("_r")
+    )
+    seg = rev.join(c, rev["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment", "c_custkey", "_r"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("_r").asc(), F.col("c_custkey").asc()
+    )
+    wn = Window.partitionBy("c_mktsegment")
+    ranked = seg.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(wn)
+    )
+    top = F.col("_n") - F.col("_rk") + F.lit(1) <= F.floor(
+        (F.col("_n") + F.lit(4)) / F.lit(5)
+    )
+    per = ranked.groupBy("c_mktsegment").agg(
+        F.max("_n").alias("_nn"),
+        F.sum("_r").alias("_s"),
+        F.sum(
+            (F.col("_rk").cast("double") * F.col("_r").cast("double")).cast(DEC)
+        ).alias("_s1"),
+        F.sum(F.when(top, F.col("_r"))).alias("_st"),
+    )
+    n_d = F.col("_nn").cast("double")
+    s_d = F.col("_s").cast("double")
+    gini = (F.lit(2.0) * F.col("_s1").cast("double")) / (n_d * s_d) - (
+        F.col("_nn") + F.lit(1.0)
+    ) / n_d
+    return per.select(
+        "c_mktsegment",
+        F.col("_nn").cast("long").alias("n_customers"),
+        s_d.alias("revenue"),
+        gini.alias("gini"),
+        (F.col("_st").cast("double") / s_d).alias("top20_share"),
+    )
+
+
+Q_CUSTOMER_GINI_SQL = """
+WITH rev AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS r
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT c_mktsegment, r,
+    row_number() OVER (PARTITION BY c_mktsegment
+                       ORDER BY r ASC, c_custkey ASC) AS rk,
+    COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM rev JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment,
+  CAST(MAX(n) AS BIGINT) AS n_customers,
+  CAST(SUM(r) AS DOUBLE) AS revenue,
+  (2.0 * CAST(SUM(CAST(rk::DOUBLE * r::DOUBLE AS DECIMAL(30,10))) AS DOUBLE))
+    / (MAX(n)::DOUBLE * CAST(SUM(r) AS DOUBLE))
+    - (MAX(n) + 1.0) / MAX(n)::DOUBLE AS gini,
+  CAST(SUM(CASE WHEN n - rk + 1 <= (n + 4) // 5 THEN r END) AS DOUBLE)
+    / CAST(SUM(r) AS DOUBLE) AS top20_share
+FROM ranked GROUP BY c_mktsegment
+"""
+
+
+# --------------- signup -> purchase conversion latency cohorts (#133)
+
+
+def q_events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly signup cohorts: conversion rate + exact latency quantiles.
+
+    Time-to-convert is the activation metric growth teams pull from the
+    event stream: per user, the first signup and the first purchase at
+    or after it; per signup-month cohort, how many converted and the
+    exact median / p90 of the latency in whole seconds. Quantiles are
+    element-picks on integer seconds (row_number + index arithmetic:
+    lower median at (n+1) div 2, p90 at ceil(0.9n) = (9n+9) div 10) —
+    no interpolation, no floats, bit-exact in any engine.
+
+    Scale: two user-keyed aggs + one user join (purchase fan-out
+    bounded per user), then a per-cohort sort window whose partition
+    count is the cohort-month cardinality; the output is cohort-sized.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_s_ts"))
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("_p_ts")
+    )
+    conv = (
+        s.join(p, "user_id")
+        .where(F.col("_p_ts") >= F.col("_s_ts"))
+        .groupBy("user_id", "_s_ts")
+        .agg(F.min("_p_ts").alias("_first_p"))
+    )
+    lat = conv.select(
+        # midnight TIMESTAMP, not DATE: the oracle bridge maps both
+        # engines' timestamps to the same pandas dtype (repo convention,
+        # see q_events_funnel)
+        F.date_trunc("month", F.col("_s_ts").cast("timestamp")).alias(
+            "cohort_month"
+        ),
+        F.expr(
+            "(unix_micros(cast(_first_p as timestamp)) - "
+            "unix_micros(cast(_s_ts as timestamp))) div 1000000"
+        ).alias("_lat_s"),
+    )
+    w = Window.partitionBy("cohort_month").orderBy(F.col("_lat_s").asc())
+    wn = Window.partitionBy("cohort_month")
+    ranked = lat.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(wn)
+    )
+    med_idx = F.expr("(_n + 1) div 2")
+    p90_idx = F.expr("(9 * _n + 9) div 10")
+    q = ranked.groupBy("cohort_month").agg(
+        F.max("_n").cast("long").alias("n_converted"),
+        F.max(F.when(F.col("_rk") == med_idx, F.col("_lat_s"))).alias(
+            "median_latency_s"
+        ),
+        F.max(F.when(F.col("_rk") == p90_idx, F.col("_lat_s"))).alias(
+            "p90_latency_s"
+        ),
+    )
+    cohorts = s.groupBy(
+        F.date_trunc("month", F.col("_s_ts").cast("timestamp")).alias(
+            "cohort_month"
+        )
+    ).agg(F.count(F.lit(1)).alias("n_signups"))
+    return cohorts.join(q, "cohort_month", "left").select(
+        "cohort_month",
+        "n_signups",
+        F.coalesce(F.col("n_converted"), F.lit(0)).alias("n_converted"),
+        (
+            F.coalesce(F.col("n_converted"), F.lit(0)).cast("double")
+            / F.col("n_signups").cast("double")
+        ).alias("conversion_rate"),
+        "median_latency_s",
+        "p90_latency_s",
+    )
+
+
+Q_EVENTS_CONVERSION_LATENCY_SQL = """
+WITH s AS (
+  SELECT user_id, MIN(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+conv AS (
+  SELECT s.user_id, s_ts, MIN(e.ts) AS first_p
+  FROM s JOIN events e ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s_ts
+  GROUP BY s.user_id, s_ts
+),
+lat AS (
+  SELECT date_trunc('month', s_ts) AS cohort_month,
+    (epoch_us(first_p) - epoch_us(s_ts)) // 1000000 AS lat_s
+  FROM conv
+),
+ranked AS (
+  SELECT cohort_month, lat_s,
+    row_number() OVER (PARTITION BY cohort_month ORDER BY lat_s ASC) AS rk,
+    COUNT(*) OVER (PARTITION BY cohort_month) AS n
+  FROM lat
+),
+q AS (
+  SELECT cohort_month,
+    CAST(MAX(n) AS BIGINT) AS n_converted,
+    MAX(CASE WHEN rk = (n + 1) // 2 THEN lat_s END) AS median_latency_s,
+    MAX(CASE WHEN rk = (9 * n + 9) // 10 THEN lat_s END) AS p90_latency_s
+  FROM ranked GROUP BY cohort_month
+),
+cohorts AS (
+  SELECT date_trunc('month', s_ts) AS cohort_month,
+    CAST(COUNT(*) AS BIGINT) AS n_signups
+  FROM s GROUP BY 1
+)
+SELECT cohort_month, n_signups,
+  COALESCE(n_converted, 0) AS n_converted,
+  COALESCE(n_converted, 0)::DOUBLE / n_signups::DOUBLE AS conversion_rate,
+  median_latency_s, p90_latency_s
+FROM cohorts LEFT JOIN q USING (cohort_month)
+"""
+
+
+# --------------- per-channel conversion with Wilson intervals (#134)
+
+WILSON_Z = 1.96  # 95% two-sided
+_WILSON_Z2 = WILSON_Z * WILSON_Z
+
+
+def q_events_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel touch→purchase conversion with Wilson 95% bounds.
+
+    The interval every experimentation readout needs before comparing
+    channel conversion rates on unequal sample sizes: for each touch
+    channel (click/view), n = users who touched, k = those with a later
+    purchase, and the Wilson score interval
+
+        (p + z²/2n ± z·√(p(1−p)/n + z²/4n²)) / (1 + z²/n)
+
+    — built ONLY from exactly-rounded IEEE ops (÷, ×, −, √: sqrt is
+    correctly rounded by the standard, unlike pow/ln), written in the
+    identical evaluation order in both engines, so the doubles match
+    bit-for-bit. Plan: one (channel,user)-keyed agg, one user-keyed
+    purchase agg broadcast-joined back, one |channels|-row reduce.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    touch = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .groupBy(F.col("event_type").alias("channel"), "user_id")
+        .agg(F.min("ts").alias("_t_ts"))
+    )
+    pur = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("_last_p"))
+    )
+    per = (
+        touch.join(pur, "user_id", "left")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(
+                F.when(F.col("_last_p") > F.col("_t_ts"), 1).otherwise(0)
+            ).alias("n_converted"),
+        )
+    )
+    n = F.col("n_users").cast("double")
+    p = F.col("n_converted").cast("double") / n
+    z2 = F.lit(_WILSON_Z2)
+    denom = F.lit(1.0) + z2 / n
+    center = p + z2 / (F.lit(2.0) * n)
+    rad = F.lit(WILSON_Z) * F.sqrt(
+        (p * (F.lit(1.0) - p)) / n + z2 / (F.lit(4.0) * n * n)
+    )
+    return per.select(
+        "channel",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_converted").cast("long").alias("n_converted"),
+        p.alias("p_hat"),
+        ((center - rad) / denom).alias("wilson_low"),
+        ((center + rad) / denom).alias("wilson_high"),
+    )
+
+
+Q_EVENTS_WILSON_SQL = f"""
+WITH touch AS (
+  SELECT event_type AS channel, user_id, MIN(ts) AS t_ts FROM events
+  WHERE event_type IN ('click', 'view') GROUP BY 1, 2
+),
+pur AS (
+  SELECT user_id, MAX(ts) AS last_p FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+),
+per AS (
+  SELECT channel,
+    CAST(COUNT(*) AS BIGINT) AS n_users,
+    CAST(SUM(CASE WHEN last_p > t_ts THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_converted
+  FROM touch LEFT JOIN pur USING (user_id)
+  GROUP BY channel
+)
+SELECT channel, n_users, n_converted,
+  n_converted::DOUBLE / n_users::DOUBLE AS p_hat,
+  ((n_converted::DOUBLE / n_users::DOUBLE
+      + {_WILSON_Z2!r} / (2.0 * n_users::DOUBLE))
+   - {WILSON_Z!r} * sqrt(
+       ((n_converted::DOUBLE / n_users::DOUBLE)
+          * (1.0 - n_converted::DOUBLE / n_users::DOUBLE)) / n_users::DOUBLE
+       + {_WILSON_Z2!r} / (4.0 * n_users::DOUBLE * n_users::DOUBLE)))
+  / (1.0 + {_WILSON_Z2!r} / n_users::DOUBLE) AS wilson_low,
+  ((n_converted::DOUBLE / n_users::DOUBLE
+      + {_WILSON_Z2!r} / (2.0 * n_users::DOUBLE))
+   + {WILSON_Z!r} * sqrt(
+       ((n_converted::DOUBLE / n_users::DOUBLE)
+          * (1.0 - n_converted::DOUBLE / n_users::DOUBLE)) / n_users::DOUBLE
+       + {_WILSON_Z2!r} / (4.0 * n_users::DOUBLE * n_users::DOUBLE)))
+  / (1.0 + {_WILSON_Z2!r} / n_users::DOUBLE) AS wilson_high
+FROM per
+"""

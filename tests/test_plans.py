@@ -235,3 +235,126 @@ def test_levenshtein_linkage_is_hash_join(spark):
         or "SortMergeJoin" in plan
         or "ShuffledHashJoin" in plan
     )
+
+
+def _route_table(monkeypatch, module_path, table, parquet_path):
+    import aws_big_data_blog_dmscdc_walkthrough_spark.session as sess
+
+    real = sess.load_table
+    monkeypatch.setattr(
+        f"{module_path}.load_table",
+        lambda sp, sf, t: sp.read.parquet(parquet_path) if t == table else real(sp, sf, t),
+    )
+
+
+def test_customer_gini_hand_computed(spark, monkeypatch, tmp_path):
+    """Revenues 10,20,30,40 in one segment: gini = 2·300/(4·100) − 5/4
+    = 0.25; top-20% = the single (⌈4/5⌉) top customer = 40/100."""
+    from datetime import datetime as dt
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import analytics
+
+    orders = [
+        (i, i, "F", float(p), dt(2024, 1, 1), "1-URGENT")
+        for i, p in [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)]
+    ]
+    op = str(tmp_path / "orders.parquet")
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
+    ).write.parquet(op)
+    cp = str(tmp_path / "customer.parquet")
+    spark.createDataFrame(
+        [(i, f"c{i}", 0, 0.0, "SEG") for i in range(1, 5)],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.parquet(cp)
+    import aws_big_data_blog_dmscdc_walkthrough_spark.session as sess
+
+    real = sess.load_table
+    routes = {"orders": op, "customer": cp}
+    monkeypatch.setattr(
+        "aws_big_data_blog_dmscdc_walkthrough_spark.plans.analytics.load_table",
+        lambda sp, sf, t: sp.read.parquet(routes[t]) if t in routes else real(sp, sf, t),
+    )
+    [r] = analytics.q_customer_gini(spark, "ignored").collect()
+    assert r.c_mktsegment == "SEG" and r.n_customers == 4
+    assert r.revenue == 100.0
+    assert abs(r.gini - 0.25) < 1e-12
+    assert abs(r.top20_share - 0.4) < 1e-12
+
+
+def test_conversion_latency_hand_computed(spark, monkeypatch, tmp_path):
+    """3 signups, 2 conversions (10 s and 100 s): lower median at index
+    (2+1) div 2 = 1 → 10 s; p90 at (9·2+9) div 10 = 2 → 100 s; a
+    pre-signup purchase never counts; rate = 2/3."""
+    from datetime import datetime as dt
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import analytics
+
+    rows = [
+        (1, dt(2024, 1, 5, 0, 0, 0), 1, "signup", 0.0),
+        (2, dt(2024, 1, 5, 0, 0, 10), 1, "purchase", 9.0),
+        (3, dt(2024, 1, 6, 0, 0, 0), 2, "signup", 0.0),
+        (4, dt(2024, 1, 6, 0, 1, 40), 2, "purchase", 9.0),
+        (5, dt(2024, 1, 7, 0, 0, 0), 3, "signup", 0.0),
+        (6, dt(2024, 1, 6, 23, 0, 0), 3, "purchase", 9.0),  # BEFORE signup
+    ]
+    out = str(tmp_path / "events.parquet")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double",
+    ).write.parquet(out)
+    _route_table(
+        monkeypatch,
+        "aws_big_data_blog_dmscdc_walkthrough_spark.plans.analytics",
+        "events",
+        out,
+    )
+    [r] = analytics.q_events_conversion_latency(spark, "ignored").collect()
+    assert r.n_signups == 3 and r.n_converted == 2
+    assert abs(r.conversion_rate - 2 / 3) < 1e-12
+    assert r.median_latency_s == 10 and r.p90_latency_s == 100
+
+
+def test_wilson_interval_hand_computed(spark, monkeypatch, tmp_path):
+    """4 click users, 1 converts after the touch: bounds must equal the
+    same fixed-op-order Wilson formula evaluated in Python, and bracket
+    p̂ inside [0, 1]."""
+    import math
+    from datetime import datetime as dt
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import analytics
+
+    rows = [
+        (i, dt(2024, 1, 1, h), u, t, 0.0)
+        for i, (h, u, t) in enumerate(
+            [
+                (0, 1, "click"), (0, 2, "click"), (0, 3, "click"), (0, 4, "click"),
+                (1, 1, "purchase"),        # converts
+                (0, 5, "purchase"),        # no touch: irrelevant
+            ]
+        )
+    ]
+    out = str(tmp_path / "events.parquet")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double",
+    ).write.parquet(out)
+    _route_table(
+        monkeypatch,
+        "aws_big_data_blog_dmscdc_walkthrough_spark.plans.analytics",
+        "events",
+        out,
+    )
+    [r] = analytics.q_events_wilson(spark, "ignored").collect()
+    assert r.channel == "click" and r.n_users == 4 and r.n_converted == 1
+    z, z2, n, p = analytics.WILSON_Z, analytics._WILSON_Z2, 4.0, 1.0 / 4.0
+    denom = 1.0 + z2 / n
+    center = p + z2 / (2.0 * n)
+    rad = z * math.sqrt((p * (1.0 - p)) / n + z2 / (4.0 * n * n))
+    assert r.p_hat == p
+    assert r.wilson_low == (center - rad) / denom
+    assert r.wilson_high == (center + rad) / denom
+    assert 0.0 <= r.wilson_low < p < r.wilson_high <= 1.0
