@@ -254,10 +254,13 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_centroid_classifier": corpus_ml.eval_centroid_classifier,
         "corpus_quality_filter": text.corpus_quality_filter,
         "q_events_attribution_linear": analytics.q_events_attribution_linear,
-        # round-11 additions (SURVEY §2 #132-#134)
+        # round-11 additions (SURVEY §2 #132-#137)
         "q_customer_gini": analytics.q_customer_gini,
         "q_events_conversion_latency": analytics.q_events_conversion_latency,
         "q_events_wilson": analytics.q_events_wilson,
+        "corpus_vocab_overlap": corpus_ml.corpus_vocab_overlap,
+        "corpus_fertility": corpus_ml.corpus_fertility,
+        "dedup_cluster_sizes": llm_queries.dedup_cluster_sizes,
     }
 
 
@@ -389,8 +392,11 @@ def secondary_oracle_sql() -> dict[str, str]:
         "eval_centroid_classifier": corpus_ml.EVAL_CENTROID_CLASSIFIER_SQL,
         "corpus_quality_filter": text.CORPUS_QUALITY_FILTER_SQL,
         "q_events_attribution_linear": analytics.Q_EVENTS_ATTRIBUTION_LINEAR_SQL,
-        # round-11 additions (SURVEY §2 #132-#134)
+        # round-11 additions (SURVEY §2 #132-#137)
         "q_customer_gini": analytics.Q_CUSTOMER_GINI_SQL,
         "q_events_conversion_latency": analytics.Q_EVENTS_CONVERSION_LATENCY_SQL,
         "q_events_wilson": analytics.Q_EVENTS_WILSON_SQL,
+        "corpus_vocab_overlap": corpus_ml.CORPUS_VOCAB_OVERLAP_SQL,
+        "corpus_fertility": corpus_ml.CORPUS_FERTILITY_SQL,
+        "dedup_cluster_sizes": llm_queries.DEDUP_CLUSTER_SIZES_SQL,
     }

@@ -694,3 +694,164 @@ SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
     AS accuracy
 FROM assigned GROUP BY label
 """
+
+
+# --------------------- cross-source vocabulary overlap (#135)
+
+
+def corpus_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard (#135).
+
+    The corpus-mixing diagnostic next to the duplication matrix (#88):
+    where #88 measures shared DOCUMENTS, this measures shared
+    VOCABULARY — two sources with high vocab overlap but low doc
+    overlap are stylistic twins (dedup won't help, mixing weights
+    might); low vocab overlap flags a domain the mix under-covers.
+
+    Plan: one explode → distinct (source, term) — vocabulary-sized from
+    there on, never corpus-sized. The pair stage is a term-keyed
+    self-join of the DISTINCT vocab frame (each term contributes its
+    source-pair combinations; |sources| is small so per-term fan-out is
+    bounded by |sources|²/2), then a |source-pairs| aggregate joined to
+    the per-source sizes. jaccard = |∩| / (|A|+|B|−|∩|) — exact integer
+    counts, one exactly-rounded division. Pairs sharing zero terms are
+    absent by construction (inner join).
+    """
+    from ..operators.dedup import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    vocab = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+                "term"
+            ),
+        )
+        .distinct()
+        .persist()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n_terms"))
+    a = vocab.select(F.col("source").alias("source_a"), "term")
+    b = vocab.select(F.col("source").alias("source_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n_terms").alias("n_terms_a")))
+    sb = F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n_terms").alias("n_terms_b")))
+    out = (
+        inter.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_terms_a",
+            "n_terms_b",
+            (
+                F.col("n_common").cast("double")
+                / (
+                    F.col("n_terms_a") + F.col("n_terms_b") - F.col("n_common")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    vocab.unpersist()
+    return out
+
+
+CORPUS_VOCAB_OVERLAP_SQL = r"""
+WITH vocab AS (
+  SELECT DISTINCT source, u.term
+  FROM documents,
+    UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS u(term)
+),
+sizes AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms FROM vocab GROUP BY source
+),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+    CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM vocab a JOIN vocab b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_common,
+  sa.n_terms AS n_terms_a, sb.n_terms AS n_terms_b,
+  n_common::DOUBLE / (sa.n_terms + sb.n_terms - n_common)::DOUBLE AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+"""
+
+
+# ------------------------- tokenizer fertility per language (#136)
+
+
+def corpus_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility panel (#136).
+
+    The budgeting table a multilingual training mix needs before token
+    accounting: per metadata language, document count, whitespace-token
+    and BPE-ish-token totals, character totals, and the two fertility
+    ratios (chars per whitespace token; BPE-ish tokens per whitespace
+    token — how much a subword tokenizer inflates this language
+    relative to word count). Map-only scoring (shared #28 token
+    definitions), one |langs|-row aggregate; ratios are single
+    exactly-rounded divisions of exact integer sums — engine-identical.
+    """
+    from ..operators.dedup import spread
+    from ..operators.text import BPE_ISH_PATTERN
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    per = docs.select(
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("_ws"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), F.lit(0))
+        ).alias("_bpe"),
+        F.col("n_chars"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_ws").alias("ws_tokens"),
+        F.sum("_bpe").alias("bpe_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        "n_chars",
+        (F.col("n_chars").cast("double") / F.col("ws_tokens").cast("double")).alias(
+            "chars_per_ws_token"
+        ),
+        (F.col("bpe_tokens").cast("double") / F.col("ws_tokens").cast("double")).alias(
+            "fertility"
+        ),
+    )
+
+
+from ..operators.text import BPE_ISH_PATTERN as _BPE_PAT
+
+CORPUS_FERTILITY_SQL = rf"""
+WITH per AS (
+  SELECT lang,
+    len(string_split_regex(trim(text), '\s+')) AS ws,
+    len(regexp_extract_all(text, '{_BPE_PAT}')) AS bpe,
+    n_chars
+  FROM documents
+)
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+  CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+  CAST(SUM(n_chars) AS BIGINT)::DOUBLE / CAST(SUM(ws) AS BIGINT)::DOUBLE
+    AS chars_per_ws_token,
+  CAST(SUM(bpe) AS BIGINT)::DOUBLE / CAST(SUM(ws) AS BIGINT)::DOUBLE
+    AS fertility
+FROM per GROUP BY lang
+"""

@@ -1381,3 +1381,43 @@ FROM names a JOIN names b
  AND abs(length(a.p_name) - length(b.p_name)) <= {LEVENSHTEIN_MAX_EDITS}
 WHERE levenshtein(a.p_name, b.p_name) <= {LEVENSHTEIN_MAX_EDITS}
 """
+
+
+# ----------------------- duplicate-cluster size histogram (#137)
+
+
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over the near-dup components (#137).
+
+    The one-page answer to "how duplicated is this corpus": for every
+    cluster size, how many clusters and how many documents sit at that
+    size (size 1 = unique docs; the tail is what dedup will delete).
+    Rides the shared ``_cluster_frame`` CC pipeline (#19-#21 edges +
+    components, computed once), then two bounded aggregations: one
+    cluster-keyed count, one size-keyed reduce whose output is at most
+    |distinct sizes| rows. n_docs = size · n_clusters — exact integers.
+    """
+    cl = _cluster_frame(load_table(spark, sf_dir, "documents"))
+    sizes = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+    )
+
+
+DEDUP_CLUSTER_SIZES_SQL = f"""
+WITH RECURSIVE {_CLUSTER_CTES},
+sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY cluster_id
+)
+SELECT cluster_size,
+  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+  cluster_size * CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+"""

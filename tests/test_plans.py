@@ -358,3 +358,70 @@ def test_wilson_interval_hand_computed(spark, monkeypatch, tmp_path):
     assert r.wilson_low == (center - rad) / denom
     assert r.wilson_high == (center + rad) / denom
     assert 0.0 <= r.wilson_low < p < r.wilson_high <= 1.0
+
+
+def test_vocab_overlap_hand_computed(spark, monkeypatch, tmp_path):
+    """A={a,b,c}, B={b,c,d}: |∩|=2, jaccard = 2/(3+3−2) = 0.5; repeated
+    terms inside a source count once (distinct vocab, not occurrences)."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import corpus_ml
+
+    rows = [
+        (1, "a b c a a", "en", "A", 9),
+        (2, "b c d", "en", "B", 5),
+        (3, "c d", "en", "B", 3),
+    ]
+    out = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(out)
+    _route_table(
+        monkeypatch,
+        "aws_big_data_blog_dmscdc_walkthrough_spark.plans.corpus_ml",
+        "documents",
+        out,
+    )
+    [r] = corpus_ml.corpus_vocab_overlap(spark, "ignored").collect()
+    assert (r.source_a, r.source_b) == ("A", "B")
+    assert (r.n_common, r.n_terms_a, r.n_terms_b) == (2, 3, 3)
+    assert r.jaccard == 0.5
+
+
+def test_fertility_hand_computed(spark, monkeypatch, tmp_path):
+    """'ab cd' (5 chars, 2 ws tokens, 2 bpe) + 'a-b' (3 chars, 1 ws,
+    3 bpe: a, -, b): chars/ws = 8/3, fertility = 5/3."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import corpus_ml
+
+    rows = [
+        (1, "ab cd", "en", "A", 5),
+        (2, "a-b", "en", "A", 3),
+    ]
+    out = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(out)
+    _route_table(
+        monkeypatch,
+        "aws_big_data_blog_dmscdc_walkthrough_spark.plans.corpus_ml",
+        "documents",
+        out,
+    )
+    [r] = corpus_ml.corpus_fertility(spark, "ignored").collect()
+    assert (r.n_docs, r.ws_tokens, r.bpe_tokens, r.n_chars) == (2, 3, 5, 8)
+    assert r.chars_per_ws_token == 8.0 / 3.0
+    assert r.fertility == 5.0 / 3.0
+
+
+def test_cluster_size_histogram_conserves_docs(spark):
+    """The histogram is a lossless regrouping of the cluster frame:
+    Σ n_docs = corpus size, Σ n_clusters = |clusters|, and the size-1
+    row matches the singleton count from dedup_clusters directly."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import llm_queries
+
+    hist = {r.cluster_size: r for r in llm_queries.dedup_cluster_sizes(spark, SF_SMOKE).collect()}
+    cl = llm_queries.dedup_clusters(spark, SF_SMOKE).collect()
+    assert sum(r.n_docs for r in hist.values()) == len(cl)
+    from collections import Counter
+
+    by_cluster = Counter(r.cluster_id for r in cl)
+    want = Counter(by_cluster.values())
+    assert {s: r.n_clusters for s, r in hist.items()} == dict(want)
