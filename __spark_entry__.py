@@ -261,6 +261,7 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab_overlap": corpus_ml.corpus_vocab_overlap,
         "corpus_fertility": corpus_ml.corpus_fertility,
         "dedup_cluster_sizes": llm_queries.dedup_cluster_sizes,
+        "eval_ann_mrr": corpus_ml.eval_ann_mrr,
     }
 
 
@@ -399,4 +400,5 @@ def secondary_oracle_sql() -> dict[str, str]:
         "corpus_vocab_overlap": corpus_ml.CORPUS_VOCAB_OVERLAP_SQL,
         "corpus_fertility": corpus_ml.CORPUS_FERTILITY_SQL,
         "dedup_cluster_sizes": llm_queries.DEDUP_CLUSTER_SIZES_SQL,
+        "eval_ann_mrr": corpus_ml.EVAL_ANN_MRR_SQL,
     }

@@ -855,3 +855,116 @@ SELECT lang,
     AS fertility
 FROM per GROUP BY lang
 """
+
+
+# ----------------------- retrieval-quality eval: MRR / P@k (#138)
+
+EVAL_MRR_NQ = 20  # bounded deterministic query slice (vec_id < NQ)
+EVAL_MRR_K = 10
+
+
+def eval_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-relevance retrieval eval over exact cosine ranking (#138).
+
+    The embedding-quality readout the ANN family (#24/#25/#42/#54/#87/
+    #114) needs before anyone trusts its indexes: treat each of the
+    first ``EVAL_MRR_NQ`` vectors as a query, rank the REST of the
+    corpus by exact cosine (the same left-fold dot convention as every
+    ANN oracle, self excluded), call a neighbor relevant when its label
+    matches the query's, and report per query the first relevant rank,
+    its reciprocal (MRR summand), and hits/precision in the top
+    ``EVAL_MRR_K``. rr = 1/rank and precision = hits/k are single
+    exactly-rounded divisions — engine-identical.
+
+    Plan: the query slice is bounded by construction and broadcasts;
+    the corpus side is one map-scan; the per-query window re-shuffles
+    |corpus|·NQ scored rows across NQ partitions — the exact-eval
+    shape. At 100 TB run the same report over per-partition partial
+    top-k (TakeOrdered-style) instead of the global window; the eval
+    contract (exact ranking) is unchanged.
+    """
+    from ..functions.vectors import dot, norm
+    from ..operators.dedup import spread
+    from ..operators.similarity import _safe_cosine
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    corpus = (
+        spread(embs)
+        .select("vec_id", "label", as_double(F.col("embedding")).alias("_v"))
+        .withColumn("_nv", norm(F.col("_v")))
+    )
+    qs = (
+        embs.where(F.col("vec_id") < EVAL_MRR_NQ)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            as_double(F.col("embedding")).alias("_q"),
+        )
+        .withColumn("_nq", norm(F.col("_q")))
+    )
+    cos = _safe_cosine(
+        dot(F.col("_v"), F.col("_q")), F.col("_nv") * F.col("_nq")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(qs))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "q_label", "vec_id", "label", cos.alias("_cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("vec_id").asc()
+    )
+    top = scored.withColumn("_rk", F.row_number().over(w)).where(
+        F.col("_rk") <= EVAL_MRR_K
+    )
+    rel = F.col("label") == F.col("q_label")
+    per = top.groupBy("query_id", "q_label").agg(
+        F.min(F.when(rel, F.col("_rk"))).cast("int").alias("first_rel_rank"),
+        F.sum(F.when(rel, 1).otherwise(0)).cast("long").alias("hits_at_k"),
+    )
+    return per.select(
+        "query_id",
+        "q_label",
+        "first_rel_rank",
+        F.coalesce(
+            F.lit(1.0) / F.col("first_rel_rank").cast("double"), F.lit(0.0)
+        ).alias("rr"),
+        "hits_at_k",
+        (F.col("hits_at_k").cast("double") / F.lit(float(EVAL_MRR_K))).alias(
+            "precision_at_k"
+        ),
+    )
+
+
+EVAL_ANN_MRR_SQL = f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, label AS q_label, embedding AS qv
+  FROM embeddings WHERE vec_id < {EVAL_MRR_NQ}
+),
+scored AS (
+  SELECT s.query_id, s.q_label, c.vec_id, c.label,
+    ({_dot_sql('c.embedding', 's.qv')})
+      / (sqrt({_dot_sql('c.embedding', 'c.embedding')})
+         * sqrt({_dot_sql('s.qv', 's.qv')})) AS cos
+  FROM embeddings c JOIN qs s ON c.vec_id <> s.query_id
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, vec_id ASC
+    ) AS rk FROM scored
+  ) WHERE rk <= {EVAL_MRR_K}
+),
+per AS (
+  SELECT query_id, q_label,
+    CAST(MIN(CASE WHEN label = q_label THEN rk END) AS INT)
+      AS first_rel_rank,
+    CAST(SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+      AS hits_at_k
+  FROM top GROUP BY query_id, q_label
+)
+SELECT query_id, q_label, first_rel_rank,
+  COALESCE(CAST(1.0 AS DOUBLE) / CAST(first_rel_rank AS DOUBLE), 0.0) AS rr,
+  hits_at_k,
+  CAST(hits_at_k AS DOUBLE) / CAST({EVAL_MRR_K} AS DOUBLE) AS precision_at_k
+FROM per
+"""

@@ -425,3 +425,23 @@ def test_cluster_size_histogram_conserves_docs(spark):
     by_cluster = Counter(r.cluster_id for r in cl)
     want = Counter(by_cluster.values())
     assert {s: r.n_clusters for s, r in hist.items()} == dict(want)
+
+
+def test_eval_ann_mrr_internal_consistency(spark):
+    """Per-query invariants at SF_SMOKE: one row per query, rr = 1/rank
+    exactly (0.0 when no relevant neighbor ranked), hits bounded by k,
+    and precision = hits/k."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import corpus_ml
+
+    rows = corpus_ml.eval_ann_mrr(spark, SF_SMOKE).collect()
+    assert len(rows) == corpus_ml.EVAL_MRR_NQ
+    k = corpus_ml.EVAL_MRR_K
+    for r in rows:
+        assert 0 <= r.hits_at_k <= k
+        assert r.precision_at_k == r.hits_at_k / float(k)
+        if r.first_rel_rank is None:
+            assert r.rr == 0.0 and r.hits_at_k == 0
+        else:
+            assert 1 <= r.first_rel_rank <= k
+            assert r.rr == 1.0 / float(r.first_rel_rank)
+            assert r.hits_at_k >= 1
