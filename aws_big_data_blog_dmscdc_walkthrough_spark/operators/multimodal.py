@@ -194,6 +194,8 @@ def sniff_mime(blob: bytes) -> str:
         return "image/x-portable-graymap"
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return "audio/wav"
+    if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+        return "video/x-msvideo"
     if blob[:3] == b"\xff\xd8\xff":
         return "image/jpeg"
     if blob[:8] == b"\x89PNG\r\n\x1a\n":
@@ -444,14 +446,23 @@ def decode_image(blob: bytes) -> "np.ndarray":
         from . import gif as _gif
 
         return _gif.decode_gif(blob)
+    if mime == "video/x-msvideo":
+        # MJPEG-in-AVI: the one fully-native video decode path — a RIFF
+        # walk feeding each '00dc' payload to the native JPEG decoder
+        # (operators/avi.py). Other AVI codecs raise from the JPEG gate.
+        from . import avi as _avi
+
+        return _avi.decode_avi(blob)
     return _decode_compressed(blob, mime)
 
 
 def _decode_compressed(blob: bytes, mime: str):
     """Compressed codecs: JPEG baseline AND progressive decode natively
     (operators/jpeg.py — huffman + dequant + IDCT in numpy, multi-scan
-    coefficient accumulation for progressive); arithmetic-coded/lossless
-    JPEG and video remain PIL/ffmpeg import-gated, absent here."""
+    coefficient accumulation for progressive); MJPEG-in-AVI decodes
+    natively upstream of this gate (operators/avi.py). Arithmetic-coded/
+    lossless JPEG and real-codec video (MP4/H.264) remain PIL/ffmpeg
+    import-gated, absent here."""
     if mime == "image/jpeg":
         from . import jpeg as _jpeg
 
@@ -600,6 +611,15 @@ def _blob_meta(blob: bytes) -> dict:
         # header-only: dims/frames from the moov box tree, no decoder
         # (full frame decode stays ffmpeg-gated in decode_image)
         m = mp4_metadata(blob)
+        meta.update(
+            width=m["width"], height=m["height"], n_frames=m["n_frames"]
+        )
+    elif mime == "video/x-msvideo":
+        # header-only: dims/frames from the avih chunk (frame decode is
+        # native too — operators/avi.py — but metadata never pays it)
+        from . import avi as _avi
+
+        m = _avi.avi_metadata(blob)
         meta.update(
             width=m["width"], height=m["height"], n_frames=m["n_frames"]
         )
