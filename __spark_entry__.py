@@ -262,6 +262,11 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_fertility": corpus_ml.corpus_fertility,
         "dedup_cluster_sizes": llm_queries.dedup_cluster_sizes,
         "eval_ann_mrr": corpus_ml.eval_ann_mrr,
+        # round-11 additions (SURVEY §2 #140-#143)
+        "emb_covariance": corpus_ml.emb_covariance,
+        "lake_integrity": cdc_queries.lake_integrity_report,
+        "q_events_session_paths": analytics.q_events_session_paths,
+        "q_orders_histogram": analytics.q_orders_histogram,
     }
 
 
@@ -401,4 +406,9 @@ def secondary_oracle_sql() -> dict[str, str]:
         "corpus_fertility": corpus_ml.CORPUS_FERTILITY_SQL,
         "dedup_cluster_sizes": llm_queries.DEDUP_CLUSTER_SIZES_SQL,
         "eval_ann_mrr": corpus_ml.EVAL_ANN_MRR_SQL,
+        # round-11 additions (SURVEY §2 #140-#143)
+        "emb_covariance": corpus_ml.EMB_COVARIANCE_SQL,
+        "lake_integrity": cdc_queries.LAKE_INTEGRITY_REPORT_SQL,
+        "q_events_session_paths": analytics.Q_EVENTS_SESSION_PATHS_SQL,
+        "q_orders_histogram": analytics.Q_ORDERS_HISTOGRAM_SQL,
     }

@@ -1867,3 +1867,157 @@ SELECT channel, n_users, n_converted,
   / (1.0 + {_WILSON_Z2!r} / n_users::DOUBLE) AS wilson_high
 FROM per
 """
+
+
+# ------------------------- top session paths (#142)
+
+SESSION_PATH_K = 20
+SESSION_PATH_LEN = 3
+
+
+def q_events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k opening event paths per session (#142).
+
+    The navigation-analysis twin of sessionization (#17): sessions form
+    with the same 30-min-gap lag+cumsum, each session reduces to its
+    first ``SESSION_PATH_LEN`` event types joined as 'a>b>c'
+    (concat_ws skips the NULLs of shorter sessions — identical
+    semantics in DuckDB), and the report is the k most frequent paths
+    (ties to the lexically smaller path). Two user-keyed window passes
+    over the stream + one path-keyed count whose cardinality is the
+    path vocabulary, then a driver-free top-k.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts"))
+    new_session = F.when(
+        epoch - F.lag(epoch).over(by_user) > 1800, F.lit(1)
+    ).otherwise(F.lit(0))
+    run = by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = events.withColumn("_new", new_session).withColumn(
+        "session_id", F.sum("_new").over(run)
+    )
+    in_sess = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    firsts = (
+        sess.withColumn("_rn", F.row_number().over(in_sess))
+        .where(F.col("_rn") <= SESSION_PATH_LEN)
+        .groupBy("user_id", "session_id")
+        .agg(
+            *[
+                F.min(
+                    F.when(F.col("_rn") == k, F.col("event_type"))
+                ).alias(f"_e{k}")
+                for k in range(1, SESSION_PATH_LEN + 1)
+            ]
+        )
+    )
+    path = F.concat_ws(
+        ">", *[F.col(f"_e{k}") for k in range(1, SESSION_PATH_LEN + 1)]
+    )
+    counts = firsts.select(path.alias("path")).groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    w = Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= SESSION_PATH_K)
+        .select("path", "n_sessions", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+Q_EVENTS_SESSION_PATHS_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, SUM(new_s) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS session_id
+  FROM marked
+),
+firsts AS (
+  SELECT user_id, session_id,
+    {", ".join(f"MIN(CASE WHEN rn = {k} THEN event_type END) AS e{k}" for k in range(1, SESSION_PATH_LEN + 1))}
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id, session_id ORDER BY ts, event_id
+    ) AS rn FROM sess
+  ) WHERE rn <= {SESSION_PATH_LEN}
+  GROUP BY user_id, session_id
+),
+counts AS (
+  SELECT concat_ws('>', {", ".join(f"e{k}" for k in range(1, SESSION_PATH_LEN + 1))}) AS path,
+    CAST(COUNT(*) AS BIGINT) AS n_sessions
+  FROM firsts GROUP BY 1
+)
+SELECT path, n_sessions, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path ASC) AS rank
+  FROM counts
+) WHERE rank <= {SESSION_PATH_K}
+"""
+
+
+# ----------------------- equi-width value histogram (#143)
+
+HIST_BINS = 20
+
+
+def q_orders_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals (#143).
+
+    The profiling primitive (#103's distribution panel): min/max from
+    one tiny aggregate broadcast back in-plan, then every row maps to
+    bin = min(floor((x−lo)/width), bins−1) — the max value closes into
+    the last bin — and one bin-keyed count ends the plan (≤ bins rows
+    shuffle after map-side combine). All arithmetic is exactly-rounded
+    doubles on identical inputs, so bin assignment is engine-identical;
+    bin edges recompute as lo + bin·width in pinned order. Empty bins
+    are absent by construction (count source, not a calendar spine).
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    mm = o.agg(
+        F.min("o_totalprice").alias("_lo"), F.max("o_totalprice").alias("_hi")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(HIST_BINS))
+    bin_ = F.least(
+        F.floor((F.col("o_totalprice") - F.col("_lo")) / width),
+        F.lit(HIST_BINS - 1),
+    ).cast("int")
+    return (
+        o.join(F.broadcast(mm))
+        .select(bin_.alias("bin"), F.col("_lo"), width.alias("_w"))
+        .groupBy("bin", "_lo", "_w")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "bin",
+            (F.col("_lo") + F.col("bin").cast("double") * F.col("_w")).alias(
+                "bin_lo"
+            ),
+            "n_orders",
+        )
+    )
+
+
+Q_ORDERS_HISTOGRAM_SQL = f"""
+WITH mm AS (
+  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+),
+binned AS (
+  SELECT CAST(LEAST(
+      FLOOR((o_totalprice - lo) / ((hi - lo) / {float(HIST_BINS)})),
+      {HIST_BINS - 1}) AS INT) AS bin,
+    lo, (hi - lo) / {float(HIST_BINS)} AS w
+  FROM orders CROSS JOIN mm
+)
+SELECT bin, lo + bin::DOUBLE * w AS bin_lo,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM binned GROUP BY bin, lo, w
+"""

@@ -399,3 +399,72 @@ SELECT 'o_orderpriority', n_rows,
   CAST((SELECT COUNT(*) FROM base WHERE o_orderpriority IS NULL) AS BIGINT),
   CAST((SELECT COUNT(DISTINCT o_orderpriority) FROM base) AS BIGINT) FROM n
 """
+
+
+# --------------------- cross-table referential-integrity report (#141)
+
+_FK_CHECKS = [
+    ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+]
+
+
+def lake_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the star schema (#141).
+
+    The cross-TABLE complement of the per-column expectations (#100)
+    and profile (#103): after CDC has been folding four tables
+    independently, did any child row lose its parent? One row per
+    declared FK edge: child row count, orphan count (left-anti join on
+    the key — broadcast when the parent key set is small, shuffle
+    otherwise; never a pairwise compare), orphan rate (one
+    exactly-rounded division). NULL keys count as orphans — a NULL FK
+    in this schema is a broken reference, not an optional one.
+
+    Scale: each check is one column-pruned scan per side + one anti
+    join + a 1-row aggregate; the four unions are independent jobs
+    over different scans, so AQE schedules them freely.
+    """
+    parts = []
+    for name, child_t, child_k, parent_t, parent_k in _FK_CHECKS:
+        child = load_table(spark, sf_dir, child_t).select(
+            F.col(child_k).alias("_k")
+        )
+        parent = load_table(spark, sf_dir, parent_t).select(
+            F.col(parent_k).alias("_k")
+        ).distinct()
+        n_rows = child.agg(F.count(F.lit(1)).alias("_n"))
+        orphans = child.join(parent, "_k", "left_anti").agg(
+            F.count(F.lit(1)).alias("_o")
+        )
+        parts.append(
+            n_rows.crossJoin(orphans).select(
+                F.lit(name).alias("fk"),
+                F.col("_n").alias("n_rows"),
+                F.col("_o").alias("n_orphans"),
+                (F.col("_o").cast("double") / F.col("_n").cast("double")).alias(
+                    "orphan_rate"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+LAKE_INTEGRITY_REPORT_SQL = " UNION ALL ".join(
+    f"""
+SELECT '{name}' AS fk,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN NOT EXISTS (
+    SELECT 1 FROM {parent_t} p WHERE p.{parent_k} = c.{child_k}
+  ) THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+  CAST(SUM(CASE WHEN NOT EXISTS (
+    SELECT 1 FROM {parent_t} p WHERE p.{parent_k} = c.{child_k}
+  ) THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS orphan_rate
+FROM {child_t} c"""
+    for name, child_t, child_k, parent_t, parent_k in _FK_CHECKS
+)

@@ -968,3 +968,94 @@ SELECT query_id, q_label, first_rel_rank,
   CAST(hits_at_k AS DOUBLE) / CAST({EVAL_MRR_K} AS DOUBLE) AS precision_at_k
 FROM per
 """
+
+
+# --------------- embedding covariance / whitening stats (#140)
+
+COV_DIMS = 16  # leading dims: the projection-head slice being whitened
+
+
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance + correlation of the leading embedding dims (#140).
+
+    The whitening statistics a projection head / PCA preprocessor
+    needs: for every dim pair i ≤ j of the first ``COV_DIMS``
+    dimensions, cov = E[xy] − E[x]E[y] and the Pearson correlation.
+
+    Plan shape is the 100 TB one: NO explode — the d(d+1)/2 pair
+    products are columns of ONE global aggregate (a single map-side-
+    combined pass; the shuffle carries one partial-sum row per task),
+    then the wide row unpivots driver-free via inline(). Sums ride the
+    DECIMAL quantization convention (order-independent, engine-exact);
+    cov/corr are fixed chains of exactly-rounded ops (÷, ×, −, √).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    cols = [F.element_at(v, i + 1).alias(f"_x{i}") for i in range(COV_DIMS)]
+    base = emb.select(*cols)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    aggs += [
+        F.sum(F.col(f"_x{i}").cast("decimal(30,10)")).alias(f"_s{i}")
+        for i in range(COV_DIMS)
+    ]
+    aggs += [
+        F.sum(
+            (F.col(f"_x{i}") * F.col(f"_x{j}")).cast("decimal(30,10)")
+        ).alias(f"_p{i}_{j}")
+        for i in range(COV_DIMS)
+        for j in range(i, COV_DIMS)
+    ]
+    wide = base.agg(*aggs)
+    n = F.col("_n").cast("double")
+
+    def cov(i: int, j: int):
+        return F.col(f"_p{i}_{j}").cast("double") / n - (
+            F.col(f"_s{i}").cast("double") / n
+        ) * (F.col(f"_s{j}").cast("double") / n)
+
+    terms = [
+        F.struct(
+            F.lit(i).alias("i"),
+            F.lit(j).alias("j"),
+            cov(i, j).alias("cov"),
+            (cov(i, j) / (F.sqrt(cov(i, i)) * F.sqrt(cov(j, j)))).alias("corr"),
+        )
+        for i in range(COV_DIMS)
+        for j in range(i, COV_DIMS)
+    ]
+    return wide.select(F.inline(F.array(*terms)))
+
+
+def _cov_sql() -> str:
+    d = COV_DIMS
+    sums = ", ".join(
+        f"SUM(CAST(embedding[{i + 1}]::DOUBLE AS DECIMAL(30,10))) AS s{i}"
+        for i in range(d)
+    )
+    prods = ", ".join(
+        f"SUM(CAST(embedding[{i + 1}]::DOUBLE * embedding[{j + 1}]::DOUBLE "
+        f"AS DECIMAL(30,10))) AS p{i}_{j}"
+        for i in range(d)
+        for j in range(i, d)
+    )
+
+    def cov(i, j):
+        return (
+            f"(CAST(p{i}_{j} AS DOUBLE) / n "
+            f"- (CAST(s{i} AS DOUBLE) / n) * (CAST(s{j} AS DOUBLE) / n))"
+        )
+
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, {cov(i, j)} AS cov, "
+        f"{cov(i, j)} / (sqrt({cov(i, i)}) * sqrt({cov(j, j)})) AS corr "
+        "FROM agg"
+        for i in range(d)
+        for j in range(i, d)
+    )
+    return (
+        "WITH agg AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+        f"{sums}, {prods} FROM embeddings) {rows}"
+    )
+
+
+EMB_COVARIANCE_SQL = _cov_sql()

@@ -445,3 +445,110 @@ def test_eval_ann_mrr_internal_consistency(spark):
             assert 1 <= r.first_rel_rank <= k
             assert r.rr == 1.0 / float(r.first_rel_rank)
             assert r.hits_at_k >= 1
+
+
+def test_emb_covariance_matches_numpy(spark):
+    """Decimal-quantized single-pass covariance must track the numpy
+    two-pass reference within the quantization grid, with corr ≈ 1 on
+    the diagonal and symmetric pair coverage (i ≤ j, all pairs once)."""
+    import numpy as np
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import corpus_ml
+    from aws_big_data_blog_dmscdc_walkthrough_spark.session import load_table
+
+    rows = corpus_ml.emb_covariance(spark, SF_SMOKE).collect()
+    d = corpus_ml.COV_DIMS
+    assert len(rows) == d * (d + 1) // 2
+    X = np.array(
+        [
+            r.embedding[:d]
+            for r in load_table(spark, SF_SMOKE, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    ref = np.cov(X, rowvar=False, bias=True)  # population cov, like E[xy]-E[x]E[y]
+    for r in rows:
+        assert abs(r.cov - ref[r.i, r.j]) < 1e-6
+        if r.i == r.j:
+            assert abs(r.corr - 1.0) < 1e-9
+
+
+def test_lake_integrity_clean_and_planted_orphan(spark, monkeypatch, tmp_path):
+    """The synthetic star schema is referentially intact (0 orphans on
+    every FK edge); planting an orphaned lineitem order key is detected
+    with the exact rate."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import cdc_queries
+    from aws_big_data_blog_dmscdc_walkthrough_spark.session import load_table
+
+    clean = {r.fk: r for r in cdc_queries.lake_integrity_report(spark, SF_SMOKE).collect()}
+    assert len(clean) == 4
+    assert all(r.n_orphans == 0 and r.orphan_rate == 0.0 for r in clean.values())
+
+    # plant one orphan: a lineitem row pointing at a nonexistent order
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    bad = li.limit(1).withColumn("l_orderkey", (li.l_orderkey * 0 - 999).cast("long"))
+    out = str(tmp_path / "lineitem.parquet")
+    li.unionByName(bad).write.parquet(out)
+    import aws_big_data_blog_dmscdc_walkthrough_spark.session as sess
+
+    real = sess.load_table
+    monkeypatch.setattr(
+        "aws_big_data_blog_dmscdc_walkthrough_spark.plans.cdc_queries.load_table",
+        lambda sp, sf, t: sp.read.parquet(out) if t == "lineitem" else real(sp, sf, t),
+    )
+    got = {r.fk: r for r in cdc_queries.lake_integrity_report(spark, SF_SMOKE).collect()}
+    r = got["lineitem.l_orderkey->orders.o_orderkey"]
+    assert r.n_orphans == 1 and r.orphan_rate == 1.0 / r.n_rows
+
+
+def test_session_paths_hand_computed(spark, monkeypatch, tmp_path):
+    """One 4-event session truncates to its first 3 types; a fresh
+    session after a >30-min gap starts a new path; a single-event
+    session is just its type (concat_ws skips the NULL slots)."""
+    from datetime import datetime as dt
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import analytics
+
+    rows = [
+        (1, dt(2024, 1, 1, 10, 0), 1, "view", 0.0),
+        (2, dt(2024, 1, 1, 10, 5), 1, "click", 0.0),
+        (3, dt(2024, 1, 1, 10, 6), 1, "purchase", 0.0),
+        (4, dt(2024, 1, 1, 10, 7), 1, "view", 0.0),      # 4th: truncated
+        (5, dt(2024, 1, 1, 12, 0), 1, "signup", 0.0),     # new session
+        (6, dt(2024, 1, 1, 9, 0), 2, "view", 0.0),
+        (7, dt(2024, 1, 1, 9, 1), 2, "click", 0.0),
+        (8, dt(2024, 1, 1, 9, 2), 2, "purchase", 0.0),
+    ]
+    out = str(tmp_path / "events.parquet")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    ).write.parquet(out)
+    _route_table(
+        monkeypatch,
+        "aws_big_data_blog_dmscdc_walkthrough_spark.plans.analytics",
+        "events",
+        out,
+    )
+    got = {r.path: (r.n_sessions, r.rank) for r in analytics.q_events_session_paths(spark, "ignored").collect()}
+    assert got == {"view>click>purchase": (2, 1), "signup": (1, 2)}
+
+
+def test_orders_histogram_conserves_and_bins(spark):
+    """Σ counts = table rows, bins inside [0, HIST_BINS), edges spaced
+    by one width, and the max row lands in the LAST bin (closed top)."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import analytics
+    from aws_big_data_blog_dmscdc_walkthrough_spark.session import load_table
+
+    rows = sorted(
+        analytics.q_orders_histogram(spark, SF_SMOKE).collect(),
+        key=lambda r: r.bin,
+    )
+    o = load_table(spark, SF_SMOKE, "orders")
+    assert sum(r.n_orders for r in rows) == o.count()
+    assert all(0 <= r.bin < analytics.HIST_BINS for r in rows)
+    assert rows[-1].bin == analytics.HIST_BINS - 1  # max closes into last bin
+    w = (rows[1].bin_lo - rows[0].bin_lo) / (rows[1].bin - rows[0].bin)
+    for a, b in zip(rows, rows[1:]):
+        assert abs((b.bin_lo - a.bin_lo) - w * (b.bin - a.bin)) < 1e-6
