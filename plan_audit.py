@@ -65,6 +65,18 @@ AUDITED = [
     ("q_part_fuzzy_levenshtein", "length-bucket EQUI-join (±k replication); no NLJ"),
     ("eval_centroid_classifier", "centroids broadcast; shuffle is |test|x|labels| partial sums"),
     ("corpus_quality_filter", "map-side scoring; |sources| boundary agg broadcast back"),
+    # round-11 additions (#132-#143)
+    ("q_customer_gini", "one customer agg; bounded-segment sort window; |segments| reduce"),
+    ("q_events_conversion_latency", "two user aggs + bounded user join; per-cohort window"),
+    ("q_events_wilson", "(channel,user) agg + user purchase agg; |channels| reduce"),
+    ("corpus_vocab_overlap", "distinct vocab first; term-keyed self-join, never corpus-sized"),
+    ("corpus_fertility", "map-only scoring; one |langs|-row aggregate"),
+    ("dedup_cluster_sizes", "shared CC pipeline once; two bounded aggs"),
+    ("eval_ann_mrr", "bounded queries broadcast; corpus map-scan; NQ-partition window"),
+    ("emb_covariance", "NO explode: pair products as agg columns, one global agg"),
+    ("lake_integrity", "column-pruned anti joins; 1-row aggs per FK edge"),
+    ("q_events_session_paths", "two user-keyed windows; path-vocab count + bounded topk"),
+    ("q_orders_histogram", "broadcast min/max anchor; <=bins-row count"),
 ]
 
 
