@@ -267,6 +267,10 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_integrity": cdc_queries.lake_integrity_report,
         "q_events_session_paths": analytics.q_events_session_paths,
         "q_orders_histogram": analytics.q_orders_histogram,
+        # round-11 additions (SURVEY §2 #144-#146)
+        "lake_key_profile": cdc_queries.lake_key_profile,
+        "q_orders_percentile": analytics.q_orders_percentile,
+        "q_orders_mad_outliers": analytics.q_orders_mad_outliers,
     }
 
 
@@ -411,4 +415,8 @@ def secondary_oracle_sql() -> dict[str, str]:
         "lake_integrity": cdc_queries.LAKE_INTEGRITY_REPORT_SQL,
         "q_events_session_paths": analytics.Q_EVENTS_SESSION_PATHS_SQL,
         "q_orders_histogram": analytics.Q_ORDERS_HISTOGRAM_SQL,
+        # round-11 additions (SURVEY §2 #144-#146)
+        "lake_key_profile": cdc_queries.LAKE_KEY_PROFILE_SQL,
+        "q_orders_percentile": analytics.Q_ORDERS_PERCENTILE_SQL,
+        "q_orders_mad_outliers": analytics.Q_ORDERS_MAD_OUTLIERS_SQL,
     }

@@ -2021,3 +2021,128 @@ SELECT bin, lo + bin::DOUBLE * w AS bin_lo,
   CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM binned GROUP BY bin, lo, w
 """
+
+
+# ---------------- percentile-rank feature transform (#145)
+
+
+def q_orders_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-segment percentile-rank transform of order totals (#145).
+
+    The monotone feature scaling (CDF transform) a ranking model wants
+    instead of raw currency: pct = (rank−1)/(n−1) with RANK (ties share
+    a rank, so equal prices map to equal features — integer arithmetic,
+    one exactly-rounded division, engine-identical). Partitioned by the
+    customer segment: the window's partition count is |segments| — the
+    exact per-group sort form; a 100 TB variant buckets by the #143
+    histogram and interpolates. Output keeps the raw value for audits.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey", "c_mktsegment", "o_totalprice"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").asc())
+    wn = Window.partitionBy("c_mktsegment")
+    return j.select(
+        "o_orderkey",
+        "c_mktsegment",
+        "o_totalprice",
+        (
+            (F.rank().over(w) - F.lit(1)).cast("double")
+            / (F.count(F.lit(1)).over(wn) - F.lit(1)).cast("double")
+        ).alias("pct_rank"),
+    )
+
+
+Q_ORDERS_PERCENTILE_SQL = """
+SELECT o_orderkey, c_mktsegment, o_totalprice,
+  (rank() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice ASC) - 1)::DOUBLE
+    / (COUNT(*) OVER (PARTITION BY c_mktsegment) - 1)::DOUBLE AS pct_rank
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# ------------------- MAD robust outlier report (#146)
+
+MAD_K = 10.0  # flag |x - median| > K * MAD (tight data: high K)
+
+
+def q_orders_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier report per segment (#146).
+
+    The robust twin of the z-score anomaly counts (#108): mean/stddev
+    move with the outliers they hunt, median/MAD don't. Per segment:
+    exact median price, exact MAD (median of |x−median|), and the count
+    beyond K·MAD. Both medians are exact sort-based percentiles (the
+    even-n midpoint (a+b)/2 is one exactly-rounded add + halving —
+    engine-identical); the flag threshold is a fixed multiply. Two
+    grouped exact-median passes + one counting pass, all keyed on the
+    bounded segment column.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment", "o_totalprice"
+    )
+    med = j.groupBy("c_mktsegment").agg(
+        F.median("o_totalprice").alias("median_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    dev = j.join(F.broadcast(med), "c_mktsegment").select(
+        "c_mktsegment",
+        "median_price",
+        "n_orders",
+        F.abs(F.col("o_totalprice") - F.col("median_price")).alias("_dev"),
+    )
+    mad = dev.groupBy("c_mktsegment", "median_price", "n_orders").agg(
+        F.median("_dev").alias("mad")
+    )
+    flagged = (
+        dev.join(
+            F.broadcast(mad.select("c_mktsegment", "mad")), "c_mktsegment"
+        )
+        .where(F.col("_dev") > F.lit(MAD_K) * F.col("mad"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return mad.join(flagged, "c_mktsegment", "left").select(
+        "c_mktsegment",
+        "n_orders",
+        "median_price",
+        "mad",
+        F.coalesce(F.col("n_outliers"), F.lit(0)).alias("n_outliers"),
+    )
+
+
+Q_ORDERS_MAD_OUTLIERS_SQL = f"""
+WITH j AS (
+  SELECT c_mktsegment, o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+med AS (
+  SELECT c_mktsegment, median(o_totalprice) AS median_price,
+    CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM j GROUP BY c_mktsegment
+),
+dev AS (
+  SELECT j.c_mktsegment, median_price, n_orders,
+    abs(o_totalprice - median_price) AS d
+  FROM j JOIN med ON j.c_mktsegment = med.c_mktsegment
+),
+mad AS (
+  SELECT c_mktsegment, median_price, n_orders, median(d) AS mad
+  FROM dev GROUP BY c_mktsegment, median_price, n_orders
+),
+flagged AS (
+  SELECT dev.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_outliers
+  FROM dev JOIN mad ON dev.c_mktsegment = mad.c_mktsegment
+  WHERE d > {MAD_K!r} * mad
+  GROUP BY dev.c_mktsegment
+)
+SELECT c_mktsegment, n_orders, median_price, mad,
+  COALESCE(n_outliers, 0) AS n_outliers
+FROM mad LEFT JOIN flagged USING (c_mktsegment)
+"""

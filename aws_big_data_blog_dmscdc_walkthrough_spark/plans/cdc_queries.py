@@ -17,7 +17,7 @@ Every oracle below replays the identical batch in ANSI SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import cdc
@@ -467,4 +467,82 @@ SELECT '{name}' AS fk,
   ) THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS orphan_rate
 FROM {child_t} c"""
     for name, child_t, child_k, parent_t, parent_k in _FK_CHECKS
+)
+
+
+# ----------------------- join-key cardinality profiler (#144)
+
+_KEY_PROFILES = [
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+]
+
+
+def lake_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key cardinality + skew profile (#144).
+
+    The stats that drive every physical-join decision this repo makes
+    (broadcast vs shuffle, salting #36, AQE skew-split, bucket counts):
+    per declared join key, row count, exact distinct count, the hottest
+    key's frequency, and the exact p99 per-key frequency (element-pick
+    on the sorted frequency list — integer, engine-exact). Two
+    aggregations per key (value-keyed count, then a reduce over the
+    |distinct|-sized frequency frame + one ordered window on it); the
+    frequency frame is key-cardinality-sized, never row-sized.
+    """
+    parts = []
+    for name, table, key in _KEY_PROFILES:
+        freq = (
+            load_table(spark, sf_dir, table)
+            .groupBy(F.col(key).alias("_k"))
+            .agg(F.count(F.lit(1)).alias("_f"))
+        )
+        w = Window.orderBy(F.col("_f").asc(), F.col("_k").asc())
+        ranked = (
+            freq.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy()))
+        )
+        stats = ranked.agg(
+            F.sum("_f").alias("_rows"),
+            F.count(F.lit(1)).alias("_nd"),
+            F.max("_f").alias("_hot"),
+            F.max(
+                F.when(
+                    F.col("_rn") == F.expr("(99 * _n + 99) div 100"),
+                    F.col("_f"),
+                )
+            ).alias("_p99"),
+        )
+        parts.append(
+            stats.select(
+                F.lit(name).alias("join_key"),
+                F.col("_rows").alias("n_rows"),
+                F.col("_nd").alias("n_distinct"),
+                F.col("_hot").alias("max_key_freq"),
+                F.col("_p99").alias("p99_key_freq"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+LAKE_KEY_PROFILE_SQL = " UNION ALL ".join(
+    f"""
+SELECT '{name}' AS join_key,
+  CAST(SUM(f) AS BIGINT) AS n_rows,
+  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+  CAST(MAX(f) AS BIGINT) AS max_key_freq,
+  CAST(MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN f END) AS BIGINT)
+    AS p99_key_freq
+FROM (
+  SELECT f, k, row_number() OVER (ORDER BY f ASC, k ASC) AS rn,
+    COUNT(*) OVER () AS n
+  FROM (SELECT {key} AS k, CAST(COUNT(*) AS BIGINT) AS f
+        FROM {table} GROUP BY {key})
+)"""
+    for name, table, key in _KEY_PROFILES
 )

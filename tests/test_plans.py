@@ -552,3 +552,108 @@ def test_orders_histogram_conserves_and_bins(spark):
     w = (rows[1].bin_lo - rows[0].bin_lo) / (rows[1].bin - rows[0].bin)
     for a, b in zip(rows, rows[1:]):
         assert abs((b.bin_lo - a.bin_lo) - w * (b.bin - a.bin)) < 1e-6
+
+
+def test_key_profile_hand_computed(spark, monkeypatch, tmp_path):
+    """Key freqs {1:3, 2:1}: rows 4, distinct 2, hottest 3, p99 index
+    ceil(99·2/100)=2 → the sorted-ascending 2nd frequency = 3."""
+    from datetime import datetime as dt
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import cdc_queries
+
+    orders = [
+        (k, c, "F", 1.0, dt(2024, 1, 1), "1-URGENT")
+        for k, c in [(1, 7), (2, 7), (3, 7), (4, 8)]
+    ]
+    out = str(tmp_path / "orders.parquet")
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
+    ).write.parquet(out)
+    import aws_big_data_blog_dmscdc_walkthrough_spark.session as sess
+
+    real = sess.load_table
+    monkeypatch.setattr(
+        "aws_big_data_blog_dmscdc_walkthrough_spark.plans.cdc_queries.load_table",
+        lambda sp, sf, t: sp.read.parquet(out) if t == "orders" else real(sp, sf, t),
+    )
+    got = {
+        r.join_key: r for r in cdc_queries.lake_key_profile(spark, SF_SMOKE).collect()
+    }
+    r = got["orders.o_custkey"]
+    assert (r.n_rows, r.n_distinct, r.max_key_freq, r.p99_key_freq) == (4, 2, 3, 3)
+
+
+def test_percentile_rank_ties_and_bounds(spark, monkeypatch, tmp_path):
+    """Prices 10,20,20,30 in one segment: pct = 0, 1/3, 1/3, 1 — ties
+    share a rank and the transform spans [0, 1]."""
+    from datetime import datetime as dt
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import analytics
+
+    orders = [
+        (i, 1, "F", p, dt(2024, 1, 1), "1-URGENT")
+        for i, p in [(1, 10.0), (2, 20.0), (3, 20.0), (4, 30.0)]
+    ]
+    op = str(tmp_path / "orders.parquet")
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
+    ).write.parquet(op)
+    cp = str(tmp_path / "customer.parquet")
+    spark.createDataFrame(
+        [(1, "c1", 0, 0.0, "SEG")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.parquet(cp)
+    import aws_big_data_blog_dmscdc_walkthrough_spark.session as sess
+
+    real = sess.load_table
+    routes = {"orders": op, "customer": cp}
+    monkeypatch.setattr(
+        "aws_big_data_blog_dmscdc_walkthrough_spark.plans.analytics.load_table",
+        lambda sp, sf, t: sp.read.parquet(routes[t]) if t in routes else real(sp, sf, t),
+    )
+    got = {
+        r.o_orderkey: r.pct_rank
+        for r in analytics.q_orders_percentile(spark, "ignored").collect()
+    }
+    assert got == {1: 0.0, 2: 1.0 / 3.0, 3: 1.0 / 3.0, 4: 1.0}
+
+
+def test_mad_outliers_hand_computed(spark, monkeypatch, tmp_path):
+    """Prices 10,10,10,10,1000 (odd n): median 10, deviations
+    0,0,0,0,990 → MAD 0... so use 9,10,10,11,1000: median 10, devs
+    1,0,0,1,990 → MAD 1; the 1000 row is the single >K·MAD outlier."""
+    from datetime import datetime as dt
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import analytics
+
+    prices = [9.0, 10.0, 10.0, 11.0, 1000.0]
+    orders = [
+        (i, 1, "F", p, dt(2024, 1, 1), "1-URGENT") for i, p in enumerate(prices)
+    ]
+    op = str(tmp_path / "orders.parquet")
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
+    ).write.parquet(op)
+    cp = str(tmp_path / "customer.parquet")
+    spark.createDataFrame(
+        [(1, "c1", 0, 0.0, "SEG")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.parquet(cp)
+    import aws_big_data_blog_dmscdc_walkthrough_spark.session as sess
+
+    real = sess.load_table
+    routes = {"orders": op, "customer": cp}
+    monkeypatch.setattr(
+        "aws_big_data_blog_dmscdc_walkthrough_spark.plans.analytics.load_table",
+        lambda sp, sf, t: sp.read.parquet(routes[t]) if t in routes else real(sp, sf, t),
+    )
+    [r] = analytics.q_orders_mad_outliers(spark, "ignored").collect()
+    assert (r.n_orders, r.median_price, r.mad, r.n_outliers) == (5, 10.0, 1.0, 1)
