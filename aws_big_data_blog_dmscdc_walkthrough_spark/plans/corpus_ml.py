@@ -1013,17 +1013,33 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"_s{i}").cast("double") / n
         ) * (F.col(f"_s{j}").cast("double") / n)
 
+    # materialize each cov ONCE in a middle projection: building corr
+    # straight off cov() re-expands three expression trees per pair
+    # (~400 copies), and the resulting plan spent ~10 s in Catalyst +
+    # codegen at EVERY scale (compile, not compute). Referencing the
+    # aliased columns keeps the tree linear in pairs; multi-referenced
+    # aliases also stop CollapseProject from re-inlining them.
+    covd = wide.select(
+        *[
+            cov(i, j).alias(f"_c{i}_{j}")
+            for i in range(COV_DIMS)
+            for j in range(i, COV_DIMS)
+        ]
+    )
     terms = [
         F.struct(
             F.lit(i).alias("i"),
             F.lit(j).alias("j"),
-            cov(i, j).alias("cov"),
-            (cov(i, j) / (F.sqrt(cov(i, i)) * F.sqrt(cov(j, j)))).alias("corr"),
+            F.col(f"_c{i}_{j}").alias("cov"),
+            (
+                F.col(f"_c{i}_{j}")
+                / (F.sqrt(F.col(f"_c{i}_{i}")) * F.sqrt(F.col(f"_c{j}_{j}")))
+            ).alias("corr"),
         )
         for i in range(COV_DIMS)
         for j in range(i, COV_DIMS)
     ]
-    return wide.select(F.inline(F.array(*terms)))
+    return covd.select(F.inline(F.array(*terms)))
 
 
 def _cov_sql() -> str:
