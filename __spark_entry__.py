@@ -271,6 +271,7 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_key_profile": cdc_queries.lake_key_profile,
         "q_orders_percentile": analytics.q_orders_percentile,
         "q_orders_mad_outliers": analytics.q_orders_mad_outliers,
+        "q_events_funnel_windowed": analytics.q_events_funnel_windowed,
     }
 
 
@@ -419,4 +420,5 @@ def secondary_oracle_sql() -> dict[str, str]:
         "lake_key_profile": cdc_queries.LAKE_KEY_PROFILE_SQL,
         "q_orders_percentile": analytics.Q_ORDERS_PERCENTILE_SQL,
         "q_orders_mad_outliers": analytics.Q_ORDERS_MAD_OUTLIERS_SQL,
+        "q_events_funnel_windowed": analytics.Q_EVENTS_FUNNEL_WINDOWED_SQL,
     }

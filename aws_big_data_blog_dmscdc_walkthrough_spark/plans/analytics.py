@@ -2146,3 +2146,109 @@ SELECT c_mktsegment, n_orders, median_price, mad,
   COALESCE(n_outliers, 0) AS n_outliers
 FROM mad LEFT JOIN flagged USING (c_mktsegment)
 """
+
+
+# --------------------- time-constrained funnel (#147)
+
+FUNNEL_STEP_HOURS = 48
+_FUNNEL_STEP_US = FUNNEL_STEP_HOURS * 3600 * 1_000_000
+FUNNEL_STEPS = ["signup", "click", "purchase"]
+
+
+def q_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained conversion funnel (#147).
+
+    The bounded-window variant of #95's ordered funnel: each step must
+    land within ``FUNNEL_STEP_HOURS`` of the user's PREVIOUS completed
+    step (signup → click → purchase), the standard product-analytics
+    definition where a purchase a month after the click no longer
+    credits the funnel. Earliest-completion semantics: step k's
+    timestamp is the MIN eligible event after step k−1 — deterministic
+    and replayable in SQL. All time arithmetic is integer epoch
+    microseconds. Plan: one user-keyed agg per step + one bounded
+    user join per transition (each user contributes its own events
+    only — the #47/#48 fan-out argument); the output is |steps| rows
+    with exactly-rounded conversion-rate divisions.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = ev.select("user_id", "event_type", us.alias("_us"))
+    s1 = (
+        base.where(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("_us").alias("_t1"))
+    )
+    s2 = (
+        base.where(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .where(
+            (F.col("_us") >= F.col("_t1"))
+            & (F.col("_us") - F.col("_t1") <= F.lit(_FUNNEL_STEP_US))
+        )
+        .groupBy("user_id", "_t1")
+        .agg(F.min("_us").alias("_t2"))
+    )
+    s3 = (
+        base.where(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .where(
+            (F.col("_us") >= F.col("_t2"))
+            & (F.col("_us") - F.col("_t2") <= F.lit(_FUNNEL_STEP_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("_us").alias("_t3"))
+    )
+    counts = [
+        s1.agg(F.count(F.lit(1)).alias("_n")),
+        s2.agg(F.count(F.lit(1)).alias("_n")),
+        s3.agg(F.count(F.lit(1)).alias("_n")),
+    ]
+    rows = None
+    first = counts[0].select(F.col("_n").alias("_n1"))
+    for k, c in enumerate(counts):
+        r = (
+            c.crossJoin(F.broadcast(first))
+            .select(
+                F.lit(k + 1).alias("step"),
+                F.lit(FUNNEL_STEPS[k]).alias("step_name"),
+                F.col("_n").alias("n_users"),
+                (
+                    F.col("_n").cast("double") / F.col("_n1").cast("double")
+                ).alias("rate_from_first"),
+            )
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
+
+
+Q_EVENTS_FUNNEL_WINDOWED_SQL = f"""
+WITH s1 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, t1, MIN(epoch_us(e.ts)) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}'
+    AND epoch_us(e.ts) >= t1
+    AND epoch_us(e.ts) - t1 <= {_FUNNEL_STEP_US}
+  GROUP BY e.user_id, t1
+),
+s3 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}'
+    AND epoch_us(e.ts) >= t2
+    AND epoch_us(e.ts) - t2 <= {_FUNNEL_STEP_US}
+  GROUP BY e.user_id
+),
+n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s1),
+n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s2),
+n3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s3)
+SELECT 1 AS step, '{FUNNEL_STEPS[0]}' AS step_name, n1.n AS n_users,
+  n1.n::DOUBLE / n1.n::DOUBLE AS rate_from_first FROM n1
+UNION ALL
+SELECT 2, '{FUNNEL_STEPS[1]}', n2.n, n2.n::DOUBLE / n1.n::DOUBLE FROM n1, n2
+UNION ALL
+SELECT 3, '{FUNNEL_STEPS[2]}', n3.n, n3.n::DOUBLE / n1.n::DOUBLE FROM n1, n3
+"""

@@ -988,8 +988,15 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the wide row unpivots driver-free via inline(). Sums ride the
     DECIMAL quantization convention (order-independent, engine-exact);
     cov/corr are fixed chains of exactly-rounded ops (÷, ×, −, √).
+
+    The 153 DECIMAL aggregates cost ~30 µs/row/core — spread() widens
+    an under-split scan to every core before they run (sf10: 13 scan
+    partitions 38 s → 32 spread partitions 10.8 s; adaptive, so small
+    inputs skip the shuffle).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    from ..operators.dedup import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     v = as_double(F.col("embedding"))
     cols = [F.element_at(v, i + 1).alias(f"_x{i}") for i in range(COV_DIMS)]
     base = emb.select(*cols)

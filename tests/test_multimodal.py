@@ -742,3 +742,31 @@ def test_avi_non_mjpeg_codec_gates_honestly():
         avi.decode_avi(bad)
     with pytest.raises(ValueError, match="AVI"):
         avi.avi_metadata(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_avi_mjpeg_property_roundtrip():
+    """Property sweep without hypothesis overhead: frame counts 1..5,
+    odd and even dimensions (odd JPEG payload sizes exercise RIFF word
+    padding), decode must be bit-equal to per-frame JPEG decode and
+    metadata must match the construction."""
+    import numpy as np
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import avi, jpeg
+
+    rng = np.random.default_rng(7)
+    for n, (h, w) in [(1, (8, 8)), (2, (9, 13)), (5, (16, 11)), (3, (24, 8))]:
+        jpegs = []
+        for f in range(n):
+            y, x = np.mgrid[0:h, 0:w]
+            rgb = np.stack(
+                [(x * 7 + f) % 256, (y * 3 + 2 * f) % 256, (x + y) % 256],
+                axis=-1,
+            ).astype(np.uint8)
+            jpegs.append(jpeg.encode_jpeg_baseline(rgb, quant=4))
+        blob = avi.encode_avi_mjpeg(jpegs, w, h, fps=4)
+        m = avi.avi_metadata(blob)
+        assert (m["width"], m["height"], m["n_frames"]) == (w, h, n)
+        arr = avi.decode_avi(blob)
+        assert arr.shape[0] == n
+        for f, j in enumerate(jpegs):
+            assert np.array_equal(arr[f], jpeg.decode_jpeg(j))

@@ -657,3 +657,44 @@ def test_mad_outliers_hand_computed(spark, monkeypatch, tmp_path):
     )
     [r] = analytics.q_orders_mad_outliers(spark, "ignored").collect()
     assert (r.n_orders, r.median_price, r.mad, r.n_outliers) == (5, 10.0, 1.0, 1)
+
+
+def test_funnel_windowed_hand_computed(spark, monkeypatch, tmp_path):
+    """User 1 completes all steps in-window; user 2's purchase misses
+    the 48 h window after its click (no credit); user 3 clicks before
+    signing up (no credit); earliest-completion picks the FIRST
+    eligible click even when a later one also qualifies."""
+    from datetime import datetime as dt
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import analytics
+
+    rows = [
+        (1, dt(2024, 1, 1, 0), 1, "signup", 0.0),
+        (2, dt(2024, 1, 1, 5), 1, "click", 0.0),
+        (3, dt(2024, 1, 2, 0), 1, "click", 0.0),   # later click: ignored
+        (4, dt(2024, 1, 1, 6), 1, "purchase", 0.0),
+        (5, dt(2024, 1, 1, 0), 2, "signup", 0.0),
+        (6, dt(2024, 1, 1, 1), 2, "click", 0.0),
+        (7, dt(2024, 1, 10, 0), 2, "purchase", 0.0),  # outside 48 h
+        (8, dt(2024, 1, 5, 0), 3, "signup", 0.0),
+        (9, dt(2024, 1, 4, 0), 3, "click", 0.0),      # before signup
+    ]
+    out = str(tmp_path / "events.parquet")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    ).write.parquet(out)
+    _route_table(
+        monkeypatch,
+        "aws_big_data_blog_dmscdc_walkthrough_spark.plans.analytics",
+        "events",
+        out,
+    )
+    got = {
+        r.step: (r.step_name, r.n_users, round(r.rate_from_first, 9))
+        for r in analytics.q_events_funnel_windowed(spark, "ignored").collect()
+    }
+    assert got == {
+        1: ("signup", 3, 1.0),
+        2: ("click", 2, round(2 / 3, 9)),
+        3: ("purchase", 1, round(1 / 3, 9)),
+    }
