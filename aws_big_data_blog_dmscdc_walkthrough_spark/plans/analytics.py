@@ -2252,3 +2252,173 @@ SELECT 2, '{FUNNEL_STEPS[1]}', n2.n, n2.n::DOUBLE / n1.n::DOUBLE FROM n1, n2
 UNION ALL
 SELECT 3, '{FUNNEL_STEPS[2]}', n3.n, n3.n::DOUBLE / n1.n::DOUBLE FROM n1, n3
 """
+
+
+# ----------------- per-day peak concurrency sweep-line (#148)
+
+CONCURRENCY_GAP_S = 1800  # session gap, same convention as #17
+
+
+def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day peak concurrent sessions via a sweep line (#148).
+
+    Capacity-planning readout: how many sessions (the #17 gap
+    definition) overlap at the busiest instant of each day. Sessions
+    become +1/-1 deltas at their (day-clipped) endpoints; a per-day
+    running sum over (ts, delta DESC) is the concurrency curve — at a
+    tie the start counts before the end, so back-to-back sessions
+    touching at one microsecond overlap (closed intervals). Midnight-
+    spanning sessions are split by exploding their day span, so the
+    sweep partitions by day: the window sorts one day's deltas, never
+    a global timeline — the property that keeps the sweep line
+    parallel at 100 TB. All time arithmetic is integer epoch
+    microseconds; the running sum is an integer — engine-identical.
+    Peak ties resolve to the earliest instant (MIN ts at the max).
+    """
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
+    new_session = F.when(
+        epoch - F.lag(epoch).over(by_user) > CONCURRENCY_GAP_S * 1_000_000,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = (
+        events.withColumn("_us", epoch)
+        .withColumn("_new", new_session)
+        .withColumn("_sid", F.sum("_new").over(run))
+        .groupBy("user_id", "_sid")
+        .agg(F.min("_us").alias("_start"), F.max("_us").alias("_end"))
+    )
+    # Clip to day boundaries: one row per (session, day) it touches.
+    day_us = F.lit(86_400 * 1_000_000).cast("bigint")
+    clipped = (
+        sessions.select(
+            F.explode(
+                F.sequence(
+                    F.expr("_start div 86400000000"),
+                    F.expr("_end div 86400000000"),
+                )
+            ).alias("_dayno"),
+            "_start",
+            "_end",
+        )
+        .select(
+            "_dayno",
+            F.greatest(F.col("_start"), F.col("_dayno") * day_us).alias("_s"),
+            F.least(F.col("_end"), (F.col("_dayno") + 1) * day_us - 1).alias("_e"),
+        )
+    )
+    deltas = clipped.select(
+        "_dayno", F.col("_s").alias("ts_us"), F.lit(1).alias("delta")
+    ).unionByName(
+        clipped.select(
+            "_dayno", F.col("_e").alias("ts_us"), F.lit(-1).alias("delta")
+        )
+    )
+    sweep = Window.partitionBy("_dayno").orderBy(
+        F.col("ts_us").asc(), F.col("delta").desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    curve = deltas.withColumn("conc", F.sum("delta").over(sweep))
+    peak = curve.groupBy("_dayno").agg(F.max("conc").alias("peak_concurrency"))
+    at = (
+        curve.join(F.broadcast(peak), "_dayno")
+        .where(F.col("conc") == F.col("peak_concurrency"))
+        .groupBy("_dayno", "peak_concurrency")
+        .agg(F.min("ts_us").alias("ts_at_peak_us"))
+    )
+    # midnight TIMESTAMP, not DATE: the oracle bridge renders both
+    # engines' date_trunc-style values identically (same as #96/#101)
+    return at.select(
+        F.timestamp_seconds(F.col("_dayno") * 86_400).alias("day"),
+        F.col("peak_concurrency").cast("bigint").alias("peak_concurrency"),
+        "ts_at_peak_us",
+    )
+
+
+Q_EVENTS_PEAK_CONCURRENCY_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+      OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      > {CONCURRENCY_GAP_S * 1_000_000} THEN 1 ELSE 0 END AS _new
+  FROM events
+), sessions AS (
+  SELECT user_id,
+    SUM(_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sid,
+    us
+  FROM flagged
+), spans AS (
+  SELECT MIN(us) AS s, MAX(us) AS e FROM sessions GROUP BY user_id, sid
+), clipped AS (
+  SELECT dayno,
+    GREATEST(s, dayno * 86400000000) AS s,
+    LEAST(e, (dayno + 1) * 86400000000 - 1) AS e
+  FROM (
+    SELECT unnest(generate_series(s // 86400000000, e // 86400000000)) AS dayno,
+      s, e
+    FROM spans
+  )
+), deltas AS (
+  SELECT dayno, s AS ts_us, 1 AS delta FROM clipped
+  UNION ALL
+  SELECT dayno, e AS ts_us, -1 AS delta FROM clipped
+), curve AS (
+  SELECT dayno, ts_us,
+    SUM(delta) OVER (PARTITION BY dayno ORDER BY ts_us ASC, delta DESC
+                     ROWS UNBOUNDED PRECEDING) AS conc
+  FROM deltas
+), peak AS (
+  SELECT dayno, MAX(conc) AS peak_concurrency FROM curve GROUP BY dayno
+)
+SELECT epoch_ms(dayno * 86400000) AS day,
+  CAST(peak.peak_concurrency AS BIGINT) AS peak_concurrency,
+  MIN(ts_us) AS ts_at_peak_us
+FROM curve JOIN peak USING (dayno)
+WHERE conc = peak.peak_concurrency
+GROUP BY dayno, peak.peak_concurrency
+"""
+
+
+# --------------------- month-over-month revenue growth (#149)
+
+
+def q_orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth (#149).
+
+    Period-over-period KPI: revenue per calendar month (DECIMAL sum —
+    order-independent, engine-exact), previous month via LAG over the
+    month spine, growth = (cur − prev)/prev on the two exactly-rounded
+    doubles. The window runs AFTER the aggregation, over |months| rows
+    — a single-partition sort of a few hundred rows regardless of data
+    scale, so the plan is one grouped agg + one tiny window. First
+    month reports NULL growth (no prior period).
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    monthly = (
+        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(_dsum(F.col("o_totalprice")).alias("revenue"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        ((F.col("revenue") - prev) / prev).alias("growth"),
+    )
+
+
+Q_ORDERS_MOM_GROWTH_SQL = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+  LAG(revenue) OVER (ORDER BY month) AS prev_revenue,
+  (revenue - LAG(revenue) OVER (ORDER BY month))
+    / LAG(revenue) OVER (ORDER BY month) AS growth
+FROM monthly
+"""
