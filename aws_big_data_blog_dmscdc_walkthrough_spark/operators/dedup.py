@@ -1244,3 +1244,95 @@ def ngram_containment_pairs(
         ),
     )
     return fwd.unionByName(rev).where(F.col("containment") >= threshold)
+
+
+# --------------------- exact prefix-filtered TF-cosine pairs (#150)
+
+
+def tf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """EXACT all-pairs TF-cosine near-dup via prefix filtering (#150).
+
+    The weighted twin of the set-based near-dup family (#20-#22, #124):
+    cosine over raw term-frequency vectors scores repeated tokens,
+    which Jaccard/containment's distinct-shingle sets throw away. The
+    pair stage is the AllPairs prefix filter (Bayardo et al., WWW'07
+    — public algorithm): sort each doc's terms rare-first (global df
+    ascending) and index a posting ONLY while the remaining suffix of
+    the unit-normalized vector could still reach the threshold —
+    position i is indexed iff suffix_tf2(i) >= t^2 * ||tf||^2, an
+    all-integer window inequality against one exactly-rounded multiply
+    (engine-identical, no float accumulation). Any pair with cosine
+    >= t must share an INDEXED term of at least one side (the
+    unindexed suffix alone bounds the dot below t), so joining the
+    pruned index against the full postings loses nothing: unlike the
+    ``block_cap`` family this is EXACT — the oracle is brute force.
+
+    At high thresholds the index keeps only ~(1-t^2) of each doc's
+    squared mass — the hottest (stopword) postings are exactly the
+    ones that fall off, so candidate volume is Sum_t df_idx(t)*df(t)
+    with df_idx << df on Zipf vocabularies. Shuffles: term-keyed
+    (candidates), then pair-keyed (re-score) — both AQE-splittable.
+    The exact re-score computes the integer dot from the full tf
+    postings and divides by sqrt of the integer norm product once.
+    """
+    t2 = threshold * threshold
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    tf = (
+        df.select(F.col(id_col).alias("_id"), F.explode(toks).alias("_t"))
+        .groupBy("_id", "_t")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    tf = _materialize(_track(tf.persist()))
+    norm2 = tf.groupBy("_id").agg(F.sum(F.col("_tf") * F.col("_tf")).alias("_n2"))
+    gdf = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    suffix = Window.partitionBy("_id").orderBy(
+        F.col("_df").asc(), F.col("_t").asc()
+    ).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    indexed = (
+        tf.join(gdf, "_t")
+        .join(norm2, "_id")
+        .withColumn("_suf2", F.sum(F.col("_tf") * F.col("_tf")).over(suffix))
+        .where(
+            F.col("_suf2").cast("double")
+            >= F.lit(t2) * F.col("_n2").cast("double")
+        )
+        .select("_id", "_t")
+    )
+    cands = (
+        indexed.withColumnRenamed("_id", "_ia")
+        .join(tf.select(F.col("_id").alias("_ib"), "_t"), "_t")
+        .where(F.col("_ia") != F.col("_ib"))
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+        )
+        .distinct()
+    )
+    dot = (
+        cands.join(
+            tf.select(F.col("_id").alias("id_a"), "_t", F.col("_tf").alias("_tfa")),
+            "id_a",
+        )
+        .join(
+            tf.select(F.col("_id").alias("id_b"), "_t", F.col("_tf").alias("_tfb")),
+            ["id_b", "_t"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("_tfa") * F.col("_tfb")).alias("_dot"))
+    )
+    na = norm2.select(F.col("_id").alias("id_a"), F.col("_n2").alias("_n2a"))
+    nb = norm2.select(F.col("_id").alias("id_b"), F.col("_n2").alias("_n2b"))
+    cosine = F.col("_dot").cast("double") / F.sqrt(
+        (F.col("_n2a") * F.col("_n2b")).cast("double")
+    )
+    return (
+        dot.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", cosine.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

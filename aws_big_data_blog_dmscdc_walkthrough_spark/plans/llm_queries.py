@@ -1421,3 +1421,46 @@ SELECT cluster_size,
   cluster_size * CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM sizes GROUP BY cluster_size
 """
+
+
+# -------------------- exact prefix-filtered TF-cosine pairs (#150)
+
+TF_COSINE_THRESHOLD = 0.9
+
+
+def dedup_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted near-dup: exact TF-cosine pairs at >= 0.9 (#150).
+
+    The Spark plan prunes pair generation with the AllPairs prefix
+    filter (operators/dedup.py:tf_cosine_pairs) — EXACT, so the oracle
+    below is plain brute force: the two must agree bit-for-bit.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.tf_cosine_pairs(docs, "doc_id", "text", TF_COSINE_THRESHOLD)
+
+
+DEDUP_TF_COSINE_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+    FROM documents
+  )
+  GROUP BY doc_id, t
+),
+norm AS (
+  SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2 FROM tf GROUP BY doc_id
+),
+dot AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+  FROM tf a JOIN tf b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+  dot::DOUBLE / sqrt((na.n2 * nb.n2)::DOUBLE) AS cosine
+FROM dot
+JOIN norm na ON na.doc_id = id_a
+JOIN norm nb ON nb.doc_id = id_b
+WHERE dot::DOUBLE / sqrt((na.n2 * nb.n2)::DOUBLE) >= {TF_COSINE_THRESHOLD}
+"""

@@ -498,3 +498,81 @@ def test_containment_block_cap_omission_only(spark):
     assert capped and set(capped) <= set(exact)
     for pair, c in capped.items():
         assert exact[pair] == c
+
+
+def test_tf_cosine_exact_vs_bruteforce(spark):
+    """The prefix-filtered plan must equal brute force exactly — it is
+    an EXACT algorithm (no omission contract), including pairs whose
+    every shared term is corpus-hot (the case a df-cap plan drops)."""
+    import itertools
+    import math
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import dedup
+
+    # 12 docs over a 6-word vocab: every term is hot, near-dups are
+    # word-multiset rotations; deterministic construction, no RNG.
+    vocab = ["hot1", "hot2", "hot3", "hot4", "hot5", "hot6"]
+    rows = []
+    for i in range(12):
+        toks = [vocab[(i + j) % 6] for j in range(10)] + [vocab[i % 6]] * (i % 4)
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): round(r.cosine, 9)
+        for r in dedup.tf_cosine_pairs(df, "doc_id", "text", 0.8).collect()
+    }
+
+    def tf(text):
+        out = {}
+        for t in text.split():
+            out[t] = out.get(t, 0) + 1
+        return out
+
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        fa, fb = tf(ta), tf(tb)
+        dot = sum(fa[t] * fb.get(t, 0) for t in fa)
+        c = dot / math.sqrt(
+            float(
+                sum(v * v for v in fa.values()) * sum(v * v for v in fb.values())
+            )
+        )
+        if c >= 0.8:
+            want[(min(ia, ib), max(ia, ib))] = round(c, 9)
+    assert got == want and want  # non-trivial: some pairs must exist
+
+
+def test_tf_cosine_prefix_filter_prunes_index(spark):
+    """At a high threshold the suffix-norm bound must index strictly
+    fewer postings than the full tf frame (the pruning that makes the
+    pair join sub-quadratic), without losing any qualifying pair."""
+    from pyspark.sql import functions as F
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    tf = (
+        docs.select(F.col("doc_id").alias("_id"), F.explode(toks).alias("_t"))
+        .groupBy("_id", "_t")
+        .count()
+    )
+    full_postings = tf.count()
+    # Rebuild the operator's index predicate standalone to measure it.
+    from pyspark.sql import Window
+
+    norm2 = tf.groupBy("_id").agg(F.sum(F.col("count") * F.col("count")).alias("_n2"))
+    gdf = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    suffix = Window.partitionBy("_id").orderBy(
+        F.col("_df").asc(), F.col("_t").asc()
+    ).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    t = 0.9
+    indexed = (
+        tf.join(gdf, "_t")
+        .join(norm2, "_id")
+        .withColumn("_suf2", F.sum(F.col("count") * F.col("count")).over(suffix))
+        .where(F.col("_suf2").cast("double") >= F.lit(t * t) * F.col("_n2").cast("double"))
+    )
+    idx_postings = indexed.count()
+    assert idx_postings < 0.5 * full_postings, (idx_postings, full_postings)
+    assert dedup.tf_cosine_pairs(docs, "doc_id", "text", t).count() > 0
