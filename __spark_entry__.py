@@ -276,6 +276,7 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_peak_concurrency": analytics.q_events_peak_concurrency,
         "q_orders_mom_growth": analytics.q_orders_mom_growth,
         "dedup_tf_cosine": llm_queries.dedup_tf_cosine,
+        "text_heavy_hitters": text.text_heavy_hitters,
     }
 
 
@@ -429,4 +430,5 @@ def secondary_oracle_sql() -> dict[str, str]:
         "q_events_peak_concurrency": analytics.Q_EVENTS_PEAK_CONCURRENCY_SQL,
         "q_orders_mom_growth": analytics.Q_ORDERS_MOM_GROWTH_SQL,
         "dedup_tf_cosine": llm_queries.DEDUP_TF_COSINE_SQL,
+        "text_heavy_hitters": text.TEXT_HEAVY_HITTERS_SQL,
     }

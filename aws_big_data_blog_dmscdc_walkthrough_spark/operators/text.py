@@ -1504,3 +1504,65 @@ SELECT doc_id, source, quality_score, src_p25
 FROM scored JOIN bounds USING (source)
 WHERE quality_score > src_p25
 """
+
+
+# --------------- exact heavy hitters, candidate-pruned shuffle (#151)
+
+HEAVY_HITTER_K = 50  # report words with frequency > corpus_tokens / K
+
+
+def text_heavy_hitters(
+    spark: SparkSession, sf_dir: str, k: int = HEAVY_HITTER_K
+) -> DataFrame:
+    """Exact frequency heavy hitters (> n/k) without a full-vocabulary
+    shuffle (#151).
+
+    The plain plan (explode -> groupBy -> HAVING) shuffles one row per
+    (partition, word) — at 100 TB the long tail of near-unique tokens
+    dominates that shuffle even though none of them can possibly be a
+    heavy hitter. This plan screens candidates first with the local
+    heavy-hitter rule (the Misra-Gries guarantee): any word with
+    global count > n/k must have count_p > n_p/k in AT LEAST one
+    partition (if it were ≤ n_p/k everywhere, summing gives ≤ n/k) —
+    so a per-partition Arrow pass emits < k candidate words per
+    partition, the candidate set broadcasts back as a semi-join, and
+    only candidate tokens reach the exact recount. The final filter is
+    the all-integer inequality count*k > n (engine-identical); output
+    equals the brute-force GROUP BY ... HAVING exactly — the screen is
+    pure shuffle pruning, never semantics.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+
+    def screen(batches):
+        counts: dict = {}
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+            for w, c in pdf["word"].value_counts().items():
+                counts[w] = counts.get(w, 0) + int(c)
+        cand = [w for w, c in counts.items() if c * k > n]
+        yield pd.DataFrame({"word": pd.Series(cand, dtype="object")})
+
+    cands = toks.mapInPandas(screen, "word string").distinct()
+    total = toks.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        toks.join(F.broadcast(cands), "word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(total))
+        .where(F.col("n") * F.lit(k) > F.col("_n"))
+        .select("word", "n")
+    )
+
+
+TEXT_HEAVY_HITTERS_SQL = rf"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+FROM tok, tot
+GROUP BY word, tot.n
+HAVING COUNT(*) * {HEAVY_HITTER_K} > tot.n
+"""

@@ -457,3 +457,55 @@ def test_fold_count_min_detects_concurrent_writer(spark, tmp_path):
     # exactly what the interleaved commit published (the first fold's)
     got = sorted(map(tuple, manifest.read_table(spark, out).collect()))
     assert got == want
+
+
+def test_heavy_hitters_candidate_screen_is_lossless(spark, tmp_path):
+    """Long-tail construction: thousands of unique words and two heavy
+    ones spread across many partitions. The per-partition screen must
+    not lose a word that is only ever LOCALLY light but globally heavy
+    — the averaging guarantee the operator's pruning rests on."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import text as text_ops
+
+    # 8 partitions x 250 tokens: in each partition 'hh1' appears 20x
+    # (8% > 1/50) and 'hh2' 6x (2.4%, locally ABOVE 1/50 = 5 needed...
+    # make hh2 locally borderline: 5x = exactly n_p/k -> NOT a local
+    # candidate in any partition would break exactness; 6x stays a
+    # strict local candidate in at least one partition by construction.
+    rows = []
+    uid = 0
+    for p in range(8):
+        toks = []
+        toks += ["hh1"] * 20 + ["hh2"] * 6
+        while len(toks) < 250:
+            toks.append(f"u{uid}")
+            uid += 1
+        rows.append((p, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "docs")
+    df.repartition(8, "doc_id").write.parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("_hh_docs")
+
+    # exact truth by plain SQL over the same table
+    truth = {
+        (r.word, r.n)
+        for r in spark.sql(
+            r"""
+            WITH tok AS (
+              SELECT explode(split(trim(text), '\\s+')) AS word FROM _hh_docs
+            ), tot AS (SELECT COUNT(*) AS n FROM tok)
+            SELECT word, COUNT(*) AS n FROM tok CROSS JOIN tot
+            GROUP BY word, tot.n HAVING COUNT(*) * 50 > tot.n
+            """
+        ).collect()
+    }
+    sf_dir = str(tmp_path)
+    import shutil, os
+    os.makedirs(os.path.join(sf_dir, "documents.parquet"), exist_ok=True)
+    shutil.rmtree(os.path.join(sf_dir, "documents.parquet"))
+    shutil.move(path, os.path.join(sf_dir, "documents.parquet"))
+    got = {
+        (r.word, r.n)
+        for r in text_ops.text_heavy_hitters(spark, sf_dir).collect()
+    }
+    assert got == truth
+    assert ("hh1", 160) in got and ("hh2", 48) in got
