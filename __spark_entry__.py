@@ -277,6 +277,7 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_orders_mom_growth": analytics.q_orders_mom_growth,
         "dedup_tf_cosine": llm_queries.dedup_tf_cosine,
         "text_heavy_hitters": text.text_heavy_hitters,
+        "dedup_bag_of_words": llm_queries.dedup_bag_of_words,
     }
 
 
@@ -431,4 +432,5 @@ def secondary_oracle_sql() -> dict[str, str]:
         "q_orders_mom_growth": analytics.Q_ORDERS_MOM_GROWTH_SQL,
         "dedup_tf_cosine": llm_queries.DEDUP_TF_COSINE_SQL,
         "text_heavy_hitters": text.TEXT_HEAVY_HITTERS_SQL,
+        "dedup_bag_of_words": llm_queries.DEDUP_BAG_OF_WORDS_SQL,
     }

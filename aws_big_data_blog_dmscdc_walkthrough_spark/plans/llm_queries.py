@@ -1464,3 +1464,48 @@ JOIN norm na ON na.doc_id = id_a
 JOIN norm nb ON nb.doc_id = id_b
 WHERE dot::DOUBLE / sqrt((na.n2 * nb.n2)::DOUBLE) >= {TF_COSINE_THRESHOLD}
 """
+
+
+# ------------------ word-order-insensitive exact dedup (#152)
+
+
+def dedup_bag_of_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words exact dedup: canonical id + group size per doc (#152).
+
+    Catches the duplicate class raw exact dedup (#19) misses entirely:
+    token-shuffled copies (scraped tables re-serialized in a different
+    column order, shingled re-crawls, templated spam with fields
+    permuted). The signature is the doc's SORTED token multiset joined
+    back to one string — repeated tokens stay significant (a doc with
+    'x x y' is NOT 'x y') — then one hash-partition shuffle groups on
+    it, exactly the #19 plan shape with array_sort in front. At 100 TB
+    group on xxhash64(sig) to shrink shuffle width (same lever as #19).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = F.array_join(
+        F.array_sort(F.split(F.trim(F.col("text")), r"\s+")), " "
+    )
+    w = Window.partitionBy("_sig")
+    return (
+        docs.select("doc_id", sig.alias("_sig"))
+        .select(
+            "doc_id",
+            F.min("doc_id").over(w).alias("canonical_id"),
+            F.count(F.lit(1)).over(w).alias("group_size"),
+        )
+    )
+
+
+DEDUP_BAG_OF_WORDS_SQL = r"""
+WITH n AS (
+  SELECT doc_id,
+    array_to_string(list_sort(string_split_regex(trim(text), '\s+')), ' ') AS sig
+  FROM documents
+)
+SELECT doc_id,
+  MIN(doc_id) OVER (PARTITION BY sig) AS canonical_id,
+  COUNT(*) OVER (PARTITION BY sig) AS group_size
+FROM n
+"""

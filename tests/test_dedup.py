@@ -576,3 +576,29 @@ def test_tf_cosine_prefix_filter_prunes_index(spark):
     idx_postings = indexed.count()
     assert idx_postings < 0.5 * full_postings, (idx_postings, full_postings)
     assert dedup.tf_cosine_pairs(docs, "doc_id", "text", t).count() > 0
+
+
+def test_bag_of_words_dedup_merges_token_permutations(spark, tmp_path):
+    """Shuffled-token copies group together; multiset semantics keep
+    repeated tokens significant ('x x y' is not 'x y')."""
+    import os
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import llm_queries
+
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "gamma alpha beta"),       # permutation of 1 -> same group
+        (3, "alpha alpha beta gamma"),  # extra repeat -> different group
+        (4, "alpha beta beta gamma"),   # different multiset -> different
+        (5, "beta alpha alpha gamma"),  # permutation of 3 -> same group
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = os.path.join(str(tmp_path), "documents.parquet")
+    df.write.parquet(path)
+    got = {
+        r.doc_id: (r.canonical_id, r.group_size)
+        for r in llm_queries.dedup_bag_of_words(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (1, 2) and got[2] == (1, 2)
+    assert got[3] == (3, 2) and got[5] == (3, 2)
+    assert got[4] == (4, 1)
