@@ -77,6 +77,16 @@ AUDITED = [
     ("lake_integrity", "column-pruned anti joins; 1-row aggs per FK edge"),
     ("q_events_session_paths", "two user-keyed windows; path-vocab count + bounded topk"),
     ("q_orders_histogram", "broadcast min/max anchor; <=bins-row count"),
+    # round-11 additions (#144-#152)
+    ("lake_key_profile", "per-key frequency agg; element-pick p99, no global ntile"),
+    ("q_orders_percentile", "segment-partitioned rank window; no self-join"),
+    ("q_orders_mad_outliers", "two grouped exact medians + broadcast-anchored count"),
+    ("q_events_funnel_windowed", "per-step user aggs + bounded user joins; no window over events"),
+    ("q_events_peak_concurrency", "day-partitioned sweep window; no global timeline sort"),
+    ("q_orders_mom_growth", "window AFTER agg: |months|-row single-partition sort only"),
+    ("dedup_tf_cosine", "prefix-filtered index join; exact re-score pair-keyed"),
+    ("text_heavy_hitters", "one Arrow screen; recount gated by broadcast semi-join"),
+    ("dedup_bag_of_words", "one hash-partition shuffle on the sorted-multiset key"),
 ]
 
 
