@@ -278,6 +278,8 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_tf_cosine": llm_queries.dedup_tf_cosine,
         "text_heavy_hitters": text.text_heavy_hitters,
         "dedup_bag_of_words": llm_queries.dedup_bag_of_words,
+        "q_orders_histogram_eqdepth": analytics.q_orders_histogram_eqdepth,
+        "q_orders_drift_tvd": analytics.q_orders_drift_tvd,
     }
 
 
@@ -433,4 +435,6 @@ def secondary_oracle_sql() -> dict[str, str]:
         "dedup_tf_cosine": llm_queries.DEDUP_TF_COSINE_SQL,
         "text_heavy_hitters": text.TEXT_HEAVY_HITTERS_SQL,
         "dedup_bag_of_words": llm_queries.DEDUP_BAG_OF_WORDS_SQL,
+        "q_orders_histogram_eqdepth": analytics.Q_ORDERS_HISTOGRAM_EQDEPTH_SQL,
+        "q_orders_drift_tvd": analytics.Q_ORDERS_DRIFT_TVD_SQL,
     }

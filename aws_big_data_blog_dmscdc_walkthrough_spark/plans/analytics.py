@@ -2422,3 +2422,157 @@ SELECT month, revenue,
     / LAG(revenue) OVER (ORDER BY month) AS growth
 FROM monthly
 """
+
+
+# ------------------- equi-depth (quantile) histogram (#153)
+
+EQDEPTH_BUCKETS = 10
+
+
+def q_orders_histogram_eqdepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of order totals (#153).
+
+    The quantile twin of #143's equi-width bins — the distribution
+    panel an optimizer's statistics (and any drift monitor) actually
+    want, since equal-population buckets resolve the dense region
+    equal-width bins smear. Boundaries are the exact population
+    deciles from ONE bounded aggregate (9 doubles, broadcast back —
+    the #117 pattern, never a global ntile window); every row then
+    buckets through the same <= chain in both engines, and the
+    per-bucket count/min/max is one grouped agg. Interpolated decile
+    values match across engines (percentile == quantile_cont, the
+    convention the exact-median gate proves).
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    n = EQDEPTH_BUCKETS
+    qs = o.agg(
+        *[
+            F.expr(f"percentile(o_totalprice, {i / n})").alias(f"_b{i}")
+            for i in range(1, n)
+        ]
+    )
+    bucket = F.lit(n - 1)
+    for i in range(n - 1, 0, -1):
+        bucket = F.when(
+            F.col("o_totalprice") <= F.col(f"_b{i}"), F.lit(i - 1)
+        ).otherwise(bucket)
+    return (
+        o.join(F.broadcast(qs))
+        .select(bucket.cast("int").alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+_EQD_BOUNDS = ",\n    ".join(
+    f"quantile_cont(o_totalprice, {i / EQDEPTH_BUCKETS}) AS b{i}"
+    for i in range(1, EQDEPTH_BUCKETS)
+)
+_EQD_CASE = " ".join(
+    f"WHEN o_totalprice <= b{i} THEN {i - 1}"
+    for i in range(1, EQDEPTH_BUCKETS)
+)
+Q_ORDERS_HISTOGRAM_EQDEPTH_SQL = f"""
+WITH q AS (
+  SELECT {_EQD_BOUNDS}
+  FROM orders
+)
+SELECT CASE {_EQD_CASE} ELSE {EQDEPTH_BUCKETS - 1} END AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+FROM orders CROSS JOIN q
+GROUP BY 1
+"""
+
+
+# ----------- categorical distribution drift, integer-exact TVD (#154)
+
+DRIFT_PIVOT_DATE = "1998-01-01"
+
+
+def q_orders_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical distribution drift between order eras (#154).
+
+    The monitoring readout a lake pipeline schedules after every load:
+    did the categorical mix shift between the early and late era (fixed
+    pivot date)? Total variation distance — TVD = ½ Σ|p_i − q_i| — is
+    computed WITHOUT any float accumulation: with per-category counts
+    n_i (early, total Te) and m_i (late, total Tl),
+    TVD = Σ|n_i·Tl − m_i·Te| / (2·Te·Tl), an integer absolute-sum and
+    ONE exactly-rounded division — bit-identical across engines, no
+    log/entropy needed. One scan builds both eras' counts per audited
+    dimension (categories are bounded, the agg is |dims×cats| rows);
+    the totals ride the same frame. Te·Tl stays under 2^63 through
+    ~3×10⁹ rows per era; past that compute the final ratio in DECIMAL.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_orderpriority", "o_orderstatus"
+    )
+    era = (F.col("o_orderdate") < F.lit(DRIFT_PIVOT_DATE).cast("timestamp")).cast(
+        "int"
+    )
+    rows = None
+    for dim in ("o_orderpriority", "o_orderstatus"):
+        per = (
+            o.select(F.lit(dim).alias("dim"), F.col(dim).alias("category"), era.alias("_early"))
+            .groupBy("dim", "category")
+            .agg(
+                F.sum("_early").alias("_n"),
+                (F.count(F.lit(1)) - F.sum("_early")).alias("_m"),
+            )
+        )
+        rows = per if rows is None else rows.unionByName(per)
+    tot = rows.groupBy("dim").agg(
+        F.sum("_n").alias("_te"), F.sum("_m").alias("_tl")
+    )
+    return (
+        rows.join(tot, "dim")
+        .groupBy("dim", "_te", "_tl")
+        .agg(
+            F.sum(F.abs(F.col("_n") * F.col("_tl") - F.col("_m") * F.col("_te"))).alias(
+                "_num"
+            ),
+            F.count(F.lit(1)).alias("n_categories"),
+        )
+        .select(
+            "dim",
+            F.col("_te").alias("n_early"),
+            F.col("_tl").alias("n_late"),
+            "n_categories",
+            (
+                F.col("_num").cast("double")
+                / (F.lit(2.0) * (F.col("_te") * F.col("_tl")).cast("double"))
+            ).alias("tvd"),
+        )
+    )
+
+
+Q_ORDERS_DRIFT_TVD_SQL = f"""
+WITH rows_ AS (
+  SELECT dim, category,
+    CAST(SUM(early) AS BIGINT) AS n, CAST(COUNT(*) - SUM(early) AS BIGINT) AS m
+  FROM (
+    SELECT 'o_orderpriority' AS dim, o_orderpriority AS category,
+      CASE WHEN o_orderdate < TIMESTAMP '{DRIFT_PIVOT_DATE}' THEN 1 ELSE 0 END AS early
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', o_orderstatus,
+      CASE WHEN o_orderdate < TIMESTAMP '{DRIFT_PIVOT_DATE}' THEN 1 ELSE 0 END
+    FROM orders
+  )
+  GROUP BY dim, category
+),
+tot AS (
+  SELECT dim, CAST(SUM(n) AS BIGINT) AS te, CAST(SUM(m) AS BIGINT) AS tl
+  FROM rows_ GROUP BY dim
+)
+SELECT rows_.dim, te AS n_early, tl AS n_late,
+  CAST(COUNT(*) AS BIGINT) AS n_categories,
+  CAST(SUM(abs(n * tl - m * te)) AS DOUBLE) / (2.0 * CAST(te * tl AS DOUBLE)) AS tvd
+FROM rows_ JOIN tot ON rows_.dim = tot.dim
+GROUP BY rows_.dim, te, tl
+"""
