@@ -280,6 +280,8 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bag_of_words": llm_queries.dedup_bag_of_words,
         "q_orders_histogram_eqdepth": analytics.q_orders_histogram_eqdepth,
         "q_orders_drift_tvd": analytics.q_orders_drift_tvd,
+        # rows-only (shuffle-order double sums; numpy-pinned in pytest)
+        "q_part_pagerank": analytics.q_part_pagerank,
     }
 
 

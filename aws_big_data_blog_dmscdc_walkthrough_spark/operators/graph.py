@@ -396,3 +396,88 @@ def keep_best(
         .where(F.col("_rk") == 1)
         .drop("_rk")
     )
+
+
+# ----------------------------- weighted PageRank (fixed-round) (#155)
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    weight: str | None = None,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank, a fixed number of synchronous rounds (#155).
+
+    Power iteration as DataFrame joins (the classic BSP formulation —
+    public algorithm, Page et al. 1999): each round every node sends
+    rank(u)·w(u,v)/W(u) along its out-edges, receivers sum, and
+    r'(v) = (1−d)/N + d·(received + dangling/N) — mass from nodes with
+    no out-edges redistributes uniformly so the total stays 1.0 every
+    round (the invariant the tests pin). One node-keyed shuffle per
+    round; each round's rank frame is persisted and the previous one
+    released, so lineage stays one round deep instead of compounding
+    ``iterations`` joins into a single exponential plan. Rows:
+    (node, rank) over every node that appears as src or dst.
+
+    Fixed rounds (not convergence-tested) keep the plan deterministic
+    and replayable; five rounds ranks a co-purchase graph's head
+    stably. Float caveat: receiver-side sums are double adds in
+    shuffle order, so ranks are deterministic to ~1 ulp·degree, not
+    bit-pinned — consumers gate on rows/tolerance, never hash.
+    """
+    w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst"), w_col.alias("_w")
+    )
+    e = _track(e.persist(StorageLevel.MEMORY_AND_DISK))
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    nodes = _track(nodes.persist(StorageLevel.MEMORY_AND_DISK))
+    n_nodes = nodes.count()
+    out_w = e.groupBy("_src").agg(F.sum("_w").alias("_outw"))
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    ranks = _track(ranks.persist(StorageLevel.MEMORY_AND_DISK))
+    ranks.count()
+    teleport = (1.0 - damping) / n_nodes
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(out_w, ranks["node"] == out_w["_src"])
+            .join(e, "_src")
+            .select(
+                F.col("_dst").alias("node"),
+                (F.col("rank") * F.col("_w") / F.col("_outw")).alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_recv"))
+        )
+        # mass parked on dangling nodes (no out-edges) this round
+        dangling = (
+            ranks.join(out_w, ranks["node"] == out_w["_src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_d"))
+        )
+        new_ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_recv"), F.lit(0.0))
+                        + F.col("_d") / F.lit(float(n_nodes))
+                    )
+                ).alias("rank"),
+            )
+        )
+        new_ranks = _track(new_ranks.persist(StorageLevel.MEMORY_AND_DISK))
+        new_ranks.count()
+        ranks.unpersist()
+        ranks = new_ranks
+    return ranks

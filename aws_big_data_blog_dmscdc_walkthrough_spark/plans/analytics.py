@@ -2576,3 +2576,44 @@ SELECT rows_.dim, te AS n_early, tl AS n_late,
 FROM rows_ JOIN tot ON rows_.dim = tot.dim
 GROUP BY rows_.dim, te, tl
 """
+
+
+# ------------------- co-purchase PageRank, top parts (#155)
+
+PAGERANK_TOP_K = 25
+
+
+def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top parts by PageRank over the co-purchase graph (#155).
+
+    The graph-centrality upgrade of #120's pairwise lift: a part is
+    central if baskets connect it to parts that are themselves
+    central — the "anchor product" readout lift can't express. Edges
+    are co-occurrence pairs within an order (both directions, weight =
+    basket count, the #120 per-basket-quadratic join with min-support
+    on the marginal), ranks come from 5 synchronous rounds of
+    operators/graph.pagerank (one node-keyed shuffle per round).
+    Rows-only correctness (receiver sums are shuffle-order doubles —
+    the operator's invariants are pinned in pytest against numpy).
+    """
+    from ..operators import graph
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("_pa"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("_pb"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("_pa") != F.col("_pb"))
+        .groupBy("_pa", "_pb")
+        .agg(F.count(F.lit(1)).alias("_w"))
+    )
+    ranks = graph.pagerank(edges, "_pa", "_pb", "_w")
+    return (
+        ranks.orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(PAGERANK_TOP_K)
+        .select(F.col("node").alias("p_partkey"), "rank")
+    )

@@ -210,3 +210,53 @@ def test_keep_best_keeps_unscored_members_and_clusters(spark):
     )
     rows = {r.cluster_id: (r.doc_id, r.quality_score) for r in keep_best(clusters, scored).collect()}
     assert rows == {1: (1, 0.4), 7: (7, None)}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Five synchronous rounds must match the dense numpy power
+    iteration with the same damping/rounds to float tolerance,
+    including a dangling node whose mass redistributes uniformly."""
+    import numpy as np
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import graph
+
+    #   1 -> 2 (w2), 1 -> 3 (w1), 2 -> 3 (w1), 3 -> 1 (w1), 4 dangling
+    edges = [(1, 2, 2.0), (1, 3, 1.0), (2, 3, 1.0), (3, 1, 1.0), (2, 4, 1.0)]
+    df = spark.createDataFrame(edges, "s long, d long, w double")
+    got = {
+        r.node: r.rank
+        for r in graph.pagerank(df, "s", "d", "w", iterations=5).collect()
+    }
+
+    nodes = [1, 2, 3, 4]
+    n = len(nodes)
+    idx = {v: i for i, v in enumerate(nodes)}
+    W = np.zeros((n, n))
+    for s, d, w in edges:
+        W[idx[s], idx[d]] = w
+    outw = W.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    damping = 0.85
+    for _ in range(5):
+        recv = np.zeros(n)
+        dangling = 0.0
+        for i in range(n):
+            if outw[i] == 0:
+                dangling += r[i]
+                continue
+            recv += r[i] * W[i] / outw[i]
+        r = (1 - damping) / n + damping * (recv + dangling / n)
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conservation
+
+
+def test_pagerank_query_shape(spark):
+    """Co-purchase query returns the bounded top-k with positive ranks."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import analytics
+
+    rows = analytics.q_part_pagerank(spark, "/root/testdata/sf0.001").collect()
+    assert 0 < len(rows) <= analytics.PAGERANK_TOP_K
+    assert all(r.rank > 0 for r in rows)
+    ranks = [r.rank for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
