@@ -1254,6 +1254,7 @@ def tf_cosine_pairs(
     id_col: str,
     text_col: str,
     threshold: float = 0.9,
+    ngram: int = 1,
 ) -> DataFrame:
     """EXACT all-pairs TF-cosine near-dup via prefix filtering (#150).
 
@@ -1282,8 +1283,21 @@ def tf_cosine_pairs(
     """
     t2 = threshold * threshold
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    if ngram > 1:
+        # n-word shingle strings as the term domain: same exactness (the
+        # prefix bound never looked at what a "term" is), but the shingle
+        # vocabulary is |V|^n-shaped, which keeps posting lists usable on
+        # closed/small vocabularies where every UNIGRAM is corpus-hot.
+        n_sh = F.greatest(F.size(toks) - (ngram - 1), F.lit(0))
+        parts = [F.slice(toks, i + 1, n_sh) for i in range(ngram)]
+        terms = F.transform(
+            F.arrays_zip(*parts),
+            lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(ngram)]),
+        )
+    else:
+        terms = toks
     tf = (
-        df.select(F.col(id_col).alias("_id"), F.explode(toks).alias("_t"))
+        df.select(F.col(id_col).alias("_id"), F.explode(terms).alias("_t"))
         .groupBy("_id", "_t")
         .agg(F.count(F.lit(1)).alias("_tf"))
     )
@@ -1293,46 +1307,78 @@ def tf_cosine_pairs(
     suffix = Window.partitionBy("_id").orderBy(
         F.col("_df").asc(), F.col("_t").asc()
     ).rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    indexed = (
-        tf.join(gdf, "_t")
-        .join(norm2, "_id")
-        .withColumn("_suf2", F.sum(F.col("_tf") * F.col("_tf")).over(suffix))
-        .where(
-            F.col("_suf2").cast("double")
-            >= F.lit(t2) * F.col("_n2").cast("double")
+    indexed = _materialize(
+        _track(
+            tf.join(gdf, "_t")
+            .join(norm2, "_id")
+            .withColumn(
+                "_suf2", F.sum(F.col("_tf") * F.col("_tf")).over(suffix)
+            )
+            .where(
+                F.col("_suf2").cast("double")
+                >= F.lit(t2) * F.col("_n2").cast("double")
+            )
+            .select("_id", "_t")
+            .persist()
         )
-        .select("_id", "_t")
     )
+    # Prefix JOINS prefix, not prefix-joins-full: with ONE global term
+    # order shared by every doc, the globally-smallest shared term of a
+    # qualifying pair is in BOTH prefixes (if it missed a's prefix, every
+    # shared term — all later in the order — would too, emptying
+    # shared∩prefix_a, contradiction). The PPJoin-style tightening cuts
+    # candidate volume from Σ_t df_idx·df to Σ_t df_idx² losslessly.
     cands = (
         indexed.withColumnRenamed("_id", "_ia")
-        .join(tf.select(F.col("_id").alias("_ib"), "_t"), "_t")
-        .where(F.col("_ia") != F.col("_ib"))
-        .select(
-            F.least("_ia", "_ib").alias("id_a"),
-            F.greatest("_ia", "_ib").alias("id_b"),
-        )
+        .join(indexed.select(F.col("_id").alias("_ib"), "_t"), "_t")
+        .where(F.col("_ia") < F.col("_ib"))
+        .select(F.col("_ia").alias("id_a"), F.col("_ib").alias("id_b"))
         .distinct()
     )
-    dot = (
-        cands.join(
-            tf.select(F.col("_id").alias("id_a"), "_t", F.col("_tf").alias("_tfa")),
-            "id_a",
-        )
-        .join(
-            tf.select(F.col("_id").alias("id_b"), "_t", F.col("_tf").alias("_tfb")),
-            ["id_b", "_t"],
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("_tfa") * F.col("_tfb")).alias("_dot"))
+    # Exact re-score from per-doc tf MAPS, not a third posting join: the
+    # posting formulation shuffles |pairs| x doc_len rows (measured 25 s
+    # of the 28 s wall at sf0.1), while map_zip_with + aggregate computes
+    # the same integer dot inside codegen per candidate row. The map
+    # frame is |docs| rows — id-keyed joins, broadcastable when small.
+    tfmap = tf.groupBy("_id").agg(
+        F.map_from_arrays(
+            F.collect_list("_t"), F.collect_list("_tf")
+        ).alias("_m"),
+        F.sum(F.col("_tf") * F.col("_tf")).alias("_n2"),
     )
-    na = norm2.select(F.col("_id").alias("id_a"), F.col("_n2").alias("_n2a"))
-    nb = norm2.select(F.col("_id").alias("id_b"), F.col("_n2").alias("_n2b"))
+    dot = F.aggregate(
+        F.map_values(
+            F.map_zip_with(
+                F.col("_ma"),
+                F.col("_mb"),
+                lambda _k, va, vb: F.coalesce(va, F.lit(0))
+                * F.coalesce(vb, F.lit(0)),
+            )
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     cosine = F.col("_dot").cast("double") / F.sqrt(
         (F.col("_n2a") * F.col("_n2b")).cast("double")
     )
     return (
-        dot.join(na, "id_a")
-        .join(nb, "id_b")
+        cands.join(
+            tfmap.select(
+                F.col("_id").alias("id_a"),
+                F.col("_m").alias("_ma"),
+                F.col("_n2").alias("_n2a"),
+            ),
+            "id_a",
+        )
+        .join(
+            tfmap.select(
+                F.col("_id").alias("id_b"),
+                F.col("_m").alias("_mb"),
+                F.col("_n2").alias("_n2b"),
+            ),
+            "id_b",
+        )
+        .withColumn("_dot", dot)
         .select("id_a", "id_b", cosine.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )

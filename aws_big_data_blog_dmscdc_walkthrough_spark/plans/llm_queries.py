@@ -1429,22 +1429,35 @@ TF_COSINE_THRESHOLD = 0.9
 
 
 def dedup_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted near-dup: exact TF-cosine pairs at >= 0.9 (#150).
+    """Weighted near-dup: exact bigram-TF cosine pairs at >= 0.9 (#150).
 
     The Spark plan prunes pair generation with the AllPairs prefix
     filter (operators/dedup.py:tf_cosine_pairs) — EXACT, so the oracle
-    below is plain brute force: the two must agree bit-for-bit.
+    below is plain brute force: the two must agree bit-for-bit. The
+    term domain is 3-word shingles (the #20 jaccard convention): on
+    this corpus's closed vocabulary every unigram is corpus-hot
+    (posting lists ~O(N) — measured 72 s unigram, 15 s bigram at
+    sf0.1), while the |V|³-shaped shingle vocabulary keeps posting
+    dfs single-digit — and repeated-shingle weighting still
+    distinguishes the repetitions Jaccard's distinct sets collapse.
     """
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.tf_cosine_pairs(docs, "doc_id", "text", TF_COSINE_THRESHOLD)
+    return dedup.tf_cosine_pairs(
+        docs, "doc_id", "text", TF_COSINE_THRESHOLD, ngram=3
+    )
 
 
 DEDUP_TF_COSINE_SQL = f"""
 WITH tf AS (
   SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
   FROM (
-    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
-    FROM documents
+    SELECT doc_id,
+      unnest([toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+              for i in range(1, len(toks) - 1)]) AS t
+    FROM (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    )
   )
   GROUP BY doc_id, t
 ),

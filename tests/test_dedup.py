@@ -602,3 +602,44 @@ def test_bag_of_words_dedup_merges_token_permutations(spark, tmp_path):
     assert got[1] == (1, 2) and got[2] == (1, 2)
     assert got[3] == (3, 2) and got[5] == (3, 2)
     assert got[4] == (4, 1)
+
+
+def test_tf_cosine_ngram_terms_match_bruteforce(spark):
+    """ngram=3 shifts the TERM DOMAIN only — exactness must hold
+    against a python brute force over trigram-shingle tf vectors."""
+    import itertools
+    import math
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import dedup
+
+    vocab = ["a", "b", "c", "d"]
+    rows = []
+    for i in range(10):
+        toks = [vocab[(i * 7 + j * j) % 4] for j in range(12)]
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): round(r.cosine, 9)
+        for r in dedup.tf_cosine_pairs(df, "doc_id", "text", 0.5, ngram=3).collect()
+    }
+
+    def tf3(text):
+        t = text.split()
+        out = {}
+        for i in range(len(t) - 2):
+            g = " ".join(t[i : i + 3])
+            out[g] = out.get(g, 0) + 1
+        return out
+
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        fa, fb = tf3(ta), tf3(tb)
+        dot = sum(fa[t] * fb.get(t, 0) for t in fa)
+        if not dot:
+            continue
+        c = dot / math.sqrt(
+            float(sum(v * v for v in fa.values()) * sum(v * v for v in fb.values()))
+        )
+        if c >= 0.5:
+            want[(min(ia, ib), max(ia, ib))] = round(c, 9)
+    assert got == want and want
