@@ -280,6 +280,8 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bag_of_words": llm_queries.dedup_bag_of_words,
         "q_orders_histogram_eqdepth": analytics.q_orders_histogram_eqdepth,
         "q_orders_drift_tvd": analytics.q_orders_drift_tvd,
+        "q_events_rolling_distinct": analytics.q_events_rolling_distinct,
+        "q_part_triangles": analytics.q_part_triangles,
         # rows-only (shuffle-order double sums; numpy-pinned in pytest)
         "q_part_pagerank": analytics.q_part_pagerank,
     }
@@ -439,4 +441,6 @@ def secondary_oracle_sql() -> dict[str, str]:
         "dedup_bag_of_words": llm_queries.DEDUP_BAG_OF_WORDS_SQL,
         "q_orders_histogram_eqdepth": analytics.Q_ORDERS_HISTOGRAM_EQDEPTH_SQL,
         "q_orders_drift_tvd": analytics.Q_ORDERS_DRIFT_TVD_SQL,
+        "q_events_rolling_distinct": analytics.Q_EVENTS_ROLLING_DISTINCT_SQL,
+        "q_part_triangles": analytics.Q_PART_TRIANGLES_SQL,
     }

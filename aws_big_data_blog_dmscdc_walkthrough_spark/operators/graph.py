@@ -440,25 +440,39 @@ def pagerank(
     )
     nodes = _track(nodes.persist(StorageLevel.MEMORY_AND_DISK))
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        raise ValueError("pagerank requires a non-empty edge frame")
     out_w = e.groupBy("_src").agg(F.sum("_w").alias("_outw"))
+    # Normalize ONCE: the per-edge share w/W is loop-invariant, so the
+    # out-weight join happens here instead of once per round (measured
+    # ~2x on the co-purchase query's 5-round wall).
+    e_norm = _track(
+        e.join(out_w, "_src")
+        .select("_src", "_dst", (F.col("_w") / F.col("_outw")).alias("_share"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dangling_nodes = _track(
+        nodes.join(
+            out_w.select(F.col("_src").alias("node")), "node", "left_anti"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     ranks = _track(ranks.persist(StorageLevel.MEMORY_AND_DISK))
     ranks.count()
     teleport = (1.0 - damping) / n_nodes
     for _ in range(iterations):
         contrib = (
-            ranks.join(out_w, ranks["node"] == out_w["_src"])
-            .join(e, "_src")
+            ranks.join(e_norm, ranks["node"] == e_norm["_src"])
             .select(
                 F.col("_dst").alias("node"),
-                (F.col("rank") * F.col("_w") / F.col("_outw")).alias("_c"),
+                (F.col("rank") * F.col("_share")).alias("_c"),
             )
             .groupBy("node")
             .agg(F.sum("_c").alias("_recv"))
         )
         # mass parked on dangling nodes (no out-edges) this round
         dangling = (
-            ranks.join(out_w, ranks["node"] == out_w["_src"], "left_anti")
+            ranks.join(dangling_nodes, "node", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_d"))
         )
         new_ranks = (

@@ -2610,6 +2610,10 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_pa") != F.col("_pb"))
         .groupBy("_pa", "_pb")
         .agg(F.count(F.lit(1)).alias("_w"))
+        # same min-support as the triangle census (#157): single-basket
+        # coincidences are noise, and pruning them shrinks the iterated
+        # edge frame ~5x before the 5 rank rounds ever see it
+        .where(F.col("_w") >= TRIANGLE_MIN_BASKETS)
     )
     ranks = graph.pagerank(edges, "_pa", "_pb", "_w")
     return (
@@ -2617,3 +2621,193 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PAGERANK_TOP_K)
         .select(F.col("node").alias("p_partkey"), "rank")
     )
+
+
+# -------------------- rolling 7-day distinct users (#156)
+
+ROLLING_DISTINCT_DAYS = 7
+
+
+def q_events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day (#156).
+
+    The windowed-DISTINCT metric sliding aggs (#32) can't express:
+    COUNT(DISTINCT) does not decompose over a sliding frame. The
+    scalable form inverts the window: each (user, active-day) pair —
+    already deduplicated, the frame sliding aggs also start from —
+    CONTRIBUTES to the 7 window-days it falls inside (one bounded
+    explode, fan-out = window length), then one grouped exact distinct
+    per window day. Shuffle volume is 7×|user-days|, never
+    |days|×|users|; no per-day self-joins, no re-scans. Output is
+    clipped to days that exist in the data (midnight-TIMESTAMP
+    convention).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    ud = (
+        ev.select(
+            "user_id", F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("_dayno")
+        )
+        .distinct()
+    )
+    span = ud.agg(
+        F.min("_dayno").alias("_lo"), F.max("_dayno").alias("_hi")
+    )
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("_dayno"),
+                F.col("_dayno") + F.lit(ROLLING_DISTINCT_DAYS - 1),
+            )
+        ).alias("_wday"),
+    )
+    return (
+        contrib.join(F.broadcast(span))
+        .where((F.col("_wday") >= F.col("_lo")) & (F.col("_wday") <= F.col("_hi")))
+        .groupBy("_wday")
+        .agg(F.count_distinct("user_id").alias("n_users_7d"))
+        .select(
+            F.timestamp_seconds(F.col("_wday") * 86_400).alias("day"),
+            "n_users_7d",
+        )
+    )
+
+
+Q_EVENTS_ROLLING_DISTINCT_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS dayno FROM events
+),
+span AS (SELECT MIN(dayno) AS lo, MAX(dayno) AS hi FROM ud),
+contrib AS (
+  SELECT user_id, unnest(generate_series(dayno, dayno + {ROLLING_DISTINCT_DAYS - 1})) AS wday
+  FROM ud
+)
+SELECT epoch_ms(wday * 86400000) AS day,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_7d
+FROM contrib CROSS JOIN span
+WHERE wday >= lo AND wday <= hi
+GROUP BY wday
+"""
+
+
+# ------------- degree-ordered triangle counting (#157)
+
+TRIANGLE_MIN_BASKETS = 2  # edge = parts co-purchased in >= this many orders
+
+
+def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase triangle census via degree-ordered orientation (#157).
+
+    Triangle density separates genuine product communities from hub
+    noise (the closure evidence behind #120's pairwise lift and #155's
+    centrality). The naive 3-way edge self-join explodes on hubs; the
+    classical fix (degree-ordered orientation — public algorithm,
+    Schank/Wagner, also MR "node-iterator++") orients every edge from
+    the (degree, node)-smaller endpoint to the larger, which caps
+    out-degree at O(√m) and makes wedge volume Σ outdeg² ≤ O(m^1.5)
+    regardless of hub skew. Wedges (u→v, u→w) then semi-join the
+    oriented edge list once to close. All counts integer; edge support
+    threshold keeps the graph the co-purchase signal, not noise.
+    Output: one row — nodes, edges, wedges, triangles, global closure
+    numerator/denominator (engine-exact integers).
+    """
+    from ..operators.dedup import _track
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("_pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("_pb"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("_pa") < F.col("_pb"))
+        .groupBy("_pa", "_pb")
+        .agg(F.count(F.lit(1)).alias("_sup"))
+        .where(F.col("_sup") >= TRIANGLE_MIN_BASKETS)
+        .select("_pa", "_pb")
+    )
+    edges = _track(edges.persist())
+    deg = (
+        edges.select(F.col("_pa").alias("node"))
+        .unionByName(edges.select(F.col("_pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+    )
+    da = deg.select(F.col("node").alias("_pa"), F.col("_deg").alias("_da"))
+    db = deg.select(F.col("node").alias("_pb"), F.col("_deg").alias("_db"))
+    ranked = edges.join(da, "_pa").join(db, "_pb")
+    # orient from (deg, node)-smaller to larger: total order, no ties
+    fwd = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("_pa") < F.col("_pb"))
+    )
+    oe = ranked.select(
+        F.when(fwd, F.col("_pa")).otherwise(F.col("_pb")).alias("_src"),
+        F.when(fwd, F.col("_pb")).otherwise(F.col("_pa")).alias("_dst"),
+    )
+    oe = _track(oe.persist())
+    e1 = oe.select(F.col("_src"), F.col("_dst").alias("_v"))
+    e2 = oe.select(F.col("_src"), F.col("_dst").alias("_w"))
+    wedges = e1.join(e2, "_src").where(F.col("_v") < F.col("_w"))
+    closing = oe.select(F.col("_src").alias("_v"), F.col("_dst").alias("_w")).unionByName(
+        oe.select(F.col("_src").alias("_w"), F.col("_dst").alias("_v"))
+    )
+    tri = wedges.join(closing, ["_v", "_w"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    stats = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    nw = wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
+    return (
+        nodes.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(nw))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            (F.lit(3) * F.col("n_triangles")).alias("closure_num"),
+        )
+    )
+
+
+Q_PART_TRIANGLES_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {TRIANGLE_MIN_BASKETS}
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT pa AS node FROM edges UNION ALL SELECT pb FROM edges
+  ) GROUP BY node
+),
+oe AS (
+  SELECT CASE WHEN (da.d, pa) < (db.d, pb) THEN pa ELSE pb END AS src,
+         CASE WHEN (da.d, pa) < (db.d, pb) THEN pb ELSE pa END AS dst
+  FROM edges
+  JOIN deg da ON da.node = pa
+  JOIN deg db ON db.node = pb
+),
+wedges AS (
+  SELECT e1.src, e1.dst AS v, e2.dst AS w
+  FROM oe e1 JOIN oe e2 ON e1.src = e2.src AND e1.dst < e2.dst
+),
+closing AS (
+  SELECT src AS v, dst AS w FROM oe UNION ALL SELECT dst, src FROM oe
+),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM wedges JOIN closing ON wedges.v = closing.v AND wedges.w = closing.w
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges),
+nw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_wedges FROM wedges)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+  3 * n_triangles AS closure_num
+FROM nn, ne, nw, tri
+"""
