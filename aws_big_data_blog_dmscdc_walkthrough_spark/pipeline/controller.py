@@ -91,6 +91,7 @@ def process_table(
     store: JsonStateStore,
     lake_root: str,
     register_catalog: bool = True,
+    upto_file: str | None = None,
 ) -> TableReport:
     report = TableReport(path=folder.path)
     if not state.active:
@@ -116,7 +117,9 @@ def process_table(
             report.did_initial = True
 
     # --- incremental load (DMSCDC_ProcessTable.py:137-168)
-    new_files = landing.new_incremental_files(folder, state.last_incremental_file)
+    new_files = landing.new_incremental_files(
+        folder, state.last_incremental_file, upto_file
+    )
     if new_files:
         if not state.primary_keys:
             # insert-only path: route through merge_incremental's own
@@ -174,8 +177,19 @@ def run_once(
     store: JsonStateStore,
     max_parallel_tables: int = 4,
     register_catalog: bool = True,
+    upto_file: str | None = None,
 ) -> RunReport:
-    """One controller pass: discover, register, load, advance state."""
+    """One controller pass: discover, register, load, advance state.
+
+    ``upto_file`` (optional) applies every table only up to the same
+    DMS commit-time file name — a point-in-time consistent cut across
+    the whole lake (SURVEY §2 #158). Per-table flows stay independent
+    and idempotent; the barrier only bounds which landing files each
+    sees, so files past the cut apply on a later pass unchanged. The
+    reference's per-job fan-out has no such cut — each Glue job races
+    its own table forward, and a cross-table join during load can see
+    table A minutes ahead of table B.
+    """
     folders = landing.discover_tables(spark, landing_root)
     states = [
         store.get_or_create(f.path, schema=f.schema, table=f.table) for f in folders
@@ -186,7 +200,8 @@ def run_once(
             (
                 f,
                 pool.submit(
-                    process_table, spark, f, s, store, lake_root, register_catalog
+                    process_table, spark, f, s, store, lake_root,
+                    register_catalog, upto_file,
                 ),
             )
             for f, s in zip(folders, states)

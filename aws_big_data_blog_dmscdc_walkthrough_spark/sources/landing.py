@@ -110,9 +110,26 @@ def discover_tables(spark: SparkSession, root: str) -> list[TableFolder]:
     return tables
 
 
-def new_incremental_files(folder: TableFolder, last_file: str) -> list[str]:
-    """Files lexically after the last processed one (DMSCDC_LoadIncremental.py:41-45)."""
-    return [f for f in folder.incremental_files if f > last_file]
+def new_incremental_files(
+    folder: TableFolder, last_file: str, upto_file: str | None = None
+) -> list[str]:
+    """Files lexically after the last processed one (DMSCDC_LoadIncremental.py:41-45).
+
+    ``upto_file`` (optional) is a GLOBAL consistent-cut barrier: only
+    files at or lexically before it are eligible. DMS names CDC files
+    by commit time, so applying every table only up to the same name
+    prefix yields a lake that is transactionally consistent AS OF that
+    cut — table A's 12:07 orders never land while table B's 12:05
+    customers are still pending. Files past the cut stay unconsumed
+    (the mark does not advance past them) and apply idempotently on a
+    later pass with a higher barrier.
+    """
+    files = [f for f in folder.incremental_files if f > last_file]
+    if upto_file is not None:
+        # compare by file NAME (the DMS commit-time stamp), not full
+        # path, so one barrier string applies across every table folder
+        files = [f for f in files if f.rsplit("/", 1)[-1] <= upto_file]
+    return files
 
 
 def _require_ddl(folder: TableFolder, schema_ddl: str) -> str:

@@ -595,3 +595,68 @@ def test_full_reload_drops_vanished_partitions(spark, tmp_path):
     got = spark.read.parquet(out).collect()
     assert {r.dt for r in got} == {"p1"}
     assert got[0].v == "a2"
+
+
+def _write_table(spark, env, schema, table, rows, ddl, name):
+    import glob
+    import shutil
+
+    df = spark.createDataFrame(rows, ddl)
+    tmp = f"{env['landing']}/{schema}/{table}/_tmpX"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    src = glob.glob(f"{tmp}/part-*.parquet")[0]
+    os.rename(src, f"{env['landing']}/{schema}/{table}/{name}")
+    shutil.rmtree(tmp)
+
+
+def test_consistent_cut_applies_both_tables_to_same_barrier(spark, env):
+    """upto_file is a cross-table point-in-time cut (#158): files past
+    the barrier stay pending in EVERY table, and a later pass with a
+    higher barrier applies them idempotently."""
+    store = JsonStateStore(env["state"])
+    # two tables, initial + two incremental batches each (t1 < cut < t2)
+    for t in ("orders", "customer"):
+        _write_table(
+            spark, env, "sales", t,
+            [(1, "base")], "id long, v string", "LOAD00000001.parquet",
+        )
+    controller.run_once(spark, env["landing"], env["lake"], store)  # register
+    for st in store.all():
+        st.active = True
+        st.primary_key = "id"
+        store.put(st)
+    controller.run_once(spark, env["landing"], env["lake"], store)  # initial
+    for t in ("orders", "customer"):
+        _write_table(
+            spark, env, "sales", t,
+            [("I", 2, f"{t}-early")], "Op string, id long, v string",
+            "20240101-000000001.parquet",
+        )
+        _write_table(
+            spark, env, "sales", t,
+            [("I", 3, f"{t}-late")], "Op string, id long, v string",
+            "20240102-000000001.parquet",
+        )
+    # barrier between the two batches: only the early file may land
+    r = controller.run_once(
+        spark, env["landing"], env["lake"], store,
+        upto_file="20240101-999999999.parquet",
+    )
+    assert all(t.incremental_files == 1 for t in r.tables if not t.skipped)
+    for t in ("orders", "customer"):
+        ids = {
+            row.id
+            for row in spark.read.parquet(f"{env['lake']}/sales/{t}").collect()
+        }
+        assert ids == {1, 2}, (t, ids)  # late row consistently absent
+    # later pass with no barrier drains the rest, idempotently
+    r2 = controller.run_once(spark, env["landing"], env["lake"], store)
+    assert all(t.incremental_files == 1 for t in r2.tables if not t.skipped)
+    for t in ("orders", "customer"):
+        ids = {
+            row.id
+            for row in spark.read.parquet(f"{env['lake']}/sales/{t}").collect()
+        }
+        assert ids == {1, 2, 3}, (t, ids)
+    r3 = controller.run_once(spark, env["landing"], env["lake"], store)
+    assert all(t.incremental_files == 0 for t in r3.tables if not t.skipped)
