@@ -272,7 +272,7 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_orders_percentile": analytics.q_orders_percentile,
         "q_orders_mad_outliers": analytics.q_orders_mad_outliers,
         "q_events_funnel_windowed": analytics.q_events_funnel_windowed,
-        # round-11 additions (SURVEY §2 #148-#150)
+        # round-11 additions (SURVEY §2 #148-#157)
         "q_events_peak_concurrency": analytics.q_events_peak_concurrency,
         "q_orders_mom_growth": analytics.q_orders_mom_growth,
         "dedup_tf_cosine": llm_queries.dedup_tf_cosine,
@@ -433,7 +433,7 @@ def secondary_oracle_sql() -> dict[str, str]:
         "q_orders_percentile": analytics.Q_ORDERS_PERCENTILE_SQL,
         "q_orders_mad_outliers": analytics.Q_ORDERS_MAD_OUTLIERS_SQL,
         "q_events_funnel_windowed": analytics.Q_EVENTS_FUNNEL_WINDOWED_SQL,
-        # round-11 additions (SURVEY §2 #148-#150)
+        # round-11 additions (SURVEY §2 #148-#157)
         "q_events_peak_concurrency": analytics.Q_EVENTS_PEAK_CONCURRENCY_SQL,
         "q_orders_mom_growth": analytics.Q_ORDERS_MOM_GROWTH_SQL,
         "dedup_tf_cosine": llm_queries.DEDUP_TF_COSINE_SQL,

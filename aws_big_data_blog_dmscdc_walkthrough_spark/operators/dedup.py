@@ -321,14 +321,19 @@ def normalize_text(col):
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
-def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Exact dedup on normalized text: canonical id + group size per row.
+def exact_dedup(df: DataFrame, id_col: str, text_col: str, key_expr=None) -> DataFrame:
+    """Exact dedup on a signature key: canonical id + group size per row.
 
-    One hash-partition shuffle on the normalized key; at scale, group by
-    ``xxhash64(norm)`` instead of the full text to shrink shuffle width
-    (exposed here as the same plan — Catalyst hashes the key either way).
+    ``key_expr`` (optional Column) is the grouping signature — default
+    whitespace-normalized text (#19); the bag-of-words query (#152)
+    passes its sorted-token-multiset string instead. One hash-partition
+    shuffle on the key; at scale, group by ``xxhash64(key)`` instead of
+    the full string to shrink shuffle width (exposed here as the same
+    plan — Catalyst hashes the key either way).
     """
-    window = Window.partitionBy(normalize_text(F.col(text_col)))
+    if key_expr is None:
+        key_expr = normalize_text(F.col(text_col))
+    window = Window.partitionBy(key_expr)
     return df.select(
         F.col(id_col),
         F.min(id_col).over(window).alias("canonical_id"),
@@ -1358,8 +1363,12 @@ def tf_cosine_pairs(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    # cast each norm to double BEFORE multiplying: the long product wraps
+    # silently past 2^63 (two docs with n2 ~ 3e9 suffice) while the
+    # double product is exactly rounded at any magnitude — and the DuckDB
+    # oracle mirrors the same cast order, keeping bit-identity
     cosine = F.col("_dot").cast("double") / F.sqrt(
-        (F.col("_n2a") * F.col("_n2b")).cast("double")
+        F.col("_n2a").cast("double") * F.col("_n2b").cast("double")
     )
     return (
         cands.join(

@@ -1520,29 +1520,50 @@ def text_heavy_hitters(
     The plain plan (explode -> groupBy -> HAVING) shuffles one row per
     (partition, word) — at 100 TB the long tail of near-unique tokens
     dominates that shuffle even though none of them can possibly be a
-    heavy hitter. This plan screens candidates first with the local
-    heavy-hitter rule (the Misra-Gries guarantee): any word with
-    global count > n/k must have count_p > n_p/k in AT LEAST one
-    partition (if it were ≤ n_p/k everywhere, summing gives ≤ n/k) —
-    so a per-partition Arrow pass emits < k candidate words per
-    partition, the candidate set broadcasts back as a semi-join, and
-    only candidate tokens reach the exact recount. The final filter is
-    the all-integer inequality count*k > n (engine-identical); output
-    equals the brute-force GROUP BY ... HAVING exactly — the screen is
-    pure shuffle pruning, never semantics.
+    heavy hitter. This plan screens candidates first with a BOUNDED
+    per-partition Misra-Gries summary (Arrow pass, ≤ k counters held
+    between batches — the long tail never accumulates in worker
+    memory): batch counts merge additively, and whenever the counter
+    set overflows, the (k+1)-th largest value is subtracted from every
+    counter and non-positives drop — the mergeable-summaries MG merge
+    (Agarwal et al., PODS'12), which undercounts any word by at most
+    n_p/(k+1). A word with global count > n/k has count_p > n_p/k in
+    AT LEAST one partition (averaging), where its MG estimate stays
+    > n_p/k − n_p/(k+1) > 0 — so it survives some partition's summary.
+    Each partition emits its ≤ k survivors, the candidate set
+    broadcasts back as a semi-join, and only candidate tokens reach
+    the exact recount. The final filter is the all-integer inequality
+    count*k > n (engine-identical); output equals the brute-force
+    GROUP BY ... HAVING exactly — the screen is pure shuffle pruning,
+    never semantics.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
 
+    def _mg_prune(counts: dict, keep: int) -> None:
+        if len(counts) <= keep:
+            return
+        vals = sorted(counts.values(), reverse=True)
+        m = vals[keep]  # (keep+1)-th largest
+        for w in list(counts):
+            c = counts[w] - m
+            if c > 0:
+                counts[w] = c
+            else:
+                del counts[w]
+
     def screen(batches):
         counts: dict = {}
-        n = 0
+        # lazy prune bound: amortizes the sort; any prune schedule is a
+        # legal MG merge sequence, so the error bound is unaffected
+        soft_cap = max(4 * k, 1024)
         for pdf in batches:
-            n += len(pdf)
             for w, c in pdf["word"].value_counts().items():
                 counts[w] = counts.get(w, 0) + int(c)
-        cand = [w for w, c in counts.items() if c * k > n]
-        yield pd.DataFrame({"word": pd.Series(cand, dtype="object")})
+            if len(counts) > soft_cap:
+                _mg_prune(counts, k)
+        _mg_prune(counts, k)
+        yield pd.DataFrame({"word": pd.Series(list(counts), dtype="object")})
 
     cands = toks.mapInPandas(screen, "word string").distinct()
     total = toks.agg(F.count(F.lit(1)).alias("_n"))

@@ -104,6 +104,16 @@ def process_table(
     if folder.initial_files:
         load_ts = max(landing.file_mtime(spark, f) for f in folder.initial_files)
         if load_ts > state.last_full_load_ts:
+            if upto_file is not None:
+                # A consistent cut cannot include a fresh full-load
+                # snapshot: LOAD files carry no commit-time name, so
+                # applying one would race this table arbitrarily past
+                # the barrier the other tables are held to. Defer the
+                # WHOLE table (snapshot + queued incrementals) to an
+                # unbarriered pass — applying incrementals without
+                # their base would be worse than waiting.
+                report.skipped = True
+                return report
             df = landing.read_initial(spark, folder, state.schema_ddl)
             lake_writer.write_initial(
                 df, out_path, state.partition_keys,
@@ -185,7 +195,10 @@ def run_once(
     DMS commit-time file name — a point-in-time consistent cut across
     the whole lake (SURVEY §2 #158). Per-table flows stay independent
     and idempotent; the barrier only bounds which landing files each
-    sees, so files past the cut apply on a later pass unchanged. The
+    sees, so files past the cut apply on a later pass unchanged.
+    Tables with a PENDING full-load snapshot are skipped entirely
+    under a barrier (LOAD files carry no commit time, so a snapshot
+    cannot be cut — it applies on the next unbarriered pass). The
     reference's per-job fan-out has no such cut — each Glue job races
     its own table forward, and a cross-table join during load can see
     table A minutes ahead of table B.

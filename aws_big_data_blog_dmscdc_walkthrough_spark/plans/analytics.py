@@ -2583,6 +2583,36 @@ GROUP BY rows_.dim, te, tl
 PAGERANK_TOP_K = 25
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str, min_support: int) -> DataFrame:
+    """Canonical (pa < pb) co-purchase part pairs with basket support.
+
+    Shared edge builder for the graph queries (#155 PageRank, #157
+    triangles): one distinct (order, part) scan PERSISTED before the
+    per-basket-quadratic self-join (the alias-different branches never
+    get ReusedExchange — analytics.py's #120 comment measured it), one
+    canonical pair agg, support filter. Callers mirror to both
+    directions when they need a symmetric/directed view — cheaper than
+    generating both orders through the join itself.
+    """
+    from ..operators.dedup import _track
+
+    li = _track(
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist()
+    )
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("_pa"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("_pb"))
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("_pa") < F.col("_pb"))
+        .groupBy("_pa", "_pb")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .where(F.col("_w") >= min_support)
+    )
+
+
 def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top parts by PageRank over the co-purchase graph (#155).
 
@@ -2598,22 +2628,14 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators import graph
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("_pa"))
-    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("_pb"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("_pa") != F.col("_pb"))
-        .groupBy("_pa", "_pb")
-        .agg(F.count(F.lit(1)).alias("_w"))
-        # same min-support as the triangle census (#157): single-basket
-        # coincidences are noise, and pruning them shrinks the iterated
-        # edge frame ~5x before the 5 rank rounds ever see it
-        .where(F.col("_w") >= TRIANGLE_MIN_BASKETS)
+    # min-support shared with the triangle census (#157): single-basket
+    # coincidences are noise, and pruning them shrinks the iterated
+    # edge frame ~5x before the 5 rank rounds ever see it
+    canon = _copurchase_edges(spark, sf_dir, TRIANGLE_MIN_BASKETS)
+    edges = canon.unionByName(
+        canon.select(
+            F.col("_pb").alias("_pa"), F.col("_pa").alias("_pb"), "_w"
+        )
     )
     ranks = graph.pagerank(edges, "_pa", "_pb", "_w")
     return (
@@ -2713,22 +2735,11 @@ def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.dedup import _track
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select("l_orderkey", F.col("l_partkey").alias("_pa"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("_pb"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("_pa") < F.col("_pb"))
-        .groupBy("_pa", "_pb")
-        .agg(F.count(F.lit(1)).alias("_sup"))
-        .where(F.col("_sup") >= TRIANGLE_MIN_BASKETS)
+    edges = _track(
+        _copurchase_edges(spark, sf_dir, TRIANGLE_MIN_BASKETS)
         .select("_pa", "_pb")
+        .persist()
     )
-    edges = _track(edges.persist())
     deg = (
         edges.select(F.col("_pa").alias("node"))
         .unionByName(edges.select(F.col("_pb").alias("node")))
@@ -2757,11 +2768,17 @@ def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_triangles")
     )
     stats = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    nw = wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
+    # UNDIRECTED wedge count Σ C(deg,2) — the global-closure denominator
+    # (3·T / wedges). The oriented wedge join above exists only to FIND
+    # triangles; its row count Σ C(outdeg,2) is smaller by construction
+    # and is not a closure denominator, so it is neither output nor
+    # computed a second time.
+    nodes = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("_deg * (_deg - 1) div 2")).alias("n_wedges"),
+    )
     return (
         nodes.crossJoin(F.broadcast(stats))
-        .crossJoin(F.broadcast(nw))
         .crossJoin(F.broadcast(tri))
         .select(
             "n_nodes",
@@ -2804,10 +2821,13 @@ tri AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
   FROM wedges JOIN closing ON wedges.v = closing.v AND wedges.w = closing.w
 ),
-nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
-ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges),
-nw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_wedges FROM wedges)
+nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+    CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+),
+ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges)
 SELECT n_nodes, n_edges, n_wedges, n_triangles,
   3 * n_triangles AS closure_num
-FROM nn, ne, nw, tri
+FROM nn, ne, tri
 """

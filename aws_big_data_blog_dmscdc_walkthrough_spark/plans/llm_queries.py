@@ -1471,11 +1471,11 @@ dot AS (
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
-  dot::DOUBLE / sqrt((na.n2 * nb.n2)::DOUBLE) AS cosine
+  dot::DOUBLE / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE) AS cosine
 FROM dot
 JOIN norm na ON na.doc_id = id_a
 JOIN norm nb ON nb.doc_id = id_b
-WHERE dot::DOUBLE / sqrt((na.n2 * nb.n2)::DOUBLE) >= {TF_COSINE_THRESHOLD}
+WHERE dot::DOUBLE / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE) >= {TF_COSINE_THRESHOLD}
 """
 
 
@@ -1494,21 +1494,11 @@ def dedup_bag_of_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     it, exactly the #19 plan shape with array_sort in front. At 100 TB
     group on xxhash64(sig) to shrink shuffle width (same lever as #19).
     """
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     sig = F.array_join(
         F.array_sort(F.split(F.trim(F.col("text")), r"\s+")), " "
     )
-    w = Window.partitionBy("_sig")
-    return (
-        docs.select("doc_id", sig.alias("_sig"))
-        .select(
-            "doc_id",
-            F.min("doc_id").over(w).alias("canonical_id"),
-            F.count(F.lit(1)).over(w).alias("group_size"),
-        )
-    )
+    return dedup.exact_dedup(docs, "doc_id", "text", key_expr=sig)
 
 
 DEDUP_BAG_OF_WORDS_SQL = r"""

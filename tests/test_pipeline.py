@@ -660,3 +660,27 @@ def test_consistent_cut_applies_both_tables_to_same_barrier(spark, env):
         assert ids == {1, 2, 3}, (t, ids)
     r3 = controller.run_once(spark, env["landing"], env["lake"], store)
     assert all(t.incremental_files == 0 for t in r3.tables if not t.skipped)
+
+
+def test_consistent_cut_defers_pending_initial_load(spark, env):
+    """A fresh LOAD snapshot carries no commit time, so a barriered pass
+    must defer the whole table rather than race it past the cut."""
+    store = JsonStateStore(env["state"])
+    _write_table(
+        spark, env, "sales", "nation",
+        [(1, "base")], "id long, v string", "LOAD00000001.parquet",
+    )
+    controller.run_once(spark, env["landing"], env["lake"], store)  # register
+    for st in store.all():
+        st.active = True
+        st.primary_key = "id"
+        store.put(st)
+    r = controller.run_once(
+        spark, env["landing"], env["lake"], store,
+        upto_file="20240101-999999999.parquet",
+    )
+    assert r.tables[0].skipped and not r.tables[0].did_initial
+    assert not os.path.exists(f"{env['lake']}/sales/nation")
+    r2 = controller.run_once(spark, env["landing"], env["lake"], store)
+    assert r2.tables[0].did_initial
+    assert spark.read.parquet(f"{env['lake']}/sales/nation").count() == 1

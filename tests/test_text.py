@@ -509,3 +509,32 @@ def test_heavy_hitters_candidate_screen_is_lossless(spark, tmp_path):
     }
     assert got == truth
     assert ("hh1", 160) in got and ("hh2", 48) in got
+
+
+def test_heavy_hitters_bounded_summary_forces_prune(spark, tmp_path):
+    """A partition whose vocabulary exceeds the screen's soft cap forces
+    Misra-Gries prunes; the decrement must never evict a word that is
+    globally heavy, and the final output stays the exact brute force."""
+    import os
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import text as text_ops
+
+    rows = []
+    uid = 0
+    for p in range(4):
+        toks = ["heavy"] * 400  # 400 of ~5400 tokens: >> n_p/50
+        for _ in range(5000):   # 5000 uniques > soft_cap(4*50, 1024)
+            toks.append(f"u{uid}")
+            uid += 1
+        rows.append((p, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = os.path.join(str(tmp_path), "documents.parquet")
+    df.repartition(4, "doc_id").write.parquet(path)
+    got = {
+        (r.word, r.n)
+        for r in text_ops.text_heavy_hitters(spark, str(tmp_path)).collect()
+    }
+    n_total = 4 * 5400
+    # brute force: only 'heavy' exceeds n/50 = 432
+    assert got == {("heavy", 1600)}, got
+    assert 1600 * 50 > n_total
