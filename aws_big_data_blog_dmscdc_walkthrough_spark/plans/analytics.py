@@ -2627,11 +2627,16 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the operator's invariants are pinned in pytest against numpy).
     """
     from ..operators import graph
+    from ..operators.dedup import _track
 
     # min-support shared with the triangle census (#157): single-basket
     # coincidences are noise, and pruning them shrinks the iterated
-    # edge frame ~5x before the 5 rank rounds ever see it
-    canon = _copurchase_edges(spark, sf_dir, TRIANGLE_MIN_BASKETS)
+    # edge frame ~5x before the 5 rank rounds ever see it. The canonical
+    # frame is persisted BEFORE mirroring — the union's two branches get
+    # no ReusedExchange (same pitfall the _copurchase_edges docstring
+    # records for the self-join), so without the pin the pair join runs
+    # twice (measured 16 s -> 35 s at sf0.1).
+    canon = _track(_copurchase_edges(spark, sf_dir, TRIANGLE_MIN_BASKETS).persist())
     edges = canon.unionByName(
         canon.select(
             F.col("_pb").alias("_pa"), F.col("_pa").alias("_pb"), "_w"
