@@ -401,6 +401,34 @@ def keep_best(
 # ----------------------------- weighted PageRank (fixed-round) (#155)
 
 
+class _LocalCheckpointHandle:
+    """Releasable stand-in for a ``localCheckpoint``-backed frame.
+
+    ``DataFrame.unpersist()`` is a NO-OP on a checkpointed frame: the
+    plan is a ``LogicalRDD`` whose blocks were persisted by the
+    checkpoint call, never registered with the cache manager — so each
+    superseded round's blocks would sit in executor storage until JVM
+    GC. This handle grabs the underlying checkpointed RDD at creation
+    time and frees its blocks on ``unpersist()`` (duck-typed so
+    ``dedup._track``/``release_persisted`` can drain it like any
+    persisted frame). Releasing makes the frame UNRECOMPUTABLE (a
+    localCheckpoint truncates lineage), so it must only fire after the
+    frame's consumers have evaluated — exactly the contract
+    ``release_persisted`` already documents.
+    """
+
+    def __init__(self, df: DataFrame):
+        try:
+            self._jrdd = df._jdf.queryExecution().analyzed().rdd()
+        except Exception:
+            self._jrdd = None  # internal accessor moved: degrade to no-op
+
+    def unpersist(self, blocking: bool = False) -> None:
+        if self._jrdd is not None:
+            self._jrdd.unpersist(bool(blocking))
+            self._jrdd = None
+
+
 def pagerank(
     edges: DataFrame,
     src: str,
@@ -408,7 +436,10 @@ def pagerank(
     weight: str | None = None,
     iterations: int = 5,
     damping: float = 0.85,
-) -> DataFrame:
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    return_delta: bool = False,
+):
     """Weighted PageRank, a fixed number of synchronous rounds (#155).
 
     Power iteration as DataFrame joins (the classic BSP formulation —
@@ -424,9 +455,31 @@ def pagerank(
 
     Fixed rounds (not convergence-tested) keep the plan deterministic
     and replayable; five rounds ranks a co-purchase graph's head
-    stably. Float caveat: receiver-side sums are double adds in
-    shuffle order, so ranks are deterministic to ~1 ulp·degree, not
-    bit-pinned — consumers gate on rows/tolerance, never hash.
+    stably. ``return_delta=True`` additionally returns the LAST
+    round's L1 rank movement ``Σ|r_i − r_{i-1}|`` (one join + one
+    scalar aggregate over frames the loop already computed) so a
+    caller can SEE whether the fixed budget sufficed on their graph —
+    the result becomes ``(ranks, l1_delta)``. Float caveat:
+    receiver-side sums are double adds in shuffle order, so ranks are
+    deterministic to ~1 ulp·degree, not bit-pinned — consumers gate on
+    rows/tolerance, never hash.
+
+    Storage: each round truncates lineage with ``localCheckpoint`` —
+    and every superseded round's checkpoint blocks are freed
+    immediately (plain ``unpersist()`` is a no-op on a checkpointed
+    frame; see :class:`_LocalCheckpointHandle`), so executor storage
+    holds at most two rounds at any moment. The FINAL frame's blocks
+    are registered with the dedup release registry and freed by the
+    next ``release_persisted()`` — consume the result before that
+    fires. ``localCheckpoint`` is executor-storage backed: losing an
+    executor mid-run loses both data and the lineage to rebuild it, so
+    a production run that must survive executor loss should pass
+    ``checkpoint_dir`` — the driver calls ``setCheckpointDir`` and
+    every ``checkpoint_every``-th round (and the last) writes a
+    RELIABLE ``.checkpoint()`` to that directory instead, restartable
+    on executor loss; intermediate rounds keep the cheap local form.
+    Checkpoint files belong to the caller's directory (clean it up, or
+    set ``spark.cleaner.referenceTracking.cleanCheckpoints``).
     """
     w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
     e = edges.select(
@@ -459,8 +512,14 @@ def pagerank(
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     ranks = _track(ranks.persist(StorageLevel.MEMORY_AND_DISK))
     ranks.count()
+    if checkpoint_dir is not None:
+        if checkpoint_every < 1:
+            raise ValueError("checkpoint_every must be >= 1")
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     teleport = (1.0 - damping) / n_nodes
-    for _ in range(iterations):
+    prev_handle: _LocalCheckpointHandle | None = None
+    last_delta: float | None = None
+    for i in range(iterations):
         contrib = (
             ranks.join(e_norm, ranks["node"] == e_norm["_src"])
             .select(
@@ -490,15 +549,42 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        # localCheckpoint, not persist: persist caches DATA but Catalyst
+        # Checkpoint, not persist: persist caches DATA but Catalyst
         # still re-analyzes the full logical tree every round, and with
         # two ranks references per round the tree doubles — measured
         # round walls of 1.4/1.3/1.7/3.0/5.5 s on a 6k-node graph.
         # Truncating lineage keeps each round's plan one round deep
-        # (flat ~1.3 s rounds). localCheckpoint is executor-storage
-        # backed (non-reliable); a production run surviving executor
-        # loss should call setCheckpointDir + .checkpoint() instead.
-        new_ranks = new_ranks.localCheckpoint(eager=True)
-        ranks.unpersist()
+        # (flat ~1.3 s rounds). Reliable rounds (checkpoint_dir set)
+        # write to the checkpoint directory and survive executor loss.
+        reliable = checkpoint_dir is not None and (
+            i % checkpoint_every == 0 or i == iterations - 1
+        )
+        if reliable:
+            new_ranks = new_ranks.checkpoint(eager=True)
+        else:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        if return_delta and i == iterations - 1:
+            # last round's L1 movement, from the two frames already
+            # materialized (node sets are identical: both span `nodes`)
+            last_delta = (
+                ranks.select("node", F.col("rank").alias("_r0"))
+                .join(new_ranks.select("node", F.col("rank").alias("_r1")), "node")
+                .agg(F.sum(F.abs(F.col("_r1") - F.col("_r0"))).alias("_l1"))
+                .collect()[0]["_l1"]
+            )
+        # free the superseded round NOW: round 0's ranks is a plain
+        # persisted frame; later rounds are checkpoint-backed and need
+        # the block-level release (DataFrame.unpersist is a no-op there)
+        if i == 0:
+            ranks.unpersist()
+        elif prev_handle is not None:
+            prev_handle.unpersist()
+        prev_handle = None if reliable else _LocalCheckpointHandle(new_ranks)
         ranks = new_ranks
+    if prev_handle is not None:
+        # the FINAL frame's blocks: freed by the next release_persisted()
+        # (after the consumer has evaluated), same discipline as persists
+        _track(prev_handle)
+    if return_delta:
+        return ranks, float(last_delta) if last_delta is not None else 0.0
     return ranks

@@ -192,8 +192,10 @@ def run_once(
     """One controller pass: discover, register, load, advance state.
 
     ``upto_file`` (optional) applies every table only up to the same
-    DMS commit-time file name — a point-in-time consistent cut across
-    the whole lake (SURVEY §2 #158). Per-table flows stay independent
+    DMS batch file name — an approximately point-in-time cut across
+    the whole lake at file granularity (SURVEY §2 #158; see
+    ``landing.new_incremental_files`` for the exact guarantee and its
+    assumptions). Per-table flows stay independent
     and idempotent; the barrier only bounds which landing files each
     sees, so files past the cut apply on a later pass unchanged.
     Tables with a PENDING full-load snapshot are skipped entirely

@@ -115,14 +115,19 @@ def new_incremental_files(
 ) -> list[str]:
     """Files lexically after the last processed one (DMSCDC_LoadIncremental.py:41-45).
 
-    ``upto_file`` (optional) is a GLOBAL consistent-cut barrier: only
-    files at or lexically before it are eligible. DMS names CDC files
-    by commit time, so applying every table only up to the same name
-    prefix yields a lake that is transactionally consistent AS OF that
-    cut — table A's 12:07 orders never land while table B's 12:05
-    customers are still pending. Files past the cut stay unconsumed
-    (the mark does not advance past them) and apply idempotently on a
-    later pass with a higher barrier.
+    ``upto_file`` (optional) is a GLOBAL cut barrier: only files at or
+    lexically before it are eligible. DMS names CDC files by the time
+    it WROTE the batch, so applying every table only up to the same
+    name prefix yields a lake that is approximately point-in-time
+    consistent at FILE granularity — table A's 12:07 batch never lands
+    while table B's 12:05 batch is still pending. It is not a strict
+    transactional AS-OF: file names reflect DMS's per-table batch
+    flush, not commit LSN, so commits near the cut can land on
+    opposite sides for different tables (the guarantee assumes file
+    naming is monotone in commit time and roughly aligned across table
+    folders — true for steady-state DMS, coarser under backlog).
+    Files past the cut stay unconsumed (the mark does not advance past
+    them) and apply idempotently on a later pass with a higher barrier.
     """
     files = [f for f in folder.incremental_files if f > last_file]
     if upto_file is not None:

@@ -260,3 +260,77 @@ def test_pagerank_query_shape(spark):
     assert all(r.rank > 0 for r in rows)
     ranks = [r.rank for r in rows]
     assert ranks == sorted(ranks, reverse=True)
+
+
+def _toy_pagerank_edges(spark):
+    edges = [(1, 2, 2.0), (1, 3, 1.0), (2, 3, 1.0), (3, 1, 1.0), (2, 4, 1.0)]
+    return spark.createDataFrame(edges, "s long, d long, w double")
+
+
+def test_pagerank_releases_superseded_rounds(spark):
+    """Every superseded round's localCheckpoint blocks must be freed as
+    the loop advances, and the FINAL frame's blocks must drain with
+    release_persisted() — DataFrame.unpersist() alone is a no-op on
+    checkpoint-backed frames, so without the block-level release each
+    round would leak executor storage until JVM GC."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import graph
+
+    jsc = spark.sparkContext._jsc.sc()
+
+    def cached_rdds():
+        return len(list(jsc.getRDDStorageInfo()))
+
+    dedup.release_persisted()
+    base = cached_rdds()
+    ranks = graph.pagerank(_toy_pagerank_edges(spark), "s", "d", "w", iterations=5)
+    total = {r.node: r.rank for r in ranks.collect()}
+    assert abs(sum(total.values()) - 1.0) < 1e-9
+    # alive: the 4 persisted inputs (e/nodes/e_norm/dangling) + exactly
+    # ONE checkpoint frame (the final round) — not one per round
+    assert cached_rdds() - base <= 5, (base, cached_rdds())
+    dedup.release_persisted()
+    assert cached_rdds() <= base, (base, cached_rdds())
+
+
+def test_pagerank_reliable_checkpoint_matches_local(spark, tmp_path):
+    """checkpoint_dir switches rounds to RELIABLE .checkpoint() (files
+    under the caller's directory, survives executor loss) and must not
+    change a single rank."""
+    import os
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import graph
+
+    df = _toy_pagerank_edges(spark)
+    local = {r.node: r.rank for r in graph.pagerank(df, "s", "d", "w").collect()}
+    ckdir = str(tmp_path / "pr_ck")
+    reliable = {
+        r.node: r.rank
+        for r in graph.pagerank(
+            df, "s", "d", "w", checkpoint_dir=ckdir, checkpoint_every=2
+        ).collect()
+    }
+    assert reliable == local
+    # the reliable rounds actually wrote checkpoint files
+    found = [
+        os.path.join(root, f)
+        for root, _, files in os.walk(ckdir)
+        for f in files
+        if f.startswith("part-")
+    ]
+    assert found, "no reliable checkpoint files written"
+    dedup.release_persisted()
+
+
+def test_pagerank_return_delta_converges(spark):
+    """The last-round L1 delta readout: more rounds => smaller movement
+    on a convergent graph, and the ranks are unchanged by asking."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import graph
+
+    df = _toy_pagerank_edges(spark)
+    plain = {r.node: r.rank for r in graph.pagerank(df, "s", "d", "w").collect()}
+    ranks5, d5 = graph.pagerank(df, "s", "d", "w", iterations=5, return_delta=True)
+    got5 = {r.node: r.rank for r in ranks5.collect()}
+    _, d20 = graph.pagerank(df, "s", "d", "w", iterations=20, return_delta=True)
+    assert got5 == plain
+    assert 0.0 < d20 < d5 < 1.0, (d5, d20)
+    dedup.release_persisted()
