@@ -2257,6 +2257,9 @@ SELECT 3, '{FUNNEL_STEPS[2]}', n3.n, n3.n::DOUBLE / n1.n::DOUBLE FROM n1, n3
 # ----------------- per-day peak concurrency sweep-line (#148)
 
 CONCURRENCY_GAP_S = 1800  # session gap, same convention as #17
+# sub-day sweep chunk (1 h): the running sum's window partitions on
+# (day, chunk), never a whole day — see q_events_peak_concurrency
+CONCURRENCY_CHUNK_US = 3_600_000_000
 
 
 def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2264,16 +2267,25 @@ def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Capacity-planning readout: how many sessions (the #17 gap
     definition) overlap at the busiest instant of each day. Sessions
-    become +1/-1 deltas at their (day-clipped) endpoints; a per-day
-    running sum over (ts, delta DESC) is the concurrency curve — at a
-    tie the start counts before the end, so back-to-back sessions
-    touching at one microsecond overlap (closed intervals). Midnight-
-    spanning sessions are split by exploding their day span, so the
-    sweep partitions by day: the window sorts one day's deltas, never
-    a global timeline — the property that keeps the sweep line
-    parallel at 100 TB. All time arithmetic is integer epoch
-    microseconds; the running sum is an integer — engine-identical.
-    Peak ties resolve to the earliest instant (MIN ts at the max).
+    become +1/-1 deltas at their (day-clipped) endpoints; a running
+    sum over (ts, delta DESC) is the concurrency curve — at a tie the
+    start counts before the end, so back-to-back sessions touching at
+    one microsecond overlap (closed intervals). Midnight-spanning
+    sessions are split by exploding their day span.
+
+    The sweep is TWO-LEVEL so no window partition ever spans a whole
+    day (a single busy day at 100 TB would otherwise be one task's
+    sort + sequential sum, and AQE cannot split a window partition):
+    deltas are chunked by fixed hour buckets (``CONCURRENCY_CHUNK_US``)
+    and each (day, chunk) computes its running sum and its chunk total
+    in parallel; the per-chunk totals — a |days × 24|-row frame —
+    prefix-sum per day and broadcast back as chunk offsets, and
+    ``conc = within-chunk running sum + offset``. Output is identical
+    to the single-level sweep; the only cross-chunk work is the tiny
+    offset window. All time arithmetic is
+    integer epoch microseconds; the running sum is an integer —
+    engine-identical. Peak ties resolve to the earliest instant
+    (MIN ts at the max).
     """
     events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -2316,10 +2328,38 @@ def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_dayno", F.col("_e").alias("ts_us"), F.lit(-1).alias("delta")
         )
     )
-    sweep = Window.partitionBy("_dayno").orderBy(
+    # two-level sweep: chunk = fixed hour bucket (monotone in ts_us, so
+    # concatenating chunks in _chunk order IS the day's (ts, delta DESC)
+    # order — the running sums compose exactly). No persist: both
+    # consumers shuffle the identical session subtree, so ReuseExchange
+    # computes the expensive part once (measured faster than a persist
+    # at every sf: cache write + broadcast barrier cost more than the
+    # duplicated post-shuffle map work).
+    deltas = deltas.withColumn(
+        "_chunk", F.expr(f"ts_us div {CONCURRENCY_CHUNK_US}")
+    )
+    sweep = Window.partitionBy("_dayno", "_chunk").orderBy(
         F.col("ts_us").asc(), F.col("delta").desc()
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    curve = deltas.withColumn("conc", F.sum("delta").over(sweep))
+    offsets = (
+        deltas.groupBy("_dayno", "_chunk")
+        .agg(F.sum("delta").alias("_tot"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_tot").over(
+                    Window.partitionBy("_dayno")
+                    .orderBy("_chunk")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_dayno", "_chunk", "_off")
+    )
+    curve = deltas.withColumn("_run", F.sum("delta").over(sweep)).join(
+        F.broadcast(offsets), ["_dayno", "_chunk"]
+    ).withColumn("conc", F.col("_run") + F.col("_off"))
     peak = curve.groupBy("_dayno").agg(F.max("conc").alias("peak_concurrency"))
     at = (
         curve.join(F.broadcast(peak), "_dayno")

@@ -698,3 +698,65 @@ def test_funnel_windowed_hand_computed(spark, monkeypatch, tmp_path):
         2: ("click", 2, round(2 / 3, 9)),
         3: ("purchase", 1, round(1 / 3, 9)),
     }
+
+
+def test_peak_concurrency_no_day_grain_window(spark, monkeypatch, tmp_path):
+    """Round-12 rewrite guard (#148): the sweep's running sum must
+    partition on (day, chunk), never a whole day — a busy day at 100 TB
+    is otherwise ONE task's sort + sequential sum, and AQE cannot split
+    a window partition. Also pins the two-level composition (within-
+    chunk running sum + prefix-summed chunk offsets) against a
+    hand-computed curve that crosses both a chunk and a day boundary."""
+    import re
+    from datetime import datetime as dt
+
+    # three users: A 00:30-01:30 (crosses the 01:00 chunk boundary),
+    # B 00:45-00:50, C 23:50-00:20 next day (crosses midnight).
+    # Events 30 min apart chain into one session (gap is 1800 s,
+    # strictly-greater splits).
+    rows, eid = [], 0
+
+    def span(uid, start, end):
+        nonlocal eid
+        t = start
+        while t <= end:
+            rows.append((eid, t, uid, "view", 0.0))
+            eid += 1
+            t = t + __import__("datetime").timedelta(minutes=30)
+
+    span(1, dt(2024, 1, 1, 0, 30), dt(2024, 1, 1, 1, 30))
+    span(2, dt(2024, 1, 1, 0, 45), dt(2024, 1, 1, 0, 50))
+    span(3, dt(2024, 1, 1, 23, 50), dt(2024, 1, 2, 0, 20))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double",
+    )
+    out = str(tmp_path / "events.parquet")
+    df.write.parquet(out)
+    _route_table(
+        monkeypatch,
+        "aws_big_data_blog_dmscdc_walkthrough_spark.plans.analytics",
+        "events",
+        out,
+    )
+    res = analytics.q_events_peak_concurrency(spark, "ignored")
+    got = {
+        str(r.day)[:10]: (r.peak_concurrency, r.ts_at_peak_us)
+        for r in res.collect()
+    }
+    # day 1 peak: A and B overlap from 00:45 (B's start); C alone later.
+    # day 2: C's clipped tail alone from 00:00.
+    us = lambda *a: int(dt(*a).timestamp() * 1_000_000)
+    assert got == {
+        "2024-01-01": (2, us(2024, 1, 1, 0, 45)),
+        "2024-01-02": (1, us(2024, 1, 2)),
+    }
+    plan = res._jdf.queryExecution().optimizedPlan().toString()
+    sweep_specs = [
+        s
+        for s in re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        if "ts_us" in s and "delta" in s
+    ]
+    assert sweep_specs, "sweep window not found in plan"
+    for s in sweep_specs:
+        assert "_chunk" in s, f"sweep window partitions a whole day: {s}"
