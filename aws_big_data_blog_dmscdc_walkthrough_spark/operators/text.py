@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..functions import hashing
 from ..session import load_table
-from .dedup import spread
+from .dedup import _track as _dedup_track, spread
 
 # Small, real stopword lists (shared constants → both engines see the
 # identical sets; priority on score ties is en > es > de > fr).
@@ -1530,12 +1530,15 @@ def text_heavy_hitters(
     n_p/(k+1). A word with global count > n/k has count_p > n_p/k in
     AT LEAST one partition (averaging), where its MG estimate stays
     > n_p/k − n_p/(k+1) > 0 — so it survives some partition's summary.
-    Each partition emits its ≤ k survivors, the candidate set
-    broadcasts back as a semi-join, and only candidate tokens reach
-    the exact recount. The final filter is the all-integer inequality
-    count*k > n (engine-identical); output equals the brute-force
-    GROUP BY ... HAVING exactly — the screen is pure shuffle pruning,
-    never semantics.
+    Each partition emits its ≤ k survivors PLUS one word=NULL sentinel
+    row carrying the partition's token count — so the corpus total
+    rides the screen pass instead of a third full tokenize+count scan
+    (the whole corpus is now read exactly twice: screen, then exact
+    recount). The candidate set broadcasts back as a semi-join, and
+    only candidate tokens reach the exact recount. The final filter is
+    the all-integer inequality count*k > n (engine-identical); output
+    equals the brute-force GROUP BY ... HAVING exactly — the screen is
+    pure shuffle pruning, never semantics.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
@@ -1554,19 +1557,34 @@ def text_heavy_hitters(
 
     def screen(batches):
         counts: dict = {}
+        n_part = 0
         # lazy prune bound: amortizes the sort; any prune schedule is a
         # legal MG merge sequence, so the error bound is unaffected
         soft_cap = max(4 * k, 1024)
         for pdf in batches:
+            n_part += len(pdf)
             for w, c in pdf["word"].value_counts().items():
                 counts[w] = counts.get(w, 0) + int(c)
             if len(counts) > soft_cap:
                 _mg_prune(counts, k)
         _mg_prune(counts, k)
-        yield pd.DataFrame({"word": pd.Series(list(counts), dtype="object")})
+        # the corpus total rides the SAME pass as a word=NULL sentinel
+        # row per partition — folding what used to be a separate full
+        # tokenize+count scan into the screen (3 scans -> 2)
+        words = list(counts)
+        yield pd.DataFrame(
+            {
+                "word": pd.Series(words + [None], dtype="object"),
+                "part_n": pd.Series([0] * len(words) + [n_part], dtype="int64"),
+            }
+        )
 
-    cands = toks.mapInPandas(screen, "word string").distinct()
-    total = toks.agg(F.count(F.lit(1)).alias("_n"))
+    # tiny output (<= k+1 rows/partition): persist so the candidate set
+    # and the corpus total both read ONE screen pass; released by
+    # release_persisted() with the other tracked frames
+    scr = _dedup_track(toks.mapInPandas(screen, "word string, part_n long").persist())
+    cands = scr.where(F.col("word").isNotNull()).select("word").distinct()
+    total = scr.agg(F.sum("part_n").alias("_n"))
     return (
         toks.join(F.broadcast(cands), "word")
         .groupBy("word")

@@ -486,11 +486,22 @@ def lake_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     The stats that drive every physical-join decision this repo makes
     (broadcast vs shuffle, salting #36, AQE skew-split, bucket counts):
     per declared join key, row count, exact distinct count, the hottest
-    key's frequency, and the exact p99 per-key frequency (element-pick
-    on the sorted frequency list — integer, engine-exact). Two
-    aggregations per key (value-keyed count, then a reduce over the
-    |distinct|-sized frequency frame + one ordered window on it); the
-    frequency frame is key-cardinality-sized, never row-sized.
+    key's frequency, and the exact p99 per-key frequency — all integer,
+    engine-exact.
+
+    The p99 element-pick goes through the COUNTS-OF-COUNTS frame, not
+    a global sort of the per-key frequency list: frequencies group by
+    VALUE (``cc = (frequency, #keys with it)`` — bounded by frequency
+    diversity, a few hundred rows where the per-key frame has millions),
+    the r-th smallest frequency falls out of one cumulative window over
+    that tiny frame, and rows/distinct/hottest are aggregates of the
+    same frame. The round-11 form ranked every distinct key with a
+    GLOBAL row_number — a single-task sort of a key-cardinality-sized
+    frame (15M rows for l_orderkey at sf10; the 28.9 s wall) that no
+    AQE can split. Per key: one row-keyed aggregation, one
+    |distinct|-row aggregation (map-side combined to the tiny cc
+    frame), then sub-millisecond work — nothing row- or key-scale is
+    ever sorted on one task.
     """
     parts = []
     for name, table, key in _KEY_PROFILES:
@@ -499,21 +510,28 @@ def lake_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col(key).alias("_k"))
             .agg(F.count(F.lit(1)).alias("_f"))
         )
-        w = Window.orderBy(F.col("_f").asc(), F.col("_k").asc())
-        ranked = (
-            freq.withColumn("_rn", F.row_number().over(w))
-            .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy()))
+        cc = freq.groupBy("_f").agg(F.count(F.lit(1)).alias("_m"))
+        # tiny frame: single-partition windows are free here, and the
+        # r-th smallest frequency = min _f with cumulative count >= r
+        cum = Window.orderBy(F.col("_f").asc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
         )
-        stats = ranked.agg(
-            F.sum("_f").alias("_rows"),
-            F.count(F.lit(1)).alias("_nd"),
-            F.max("_f").alias("_hot"),
-            F.max(
-                F.when(
-                    F.col("_rn") == F.expr("(99 * _n + 99) div 100"),
-                    F.col("_f"),
-                )
-            ).alias("_p99"),
+        whole = Window.orderBy(F.col("_f").asc()).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        ranked = (
+            cc.withColumn("_cum", F.sum("_m").over(cum))
+            .withColumn("_nd", F.sum("_m").over(whole))
+            .withColumn("_rows", F.sum(F.col("_f") * F.col("_m")).over(whole))
+            .withColumn("_hot", F.max("_f").over(whole))
+        )
+        stats = ranked.where(
+            F.col("_cum") >= F.expr("(99 * _nd + 99) div 100")
+        ).agg(
+            F.max("_rows").alias("_rows"),
+            F.max("_nd").alias("_nd"),
+            F.max("_hot").alias("_hot"),
+            F.min("_f").alias("_p99"),
         )
         parts.append(
             stats.select(
