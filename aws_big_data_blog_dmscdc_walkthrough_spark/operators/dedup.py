@@ -1323,7 +1323,16 @@ def tf_cosine_pairs(
                 F.col("_suf2").cast("double")
                 >= F.lit(t2) * F.col("_n2").cast("double")
             )
-            .select("_id", "_t")
+            .select(
+                "_id",
+                "_t",
+                # one double per posting for the pair-level suffix bound:
+                # _q = suf2/(t·n2), so the pair test is qa·qb ≥ 1
+                (
+                    F.col("_suf2").cast("double")
+                    / (F.lit(threshold) * F.col("_n2").cast("double"))
+                ).alias("_q"),
+            )
             .persist()
         )
     )
@@ -1333,10 +1342,29 @@ def tf_cosine_pairs(
     # shared term — all later in the order — would too, emptying
     # shared∩prefix_a, contradiction). The PPJoin-style tightening cuts
     # candidate volume from Σ_t df_idx·df to Σ_t df_idx² losslessly.
+    #
+    # PPJoin+-style SUFFIX filter (weighted analog, Xiao et al. WWW'08 /
+    # Bayardo WWW'07 §5): a pair colliding at term t has
+    # dot = Σ_{t' ≥ t} a·b ≤ sqrt(sufA2(t))·sqrt(sufB2(t)) (Cauchy-
+    # Schwarz over the shared suffix), so a row may be dropped whenever
+    # sufA2·sufB2 < t²·n2a·n2b. LOSSLESS through the distinct: a
+    # qualifying pair's smallest shared term t* satisfies the bound
+    # (dot² ≥ t²·n2a·n2b there), so its t* row always survives even if
+    # later-term rows are pruned. The (1 − 1e-9) slack keeps boundary
+    # pairs when the exactly-rounded double products land within an ulp
+    # — slack only ever UNDER-prunes, never drops.
+    suffix_ok = F.col("_qa") * F.col("_qb") >= F.lit(1.0 - 1e-9)
     cands = (
-        indexed.withColumnRenamed("_id", "_ia")
-        .join(indexed.select(F.col("_id").alias("_ib"), "_t"), "_t")
-        .where(F.col("_ia") < F.col("_ib"))
+        indexed.select(
+            F.col("_id").alias("_ia"), "_t", F.col("_q").alias("_qa")
+        )
+        .join(
+            indexed.select(
+                F.col("_id").alias("_ib"), "_t", F.col("_q").alias("_qb")
+            ),
+            "_t",
+        )
+        .where((F.col("_ia") < F.col("_ib")) & suffix_ok)
         .select(F.col("_ia").alias("id_a"), F.col("_ib").alias("id_b"))
         .distinct()
     )
