@@ -114,34 +114,34 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_range_join": analytics.q_events_range_join,
         "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
         "q18_large_volume_customers": analytics.q18_large_volume_customers,
-        # ROUND-11 DEBUT SLOTS (the committed round-10 rotation plan):
-        # the four round-10 debuts (#93, #99, #103, #101:
-        # q_lineitem_bloom_semi, emb_hard_negatives, lake_profile,
-        # q_events_gapfill) hash-matched in CORRECTNESS_r10 (50/50
-        # green) and move to secondary_queries(); the skew-diagnostic /
-        # trigram-linkage / eval-report / collocation four (#102, #104,
-        # #105, #111) take their driver-gate slots so CORRECTNESS_r11
-        # carries hash evidence for them.
-        "q_events_skew_report": analytics.q_events_skew_report,
-        "q_part_fuzzy_match": llm_queries.q_part_fuzzy_match,
-        "eval_langid_report": llm_queries.eval_langid_report,
-        "corpus_collocations": corpus_ml.corpus_collocations,
-        # ROUND-12 ROTATION PLAN: demote the four round-11 debuts above
-        # once CORRECTNESS_r11 is green and debut q_events_daily_users,
-        # q_orders_median_price, sample_stratified, sketch_count_min
-        # (hash-green r06, longest-unrotated block) in their place,
-        # keeping every oracled query driver-gated at least once per
-        # two-to-three rounds.
-        # ROUND-7 GATE ROTATION (back): q2/q9/q11/q13/q15/q21 took these
-        # six slots in round 6 and hash-matched (CORRECTNESS_r06); the
-        # displaced keys below are restored so every registered query is
-        # driver-gated at least once per two rounds. The TPC-H tail
-        # shapes are pytest-oracled in secondary_queries() again.
-        "q_events_sliding": analytics.q_events_sliding,
+        # ROUND-12 DEBUT SLOTS (the round-11 verdict's rotation order):
+        # the four round-11 debuts (#102, #104, #105, #111) hash-matched
+        # in CORRECTNESS_r11 (50/50 green) and move to
+        # secondary_queries(), along with four long-gated plan-shape
+        # variants (q_events_sliding/moving_avg/pivot, q_orders_set_ops
+        # — all hash-green r11). Eight never-driver-gated round-11
+        # shapes take their slots so CORRECTNESS_r12 carries hash
+        # evidence for the highest-value new operators: exact TF-cosine
+        # (#150), heavy hitters (#151), triangle census (#157), rolling
+        # distinct (#156), Gini (#132), FK integrity (#141), key
+        # profiler (#144), ANN MRR eval (#138).
+        "dedup_tf_cosine": llm_queries.dedup_tf_cosine,
+        "text_heavy_hitters": text.text_heavy_hitters,
+        "q_part_triangles": analytics.q_part_triangles,
+        "q_events_rolling_distinct": analytics.q_events_rolling_distinct,
+        "q_customer_gini": analytics.q_customer_gini,
+        "lake_integrity": cdc_queries.lake_integrity_report,
+        "lake_key_profile": cdc_queries.lake_key_profile,
+        "eval_ann_mrr": corpus_ml.eval_ann_mrr,
+        # ROUND-13 ROTATION PLAN: demote the eight round-12 debuts above
+        # once CORRECTNESS_r12 is green and debut the next
+        # never-driver-gated block (q_events_peak_concurrency,
+        # q_orders_mom_growth, dedup_bag_of_words,
+        # q_orders_histogram_eqdepth, q_orders_drift_tvd, emb_covariance,
+        # q_events_session_paths, q_orders_percentile), keeping every
+        # oracled query driver-gated at least once per two-to-three
+        # rounds.
         "q_events_filter_scan": analytics.q_events_filter_scan,
-        "q_events_moving_avg": analytics.q_events_moving_avg,
-        "q_events_pivot": analytics.q_events_pivot,
-        "q_orders_set_ops": analytics.q_orders_set_ops,
         "text_bigrams": text.text_bigrams,
     }
 
@@ -255,35 +255,38 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_quality_filter": text.corpus_quality_filter,
         "q_events_attribution_linear": analytics.q_events_attribution_linear,
         # round-11 additions (SURVEY §2 #132-#137)
-        "q_customer_gini": analytics.q_customer_gini,
         "q_events_conversion_latency": analytics.q_events_conversion_latency,
         "q_events_wilson": analytics.q_events_wilson,
         "corpus_vocab_overlap": corpus_ml.corpus_vocab_overlap,
         "corpus_fertility": corpus_ml.corpus_fertility,
         "dedup_cluster_sizes": llm_queries.dedup_cluster_sizes,
-        "eval_ann_mrr": corpus_ml.eval_ann_mrr,
         # round-11 additions (SURVEY §2 #140-#143)
         "emb_covariance": corpus_ml.emb_covariance,
-        "lake_integrity": cdc_queries.lake_integrity_report,
         "q_events_session_paths": analytics.q_events_session_paths,
         "q_orders_histogram": analytics.q_orders_histogram,
         # round-11 additions (SURVEY §2 #144-#146)
-        "lake_key_profile": cdc_queries.lake_key_profile,
         "q_orders_percentile": analytics.q_orders_percentile,
         "q_orders_mad_outliers": analytics.q_orders_mad_outliers,
         "q_events_funnel_windowed": analytics.q_events_funnel_windowed,
         # round-11 additions (SURVEY §2 #148-#157)
         "q_events_peak_concurrency": analytics.q_events_peak_concurrency,
         "q_orders_mom_growth": analytics.q_orders_mom_growth,
-        "dedup_tf_cosine": llm_queries.dedup_tf_cosine,
-        "text_heavy_hitters": text.text_heavy_hitters,
         "dedup_bag_of_words": llm_queries.dedup_bag_of_words,
         "q_orders_histogram_eqdepth": analytics.q_orders_histogram_eqdepth,
         "q_orders_drift_tvd": analytics.q_orders_drift_tvd,
-        "q_events_rolling_distinct": analytics.q_events_rolling_distinct,
-        "q_part_triangles": analytics.q_part_triangles,
         # rows-only (shuffle-order double sums; numpy-pinned in pytest)
         "q_part_pagerank": analytics.q_part_pagerank,
+        # rotated out of the driver gate after hash-matching in round 11
+        # (SURVEY §2 #102, #104, #105, #111 + four long-gated plan-shape
+        # variants); pytest-oracled here every round
+        "q_events_skew_report": analytics.q_events_skew_report,
+        "q_part_fuzzy_match": llm_queries.q_part_fuzzy_match,
+        "eval_langid_report": llm_queries.eval_langid_report,
+        "corpus_collocations": corpus_ml.corpus_collocations,
+        "q_events_sliding": analytics.q_events_sliding,
+        "q_events_moving_avg": analytics.q_events_moving_avg,
+        "q_events_pivot": analytics.q_events_pivot,
+        "q_orders_set_ops": analytics.q_orders_set_ops,
     }
 
 
@@ -309,11 +312,16 @@ def oracle_sql() -> dict[str, str]:
         "q_events_range_join": analytics.Q_EVENTS_RANGE_JOIN_SQL,
         "q17_small_quantity_revenue": analytics.Q17_SQL,
         "q18_large_volume_customers": analytics.Q18_SQL,
-        "q_events_sliding": analytics.Q_EVENTS_SLIDING_SQL,
+        # round-12 debuts (never driver-gated before this round)
+        "dedup_tf_cosine": llm_queries.DEDUP_TF_COSINE_SQL,
+        "text_heavy_hitters": text.TEXT_HEAVY_HITTERS_SQL,
+        "q_part_triangles": analytics.Q_PART_TRIANGLES_SQL,
+        "q_events_rolling_distinct": analytics.Q_EVENTS_ROLLING_DISTINCT_SQL,
+        "q_customer_gini": analytics.Q_CUSTOMER_GINI_SQL,
+        "lake_integrity": cdc_queries.LAKE_INTEGRITY_REPORT_SQL,
+        "lake_key_profile": cdc_queries.LAKE_KEY_PROFILE_SQL,
+        "eval_ann_mrr": corpus_ml.EVAL_ANN_MRR_SQL,
         "q_events_filter_scan": analytics.Q_EVENTS_FILTER_SCAN_SQL,
-        "q_events_moving_avg": analytics.Q_EVENTS_MOVING_AVG_SQL,
-        "q_events_pivot": analytics.Q_EVENTS_PIVOT_SQL,
-        "q_orders_set_ops": analytics.Q_ORDERS_SET_OPS_SQL,
         "text_bigrams": text.TEXT_BIGRAMS_SQL,
         "text_word_topk": text.TEXT_WORD_TOPK_SQL,
         "text_tokens": text.TEXT_TOKENS_SQL,
@@ -335,10 +343,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_batch_topk": llm_queries.ANN_BATCH_TOPK_SQL,
         "emb_label_centroids": llm_queries.EMB_LABEL_CENTROIDS_SQL,
         "pipeline_curate_corpus": llm_queries.PIPELINE_CURATE_CORPUS_SQL,
-        "q_events_skew_report": analytics.Q_EVENTS_SKEW_REPORT_SQL,
-        "q_part_fuzzy_match": llm_queries.Q_PART_FUZZY_MATCH_SQL,
-        "eval_langid_report": llm_queries.EVAL_LANGID_REPORT_SQL,
-        "corpus_collocations": corpus_ml.CORPUS_COLLOCATIONS_SQL,
     }
 
 
@@ -416,31 +420,32 @@ def secondary_oracle_sql() -> dict[str, str]:
         "corpus_quality_filter": text.CORPUS_QUALITY_FILTER_SQL,
         "q_events_attribution_linear": analytics.Q_EVENTS_ATTRIBUTION_LINEAR_SQL,
         # round-11 additions (SURVEY §2 #132-#137)
-        "q_customer_gini": analytics.Q_CUSTOMER_GINI_SQL,
         "q_events_conversion_latency": analytics.Q_EVENTS_CONVERSION_LATENCY_SQL,
         "q_events_wilson": analytics.Q_EVENTS_WILSON_SQL,
         "corpus_vocab_overlap": corpus_ml.CORPUS_VOCAB_OVERLAP_SQL,
         "corpus_fertility": corpus_ml.CORPUS_FERTILITY_SQL,
         "dedup_cluster_sizes": llm_queries.DEDUP_CLUSTER_SIZES_SQL,
-        "eval_ann_mrr": corpus_ml.EVAL_ANN_MRR_SQL,
         # round-11 additions (SURVEY §2 #140-#143)
         "emb_covariance": corpus_ml.EMB_COVARIANCE_SQL,
-        "lake_integrity": cdc_queries.LAKE_INTEGRITY_REPORT_SQL,
         "q_events_session_paths": analytics.Q_EVENTS_SESSION_PATHS_SQL,
         "q_orders_histogram": analytics.Q_ORDERS_HISTOGRAM_SQL,
         # round-11 additions (SURVEY §2 #144-#146)
-        "lake_key_profile": cdc_queries.LAKE_KEY_PROFILE_SQL,
         "q_orders_percentile": analytics.Q_ORDERS_PERCENTILE_SQL,
         "q_orders_mad_outliers": analytics.Q_ORDERS_MAD_OUTLIERS_SQL,
         "q_events_funnel_windowed": analytics.Q_EVENTS_FUNNEL_WINDOWED_SQL,
         # round-11 additions (SURVEY §2 #148-#157)
         "q_events_peak_concurrency": analytics.Q_EVENTS_PEAK_CONCURRENCY_SQL,
         "q_orders_mom_growth": analytics.Q_ORDERS_MOM_GROWTH_SQL,
-        "dedup_tf_cosine": llm_queries.DEDUP_TF_COSINE_SQL,
-        "text_heavy_hitters": text.TEXT_HEAVY_HITTERS_SQL,
         "dedup_bag_of_words": llm_queries.DEDUP_BAG_OF_WORDS_SQL,
         "q_orders_histogram_eqdepth": analytics.Q_ORDERS_HISTOGRAM_EQDEPTH_SQL,
         "q_orders_drift_tvd": analytics.Q_ORDERS_DRIFT_TVD_SQL,
-        "q_events_rolling_distinct": analytics.Q_EVENTS_ROLLING_DISTINCT_SQL,
-        "q_part_triangles": analytics.Q_PART_TRIANGLES_SQL,
+        # rotated out of the driver gate after hash-matching in round 11
+        "q_events_skew_report": analytics.Q_EVENTS_SKEW_REPORT_SQL,
+        "q_part_fuzzy_match": llm_queries.Q_PART_FUZZY_MATCH_SQL,
+        "eval_langid_report": llm_queries.EVAL_LANGID_REPORT_SQL,
+        "corpus_collocations": corpus_ml.CORPUS_COLLOCATIONS_SQL,
+        "q_events_sliding": analytics.Q_EVENTS_SLIDING_SQL,
+        "q_events_moving_avg": analytics.Q_EVENTS_MOVING_AVG_SQL,
+        "q_events_pivot": analytics.Q_EVENTS_PIVOT_SQL,
+        "q_orders_set_ops": analytics.Q_ORDERS_SET_OPS_SQL,
     }
