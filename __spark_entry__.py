@@ -287,6 +287,14 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_moving_avg": analytics.q_events_moving_avg,
         "q_events_pivot": analytics.q_events_pivot,
         "q_orders_set_ops": analytics.q_orders_set_ops,
+        # round-12 additions (SURVEY §2 #159-#165)
+        "q_events_daily_anomaly": analytics.q_events_daily_anomaly,
+        "q_part_neighbors": analytics.q_part_neighbors,
+        "q_events_trigrams": analytics.q_events_trigrams,
+        "eval_auc_length": corpus_ml.eval_auc_length,
+        "corpus_burstiness": corpus_ml.corpus_burstiness,
+        "eval_lang_kappa": llm_queries.eval_lang_kappa,
+        "dedup_unicode": llm_queries.dedup_unicode,
     }
 
 
@@ -448,4 +456,12 @@ def secondary_oracle_sql() -> dict[str, str]:
         "q_events_moving_avg": analytics.Q_EVENTS_MOVING_AVG_SQL,
         "q_events_pivot": analytics.Q_EVENTS_PIVOT_SQL,
         "q_orders_set_ops": analytics.Q_ORDERS_SET_OPS_SQL,
+        # round-12 additions (SURVEY §2 #159-#165)
+        "q_events_daily_anomaly": analytics.Q_EVENTS_DAILY_ANOMALY_SQL,
+        "q_part_neighbors": analytics.Q_PART_NEIGHBORS_SQL,
+        "q_events_trigrams": analytics.Q_EVENTS_TRIGRAMS_SQL,
+        "eval_auc_length": corpus_ml.EVAL_AUC_LENGTH_SQL,
+        "corpus_burstiness": corpus_ml.CORPUS_BURSTINESS_SQL,
+        "eval_lang_kappa": llm_queries.EVAL_LANG_KAPPA_SQL,
+        "dedup_unicode": llm_queries.DEDUP_UNICODE_SQL,
     }

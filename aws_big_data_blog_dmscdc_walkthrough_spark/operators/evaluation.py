@@ -86,3 +86,54 @@ def classification_report(
         / (F.col("precision") + F.col("recall")),
     )
     return out.withColumn("f1", f1)
+
+
+def cohen_kappa(df: DataFrame, pred_col: str, gold_col: str) -> DataFrame:
+    """Chance-corrected agreement between two label columns (#164).
+
+    Cohen's kappa (Cohen 1960, public formula): observed agreement
+    corrected by the agreement two independent raters with the same
+    marginals would reach by chance. Computed entirely from the
+    |labels|²-cardinality confusion aggregation — the same one-shuffle
+    shape as :func:`classification_report` — then rearranged so every
+    division input is an exact integer:
+
+        kappa = (n·Σ_tp − Σ_l row_l·col_l) / (n² − Σ_l row_l·col_l)
+
+    (multiply po = Σtp/n and pe = Σ row·col / n² through by n²). One
+    exactly-rounded division per output value — engine-identical.
+    Returns one row: n, n_agree, po, pe, kappa. Degenerate case pe = 1
+    (both raters constant, same label) reports NULL kappa — undefined,
+    not zero.
+    """
+    cm = (
+        df.groupBy(
+            F.col(pred_col).alias("_p"), F.col(gold_col).alias("_g")
+        ).agg(F.count(F.lit(1)).alias("_m"))
+    )
+    rows = cm.groupBy("_p").agg(F.sum("_m").alias("_r"))
+    cols = cm.groupBy("_g").agg(F.sum("_m").alias("_c"))
+    cross = (
+        rows.join(cols, rows["_p"] == cols["_g"])
+        .agg(F.coalesce(F.sum(F.col("_r") * F.col("_c")), F.lit(0)).alias("_rc"))
+    )
+    base = cm.agg(
+        F.sum("_m").alias("_n"),
+        F.coalesce(
+            F.sum(F.when(F.col("_p") == F.col("_g"), F.col("_m"))), F.lit(0)
+        ).alias("_agree"),
+    )
+    return base.crossJoin(F.broadcast(cross)).select(
+        F.col("_n").cast("bigint").alias("n"),
+        F.col("_agree").cast("bigint").alias("n_agree"),
+        (F.col("_agree").cast("double") / F.col("_n").cast("double")).alias("po"),
+        (
+            F.col("_rc").cast("double")
+            / (F.col("_n") * F.col("_n")).cast("double")
+        ).alias("pe"),
+        F.when(
+            F.col("_n") * F.col("_n") != F.col("_rc"),
+            (F.col("_n") * F.col("_agree") - F.col("_rc")).cast("double")
+            / (F.col("_n") * F.col("_n") - F.col("_rc")).cast("double"),
+        ).alias("kappa"),
+    )

@@ -1605,3 +1605,31 @@ FROM tok, tot
 GROUP BY word, tot.n
 HAVING COUNT(*) * {HEAVY_HITTER_K} > tot.n
 """
+
+
+# ------------------- Unicode-NFC canonical form (#165's key)
+
+
+def nfc_canonical(col) -> "F.Column":
+    """Unicode-NFC-normalized, whitespace-collapsed canonical text.
+
+    The dedup key that catches composed-vs-decomposed duplicates
+    ('café' as U+00E9 vs 'cafe'+U+0301 — byte-different, render-
+    identical), the duplicate class every byte-level signature (#19,
+    #29) misses by construction. Normalization has no JVM builtin, so
+    it runs as an Arrow-batched pandas UDF (stdlib ``unicodedata``,
+    Unicode-standard NFC — DuckDB's ``nfc_normalize`` implements the
+    same public algorithm, which is what makes the oracle exact);
+    whitespace collapse is JVM-side regexp_replace. Batch-vectorized,
+    never per-row Python.
+    """
+
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return F.trim(F.regexp_replace(_nfc(col), r"\s+", " "))

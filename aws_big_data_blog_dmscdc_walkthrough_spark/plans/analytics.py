@@ -2876,3 +2876,259 @@ SELECT n_nodes, n_edges, n_wedges, n_triangles,
   3 * n_triangles AS closure_num
 FROM nn, ne, tri
 """
+
+
+# ------------------- trailing z-score daily anomaly detector (#159)
+
+ANOMALY_TRAIL_DAYS = 14  # trailing baseline window (calendar days)
+ANOMALY_MIN_BASELINE = 7  # need at least this many prior observed days
+ANOMALY_Z = 2.0  # |z| above this flags the day
+
+
+def q_events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score anomaly days per event type (#159).
+
+    The time-series complement of #108's per-user outliers: for each
+    (event_type, day), the daily event count is scored against the
+    TRAILING ``ANOMALY_TRAIL_DAYS`` calendar days (RANGE frame on the
+    integer day number, so missing days shrink the baseline instead of
+    silently stretching it) and flagged when |z| > ``ANOMALY_Z``.
+
+    Engine-exact float discipline (the #134 Wilson recipe): the z-score
+    is algebraically rearranged so every input to the one division and
+    one sqrt is an INTEGER aggregate —
+
+        z = (m·x − s) / sqrt(m·q − s²)
+
+    with m = baseline day count, s = Σ counts, q = Σ counts² over the
+    window (population variance scaled by m²). Integer window sums are
+    order-independent, sqrt and the final division are exactly rounded
+    — both engines produce bit-identical doubles. Zero-variance
+    baselines are excluded (a constant baseline makes z undefined).
+
+    Scale: one row-keyed aggregation to days, then windows over the
+    tiny (type, day) frame — nothing row-scale is ever sorted.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "_dayno"
+        ),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    trail = (
+        Window.partitionBy("event_type")
+        .orderBy("_dayno")
+        .rangeBetween(-ANOMALY_TRAIL_DAYS, -1)
+    )
+    scored = (
+        daily.withColumn("_m", F.count(F.lit(1)).over(trail))
+        .withColumn("_s", F.sum("n").over(trail))
+        .withColumn("_q", F.sum(F.col("n") * F.col("n")).over(trail))
+        .withColumn("_var_num", F.col("_m") * F.col("_q") - F.col("_s") * F.col("_s"))
+        .where(
+            (F.col("_m") >= ANOMALY_MIN_BASELINE) & (F.col("_var_num") > 0)
+        )
+        .withColumn(
+            "z",
+            (F.col("_m") * F.col("n") - F.col("_s")).cast("double")
+            / F.sqrt(F.col("_var_num").cast("double")),
+        )
+        .where(F.abs(F.col("z")) > ANOMALY_Z)
+    )
+    return scored.select(
+        "event_type",
+        F.timestamp_seconds(F.col("_dayno") * 86_400).alias("day"),
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("_m").cast("bigint").alias("baseline_days"),
+        "z",
+    )
+
+
+Q_EVENTS_DAILY_ANOMALY_SQL = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS dayno,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, dayno, n,
+    COUNT(*) OVER w AS m,
+    SUM(n) OVER w AS s,
+    SUM(n * n) OVER w AS q
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY dayno
+               RANGE BETWEEN {ANOMALY_TRAIL_DAYS} PRECEDING
+                         AND 1 PRECEDING)
+)
+SELECT event_type, epoch_ms(dayno * 86400000) AS day,
+  n AS n_events, CAST(m AS BIGINT) AS baseline_days,
+  CAST(m * n - s AS DOUBLE) / sqrt(CAST(m * q - s * s AS DOUBLE)) AS z
+FROM scored
+WHERE m >= {ANOMALY_MIN_BASELINE} AND m * q - s * s > 0
+  AND abs(CAST(m * n - s AS DOUBLE) / sqrt(CAST(m * q - s * s AS DOUBLE)))
+      > {ANOMALY_Z}
+"""
+
+
+# ---------------- item-item co-purchase cosine neighbors (#160)
+
+NEIGHBOR_TOP_K = 5
+
+
+def q_part_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k co-purchase cosine neighbors per part (#160).
+
+    Item-item collaborative filtering over the same basket pairs as
+    #120/#155/#157, scored by cosine over basket-membership vectors:
+    cos(a,b) = c_ab / sqrt(c_a·c_b) with c_a = baskets containing a and
+    c_ab = baskets containing both — sqrt over exact integer counts, so
+    the score is engine-identical (one exactly-rounded divide + sqrt).
+    Where #120's lift ranks PAIRS globally, this emits each part's
+    k nearest neighbors (row_number over cosine DESC, neighbor ASC) —
+    the per-anchor similar-items readout a recommender actually serves.
+
+    Scale: the canonical pair frame is the shared per-basket-quadratic
+    builder (min-support pruned); marginals join back by part key; the
+    per-part top-k is one window over pair rows keyed by anchor.
+    """
+    canon = _copurchase_edges(spark, sf_dir, TRIANGLE_MIN_BASKETS)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    marg = li.groupBy(F.col("l_partkey").alias("_p")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    pairs = canon.unionByName(
+        canon.select(F.col("_pb").alias("_pa"), F.col("_pa").alias("_pb"), "_w")
+    )
+    scored = (
+        pairs.join(marg.select(F.col("_p").alias("_pa"), F.col("_c").alias("_ca")), "_pa")
+        .join(marg.select(F.col("_p").alias("_pb"), F.col("_c").alias("_cb")), "_pb")
+        .withColumn(
+            "cosine",
+            F.col("_w").cast("double")
+            / F.sqrt(F.col("_ca").cast("double") * F.col("_cb").cast("double")),
+        )
+    )
+    w = Window.partitionBy("_pa").orderBy(F.col("cosine").desc(), F.col("_pb").asc())
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= NEIGHBOR_TOP_K)
+        .select(
+            F.col("_pa").alias("p_partkey"),
+            F.col("_pb").alias("neighbor_partkey"),
+            F.col("_w").cast("bigint").alias("n_baskets"),
+            "cosine",
+            F.col("_rk").cast("int").alias("rank"),
+        )
+    )
+
+
+Q_PART_NEIGHBORS_SQL = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), canon AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS w
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {TRIANGLE_MIN_BASKETS}
+), pairs AS (
+  SELECT pa, pb, w FROM canon UNION ALL SELECT pb, pa, w FROM canon
+), marg AS (
+  SELECT l_partkey AS p, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY 1
+), scored AS (
+  SELECT pa, pb, w,
+    CAST(w AS DOUBLE) / sqrt(CAST(ma.c AS DOUBLE) * CAST(mb.c AS DOUBLE)) AS cosine
+  FROM pairs JOIN marg ma ON pairs.pa = ma.p JOIN marg mb ON pairs.pb = mb.p
+), ranked AS (
+  SELECT pa, pb, w, cosine,
+    row_number() OVER (PARTITION BY pa ORDER BY cosine DESC, pb ASC) AS rk
+  FROM scored
+)
+SELECT pa AS p_partkey, pb AS neighbor_partkey, w AS n_baskets, cosine,
+  CAST(rk AS INT) AS rank
+FROM ranked WHERE rk <= {NEIGHBOR_TOP_K}
+"""
+
+
+# -------------------- top session path trigrams (#161)
+
+TRIGRAM_TOP_K = 20
+
+
+def q_events_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 3-step event-type paths within sessions (#161).
+
+    The n-gram generalization of #116's pairwise transition matrix and
+    #142's opening paths: every run of three CONSECUTIVE events inside
+    one session (the #17 gap definition) counts as a path occurrence,
+    wherever it sits in the session — the behavioral motifs funnel
+    definitions are built from. Two LEADs over the session-ordered
+    window build the triple; rows where either lead crosses a session
+    boundary drop. Top-k by count with full lexicographic tie-break —
+    deterministic, integer counts, engine-exact.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
+    new_session = F.when(
+        epoch - F.lag(epoch).over(by_user) > CONCURRENCY_GAP_S * 1_000_000,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = ev.withColumn("_us", epoch).withColumn(
+        "_sid", F.sum(new_session).over(run)
+    )
+    by_sess = Window.partitionBy("user_id", "_sid").orderBy("_us", "event_id")
+    tri = (
+        sessions.withColumn("_e2", F.lead("event_type", 1).over(by_sess))
+        .withColumn("_e3", F.lead("event_type", 2).over(by_sess))
+        .where(F.col("_e2").isNotNull() & F.col("_e3").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("step1"),
+            F.col("_e2").alias("step2"),
+            F.col("_e3").alias("step3"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(
+        F.col("n").desc(), F.col("step1").asc(), F.col("step2").asc(), F.col("step3").asc()
+    )
+    return (
+        tri.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= TRIGRAM_TOP_K)
+        .select("step1", "step2", "step3", "n", F.col("_rk").cast("int").alias("rank"))
+    )
+
+
+Q_EVENTS_TRIGRAMS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+      OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      > {CONCURRENCY_GAP_S * 1_000_000} THEN 1 ELSE 0 END AS _new
+  FROM events
+), sess AS (
+  SELECT user_id, us, event_id, event_type,
+    SUM(_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), tri AS (
+  SELECT event_type AS step1,
+    LEAD(event_type, 1) OVER w AS step2,
+    LEAD(event_type, 2) OVER w AS step3
+  FROM sess
+  WINDOW w AS (PARTITION BY user_id, sid ORDER BY us, event_id)
+), counted AS (
+  SELECT step1, step2, step3, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tri WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+  GROUP BY 1, 2, 3
+)
+SELECT step1, step2, step3, n, CAST(rk AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY n DESC, step1, step2, step3) AS rk
+  FROM counted
+) WHERE rk <= {TRIGRAM_TOP_K}
+"""

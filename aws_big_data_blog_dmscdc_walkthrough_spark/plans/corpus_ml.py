@@ -1082,3 +1082,185 @@ def _cov_sql() -> str:
 
 
 EMB_COVARIANCE_SQL = _cov_sql()
+
+
+# --------------------------- ROC AUC, rank-sum, integer-exact (#162)
+
+
+def eval_auc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ROC AUC of token count as a one-feature classifier
+    (#162): how separable is each source from the rest of the corpus on
+    document length alone?
+
+    The standard separability readout before any feature ships into a
+    quality/mixture model — an AUC near 0.5 says length carries no
+    source signal; near 0 or 1 says a length threshold alone
+    reconstructs the source. Computed as the tie-corrected Mann-Whitney
+    U without ever ranking individual documents: scores group by VALUE
+    (the counts-of-counts trick — the score frame is |distinct
+    lengths| x |sources|), one cumulative window orders score values,
+    and
+
+        U2 = Σ_s (2·neg_below(s)·pos(s) + pos(s)·neg(s))
+        AUC = U2 / (2·npos·nneg)
+
+    — every term an integer (ties contribute the exact half credit via
+    the doubled numerator), one exactly-rounded division at the end:
+    engine-identical, never a row-scale sort. Output one row per
+    source: n_pos, n_neg, auc.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    per = docs.select(F.col("source"), toks.alias("_len"))
+    counts = per.groupBy("source", "_len").agg(F.count(F.lit(1)).alias("_m"))
+    srcs = counts.select("source").distinct().select(
+        F.col("source").alias("_target")
+    )
+    # tiny after the first aggregation: |distinct lengths| x |sources|
+    split = (
+        counts.crossJoin(F.broadcast(srcs))
+        .groupBy("_target", "_len")
+        .agg(
+            F.sum(F.when(F.col("source") == F.col("_target"), F.col("_m")).otherwise(F.lit(0))).alias("_p"),
+            F.sum(F.when(F.col("source") != F.col("_target"), F.col("_m")).otherwise(F.lit(0))).alias("_g"),
+        )
+    )
+    below = (
+        Window.partitionBy("_target")
+        .orderBy("_len")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    terms = split.withColumn(
+        "_negb", F.coalesce(F.sum("_g").over(below), F.lit(0))
+    )
+    agg = terms.groupBy("_target").agg(
+        F.sum(
+            F.lit(2) * F.col("_negb") * F.col("_p") + F.col("_p") * F.col("_g")
+        ).alias("_u2"),
+        F.sum("_p").alias("_np"),
+        F.sum("_g").alias("_ng"),
+    )
+    return (
+        agg.where((F.col("_np") > 0) & (F.col("_ng") > 0))
+        .select(
+            F.col("_target").alias("source"),
+            F.col("_np").cast("bigint").alias("n_pos"),
+            F.col("_ng").cast("bigint").alias("n_neg"),
+            (
+                F.col("_u2").cast("double")
+                / (F.lit(2.0) * F.col("_np").cast("double") * F.col("_ng").cast("double"))
+            ).alias("auc"),
+        )
+    )
+
+
+EVAL_AUC_LENGTH_SQL = r"""
+WITH per AS (
+  SELECT source, len(string_split_regex(trim(text), '\s+')) AS l
+  FROM documents
+), counts AS (
+  SELECT source, l, CAST(COUNT(*) AS BIGINT) AS m FROM per GROUP BY 1, 2
+), srcs AS (SELECT DISTINCT source AS target FROM counts),
+split AS (
+  SELECT target, l,
+    CAST(SUM(CASE WHEN source = target THEN m ELSE 0 END) AS BIGINT) AS p,
+    CAST(SUM(CASE WHEN source <> target THEN m ELSE 0 END) AS BIGINT) AS g
+  FROM counts CROSS JOIN srcs GROUP BY 1, 2
+), terms AS (
+  SELECT target, p, g,
+    CAST(COALESCE(SUM(g) OVER (PARTITION BY target ORDER BY l
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS negb
+  FROM split
+), agg AS (
+  SELECT target,
+    CAST(SUM(2 * negb * p + p * g) AS BIGINT) AS u2,
+    CAST(SUM(p) AS BIGINT) AS np, CAST(SUM(g) AS BIGINT) AS ng
+  FROM terms GROUP BY 1
+)
+SELECT target AS source, np AS n_pos, ng AS n_neg,
+  CAST(u2 AS DOUBLE) / (2.0 * CAST(np AS DOUBLE) * CAST(ng AS DOUBLE)) AS auc
+FROM agg WHERE np > 0 AND ng > 0
+"""
+
+
+# ------------------------------ per-term burstiness (VMR) (#163)
+
+BURSTINESS_MIN_DF = 50
+BURSTINESS_TOP_K = 25
+
+
+def corpus_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most bursty corpus terms by variance-to-mean ratio (#163).
+
+    Church/Gale burstiness: a term whose occurrences CLUMP into few
+    documents (names, topics, boilerplate) has per-doc count variance
+    far above its mean; function words sit near the Poisson floor
+    (VMR ~ 1). The per-term statistic over all N docs (zeros included)
+    never materializes zero rows:
+
+        VMR = ((N·Σc² − (Σc)²) / N) / (Σc / N) = (N·Σc² − T²) / (N·T)
+
+    with T = Σc — one exactly-rounded division of two BIGINT products,
+    engine-identical. df ≥ {BURSTINESS_MIN_DF} floors the long tail
+    (a df-1 term is trivially "bursty"); top-k by VMR with term
+    tie-break. One (doc, term) aggregation, one per-term reduce, one
+    |candidates|-row window — row-scale work is the tokenize alone.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    tf = (
+        docs.select(
+            F.col("doc_id"), F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("_t")
+        )
+        .groupBy("doc_id", "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    per_term = tf.groupBy("_t").agg(
+        F.count(F.lit(1)).alias("_df"),
+        F.sum("_c").alias("_tot"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_sq"),
+    )
+    scored = (
+        per_term.where(F.col("_df") >= BURSTINESS_MIN_DF)
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "burstiness",
+            (F.col("_n") * F.col("_sq") - F.col("_tot") * F.col("_tot")).cast("double")
+            / (F.col("_n") * F.col("_tot")).cast("double"),
+        )
+    )
+    w = Window.orderBy(F.col("burstiness").desc(), F.col("_t").asc())
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= BURSTINESS_TOP_K)
+        .select(
+            F.col("_t").alias("term"),
+            F.col("_df").cast("bigint").alias("doc_freq"),
+            F.col("_tot").cast("bigint").alias("total_tf"),
+            "burstiness",
+            F.col("_rk").cast("int").alias("rank"),
+        )
+    )
+
+
+CORPUS_BURSTINESS_SQL = rf"""
+WITH tf AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+    FROM documents
+  ) GROUP BY 1, 2
+), per AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(c) AS BIGINT) AS tot,
+    CAST(SUM(c * c) AS BIGINT) AS sq
+  FROM tf GROUP BY 1
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+scored AS (
+  SELECT t, df, tot,
+    CAST(nd * sq - tot * tot AS DOUBLE) / CAST(nd * tot AS DOUBLE) AS b
+  FROM per, n WHERE df >= {BURSTINESS_MIN_DF}
+)
+SELECT t AS term, df AS doc_freq, tot AS total_tf, b AS burstiness,
+  CAST(rk AS INT) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY b DESC, t ASC) AS rk FROM scored)
+WHERE rk <= {BURSTINESS_TOP_K}
+"""

@@ -1512,3 +1512,83 @@ SELECT doc_id,
   COUNT(*) OVER (PARTITION BY sig) AS group_size
 FROM n
 """
+
+
+# ------------------- chance-corrected langid agreement (#164)
+
+
+def eval_lang_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the langid heuristic (#26) and the gold
+    lang column (#164) — the one-number chance-corrected companion to
+    #105's per-label report. On this corpus it correctly lands near 0
+    (the synthetic gold labels carry no lexical signal; see the #105
+    docstring) — the metric exposing that is the point.
+    """
+    from ..operators import evaluation, text as text_ops
+
+    pred = text_ops.text_langid(spark, sf_dir).select("doc_id", "lang_pred")
+    gold = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return evaluation.cohen_kappa(pred.join(gold, "doc_id"), "lang_pred", "lang")
+
+
+def _eval_lang_kappa_sql() -> str:
+    from ..operators.text import TEXT_LANGID_SQL
+
+    return f"""
+WITH pred AS (SELECT doc_id, lang_pred FROM ({TEXT_LANGID_SQL})),
+pairs AS (
+  SELECT p.lang_pred AS _p, d.lang AS _g FROM pred p
+  JOIN documents d USING (doc_id)
+),
+cm AS (SELECT _p, _g, CAST(COUNT(*) AS BIGINT) AS _m FROM pairs GROUP BY 1, 2),
+rows_m AS (SELECT _p, CAST(SUM(_m) AS BIGINT) AS _r FROM cm GROUP BY 1),
+cols_m AS (SELECT _g, CAST(SUM(_m) AS BIGINT) AS _c FROM cm GROUP BY 1),
+rc AS (
+  SELECT CAST(COALESCE(SUM(_r * _c), 0) AS BIGINT) AS _rc
+  FROM rows_m JOIN cols_m ON rows_m._p = cols_m._g
+),
+base AS (
+  SELECT CAST(SUM(_m) AS BIGINT) AS _n,
+    CAST(COALESCE(SUM(CASE WHEN _p = _g THEN _m END), 0) AS BIGINT) AS _agree
+  FROM cm
+)
+SELECT _n AS n, _agree AS n_agree,
+  CAST(_agree AS DOUBLE) / CAST(_n AS DOUBLE) AS po,
+  CAST(_rc AS DOUBLE) / CAST(_n * _n AS DOUBLE) AS pe,
+  CASE WHEN _n * _n <> _rc THEN
+    CAST(_n * _agree - _rc AS DOUBLE) / CAST(_n * _n - _rc AS DOUBLE)
+  END AS kappa
+FROM base, rc
+"""
+
+
+EVAL_LANG_KAPPA_SQL = _eval_lang_kappa_sql()
+
+
+# ------------------- Unicode-NFC canonical exact dedup (#165)
+
+
+def dedup_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC-canonical exact dedup (#165): composed-vs-decomposed and
+    whitespace-variant duplicates collapse to one canonical id — the
+    same (doc_id, canonical_id, group_size) contract as #19/#152, with
+    the Arrow-batched NFC key from operators/text.nfc_canonical."""
+    from ..operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(
+        docs, "doc_id", "text", key_expr=text_ops.nfc_canonical(F.col("text"))
+    )
+
+
+DEDUP_UNICODE_SQL = r"""
+WITH n AS (
+  SELECT doc_id,
+    trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g')) AS sig
+  FROM documents
+)
+SELECT doc_id,
+  MIN(doc_id) OVER (PARTITION BY sig) AS canonical_id,
+  COUNT(*) OVER (PARTITION BY sig) AS group_size
+FROM n
+"""

@@ -29,3 +29,24 @@ def test_classification_report_unseen_labels(spark):
     assert rep["y"].precision == 0.0 and rep["y"].recall is None
     assert rep["x"].f1 is None and rep["y"].f1 is None
     assert rep["x"].support == 1 and rep["y"].support == 0
+
+
+def test_cohen_kappa_hand_computed(spark):
+    """Textbook 2x2: 20 agree on A, 15 agree on B, 5 A->B, 10 B->A.
+    po = 35/50 = 0.7; row marginals pred A=25, B=25; col A=30, B=20;
+    pe = (25*30 + 25*20)/2500 = 0.5; kappa = 0.4 exactly."""
+    rows = (
+        [("A", "A")] * 20 + [("B", "B")] * 15 + [("B", "A")] * 10 + [("A", "B")] * 5
+    )
+    df = spark.createDataFrame(rows, "pred string, gold string")
+    r = evaluation.cohen_kappa(df, "pred", "gold").collect()[0]
+    assert (r.n, r.n_agree) == (50, 35)
+    assert (r.po, r.pe, r.kappa) == (0.7, 0.5, 0.4)
+
+
+def test_cohen_kappa_degenerate_constant_raters(spark):
+    """Both raters constant and agreeing: pe = 1, kappa undefined (NULL),
+    never 0/0 or a fabricated 1.0."""
+    df = spark.createDataFrame([("A", "A")] * 7, "pred string, gold string")
+    r = evaluation.cohen_kappa(df, "pred", "gold").collect()[0]
+    assert r.po == 1.0 and r.pe == 1.0 and r.kappa is None

@@ -760,3 +760,203 @@ def test_peak_concurrency_no_day_grain_window(spark, monkeypatch, tmp_path):
     assert sweep_specs, "sweep window not found in plan"
     for s in sweep_specs:
         assert "_chunk" in s, f"sweep window partitions a whole day: {s}"
+
+
+def test_daily_anomaly_hand_computed(spark, monkeypatch, tmp_path):
+    """A planted spike after a flat baseline: 14 days at 10/day, then a
+    day at 30. Baseline must not be constant (z undefined), so day 7
+    has 12. m=14, s=142, q=1444: var_num = 14*1444 - 142^2 = 52;
+    z = (14*30 - 142)/sqrt(52)."""
+    import math
+    from datetime import datetime as dt, timedelta
+
+    rows, eid = [], 0
+    for d in range(14):
+        n = 12 if d == 7 else 10
+        for i in range(n):
+            rows.append((eid, dt(2024, 1, 1 + d, 1, i), 1, "view", 0.0))
+            eid += 1
+    for i in range(30):
+        rows.append((eid, dt(2024, 1, 15, 1, i), 1, "view", 0.0))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double",
+    )
+    out = str(tmp_path / "events.parquet")
+    df.write.parquet(out)
+    _route_table(
+        monkeypatch,
+        "aws_big_data_blog_dmscdc_walkthrough_spark.plans.analytics",
+        "events",
+        out,
+    )
+    got = analytics.q_events_daily_anomaly(spark, "ignored").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert str(r.day)[:10] == "2024-01-15" and r.n_events == 30
+    assert r.baseline_days == 14
+    assert r.z == (14 * 30 - 142) / math.sqrt(14 * 1444 - 142 * 142)
+
+
+def test_part_neighbors_hand_computed(spark, monkeypatch, tmp_path):
+    """Three baskets over parts {1,2} x3 — c_1=c_2=3, c_12=3, cosine 1.0
+    — plus part 3 with one shared basket (below min-support, pruned)."""
+    import aws_big_data_blog_dmscdc_walkthrough_spark.plans.analytics as A
+
+    rows = []
+    for o in (1, 2, 3):
+        rows += [(o, 1), (o, 2)]
+    rows += [(3, 3)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = str(tmp_path / "lineitem.parquet")
+    df.write.parquet(out)
+    _route_table(
+        monkeypatch,
+        "aws_big_data_blog_dmscdc_walkthrough_spark.plans.analytics",
+        "lineitem",
+        out,
+    )
+    got = {
+        (r.p_partkey, r.neighbor_partkey): (r.n_baskets, r.cosine, r.rank)
+        for r in A.q_part_neighbors(spark, "ignored").collect()
+    }
+    assert got == {(1, 2): (3, 1.0, 1), (2, 1): (3, 1.0, 1)}
+
+
+def test_event_trigrams_hand_computed(spark, monkeypatch, tmp_path):
+    """One session a-b-c-b-c (trigrams abc, bcb, cbc) plus a gap-split
+    second session whose boundary must NOT produce a cross-session
+    trigram."""
+    from datetime import datetime as dt, timedelta
+
+    base = dt(2024, 1, 1, 0, 0)
+    seq = ["a", "b", "c", "b", "c"]
+    rows = [(i, base + timedelta(minutes=i), 1, t, 0.0) for i, t in enumerate(seq)]
+    # second session, same user, 2 h later: d-e-f
+    b2 = base + timedelta(hours=3)
+    rows += [
+        (10 + i, b2 + timedelta(minutes=i), 1, t, 0.0)
+        for i, t in enumerate(["d", "e", "f"])
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double",
+    )
+    out = str(tmp_path / "events.parquet")
+    df.write.parquet(out)
+    _route_table(
+        monkeypatch,
+        "aws_big_data_blog_dmscdc_walkthrough_spark.plans.analytics",
+        "events",
+        out,
+    )
+    got = {
+        (r.step1, r.step2, r.step3): r.n
+        for r in analytics.q_events_trigrams(spark, "ignored").collect()
+    }
+    assert got == {
+        ("a", "b", "c"): 1,
+        ("b", "c", "b"): 1,
+        ("c", "b", "c"): 1,
+        ("d", "e", "f"): 1,
+    }
+
+
+def test_auc_length_perfect_and_chance(spark, monkeypatch, tmp_path):
+    """src_long's docs are all strictly longer than everything else ->
+    AUC 1.0; src_tie's lengths are identical to the others' -> the
+    tie-corrected U gives exactly 0.5."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import corpus_ml
+
+    rows = []
+    did = 0
+    for _ in range(4):  # 3-token docs in two sources
+        rows.append((did, "a b c", "en", "src_tie", 5)); did += 1
+        rows.append((did, "x y z", "en", "src_other", 5)); did += 1
+    for _ in range(3):  # strictly longer docs, one source
+        rows.append((did, "w w w w w w w", "en", "src_long", 13)); did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    out = str(tmp_path / "documents.parquet")
+    df.write.parquet(out)
+    _route_table(
+        monkeypatch,
+        "aws_big_data_blog_dmscdc_walkthrough_spark.plans.corpus_ml",
+        "documents",
+        out,
+    )
+    got = {
+        r.source: (r.n_pos, r.n_neg, r.auc)
+        for r in corpus_ml.eval_auc_length(spark, "ignored").collect()
+    }
+    assert got["src_long"] == (3, 8, 1.0)
+    # src_tie: 4 pos vs 8 neg — 4 neg share its length (half credit),
+    # 3 neg strictly above, 0 strictly below... compute: U2 = sum over
+    # its one score value: 2*negb*p + p*g with negb=0? src_tie len 3,
+    # others: 4 docs len 3, 3 docs len 7. negb(3)=0, p=4, g at 3 = 4;
+    # at 7: p=0. U2 = 4*4 = 16; npos*nneg*2 = 4*7*2 = 56. AUC = 16/56.
+    assert got["src_tie"] == (4, 7, 16 / 56)
+
+
+def test_burstiness_hand_computed(spark, monkeypatch, tmp_path):
+    """'hot' appears 4x in one doc of four (clumped): VMR =
+    (4*16-16)/(4*4) = 3.0. 'flat' once per doc: VMR = (4*4-16)/(4*4)
+    = 0.0 (sub-Poisson, evenly spread)."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import corpus_ml
+
+    monkeypatch.setattr(corpus_ml, "BURSTINESS_MIN_DF", 1)
+    rows = [
+        (0, "hot hot hot hot flat", "en", "s", 1),
+        (1, "flat", "en", "s", 1),
+        (2, "flat", "en", "s", 1),
+        (3, "flat", "en", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    out = str(tmp_path / "documents.parquet")
+    df.write.parquet(out)
+    _route_table(
+        monkeypatch,
+        "aws_big_data_blog_dmscdc_walkthrough_spark.plans.corpus_ml",
+        "documents",
+        out,
+    )
+    got = {
+        r.term: (r.doc_freq, r.total_tf, r.burstiness)
+        for r in corpus_ml.corpus_burstiness(spark, "ignored").collect()
+    }
+    assert got == {"hot": (1, 4, 3.0), "flat": (4, 4, 0.0)}
+
+
+def test_dedup_unicode_composed_decomposed(spark, monkeypatch, tmp_path):
+    """NFC collapses composed U+00E9 with decomposed e+U+0301, and the
+    whitespace collapse folds run-of-spaces variants; a genuinely
+    different doc stays its own group."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import llm_queries
+
+    composed = "café au lait"
+    decomposed = "café au   lait"
+    rows = [
+        (0, composed, "fr", "s", 12),
+        (1, decomposed, "fr", "s", 14),
+        (2, "espresso", "it", "s", 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    out = str(tmp_path / "documents.parquet")
+    df.write.parquet(out)
+    _route_table(
+        monkeypatch,
+        "aws_big_data_blog_dmscdc_walkthrough_spark.plans.llm_queries",
+        "documents",
+        out,
+    )
+    got = {
+        r.doc_id: (r.canonical_id, r.group_size)
+        for r in llm_queries.dedup_unicode(spark, "ignored").collect()
+    }
+    assert got == {0: (0, 2), 1: (0, 2), 2: (2, 1)}
