@@ -78,20 +78,28 @@ AUDITED = [
     ("q_events_session_paths", "two user-keyed windows; path-vocab count + bounded topk"),
     ("q_orders_histogram", "broadcast min/max anchor; <=bins-row count"),
     # round-11 additions (#144-#152)
-    ("lake_key_profile", "per-key frequency agg; element-pick p99, no global ntile"),
+    ("lake_key_profile", "counts-of-counts p99: nothing key-scale sorted on one task (r12)"),
     ("q_orders_percentile", "segment-partitioned rank window; no self-join"),
     ("q_orders_mad_outliers", "two grouped exact medians + broadcast-anchored count"),
     ("q_events_funnel_windowed", "per-step user aggs + bounded user joins; no window over events"),
-    ("q_events_peak_concurrency", "day-partitioned sweep window; no global timeline sort"),
+    ("q_events_peak_concurrency", "two-level sweep: (day,chunk) windows + broadcast offsets (r12)"),
     ("q_orders_mom_growth", "window AFTER agg: |months|-row single-partition sort only"),
-    ("dedup_tf_cosine", "prefix-filtered index join; exact re-score pair-keyed"),
-    ("text_heavy_hitters", "one Arrow screen; recount gated by broadcast semi-join"),
+    ("dedup_tf_cosine", "prefix joins prefix + PPJoin+ suffix bound (r12); exact re-score pair-keyed"),
+    ("text_heavy_hitters", "one Arrow screen carrying the total (r12: 2 scans); broadcast-gated recount"),
     ("dedup_bag_of_words", "one hash-partition shuffle on the sorted-multiset key"),
     # round-11 additions (#153-#157)
     ("q_orders_histogram_eqdepth", "decile boundaries broadcast; <=buckets-row agg"),
     ("q_orders_drift_tvd", "one scan, |dims x cats| agg; integer TVD numerator"),
     ("q_events_rolling_distinct", "bounded 7x explode; one grouped exact distinct"),
     ("q_part_triangles", "degree-ordered wedges; one closing semi-join"),
+    # round-12 additions (#159-#165)
+    ("q_events_daily_anomaly", "row-keyed day agg; RANGE windows over tiny (type,day) frame"),
+    ("q_part_neighbors", "shared min-support pair frame; marginals by key; per-anchor topk window"),
+    ("q_events_trigrams", "session windows + two LEADs; vocab-cubed count, bounded topk"),
+    ("eval_auc_length", "counts-of-counts U: length spine broadcast; linear in sources"),
+    ("corpus_burstiness", "(doc,term) agg -> per-term reduce; scalar doc count broadcast"),
+    ("eval_lang_kappa", "|labels|^2 confusion agg; everything after is label-scale"),
+    ("dedup_unicode", "one Arrow NFC pass; one hash-partition shuffle on the canonical key"),
     # q_part_pagerank is NOT audited here: the returned frame's static
     # plan re-displays all five persisted rounds multiplied (~28k
     # phantom exchange nodes for what executes as one node-keyed

@@ -219,3 +219,64 @@ def test_skew_report_flags_hot_key(spark):
     assert abs(rep[0].skew_x - 90 * 11 / 100) < 1e-12
     assert rep[0].salt_rec == 10  # ceil(90*11/100)
     assert rep[1].n_rows == 1  # everything else is a singleton
+
+
+# ------------------------------------ stateful streaming TTL dedup (#166)
+
+
+def test_streaming_dedup_ttl_first_suppress_expire(spark, tmp_path):
+    """First sighting emits immediately; in-TTL re-sightings suppress
+    and count; the expiry summary carries the total duplicates; a
+    post-expiry re-arrival of the same key starts a fresh 'first'."""
+    import time
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.streaming import (
+        dedup_stream as ds,
+    )
+
+    src, ckpt = str(tmp_path / "dsrc"), str(tmp_path / "dck")
+    # key A: original at 1:00, dup in the same batch at 1:05.
+    # key B: one sighting.   (event_type doubles as the dedup key)
+    _write_events(
+        spark,
+        [
+            (_t(1, 0), "A", 1.0, 1),
+            (_t(1, 5), "A", 1.0, 2),
+            (_t(1, 10), "B", 1.0, 3),
+        ],
+        src,
+        "a",
+    )
+    time.sleep(1.1)
+    # batch 2: another A dup inside the TTL (1h from last sighting 1:05)
+    _write_events(spark, [(_t(1, 40), "A", 1.0, 4)], src, "b")
+    time.sleep(1.1)
+    # watermark pushers: past A/B TTL (+2h watermark), expiring both,
+    # then A re-arrives -> a NEW 'first'
+    _write_events(spark, [(_t(10, 0), "wm1", 0.0, 90)], src, "c")
+    time.sleep(1.1)
+    _write_events(spark, [(_t(11, 0), "A", 1.0, 5), (_t(20, 0), "wm2", 0.0, 91)], src, "d")
+    time.sleep(1.1)
+    _write_events(
+        spark,
+        [(dt.datetime(2024, 1, 2, 6, 0), "wm3", 0.0, 92)],
+        src,
+        "e",
+    )
+
+    stream = sw.stream_events(spark, src, EVENT_SCHEMA, max_files_per_trigger=1)
+    out = ds.dedup_stream(stream, key_col="event_type", ts_col="ts")
+    q = sw.run_to_sink(out, ckpt, "dedup_sink", output_mode="append")
+    q.awaitTermination(240)
+    rows = sorted(
+        (r.key, r.row_type, r.first_ts.hour, r.first_ts.minute, r.n_dups)
+        for r in spark.sql(
+            "select * from dedup_sink where key in ('A','B')"
+        ).collect()
+    )
+    assert ("A", "first", 1, 0, 0) in rows          # immediate survivor
+    assert ("A", "expired", 1, 0, 2) in rows        # 2 dups suppressed
+    assert ("A", "first", 11, 0, 0) in rows         # fresh key after TTL
+    assert ("B", "first", 1, 10, 0) in rows
+    b_exp = [r for r in rows if r[0] == "B" and r[1] == "expired"]
+    assert b_exp and b_exp[0][4] == 0               # B saw no dups
