@@ -115,9 +115,18 @@ def _fold_dedup(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
         else:
             cur = (cur[0], max(cur[1], t), cur[2] + 1)
 
-    state.update(cur)
-    # sliding TTL: the key forgets only after going quiet for a full TTL
-    state.setTimeoutTimestamp(cur[1] // 1000 + DEDUP_TTL_SECONDS * 1000)
+    # sliding TTL: the key forgets only after going quiet for a full TTL.
+    # A deadline already behind the watermark is illegal to register
+    # (INVALID_TIMEOUT_TIMESTAMP) and means the incarnation expired while
+    # its rows were still in flight — close it NOW instead of storing it.
+    deadline_ms = cur[1] // 1000 + DEDUP_TTL_SECONDS * 1000
+    if deadline_ms <= state.getCurrentWatermarkMs():
+        out.append(("expired", cur[0], cur[2]))
+        if state.exists:
+            state.remove()
+    else:
+        state.update(cur)
+        state.setTimeoutTimestamp(deadline_ms)
     if out:
         yield pd.DataFrame(
             {

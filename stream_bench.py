@@ -281,6 +281,43 @@ def bench_windowed_agg(spark, sf_dir: str, work: str) -> dict:
             "rows_per_sec": round(n_rows / wall)}
 
 
+def bench_dedup_stream(spark, sf_dir: str, work: str) -> dict:
+    """Throughput of the stateful TTL dedup (#166) over the events
+    table keyed by event_type+user (a realistic many-keys stream):
+    measures the applyInPandasWithState exchange + per-group fold."""
+    from pyspark.sql import functions as F
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.streaming import dedup_stream as ds
+
+    events = load_table(spark, sf_dir, "events")
+    src = f"{work}/dedup_events"
+    events.select(
+        F.concat_ws("|", "event_type", (F.col("user_id") % 1000).cast("string")).alias("key"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    ).repartition(8).write.mode("overwrite").parquet(src)
+    n_rows = events.count()
+    schema = spark.read.parquet(src).schema
+    stream = windows.stream_events(spark, src, schema, max_files_per_trigger=2)
+    out = ds.dedup_stream(stream, key_col="key", ts_col="ts")
+    t0 = time.perf_counter()
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sb_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", f"{work}/dckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.perf_counter() - t0
+    firsts = spark.sql(
+        "SELECT count(*) AS n FROM sb_dedup WHERE row_type = 'first'"
+    ).collect()[0]["n"]
+    assert firsts > 0
+    return {"rows": n_rows, "sec": round(wall, 2),
+            "rows_per_sec": round(n_rows / wall), "first_rows": firsts}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # UI on: the REST API is how the bench measures bytes written per mode
@@ -300,6 +337,7 @@ def main() -> None:
         cdc = bench_cdc_stream(spark, sf_dir, work)
         sparse = bench_sparse_updates(spark, sf_dir, work)
         win = bench_windowed_agg(spark, sf_dir, work)
+        dd = bench_dedup_stream(spark, sf_dir, work)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -315,6 +353,7 @@ def main() -> None:
             "sparse_update_mor": sparse["mor"],
             "sparse_update_scd2": sparse["scd2"],
             "windowed_agg": win,
+            "dedup_ttl": dd,
         },
         "sf": sf,
     }
