@@ -295,6 +295,7 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_burstiness": corpus_ml.corpus_burstiness,
         "eval_lang_kappa": llm_queries.eval_lang_kappa,
         "dedup_unicode": llm_queries.dedup_unicode,
+        "corpus_lexical_diversity": corpus_ml.corpus_lexical_diversity,
     }
 
 
@@ -464,4 +465,5 @@ def secondary_oracle_sql() -> dict[str, str]:
         "corpus_burstiness": corpus_ml.CORPUS_BURSTINESS_SQL,
         "eval_lang_kappa": llm_queries.EVAL_LANG_KAPPA_SQL,
         "dedup_unicode": llm_queries.DEDUP_UNICODE_SQL,
+        "corpus_lexical_diversity": corpus_ml.CORPUS_LEXICAL_DIVERSITY_SQL,
     }

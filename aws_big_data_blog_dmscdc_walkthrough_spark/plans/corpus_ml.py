@@ -1277,3 +1277,66 @@ SELECT t AS term, df AS doc_freq, tot AS total_tf, b AS burstiness,
 FROM (SELECT *, row_number() OVER (ORDER BY b DESC, t ASC) AS rk FROM scored)
 WHERE rk <= {BURSTINESS_TOP_K}
 """
+
+
+# ----------------- per-source lexical diversity panel (#167)
+
+
+def corpus_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio + hapax share per source (#167).
+
+    The corpus-linguistics diversity panel (TTR and hapax legomena
+    share are the standard readouts — public formulas): templated or
+    boilerplate-heavy sources show LOW distinct/total and low hapax
+    share; organic text runs high on both. The burstiness twin (#163)
+    scores TERMS; this scores SOURCES — together they locate which
+    source is stamping out near-identical text before a dedup pass
+    even runs. All ratios are exactly-rounded divisions of exact
+    integers (token count, distinct terms, terms occurring exactly
+    once within the source) — engine-identical.
+
+    Shape: one (source, term) aggregation (row-keyed, map-side
+    combined), one per-source reduce over the vocabulary-sized frame.
+    Nothing ever pairs or sorts at row scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("_t")
+        )
+        .groupBy("source", "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    agg = tf.groupBy("source").agg(
+        F.sum("_c").alias("_tokens"),
+        F.count(F.lit(1)).alias("_types"),
+        F.sum(F.when(F.col("_c") == 1, 1).otherwise(0)).alias("_hapax"),
+    )
+    return agg.select(
+        "source",
+        F.col("_tokens").cast("bigint").alias("n_tokens"),
+        F.col("_types").cast("bigint").alias("n_types"),
+        F.col("_hapax").cast("bigint").alias("n_hapax"),
+        (F.col("_types").cast("double") / F.col("_tokens").cast("double")).alias("ttr"),
+        (F.col("_hapax").cast("double") / F.col("_types").cast("double")).alias(
+            "hapax_share"
+        ),
+    )
+
+
+CORPUS_LEXICAL_DIVERSITY_SQL = r"""
+WITH tf AS (
+  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t
+    FROM documents
+  ) GROUP BY 1, 2
+)
+SELECT source,
+  CAST(SUM(c) AS BIGINT) AS n_tokens,
+  CAST(COUNT(*) AS BIGINT) AS n_types,
+  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS ttr,
+  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS hapax_share
+FROM tf GROUP BY source
+"""

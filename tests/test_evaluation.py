@@ -50,3 +50,92 @@ def test_cohen_kappa_degenerate_constant_raters(spark):
     df = spark.createDataFrame([("A", "A")] * 7, "pred string, gold string")
     r = evaluation.cohen_kappa(df, "pred", "gold").collect()[0]
     assert r.po == 1.0 and r.pe == 1.0 and r.kappa is None
+
+
+# ---------------- property tests: metric ops vs brute-force models
+
+
+def _brute_auc(scores_labels):
+    """Pairwise Mann-Whitney AUC with half tie credit."""
+    pos = [s for s, y in scores_labels if y]
+    neg = [s for s, y in scores_labels if not y]
+    if not pos or not neg:
+        return None
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    return wins / (len(pos) * len(neg))
+
+
+def test_auc_matches_bruteforce_pairwise(spark, tmp_path, monkeypatch):
+    """The counts-of-counts U statistic must equal the O(n^2) pairwise
+    definition on adversarial tie patterns (all-ties, one-off, mixed)."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import corpus_ml
+
+    cases = [
+        [3, 3, 3, 3, 3, 3],               # all tied
+        [1, 2, 3, 4, 5, 6],               # clean separation patterns
+        [2, 2, 5, 5, 2, 5],               # grouped ties
+        [7, 1, 7, 1, 4, 4],
+    ]
+    import itertools
+
+    for lengths in cases:
+        for labels in [(1, 1, 0, 0, 0, 0), (1, 0, 1, 0, 1, 0), (0, 0, 0, 1, 1, 1)]:
+            rows = [
+                (i, "w " * lengths[i], "en", "pos" if labels[i] else "neg", 1)
+                for i in range(6)
+            ]
+            df = spark.createDataFrame(
+                rows,
+                "doc_id long, text string, lang string, source string, n_chars int",
+            )
+            out = str(tmp_path / f"d_{lengths[0]}_{labels[0]}_{hash((tuple(lengths), labels)) % 99}.parquet")
+            df.write.mode("overwrite").parquet(out)
+            import aws_big_data_blog_dmscdc_walkthrough_spark.session as sess
+
+            real = sess.load_table
+            monkeypatch.setattr(
+                "aws_big_data_blog_dmscdc_walkthrough_spark.plans.corpus_ml.load_table",
+                lambda sp, sf, t, _o=out: sp.read.parquet(_o)
+                if t == "documents"
+                else real(sp, sf, t),
+            )
+            got = {
+                r.source: r.auc
+                for r in corpus_ml.eval_auc_length(spark, "x").collect()
+            }
+            # token count of "w " * L is L (trailing space trimmed)
+            sl_pos = [(lengths[i], labels[i]) for i in range(6)]
+            want = _brute_auc(sl_pos)
+            assert abs(got["pos"] - want) < 1e-12, (lengths, labels, got, want)
+
+
+def test_kappa_matches_direct_formula_random(spark):
+    """kappa over random confusion tables == the po/pe textbook formula
+    computed in exact fractions."""
+    import random
+
+    from fractions import Fraction
+
+    rng = random.Random(7)
+    for _ in range(4):
+        labels = ["a", "b", "c"]
+        rows = [
+            (rng.choice(labels), rng.choice(labels)) for _ in range(rng.randint(5, 40))
+        ]
+        df = spark.createDataFrame(rows, "pred string, gold string")
+        r = evaluation.cohen_kappa(df, "pred", "gold").collect()[0]
+        n = len(rows)
+        agree = sum(1 for p, g in rows if p == g)
+        po = Fraction(agree, n)
+        pe = Fraction(
+            sum(
+                sum(1 for p, _ in rows if p == l) * sum(1 for _, g in rows if g == l)
+                for l in labels
+            ),
+            n * n,
+        )
+        if pe == 1:
+            assert r.kappa is None
+        else:
+            want = float((po - pe) / (1 - pe))
+            assert abs(r.kappa - want) < 1e-12, (rows, r.kappa, want)

@@ -960,3 +960,34 @@ def test_dedup_unicode_composed_decomposed(spark, monkeypatch, tmp_path):
         for r in llm_queries.dedup_unicode(spark, "ignored").collect()
     }
     assert got == {0: (0, 2), 1: (0, 2), 2: (2, 1)}
+
+
+def test_lexical_diversity_hand_computed(spark, monkeypatch, tmp_path):
+    """'template' source repeats one form (low TTR, no hapax beyond the
+    varying slot); 'organic' is all-distinct (TTR 1, hapax share 1)."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import corpus_ml
+
+    rows = [
+        (0, "buy now buy now", "en", "template", 1),  # 4 tokens, 2 types
+        (1, "buy now buy now", "en", "template", 1),  # -> 8 tokens, 2 types, 0 hapax
+        (2, "every word here differs", "en", "organic", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    out = str(tmp_path / "documents.parquet")
+    df.write.parquet(out)
+    _route_table(
+        monkeypatch,
+        "aws_big_data_blog_dmscdc_walkthrough_spark.plans.corpus_ml",
+        "documents",
+        out,
+    )
+    got = {
+        r.source: (r.n_tokens, r.n_types, r.n_hapax, r.ttr, r.hapax_share)
+        for r in corpus_ml.corpus_lexical_diversity(spark, "ignored").collect()
+    }
+    assert got == {
+        "template": (8, 2, 0, 0.25, 0.0),
+        "organic": (4, 4, 4, 1.0, 1.0),
+    }
