@@ -114,33 +114,32 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_range_join": analytics.q_events_range_join,
         "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
         "q18_large_volume_customers": analytics.q18_large_volume_customers,
-        # ROUND-12 DEBUT SLOTS (the round-11 verdict's rotation order):
-        # the four round-11 debuts (#102, #104, #105, #111) hash-matched
-        # in CORRECTNESS_r11 (50/50 green) and move to
-        # secondary_queries(), along with four long-gated plan-shape
-        # variants (q_events_sliding/moving_avg/pivot, q_orders_set_ops
-        # — all hash-green r11). Eight never-driver-gated round-11
-        # shapes take their slots so CORRECTNESS_r12 carries hash
-        # evidence for the highest-value new operators: exact TF-cosine
-        # (#150), heavy hitters (#151), triangle census (#157), rolling
-        # distinct (#156), Gini (#132), FK integrity (#141), key
-        # profiler (#144), ANN MRR eval (#138).
-        "dedup_tf_cosine": llm_queries.dedup_tf_cosine,
-        "text_heavy_hitters": text.text_heavy_hitters,
-        "q_part_triangles": analytics.q_part_triangles,
-        "q_events_rolling_distinct": analytics.q_events_rolling_distinct,
-        "q_customer_gini": analytics.q_customer_gini,
-        "lake_integrity": cdc_queries.lake_integrity_report,
-        "lake_key_profile": cdc_queries.lake_key_profile,
-        "eval_ann_mrr": corpus_ml.eval_ann_mrr,
-        # ROUND-13 ROTATION PLAN: demote the eight round-12 debuts above
-        # once CORRECTNESS_r12 is green and debut the next
-        # never-driver-gated block (q_events_peak_concurrency,
-        # q_orders_mom_growth, dedup_bag_of_words,
-        # q_orders_histogram_eqdepth, q_orders_drift_tvd, emb_covariance,
-        # q_events_session_paths, q_orders_percentile), keeping every
+        # ROUND-13 DEBUT SLOTS (the round-12 verdict's rotation order):
+        # the eight round-12 debuts (dedup_tf_cosine, text_heavy_hitters,
+        # q_part_triangles, q_events_rolling_distinct, q_customer_gini,
+        # lake_integrity, lake_key_profile, eval_ann_mrr) hash-matched in
+        # CORRECTNESS_r12 (50/50 green) and move to secondary_queries();
+        # the next never-driver-gated block takes their slots:
+        # peak-concurrency sweep (#148), MoM growth (#149), bag-of-words
+        # dedup (#152), equi-depth histogram (#153), TVD drift (#154),
+        # embedding covariance (#140), session paths (#142), percentile
+        # CDF (#145).
+        "q_events_peak_concurrency": analytics.q_events_peak_concurrency,
+        "q_orders_mom_growth": analytics.q_orders_mom_growth,
+        "dedup_bag_of_words": llm_queries.dedup_bag_of_words,
+        "q_orders_histogram_eqdepth": analytics.q_orders_histogram_eqdepth,
+        "q_orders_drift_tvd": analytics.q_orders_drift_tvd,
+        "emb_covariance": corpus_ml.emb_covariance,
+        "q_events_session_paths": analytics.q_events_session_paths,
+        "q_orders_percentile": analytics.q_orders_percentile,
+        # ROUND-14 ROTATION PLAN: demote the eight round-13 debuts above
+        # once CORRECTNESS_r13 is green and debut the next
+        # never-driver-gated block (q_orders_mad_outliers,
+        # q_events_funnel_windowed, q_events_conversion_latency,
+        # q_events_wilson, corpus_vocab_overlap, corpus_fertility,
+        # dedup_cluster_sizes, q_orders_histogram), keeping every
         # oracled query driver-gated at least once per two-to-three
-        # rounds.
+        # rounds until the never-gated set is empty.
         "q_events_filter_scan": analytics.q_events_filter_scan,
         "text_bigrams": text.text_bigrams,
     }
@@ -261,19 +260,20 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_fertility": corpus_ml.corpus_fertility,
         "dedup_cluster_sizes": llm_queries.dedup_cluster_sizes,
         # round-11 additions (SURVEY §2 #140-#143)
-        "emb_covariance": corpus_ml.emb_covariance,
-        "q_events_session_paths": analytics.q_events_session_paths,
         "q_orders_histogram": analytics.q_orders_histogram,
         # round-11 additions (SURVEY §2 #144-#146)
-        "q_orders_percentile": analytics.q_orders_percentile,
         "q_orders_mad_outliers": analytics.q_orders_mad_outliers,
         "q_events_funnel_windowed": analytics.q_events_funnel_windowed,
-        # round-11 additions (SURVEY §2 #148-#157)
-        "q_events_peak_concurrency": analytics.q_events_peak_concurrency,
-        "q_orders_mom_growth": analytics.q_orders_mom_growth,
-        "dedup_bag_of_words": llm_queries.dedup_bag_of_words,
-        "q_orders_histogram_eqdepth": analytics.q_orders_histogram_eqdepth,
-        "q_orders_drift_tvd": analytics.q_orders_drift_tvd,
+        # rotated out of the driver gate after hash-matching in round 12
+        # (the eight r12 debuts); pytest-oracled here every round
+        "dedup_tf_cosine": llm_queries.dedup_tf_cosine,
+        "text_heavy_hitters": text.text_heavy_hitters,
+        "q_part_triangles": analytics.q_part_triangles,
+        "q_events_rolling_distinct": analytics.q_events_rolling_distinct,
+        "q_customer_gini": analytics.q_customer_gini,
+        "lake_integrity": cdc_queries.lake_integrity_report,
+        "lake_key_profile": cdc_queries.lake_key_profile,
+        "eval_ann_mrr": corpus_ml.eval_ann_mrr,
         # rows-only (shuffle-order double sums; numpy-pinned in pytest)
         "q_part_pagerank": analytics.q_part_pagerank,
         # rotated out of the driver gate after hash-matching in round 11
@@ -321,15 +321,15 @@ def oracle_sql() -> dict[str, str]:
         "q_events_range_join": analytics.Q_EVENTS_RANGE_JOIN_SQL,
         "q17_small_quantity_revenue": analytics.Q17_SQL,
         "q18_large_volume_customers": analytics.Q18_SQL,
-        # round-12 debuts (never driver-gated before this round)
-        "dedup_tf_cosine": llm_queries.DEDUP_TF_COSINE_SQL,
-        "text_heavy_hitters": text.TEXT_HEAVY_HITTERS_SQL,
-        "q_part_triangles": analytics.Q_PART_TRIANGLES_SQL,
-        "q_events_rolling_distinct": analytics.Q_EVENTS_ROLLING_DISTINCT_SQL,
-        "q_customer_gini": analytics.Q_CUSTOMER_GINI_SQL,
-        "lake_integrity": cdc_queries.LAKE_INTEGRITY_REPORT_SQL,
-        "lake_key_profile": cdc_queries.LAKE_KEY_PROFILE_SQL,
-        "eval_ann_mrr": corpus_ml.EVAL_ANN_MRR_SQL,
+        # round-13 debuts (never driver-gated before this round)
+        "q_events_peak_concurrency": analytics.Q_EVENTS_PEAK_CONCURRENCY_SQL,
+        "q_orders_mom_growth": analytics.Q_ORDERS_MOM_GROWTH_SQL,
+        "dedup_bag_of_words": llm_queries.DEDUP_BAG_OF_WORDS_SQL,
+        "q_orders_histogram_eqdepth": analytics.Q_ORDERS_HISTOGRAM_EQDEPTH_SQL,
+        "q_orders_drift_tvd": analytics.Q_ORDERS_DRIFT_TVD_SQL,
+        "emb_covariance": corpus_ml.EMB_COVARIANCE_SQL,
+        "q_events_session_paths": analytics.Q_EVENTS_SESSION_PATHS_SQL,
+        "q_orders_percentile": analytics.Q_ORDERS_PERCENTILE_SQL,
         "q_events_filter_scan": analytics.Q_EVENTS_FILTER_SCAN_SQL,
         "text_bigrams": text.TEXT_BIGRAMS_SQL,
         "text_word_topk": text.TEXT_WORD_TOPK_SQL,
@@ -435,19 +435,19 @@ def secondary_oracle_sql() -> dict[str, str]:
         "corpus_fertility": corpus_ml.CORPUS_FERTILITY_SQL,
         "dedup_cluster_sizes": llm_queries.DEDUP_CLUSTER_SIZES_SQL,
         # round-11 additions (SURVEY §2 #140-#143)
-        "emb_covariance": corpus_ml.EMB_COVARIANCE_SQL,
-        "q_events_session_paths": analytics.Q_EVENTS_SESSION_PATHS_SQL,
         "q_orders_histogram": analytics.Q_ORDERS_HISTOGRAM_SQL,
         # round-11 additions (SURVEY §2 #144-#146)
-        "q_orders_percentile": analytics.Q_ORDERS_PERCENTILE_SQL,
         "q_orders_mad_outliers": analytics.Q_ORDERS_MAD_OUTLIERS_SQL,
         "q_events_funnel_windowed": analytics.Q_EVENTS_FUNNEL_WINDOWED_SQL,
-        # round-11 additions (SURVEY §2 #148-#157)
-        "q_events_peak_concurrency": analytics.Q_EVENTS_PEAK_CONCURRENCY_SQL,
-        "q_orders_mom_growth": analytics.Q_ORDERS_MOM_GROWTH_SQL,
-        "dedup_bag_of_words": llm_queries.DEDUP_BAG_OF_WORDS_SQL,
-        "q_orders_histogram_eqdepth": analytics.Q_ORDERS_HISTOGRAM_EQDEPTH_SQL,
-        "q_orders_drift_tvd": analytics.Q_ORDERS_DRIFT_TVD_SQL,
+        # rotated out of the driver gate after hash-matching in round 12
+        "dedup_tf_cosine": llm_queries.DEDUP_TF_COSINE_SQL,
+        "text_heavy_hitters": text.TEXT_HEAVY_HITTERS_SQL,
+        "q_part_triangles": analytics.Q_PART_TRIANGLES_SQL,
+        "q_events_rolling_distinct": analytics.Q_EVENTS_ROLLING_DISTINCT_SQL,
+        "q_customer_gini": analytics.Q_CUSTOMER_GINI_SQL,
+        "lake_integrity": cdc_queries.LAKE_INTEGRITY_REPORT_SQL,
+        "lake_key_profile": cdc_queries.LAKE_KEY_PROFILE_SQL,
+        "eval_ann_mrr": corpus_ml.EVAL_ANN_MRR_SQL,
         # rotated out of the driver gate after hash-matching in round 11
         "q_events_skew_report": analytics.Q_EVENTS_SKEW_REPORT_SQL,
         "q_part_fuzzy_match": llm_queries.Q_PART_FUZZY_MATCH_SQL,

@@ -63,9 +63,17 @@ def _track(df: DataFrame) -> DataFrame:
 
 def release_persisted() -> int:
     """Unpersist every frame the dedup/similarity ops cached; returns the
-    count released. Safe to call any time AFTER the frames' consumers
-    have been evaluated (unpersisting an un-evaluated frame just unmarks
-    it — correctness is never affected, only recompute cost)."""
+    count released. Call it only AFTER the frames' consumers have been
+    evaluated. For ordinary persisted frames an early release is merely
+    a recompute (unpersisting an un-evaluated frame just unmarks it) —
+    but the registry ALSO drains checkpoint-backed handles (pagerank's
+    final round, operators/graph._LocalCheckpointHandle), whose lineage
+    was truncated by the checkpoint: releasing one of those before its
+    consumer evaluates frees the only copy of the data and the frame
+    becomes UNRECOMPUTABLE — the consumer's job fails rather than
+    recomputes. The queries()/bench discipline (release at the START of
+    the next entry, after the previous result is consumed) satisfies
+    both contracts."""
     n = 0
     while _PERSISTED:
         df = _PERSISTED.pop()

@@ -100,11 +100,27 @@ def cohen_kappa(df: DataFrame, pred_col: str, gold_col: str) -> DataFrame:
 
         kappa = (n·Σ_tp − Σ_l row_l·col_l) / (n² − Σ_l row_l·col_l)
 
-    (multiply po = Σtp/n and pe = Σ row·col / n² through by n²). One
-    exactly-rounded division per output value — engine-identical.
+    (multiply po = Σtp/n and pe = Σ row·col / n² through by n²). The
+    products row·col and n² overflow int64 once n passes ~3e9 rows —
+    realistic at the 100 TB target — and non-ANSI Spark would wrap
+    silently where DuckDB raises. They are therefore computed in
+    DECIMAL(38,0) (exact integers to 38 digits, order-independent
+    sums), mirrored by HUGEINT in the DuckDB oracle; only the final
+    division inputs are cast to double, one exactly-rounded op per
+    output value — engine-identical to n ~ 1e15.
+
     Returns one row: n, n_agree, po, pe, kappa. Degenerate case pe = 1
     (both raters constant, same label) reports NULL kappa — undefined,
     not zero.
+
+    NULL labels: a NULL in either column counts toward ``n`` but never
+    toward ``n_agree`` (NULL = NULL is not true) and never toward the
+    marginal product (the row/col marginal join on ``_p = _g`` is
+    null-unsafe, so each side's NULL-key marginal drops out). NULL-
+    bearing inputs therefore DEFLATE both po and pe rather than
+    treating NULL as a label — kappa's domain here is non-NULL labels.
+    Coalesce to a sentinel label first (``fillna("(missing)")``) if
+    NULL should participate as a real category.
     """
     cm = (
         df.groupBy(
@@ -113,9 +129,15 @@ def cohen_kappa(df: DataFrame, pred_col: str, gold_col: str) -> DataFrame:
     )
     rows = cm.groupBy("_p").agg(F.sum("_m").alias("_r"))
     cols = cm.groupBy("_g").agg(F.sum("_m").alias("_c"))
+    dec = "decimal(19,0)"
     cross = (
         rows.join(cols, rows["_p"] == cols["_g"])
-        .agg(F.coalesce(F.sum(F.col("_r") * F.col("_c")), F.lit(0)).alias("_rc"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("_r").cast(dec) * F.col("_c").cast(dec)),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("_rc")
+        )
     )
     base = cm.agg(
         F.sum("_m").alias("_n"),
@@ -123,17 +145,18 @@ def cohen_kappa(df: DataFrame, pred_col: str, gold_col: str) -> DataFrame:
             F.sum(F.when(F.col("_p") == F.col("_g"), F.col("_m"))), F.lit(0)
         ).alias("_agree"),
     )
+    n2 = F.col("_n").cast(dec) * F.col("_n").cast(dec)
     return base.crossJoin(F.broadcast(cross)).select(
         F.col("_n").cast("bigint").alias("n"),
         F.col("_agree").cast("bigint").alias("n_agree"),
         (F.col("_agree").cast("double") / F.col("_n").cast("double")).alias("po"),
-        (
-            F.col("_rc").cast("double")
-            / (F.col("_n") * F.col("_n")).cast("double")
-        ).alias("pe"),
+        (F.col("_rc").cast("double") / n2.cast("double")).alias("pe"),
         F.when(
-            F.col("_n") * F.col("_n") != F.col("_rc"),
-            (F.col("_n") * F.col("_agree") - F.col("_rc")).cast("double")
-            / (F.col("_n") * F.col("_n") - F.col("_rc")).cast("double"),
+            n2 != F.col("_rc"),
+            (
+                F.col("_n").cast(dec) * F.col("_agree").cast(dec)
+                - F.col("_rc")
+            ).cast("double")
+            / (n2 - F.col("_rc")).cast("double"),
         ).alias("kappa"),
     )

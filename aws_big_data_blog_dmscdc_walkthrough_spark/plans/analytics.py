@@ -2906,6 +2906,14 @@ def q_events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     — both engines produce bit-identical doubles. Zero-variance
     baselines are excluded (a constant baseline makes z undefined).
 
+    Overflow discipline: a 100 TB event table can see ~1e12 events per
+    (type, day), so n², s², and m·q wrap int64 — q's per-row square
+    wraps INSIDE the window sum already. The squares, window sums, and
+    variance products therefore run in DECIMAL(38,0) (exact integers,
+    order-independent — double factors would make the window sums
+    accumulation-order-dependent), mirrored by HUGEINT in the oracle;
+    the final division/sqrt inputs cast to double as before.
+
     Scale: one row-keyed aggregation to days, then windows over the
     tiny (type, day) frame — nothing row-scale is ever sorted.
     """
@@ -2921,17 +2929,22 @@ def q_events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("_dayno")
         .rangeBetween(-ANOMALY_TRAIL_DAYS, -1)
     )
+    dec = "decimal(19,0)"
+    n_dec = F.col("n").cast(dec)
     scored = (
         daily.withColumn("_m", F.count(F.lit(1)).over(trail))
-        .withColumn("_s", F.sum("n").over(trail))
-        .withColumn("_q", F.sum(F.col("n") * F.col("n")).over(trail))
-        .withColumn("_var_num", F.col("_m") * F.col("_q") - F.col("_s") * F.col("_s"))
+        .withColumn("_s", F.sum(n_dec).over(trail))
+        .withColumn("_q", F.sum(n_dec * n_dec).over(trail))
+        .withColumn(
+            "_var_num",
+            F.col("_m").cast(dec) * F.col("_q") - F.col("_s") * F.col("_s"),
+        )
         .where(
             (F.col("_m") >= ANOMALY_MIN_BASELINE) & (F.col("_var_num") > 0)
         )
         .withColumn(
             "z",
-            (F.col("_m") * F.col("n") - F.col("_s")).cast("double")
+            (F.col("_m").cast(dec) * n_dec - F.col("_s")).cast("double")
             / F.sqrt(F.col("_var_num").cast("double")),
         )
         .where(F.abs(F.col("z")) > ANOMALY_Z)
@@ -2951,10 +2964,12 @@ WITH daily AS (
     CAST(COUNT(*) AS BIGINT) AS n
   FROM events GROUP BY 1, 2
 ), scored AS (
+  -- HUGEINT mirrors Spark's DECIMAL(38,0): n^2, s^2, m*q wrap int64
+  -- at realistic 100 TB daily volumes
   SELECT event_type, dayno, n,
-    COUNT(*) OVER w AS m,
-    SUM(n) OVER w AS s,
-    SUM(n * n) OVER w AS q
+    CAST(COUNT(*) OVER w AS HUGEINT) AS m,
+    SUM(CAST(n AS HUGEINT)) OVER w AS s,
+    SUM(CAST(n AS HUGEINT) * n) OVER w AS q
   FROM daily
   WINDOW w AS (PARTITION BY event_type ORDER BY dayno
                RANGE BETWEEN {ANOMALY_TRAIL_DAYS} PRECEDING

@@ -1213,11 +1213,24 @@ def corpus_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         VMR = ((N·Σc² − (Σc)²) / N) / (Σc / N) = (N·Σc² − T²) / (N·T)
 
-    with T = Σc — one exactly-rounded division of two BIGINT products,
-    engine-identical. df ≥ {BURSTINESS_MIN_DF} floors the long tail
-    (a df-1 term is trivially "bursty"); top-k by VMR with term
-    tie-break. One (doc, term) aggregation, one per-term reduce, one
-    |candidates|-row window — row-scale work is the tokenize alone.
+    with T = Σc. Every FACTOR is an exact BIGINT aggregate, but the
+    products are computed in DOUBLE (each factor cast before the
+    multiply, the tf-cosine discipline): at a 100 TB corpus N·Σc² and
+    T² overflow int64 (T ~ 3e9 for a common term already wraps), and
+    non-ANSI Spark would wrap silently where DuckDB raises. Cast-then-
+    multiply is exactly mirrored in the oracle — every multiply /
+    subtract / divide is the same exactly-rounded IEEE op on the same
+    inputs, so the doubles stay engine-identical at any scale.
+
+    df ≥ {BURSTINESS_MIN_DF} floors the long tail (a df-1 term is
+    trivially "bursty"); top-k by VMR with term tie-break runs as
+    ``orderBy().limit(k)`` — Spark's distributed TakeOrderedAndProject
+    (per-partition heaps, k rows to the driver) — NOT a partition-less
+    row_number window, which would sort the entire df ≥ 50 vocabulary
+    (10⁷–10⁸ terms at 100 TB) in ONE task. The rank column is stamped
+    by a window over the ≤k survivors only. One (doc, term)
+    aggregation, one per-term reduce — row-scale work is the tokenize
+    alone.
     """
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
@@ -1238,14 +1251,20 @@ def corpus_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "burstiness",
-            (F.col("_n") * F.col("_sq") - F.col("_tot") * F.col("_tot")).cast("double")
-            / (F.col("_n") * F.col("_tot")).cast("double"),
+            (
+                F.col("_n").cast("double") * F.col("_sq").cast("double")
+                - F.col("_tot").cast("double") * F.col("_tot").cast("double")
+            )
+            / (F.col("_n").cast("double") * F.col("_tot").cast("double")),
         )
     )
+    top = scored.orderBy(
+        F.col("burstiness").desc(), F.col("_t").asc()
+    ).limit(BURSTINESS_TOP_K)
+    # rank stamp over the <= TOP_K survivors only — bounded frame
     w = Window.orderBy(F.col("burstiness").desc(), F.col("_t").asc())
     return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= BURSTINESS_TOP_K)
+        top.withColumn("_rk", F.row_number().over(w))
         .select(
             F.col("_t").alias("term"),
             F.col("_df").cast("bigint").alias("doc_freq"),
@@ -1269,7 +1288,9 @@ WITH tf AS (
 ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
 scored AS (
   SELECT t, df, tot,
-    CAST(nd * sq - tot * tot AS DOUBLE) / CAST(nd * tot AS DOUBLE) AS b
+    (CAST(nd AS DOUBLE) * CAST(sq AS DOUBLE)
+     - CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))
+    / (CAST(nd AS DOUBLE) * CAST(tot AS DOUBLE)) AS b
   FROM per, n WHERE df >= {BURSTINESS_MIN_DF}
 )
 SELECT t AS term, df AS doc_freq, tot AS total_tf, b AS burstiness,

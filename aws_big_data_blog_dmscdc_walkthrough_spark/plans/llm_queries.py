@@ -1544,7 +1544,10 @@ cm AS (SELECT _p, _g, CAST(COUNT(*) AS BIGINT) AS _m FROM pairs GROUP BY 1, 2),
 rows_m AS (SELECT _p, CAST(SUM(_m) AS BIGINT) AS _r FROM cm GROUP BY 1),
 cols_m AS (SELECT _g, CAST(SUM(_m) AS BIGINT) AS _c FROM cm GROUP BY 1),
 rc AS (
-  SELECT CAST(COALESCE(SUM(_r * _c), 0) AS BIGINT) AS _rc
+  -- HUGEINT mirrors Spark's DECIMAL(38,0): row*col and n^2 wrap int64
+  -- past n ~ 3e9, so the products stay exact-integer on both engines
+  SELECT CAST(COALESCE(SUM(CAST(_r AS HUGEINT) * CAST(_c AS HUGEINT)), 0)
+              AS HUGEINT) AS _rc
   FROM rows_m JOIN cols_m ON rows_m._p = cols_m._g
 ),
 base AS (
@@ -1554,9 +1557,10 @@ base AS (
 )
 SELECT _n AS n, _agree AS n_agree,
   CAST(_agree AS DOUBLE) / CAST(_n AS DOUBLE) AS po,
-  CAST(_rc AS DOUBLE) / CAST(_n * _n AS DOUBLE) AS pe,
-  CASE WHEN _n * _n <> _rc THEN
-    CAST(_n * _agree - _rc AS DOUBLE) / CAST(_n * _n - _rc AS DOUBLE)
+  CAST(_rc AS DOUBLE) / CAST(CAST(_n AS HUGEINT) * _n AS DOUBLE) AS pe,
+  CASE WHEN CAST(_n AS HUGEINT) * _n <> _rc THEN
+    CAST(CAST(_n AS HUGEINT) * _agree - _rc AS DOUBLE)
+    / CAST(CAST(_n AS HUGEINT) * _n - _rc AS DOUBLE)
   END AS kappa
 FROM base, rc
 """

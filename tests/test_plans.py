@@ -931,6 +931,41 @@ def test_burstiness_hand_computed(spark, monkeypatch, tmp_path):
     assert got == {"hot": (1, 4, 3.0), "flat": (4, 4, 0.0)}
 
 
+def test_burstiness_topk_is_distributed(spark, monkeypatch, tmp_path):
+    """Round-13 rewrite guard (#163): the top-k must run as Spark's
+    distributed TakeOrderedAndProject (per-partition heaps), never a
+    partition-less row_number window over the df >= MIN_DF vocabulary
+    — 10^7-10^8 candidate terms at 100 TB would otherwise sort in ONE
+    task. The rank-stamp window is allowed only ABOVE the global
+    top-k, where the frame is bounded at TOP_K rows."""
+    import re
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import corpus_ml
+
+    rows = [(i, f"w{i} shared", "en", "s", 8) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    out = str(tmp_path / "documents.parquet")
+    df.write.parquet(out)
+    _route_table(
+        monkeypatch,
+        "aws_big_data_blog_dmscdc_walkthrough_spark.plans.corpus_ml",
+        "documents",
+        out,
+    )
+    res = corpus_ml.corpus_burstiness(spark, "ignored")
+    phys = res._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in phys, phys
+    # exactly one window (the rank stamp), and it must consume the
+    # global top-k — i.e. sit ABOVE TakeOrderedAndProject in the tree
+    # (appear BEFORE it in the printed plan), never below on the
+    # vocabulary-scale frame.
+    win_at = [m.start() for m in re.finditer(r"\bWindow\b", phys)]
+    assert len(win_at) == 1, phys
+    assert win_at[0] < phys.index("TakeOrderedAndProject"), phys
+
+
 def test_dedup_unicode_composed_decomposed(spark, monkeypatch, tmp_path):
     """NFC collapses composed U+00E9 with decomposed e+U+0301, and the
     whitespace collapse folds run-of-spaces variants; a genuinely
