@@ -40,6 +40,22 @@ def test_non_dict_parsed_and_bad_queries_are_skipped(tmp_path):
     assert base is None and deltas == {}
 
 
+def test_committed_sidecar_preferred_over_driver_record(tmp_path):
+    # round-12 verdict: the driver's own BENCH_r line can be measured on
+    # a loaded host; the committed quiet-window sidecar anchors ratios
+    _write(tmp_path, "BENCH_r09.json", {"parsed": {"sf": "0.1", "queries": {"q1": 4.0}}})
+    _write(tmp_path, "BENCH_LOCAL_sf0.1.json", {"sf": "0.1", "queries": {"q1": 1.0}})
+    base, deltas = _baseline_deltas({"q1": 2.0}, "0.1", bench_dir=str(tmp_path))
+    assert base == "BENCH_LOCAL_sf0.1.json"
+    assert deltas == {"q1": 2.0}
+
+
+def test_sidecar_for_other_sf_not_used(tmp_path):
+    _write(tmp_path, "BENCH_LOCAL_sf0.01.json", {"sf": "0.01", "queries": {"q1": 1.0}})
+    base, deltas = _baseline_deltas({"q1": 2.0}, "0.1", bench_dir=str(tmp_path))
+    assert base is None and deltas == {}
+
+
 def test_sf_mismatch_is_skipped(tmp_path):
     _write(tmp_path, "BENCH_r02.json", {"parsed": {"sf": "0.01", "queries": {"q1": 1.0}}})
     base, deltas = _baseline_deltas({"q1": 2.0}, "0.1", bench_dir=str(tmp_path))
