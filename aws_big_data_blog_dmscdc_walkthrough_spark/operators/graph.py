@@ -400,6 +400,32 @@ def keep_best(
 
 # ----------------------------- weighted PageRank (fixed-round) (#155)
 
+# Below this node count the per-round rank frame (16 B/node — ~80 MB at
+# the cap) broadcasts to every executor, turning the rank⋈edges join,
+# the dangling semi-join, and the nodes⋈contrib join into broadcast
+# joins: the EDGE frame (the big side) is never shuffled inside the
+# loop, and the one remaining exchange per round is the irreducible
+# node-keyed receive aggregation. Above the cap — billion-node graphs
+# at the 100 TB target — the shuffle path runs unchanged. n_nodes is an
+# exact count the operator already computes, so the gate is free.
+PAGERANK_BROADCAST_MAX_NODES = 5_000_000
+
+# Target rows per partition for the loop frames. The loop runs ~3 jobs
+# per round over these frames, so EMPTY partitions are pure per-task
+# overhead multiplied by iterations: a 6k-node graph left at 32-64
+# partitions pays ~0.7 s/round in task dispatch alone (measured), while
+# a billion-node graph needs thousands of partitions. Sizing by the
+# exact row counts the operator already has (n_nodes; one cheap count
+# on the persisted edge frame, amortized over all rounds) serves both.
+PAGERANK_ROWS_PER_PARTITION = 1_000_000
+
+
+def _row_sized(df: DataFrame, rows: int) -> DataFrame:
+    """Coalesce to ~PAGERANK_ROWS_PER_PARTITION rows per partition.
+    coalesce() only merges (never shuffles, never grows the partition
+    count), so a frame that is already narrower passes through."""
+    return df.coalesce(max(1, int(rows // PAGERANK_ROWS_PER_PARTITION) + 1))
+
 
 class _LocalCheckpointHandle:
     """Releasable stand-in for a ``localCheckpoint``-backed frame.
@@ -495,21 +521,33 @@ def pagerank(
     n_nodes = nodes.count()
     if n_nodes == 0:
         raise ValueError("pagerank requires a non-empty edge frame")
+    # e was just materialized by the nodes count; counting the cached
+    # frame is one trivial job, and the row count sizes the loop-
+    # invariant edge frame's partitions for all subsequent rounds.
+    n_edges = e.count()
     out_w = e.groupBy("_src").agg(F.sum("_w").alias("_outw"))
     # Normalize ONCE: the per-edge share w/W is loop-invariant, so the
     # out-weight join happens here instead of once per round (measured
     # ~2x on the co-purchase query's 5-round wall).
     e_norm = _track(
-        e.join(out_w, "_src")
-        .select("_src", "_dst", (F.col("_w") / F.col("_outw")).alias("_share"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    dangling_nodes = _track(
-        nodes.join(
-            out_w.select(F.col("_src").alias("node")), "node", "left_anti"
+        _row_sized(
+            e.join(out_w, "_src").select(
+                "_src", "_dst", (F.col("_w") / F.col("_outw")).alias("_share")
+            ),
+            n_edges,
         ).persist(StorageLevel.MEMORY_AND_DISK)
     )
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    dangling_nodes = _track(
+        _row_sized(
+            nodes.join(
+                out_w.select(F.col("_src").alias("node")), "node", "left_anti"
+            ),
+            n_nodes,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ranks = _row_sized(
+        nodes.select("node", F.lit(1.0 / n_nodes).alias("rank")), n_nodes
+    )
     ranks = _track(ranks.persist(StorageLevel.MEMORY_AND_DISK))
     ranks.count()
     if checkpoint_dir is not None:
@@ -517,11 +555,18 @@ def pagerank(
             raise ValueError("checkpoint_every must be >= 1")
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     teleport = (1.0 - damping) / n_nodes
+    # Size-gated broadcast plan (see PAGERANK_BROADCAST_MAX_NODES): the
+    # rank-scale frames broadcast when they provably fit, so the edge
+    # frame never shuffles inside the loop; the node-keyed receive
+    # aggregation is the only per-round exchange.
+    small = n_nodes <= PAGERANK_BROADCAST_MAX_NODES
+    rank_side = (lambda df: F.broadcast(df)) if small else (lambda df: df)
     prev_handle: _LocalCheckpointHandle | None = None
     last_delta: float | None = None
     for i in range(iterations):
+        r = rank_side(ranks)
         contrib = (
-            ranks.join(e_norm, ranks["node"] == e_norm["_src"])
+            r.join(e_norm, r["node"] == e_norm["_src"])
             .select(
                 F.col("_dst").alias("node"),
                 (F.col("rank") * F.col("_share")).alias("_c"),
@@ -529,13 +574,14 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("_c").alias("_recv"))
         )
-        # mass parked on dangling nodes (no out-edges) this round
+        # mass parked on dangling nodes (no out-edges) this round;
+        # dangling_nodes is ≤ nodes, so it rides the same size gate
         dangling = (
-            ranks.join(dangling_nodes, "node", "left_semi")
+            ranks.join(rank_side(dangling_nodes), "node", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_d"))
         )
         new_ranks = (
-            nodes.join(contrib, "node", "left")
+            nodes.join(rank_side(contrib), "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
@@ -559,6 +605,10 @@ def pagerank(
         reliable = checkpoint_dir is not None and (
             i % checkpoint_every == 0 or i == iterations - 1
         )
+        # size the checkpointed frame by its exact row count (n_nodes):
+        # the checkpoint job and every consumer of this round otherwise
+        # pay one task per inherited near-empty partition
+        new_ranks = _row_sized(new_ranks, n_nodes)
         if reliable:
             new_ranks = new_ranks.checkpoint(eager=True)
         else:
