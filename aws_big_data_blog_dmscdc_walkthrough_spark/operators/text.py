@@ -1165,6 +1165,45 @@ def token_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def token_surprisal_from_tf(
+    tf_df: DataFrame,
+    id_col: str = "doc_id",
+    term_col: str = "_t",
+    count_col: str = "_c",
+) -> DataFrame:
+    """#91 from a pre-aggregated (id, term, tf) substrate — the fused
+    corpus-card path (plans/corpus_ml.corpus_card_frames), where ONE
+    tokenize scan feeds four panels. Identical output to
+    :func:`token_surprisal` on the raw text: the corpus unigram table
+    is Σ tf per term, the per-doc sums weight each term's bucket by
+    its tf, and the empty-string rows (a whitespace-split artifact the
+    raw path filters at explode time) are filtered here the same way.
+    """
+    t = tf_df.where(F.col(term_col) != "").select(
+        F.col(id_col), F.col(term_col).alias("_t"), F.col(count_col).alias("_k")
+    )
+    cnt = t.groupBy("_t").agg(F.sum("_k").alias("_c"))
+    tot = cnt.agg(F.sum("_c").alias("_n"))
+    bucket = F.length(F.col("_n").cast("string")) - F.length(F.col("_c").cast("string"))
+    return (
+        t.join(cnt, "_t")
+        .join(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_k").alias("n_tok"),
+            F.sum(F.col("_k") * bucket).alias("sum_surprisal"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tok"),
+            F.col("sum_surprisal"),
+            (
+                F.col("sum_surprisal").cast("double") / F.col("n_tok").cast("double")
+            ).alias("mean_surprisal"),
+        )
+    )
+
+
 def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate query for #91 over the documents table."""
     docs = spread(load_table(spark, sf_dir, "documents"))

@@ -558,21 +558,28 @@ LIMIT {PMI_TOP_K}
 TOP_TERMS_K = 5
 
 
-def corpus_source_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_source_top_terms(
+    spark: SparkSession, sf_dir: str, tf: DataFrame | None = None
+) -> DataFrame:
     """The corpus-card vocabulary panel: each source's most frequent
     terms (count-ranked, ties to the lexically smaller word). One
     explode + one (source, word) aggregation; the per-source top-k
     window re-shuffles only the COUNTS frame — vocabulary-sized, not
     corpus-sized (plan: 2 exchanges, the second over |sources × words|
     rows)."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        "source",
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
-    )
-    counts = words.groupBy("source", "word").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
+    if tf is not None:
+        counts = tf.groupBy("source", F.col("_t").alias("word")).agg(
+            F.sum("_c").cast("long").alias("n")
+        )
+    else:
+        docs = load_table(spark, sf_dir, "documents")
+        words = docs.select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+        )
+        counts = words.groupBy("source", "word").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
     top = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("word"))
     return (
         counts.withColumn("_rk", F.row_number().over(top))
@@ -1196,13 +1203,59 @@ FROM agg, nd WHERE np > 0 AND n - np > 0
 """
 
 
+# -------------- shared corpus-card tokenize substrate (#163/#167/#110/#91)
+
+
+def corpus_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE tokenize scan for the whole corpus card: (source, doc_id,
+    term, tf) at per-document granularity — the finest key any of the
+    card's panels needs, so every panel is a pure re-aggregation of
+    this frame. All four consumers (#110 top terms, #163 burstiness,
+    #167 lexical diversity, #91 surprisal) use the identical
+    whitespace tokenizer, which is what makes the fusion lossless:
+    each standalone query's oracle hash is unchanged when fed from
+    here (pinned in tests). Persist the result (see
+    :func:`corpus_card_frames`) to amortize the tokenize — the
+    dominant row-scale work — across panels."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("_t"),
+        )
+        .groupBy("source", "doc_id", "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+
+
+def corpus_card_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The fused per-source corpus card: one persisted tokenize
+    substrate feeds four panels that would otherwise each re-scan and
+    re-tokenize ``documents`` from scratch (round-12 verdict item —
+    3 full tokenize scans saved on a combined run). Consumers must be
+    evaluated before the next ``release_persisted()`` fires."""
+    from ..operators import text as text_ops
+    from ..operators.dedup import _track
+
+    tf = _track(corpus_term_frequencies(spark, sf_dir).persist())
+    return {
+        "top_terms": corpus_source_top_terms(spark, sf_dir, tf=tf),
+        "burstiness": corpus_burstiness(spark, sf_dir, tf=tf),
+        "lexical_diversity": corpus_lexical_diversity(spark, sf_dir, tf=tf),
+        "surprisal": text_ops.token_surprisal_from_tf(tf),
+    }
+
+
 # ------------------------------ per-term burstiness (VMR) (#163)
 
 BURSTINESS_MIN_DF = 50
 BURSTINESS_TOP_K = 25
 
 
-def corpus_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_burstiness(
+    spark: SparkSession, sf_dir: str, tf: DataFrame | None = None
+) -> DataFrame:
     """Most bursty corpus terms by variance-to-mean ratio (#163).
 
     Church/Gale burstiness: a term whose occurrences CLUMP into few
@@ -1234,13 +1287,17 @@ def corpus_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
-    tf = (
-        docs.select(
-            F.col("doc_id"), F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("_t")
+    if tf is None:
+        tf = (
+            docs.select(
+                F.col("doc_id"),
+                F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("_t"),
+            )
+            .groupBy("doc_id", "_t")
+            .agg(F.count(F.lit(1)).alias("_c"))
         )
-        .groupBy("doc_id", "_t")
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
+    # (the shared substrate keys on (source, doc_id, _t); doc_id is
+    # unique across sources, so the granularity is identical)
     per_term = tf.groupBy("_t").agg(
         F.count(F.lit(1)).alias("_df"),
         F.sum("_c").alias("_tot"),
@@ -1303,7 +1360,9 @@ WHERE rk <= {BURSTINESS_TOP_K}
 # ----------------- per-source lexical diversity panel (#167)
 
 
-def corpus_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_lexical_diversity(
+    spark: SparkSession, sf_dir: str, tf: DataFrame | None = None
+) -> DataFrame:
     """Type-token ratio + hapax share per source (#167).
 
     The corpus-linguistics diversity panel (TTR and hapax legomena
@@ -1320,14 +1379,18 @@ def corpus_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined), one per-source reduce over the vocabulary-sized frame.
     Nothing ever pairs or sorts at row scale.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    tf = (
-        docs.select(
-            "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("_t")
+    if tf is None:
+        docs = load_table(spark, sf_dir, "documents")
+        tf = (
+            docs.select(
+                "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("_t")
+            )
+            .groupBy("source", "_t")
+            .agg(F.count(F.lit(1)).alias("_c"))
         )
-        .groupBy("source", "_t")
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
+    else:
+        # substrate is per-doc; fold to per-source term counts
+        tf = tf.groupBy("source", "_t").agg(F.sum("_c").alias("_c"))
     agg = tf.groupBy("source").agg(
         F.sum("_c").alias("_tokens"),
         F.count(F.lit(1)).alias("_types"),
