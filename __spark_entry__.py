@@ -296,6 +296,13 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_lang_kappa": llm_queries.eval_lang_kappa,
         "dedup_unicode": llm_queries.dedup_unicode,
         "corpus_lexical_diversity": corpus_ml.corpus_lexical_diversity,
+        # round-13 additions (SURVEY §2 #168-#173)
+        "corpus_repetition_indices": corpus_ml.corpus_repetition_indices,
+        "corpus_zipf_spine": corpus_ml.corpus_zipf_spine,
+        "corpus_chi2_keywords": corpus_ml.corpus_chi2_keywords,
+        "corpus_ingest_novelty": corpus_ml.corpus_ingest_novelty,
+        "q_copurchase_assortativity": analytics.q_copurchase_assortativity,
+        "q_orders_benford": analytics.q_orders_benford,
     }
 
 
@@ -466,4 +473,11 @@ def secondary_oracle_sql() -> dict[str, str]:
         "eval_lang_kappa": llm_queries.EVAL_LANG_KAPPA_SQL,
         "dedup_unicode": llm_queries.DEDUP_UNICODE_SQL,
         "corpus_lexical_diversity": corpus_ml.CORPUS_LEXICAL_DIVERSITY_SQL,
+        # round-13 additions (SURVEY §2 #168-#173)
+        "corpus_repetition_indices": corpus_ml.CORPUS_REPETITION_INDICES_SQL,
+        "corpus_zipf_spine": corpus_ml.CORPUS_ZIPF_SPINE_SQL,
+        "corpus_chi2_keywords": corpus_ml.CORPUS_CHI2_KEYWORDS_SQL,
+        "corpus_ingest_novelty": corpus_ml.CORPUS_INGEST_NOVELTY_SQL,
+        "q_copurchase_assortativity": analytics.Q_COPURCHASE_ASSORTATIVITY_SQL,
+        "q_orders_benford": analytics.Q_ORDERS_BENFORD_SQL,
     }

@@ -3147,3 +3147,182 @@ SELECT step1, step2, step3, n, CAST(rk AS INT) AS rank FROM (
   FROM counted
 ) WHERE rk <= {TRIGRAM_TOP_K}
 """
+
+
+# ------------- co-purchase degree assortativity (#170)
+
+
+def q_copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph (#170).
+
+    The one-number structure readout for the graph #155/#157/#160 rank
+    and count (Newman 2002, public formula): the Pearson correlation of
+    endpoint degrees over all directed edges. Positive = hubs link to
+    hubs (rich-club catalogs); negative = hubs link to leaves (anchor
+    products pulling long-tail attachments) — it decides whether
+    centrality or coverage drives basket growth.
+
+    Exactness: degrees are integers; every sum (Σx, Σxy, Σx², and the
+    twins) runs in DECIMAL(38,0) — m·Σxy reaches ~1e36 at catalog
+    scale, far past int64 — mirrored by HUGEINT in the oracle. The
+    final r is divisions/sqrt of double-cast exact integers, the same
+    one-rounding-per-op discipline as #163. The mirrored edge frame is
+    symmetric, so Σx = Σy by construction; both are computed anyway and
+    the formula stays the general one.
+
+    Shape: the shared canonical edge builder, one degree aggregation,
+    one degree join onto edges (node-keyed equi-joins), one scalar
+    reduce. Nothing pairs beyond the edges that already exist.
+    """
+    canon = _copurchase_edges(spark, sf_dir, TRIANGLE_MIN_BASKETS)
+    edges = canon.select(F.col("_pa").alias("_u"), F.col("_pb").alias("_v")).unionByName(
+        canon.select(F.col("_pb").alias("_u"), F.col("_pa").alias("_v"))
+    )
+    deg = edges.groupBy(F.col("_u").alias("_node")).agg(
+        F.count(F.lit(1)).alias("_deg")
+    )
+    dec = "decimal(19,0)"
+    dx = F.col("_dx").cast(dec)
+    dy = F.col("_dy").cast(dec)
+    sums = (
+        edges.join(deg.select(F.col("_node").alias("_u"), F.col("_deg").alias("_dx")), "_u")
+        .join(deg.select(F.col("_node").alias("_v"), F.col("_deg").alias("_dy")), "_v")
+        .agg(
+            F.count(F.lit(1)).alias("_m"),
+            F.sum(dx).alias("_sx"),
+            F.sum(dy).alias("_sy"),
+            F.sum(dx * dy).alias("_sxy"),
+            F.sum(dx * dx).alias("_sxx"),
+            F.sum(dy * dy).alias("_syy"),
+        )
+    )
+    m = F.col("_m").cast(dec)
+    var_x = (m * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    var_y = (m * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    cov = (m * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("_nn"))
+    return (
+        sums.crossJoin(F.broadcast(n_nodes))
+        .where((var_x > 0) & (var_y > 0))
+        .select(
+            F.col("_nn").cast("bigint").alias("n_nodes"),
+            F.col("_m").cast("bigint").alias("n_directed_edges"),
+            (cov / F.sqrt(var_x * var_y)).alias("assortativity"),
+        )
+    )
+
+
+Q_COPURCHASE_ASSORTATIVITY_SQL = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), canon AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {TRIANGLE_MIN_BASKETS}
+), edges AS (
+  SELECT pa AS u, pb AS v FROM canon UNION ALL SELECT pb, pa FROM canon
+), deg AS (
+  SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1
+), sums AS (
+  -- HUGEINT mirrors Spark's DECIMAL(38,0): m * sum(x*y) passes 1e36
+  SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+    SUM(CAST(du.d AS HUGEINT)) AS sx,
+    SUM(CAST(dv.d AS HUGEINT)) AS sy,
+    SUM(CAST(du.d AS HUGEINT) * dv.d) AS sxy,
+    SUM(CAST(du.d AS HUGEINT) * du.d) AS sxx,
+    SUM(CAST(dv.d AS HUGEINT) * dv.d) AS syy
+  FROM edges JOIN deg du ON edges.u = du.node JOIN deg dv ON edges.v = dv.node
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT n_nodes, CAST(m AS BIGINT) AS n_directed_edges,
+  CAST(m * sxy - sx * sy AS DOUBLE)
+    / sqrt(CAST(m * sxx - sx * sx AS DOUBLE) * CAST(m * syy - sy * sy AS DOUBLE))
+    AS assortativity
+FROM sums, nn
+WHERE CAST(m * sxx - sx * sx AS DOUBLE) > 0
+  AND CAST(m * syy - sy * sy AS DOUBLE) > 0
+"""
+
+
+# ------------- Benford first-digit audit (#172)
+
+# math.log10(1 + 1/d), materialized as decimal literals so BOTH engines
+# parse the identical double — log10() is a libm call with no cross-
+# engine correct-rounding guarantee, a literal is bit-pinned by IEEE 754
+# shortest round-trip parsing.
+BENFORD_EXPECTED = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals (#172).
+
+    The classic fabricated-data screen (Benford 1938, public): natural
+    multi-scale amounts put ~30.1% of leading digits at 1; uniform or
+    hand-entered values flatten the curve. Per digit: observed count,
+    observed share (one exact division), the Benford expectation, and
+    the signed deviation. The first digit comes from the DECIMAL-
+    STRING of floor(total) — integer-to-string is exact and identical
+    in both engines, where log10-based digit extraction would ride an
+    unpinned libm call. Totals below 1 (none in TPC-H, but the guard
+    is free) are excluded rather than mis-bucketed.
+
+    Shape: one scan, one 9-row aggregation, broadcast total. Output is
+    bounded at nine rows whatever the data scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    digits = (
+        orders.where(F.col("o_totalprice") >= 1.0)
+        .select(
+            F.substring(
+                F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    total = digits.agg(F.sum("n_orders").alias("_tot"))
+    expected = F.create_map(
+        *[F.lit(x) for kv in BENFORD_EXPECTED.items() for x in kv]
+    )
+    return (
+        digits.crossJoin(F.broadcast(total))
+        .withColumn("observed_share", F.col("n_orders").cast("double") / F.col("_tot").cast("double"))
+        .withColumn("expected_share", expected[F.col("digit")])
+        .select(
+            "digit",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            "observed_share",
+            "expected_share",
+            (F.col("observed_share") - F.col("expected_share")).alias("deviation"),
+        )
+    )
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {v!r}" for d, v in BENFORD_EXPECTED.items()
+)
+
+Q_ORDERS_BENFORD_SQL = f"""
+WITH digits AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+    CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1
+), tot AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS t FROM digits)
+SELECT digit, n_orders,
+  CAST(n_orders AS DOUBLE) / CAST(t AS DOUBLE) AS observed_share,
+  CASE digit {_BENFORD_CASE} END AS expected_share,
+  CAST(n_orders AS DOUBLE) / CAST(t AS DOUBLE)
+    - (CASE digit {_BENFORD_CASE} END) AS deviation
+FROM digits, tot
+"""

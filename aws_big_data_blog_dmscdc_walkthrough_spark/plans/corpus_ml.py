@@ -1424,3 +1424,362 @@ SELECT source,
     / CAST(COUNT(*) AS DOUBLE) AS hapax_share
 FROM tf GROUP BY source
 """
+
+
+# ---------------- per-source repetition indices (Yule's K / Simpson) (#168)
+
+
+def corpus_repetition_indices(
+    spark: SparkSession, sf_dir: str, tf: DataFrame | None = None
+) -> DataFrame:
+    """Yule's K and Simpson's D per source (#168).
+
+    The repeated-draw companions to #167's TTR panel (public formulas —
+    Yule 1944, Simpson 1949): both measure the probability that two
+    tokens drawn from the source are the SAME type, so they spike on
+    template/boilerplate sources and are length-insensitive where raw
+    TTR is not. With N = Σf tokens, S2 = Σf² over the per-source term
+    frequencies:
+
+        K = 10⁴ · (S2 − N) / N²          D = (S2 − N) / (N·(N−1))
+
+    Exactness: S2 runs in DECIMAL(38,0) — a 100 TB source's stopword
+    frequency passes 3e9 and f² wraps int64 inside the sum, where
+    double summands would also be accumulation-order-dependent. The
+    final divisions cast each factor to double (mirrored in the
+    oracle), one exactly-rounded op per value. Sources with fewer than
+    two tokens drop (D undefined).
+
+    Shape: one (source, term) aggregation, one per-source reduce —
+    accepts the shared corpus-card substrate (#163/#167/#110/#91).
+    """
+    if tf is None:
+        docs = load_table(spark, sf_dir, "documents")
+        tf = (
+            docs.select(
+                "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("_t")
+            )
+            .groupBy("source", "_t")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+    else:
+        tf = tf.groupBy("source", "_t").agg(F.sum("_c").alias("_c"))
+    dec = "decimal(19,0)"
+    agg = tf.groupBy("source").agg(
+        F.sum("_c").alias("_n"),
+        F.count(F.lit(1)).alias("_v"),
+        F.sum(F.col("_c").cast(dec) * F.col("_c").cast(dec)).alias("_s2"),
+    )
+    n_d = F.col("_n").cast("double")
+    excess = (F.col("_s2") - F.col("_n").cast(dec)).cast("double")
+    return (
+        agg.where(F.col("_n") >= 2)
+        .select(
+            "source",
+            F.col("_n").cast("bigint").alias("n_tokens"),
+            F.col("_v").cast("bigint").alias("n_types"),
+            ((F.lit(10000.0) * excess) / (n_d * n_d)).alias("yule_k"),
+            (excess / (n_d * (F.col("_n") - F.lit(1)).cast("double"))).alias(
+                "simpson_d"
+            ),
+        )
+    )
+
+
+CORPUS_REPETITION_INDICES_SQL = r"""
+WITH tf AS (
+  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t
+    FROM documents
+  ) GROUP BY 1, 2
+), agg AS (
+  -- HUGEINT mirrors Spark's DECIMAL(38,0): f*f wraps int64 at 100 TB
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v,
+    SUM(CAST(c AS HUGEINT) * c) AS s2
+  FROM tf GROUP BY 1
+)
+SELECT source, n AS n_tokens, v AS n_types,
+  (10000.0 * CAST(s2 - n AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+    AS yule_k,
+  CAST(s2 - n AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+    AS simpson_d
+FROM agg WHERE n >= 2
+"""
+
+
+# ------------------- per-source Zipf rank-frequency spine (#169)
+
+
+def corpus_zipf_spine(
+    spark: SparkSession, sf_dir: str, tf: DataFrame | None = None
+) -> DataFrame:
+    """Rank-frequency spine per source (#169): the exact data a Zipf
+    fit consumes, without ever ranking the vocabulary row-by-row.
+
+    Instead of ranking every term (a vocabulary-scale sort), group the
+    per-source term frequencies by FREQUENCY VALUE: each distinct
+    frequency f carries its type count v and the tie-averaged rank of
+    those v terms — prior + (v+1)/2 where prior counts strictly more
+    frequent types. The spine is the counts-of-counts frame: its size
+    is the number of DISTINCT frequency values (O(√N) under a Zipfian
+    tail — ~thousands at 100 TB), so the per-source running-sum window
+    is over a bounded frame, never the vocabulary. avg_rank is the one
+    half-integer — (2·prior + v + 1)/2 is exactly representable, so
+    both engines agree bit-for-bit.
+
+    A Zipf slope then falls out client-side (weighted OLS of ln f on
+    ln avg_rank over ≤ thousands of spine rows — numpy-pinned in
+    tests); the engine's job is the exact spine. Accepts the shared
+    corpus-card substrate.
+    """
+    if tf is None:
+        docs = load_table(spark, sf_dir, "documents")
+        tf = (
+            docs.select(
+                "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("_t")
+            )
+            .groupBy("source", "_t")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+    else:
+        tf = tf.groupBy("source", "_t").agg(F.sum("_c").alias("_c"))
+    spine = tf.groupBy("source", F.col("_c").alias("freq")).agg(
+        F.count(F.lit(1)).alias("n_types")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("freq").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum("n_types").over(w), F.lit(0))
+    return spine.select(
+        "source",
+        F.col("freq").cast("bigint").alias("freq"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        prior.cast("bigint").alias("n_more_frequent"),
+        (
+            (F.lit(2) * prior + F.col("n_types") + F.lit(1)).cast("double")
+            / F.lit(2.0)
+        ).alias("avg_rank"),
+    )
+
+
+CORPUS_ZIPF_SPINE_SQL = r"""
+WITH tf AS (
+  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t
+    FROM documents
+  ) GROUP BY 1, 2
+), spine AS (
+  SELECT source, c AS freq, CAST(COUNT(*) AS BIGINT) AS n_types
+  FROM tf GROUP BY 1, 2
+)
+SELECT source, freq, n_types,
+  CAST(COALESCE(SUM(n_types) OVER w, 0) AS BIGINT) AS n_more_frequent,
+  CAST(2 * COALESCE(SUM(n_types) OVER w, 0) + n_types + 1 AS DOUBLE) / 2.0
+    AS avg_rank
+FROM spine
+WINDOW w AS (PARTITION BY source ORDER BY freq DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+
+# ---------------- per-source chi-squared keyword extraction (#171)
+
+CHI2_MIN_DF = 5  # a term must appear in >= this many of the source's docs
+CHI2_TOP_K = 10
+
+
+def corpus_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k distinctive terms per source by 2x2 chi-squared (#171).
+
+    The corpus-card "what makes this source different" panel (the
+    classic keyword-extraction statistic — public formula): for each
+    (source, term), the 2x2 contingency over DOCUMENT frequencies —
+    docs in the source containing the term (a), source docs without it
+    (b), other docs with it (c), other docs without it (d) — scores
+
+        chi2 = N·(a·d − b·c)² / ((a+b)·(c+d)·(a+c)·(b+d))
+
+    keeping only over-represented terms (a·d > b·c). Products reach
+    N² ~ 1e22 at 100 TB doc counts, so every factor casts to double
+    before multiplying (the #163 discipline, mirrored in the oracle).
+
+    Shape: one (source, term) DOCUMENT-frequency aggregation (distinct
+    per doc via the per-doc grouping), one per-term global reduce, one
+    broadcast of the |sources|-row doc totals; the top-k window runs
+    over the vocabulary-scale COUNTS frame partitioned by source —
+    Spark 4 executes the rank filter as WindowGroupLimit (per-partition
+    top-k heaps before the final per-source sort), the #110 pattern.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    df_counts = (
+        docs.select(
+            "source",
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+            ).alias("_t"),
+        )
+        .groupBy("source", "_t")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    src_tot = docs.groupBy("source").agg(F.count(F.lit(1)).alias("_ns"))
+    term_tot = df_counts.groupBy("_t").agg(F.sum("_d").alias("_dt"))
+    n_tot = docs.agg(F.count(F.lit(1)).alias("_n"))
+    j = (
+        df_counts.join(term_tot, "_t")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    a = F.col("_d").cast("double")
+    b = (F.col("_ns") - F.col("_d")).cast("double")
+    c = (F.col("_dt") - F.col("_d")).cast("double")
+    d = (F.col("_n") - F.col("_ns") - (F.col("_dt") - F.col("_d"))).cast("double")
+    num = a * d - b * c
+    denom = (
+        F.col("_ns").cast("double")
+        * (F.col("_n") - F.col("_ns")).cast("double")
+        * F.col("_dt").cast("double")
+        * (F.col("_n") - F.col("_dt")).cast("double")
+    )
+    scored = (
+        j.where(F.col("_d") >= CHI2_MIN_DF)
+        .withColumn("_num", num)
+        .where((F.col("_num") > 0) & (denom > 0))
+        .withColumn("chi2", F.col("_n").cast("double") * F.col("_num") * F.col("_num") / denom)
+    )
+    top = Window.partitionBy("source").orderBy(F.col("chi2").desc(), F.col("_t").asc())
+    return (
+        scored.withColumn("_rk", F.row_number().over(top))
+        .where(F.col("_rk") <= CHI2_TOP_K)
+        .select(
+            "source",
+            F.col("_t").alias("term"),
+            F.col("_d").cast("bigint").alias("df_in_source"),
+            (F.col("_dt") - F.col("_d")).cast("bigint").alias("df_elsewhere"),
+            "chi2",
+            F.col("_rk").cast("int").alias("rank"),
+        )
+    )
+
+
+CORPUS_CHI2_KEYWORDS_SQL = rf"""
+WITH dfc AS (
+  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT source, doc_id,
+      unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS t
+    FROM documents
+  ) GROUP BY 1, 2
+), st AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS ns FROM documents GROUP BY 1
+), tt AS (SELECT t, CAST(SUM(d) AS BIGINT) AS dt FROM dfc GROUP BY 1),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+scored AS (
+  SELECT dfc.source, dfc.t, dfc.d, tt.dt,
+    CAST(dfc.d AS DOUBLE) * CAST(n - ns - (dt - d) AS DOUBLE)
+      - CAST(ns - d AS DOUBLE) * CAST(dt - d AS DOUBLE) AS num,
+    CAST(ns AS DOUBLE) * CAST(n - ns AS DOUBLE)
+      * CAST(dt AS DOUBLE) * CAST(n - dt AS DOUBLE) AS denom,
+    CAST(n AS DOUBLE) AS n_d
+  FROM dfc JOIN tt USING (t) JOIN st USING (source), nt
+  WHERE dfc.d >= {CHI2_MIN_DF}
+), ranked AS (
+  SELECT source, t, d, dt, n_d * num * num / denom AS chi2
+  FROM scored WHERE num > 0 AND denom > 0
+)
+SELECT source, t AS term, d AS df_in_source,
+  CAST(dt - d AS BIGINT) AS df_elsewhere, chi2, CAST(rk AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+    ORDER BY chi2 DESC, t ASC) AS rk
+  FROM ranked
+) WHERE rk <= {CHI2_TOP_K}
+"""
+
+
+# ---------------- trigram ingestion-novelty curve (#173)
+
+NOVELTY_BATCHES = 10
+
+
+def corpus_ingest_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of never-seen-before trigrams per ingestion batch (#173).
+
+    The corpus-growth diagnostic a crawl pipeline watches: as batches
+    arrive (doc_id order stands in for arrival order — the testdata
+    generator assigns ids sequentially), what fraction of each batch's
+    distinct 3-token shingles was never seen in ANY earlier batch? A
+    healthy crawl decays slowly; a plateau near zero means the new
+    batches are re-crawls. Batch = doc_id div ceil((max_id+1)/K) —
+    division before multiplication, so no overflow at any id scale,
+    and identical floor semantics in both engines for non-negative
+    ids.
+
+    Shape: one trigram explode, one distinct (batch, trigram)
+    aggregation, one per-trigram min-batch reduce, two tiny per-batch
+    aggregations — everything keys on the trigram, nothing pairs. All
+    outputs are exact integers plus one exactly-rounded division.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id").alias("_m"))
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    tri = F.when(
+        F.size(F.col("_toks")) >= 3,
+        F.expr(
+            "transform(sequence(0, size(_toks) - 3),"
+            " i -> concat_ws(' ', _toks[i], _toks[i+1], _toks[i+2]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # integer width w = max_id div K + 1; batch = doc_id div w in 0..K-1
+    batched = (
+        docs.crossJoin(F.broadcast(max_id))
+        .withColumn("_w", F.expr(f"_m div {NOVELTY_BATCHES} + 1"))
+        .withColumn("batch", F.expr("doc_id div _w"))
+        .withColumn("_toks", toks)
+        .select("batch", F.explode(tri).alias("_tg"))
+        .distinct()
+    )
+    first = batched.groupBy("_tg").agg(F.min("batch").alias("_fb"))
+    per_batch = batched.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n_trigrams")
+    )
+    new_per_batch = first.groupBy(F.col("_fb").alias("batch")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    return (
+        per_batch.join(new_per_batch, "batch", "left")
+        .select(
+            F.col("batch").cast("bigint").alias("batch"),
+            F.col("n_trigrams").cast("bigint").alias("n_trigrams"),
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("bigint").alias("n_new"),
+            (
+                F.coalesce(F.col("n_new"), F.lit(0)).cast("double")
+                / F.col("n_trigrams").cast("double")
+            ).alias("new_share"),
+        )
+    )
+
+
+CORPUS_INGEST_NOVELTY_SQL = rf"""
+WITH m AS (SELECT MAX(doc_id) AS mx FROM documents),
+tg AS (
+  SELECT DISTINCT doc_id // (mx // {NOVELTY_BATCHES} + 1) AS batch, u.tgram
+  FROM (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+    FROM documents
+  ), m,
+  UNNEST(list_transform(range(1, greatest(len(toks) - 1, 1)),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS u(tgram)
+), first AS (
+  SELECT tgram, MIN(batch) AS fb FROM tg GROUP BY 1
+), per_batch AS (
+  SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_trigrams FROM tg GROUP BY 1
+), new_b AS (
+  SELECT fb AS batch, CAST(COUNT(*) AS BIGINT) AS n_new FROM first GROUP BY 1
+)
+SELECT CAST(per_batch.batch AS BIGINT) AS batch, n_trigrams,
+  CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+  CAST(COALESCE(n_new, 0) AS DOUBLE) / CAST(n_trigrams AS DOUBLE) AS new_share
+FROM per_batch LEFT JOIN new_b ON per_batch.batch = new_b.batch
+"""

@@ -1026,3 +1026,169 @@ def test_lexical_diversity_hand_computed(spark, monkeypatch, tmp_path):
         "template": (8, 2, 0, 0.25, 0.0),
         "organic": (4, 4, 4, 1.0, 1.0),
     }
+
+
+def test_repetition_indices_hand_computed(spark, monkeypatch, tmp_path):
+    """'a a b': N=3, V=2, S2=5 -> K = 1e4*(5-3)/9, D = (5-3)/(3*2)."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import corpus_ml
+
+    df = spark.createDataFrame(
+        [(0, "a a b", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    out = str(tmp_path / "documents.parquet")
+    df.write.parquet(out)
+    _route_table(
+        monkeypatch,
+        "aws_big_data_blog_dmscdc_walkthrough_spark.plans.corpus_ml",
+        "documents",
+        out,
+    )
+    rows = corpus_ml.corpus_repetition_indices(spark, "ignored").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_tokens, r.n_types) == (3, 2)
+    assert r.yule_k == 10000.0 * 2.0 / 9.0
+    assert r.simpson_d == 2.0 / 6.0
+
+
+def test_zipf_spine_hand_computed(spark, monkeypatch, tmp_path):
+    """a,b 3x each; c once: spine (freq 3, v=2, avg_rank 1.5),
+    (freq 1, v=1, prior 2, avg_rank 3.0)."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import corpus_ml
+
+    df = spark.createDataFrame(
+        [(0, "a a a b b b c", "en", "s", 13)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    out = str(tmp_path / "documents.parquet")
+    df.write.parquet(out)
+    _route_table(
+        monkeypatch,
+        "aws_big_data_blog_dmscdc_walkthrough_spark.plans.corpus_ml",
+        "documents",
+        out,
+    )
+    got = {
+        r.freq: (r.n_types, r.n_more_frequent, r.avg_rank)
+        for r in corpus_ml.corpus_zipf_spine(spark, "ignored").collect()
+    }
+    assert got == {3: (2, 0, 1.5), 1: (1, 2, 3.0)}
+
+
+def test_chi2_keywords_hand_computed(spark, monkeypatch, tmp_path):
+    """Term 'x' only in source A (2 of 2 docs), absent from B (2 docs):
+    a=2 b=0 c=0 d=2, chi2 = 4*(2*2)^2/(2*2*2*2) = 4.0. The shared term
+    has ad-bc = 0 and is excluded (not over-represented)."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import corpus_ml
+
+    monkeypatch.setattr(corpus_ml, "CHI2_MIN_DF", 1)
+    rows = [
+        (0, "x shared", "en", "A", 8),
+        (1, "x shared", "en", "A", 8),
+        (2, "shared other", "en", "B", 12),
+        (3, "shared other", "en", "B", 12),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    out = str(tmp_path / "documents.parquet")
+    df.write.parquet(out)
+    _route_table(
+        monkeypatch,
+        "aws_big_data_blog_dmscdc_walkthrough_spark.plans.corpus_ml",
+        "documents",
+        out,
+    )
+    got = {
+        (r.source, r.term): (r.df_in_source, r.df_elsewhere, r.chi2, r.rank)
+        for r in corpus_ml.corpus_chi2_keywords(spark, "ignored").collect()
+    }
+    assert got == {
+        ("A", "x"): (2, 0, 4.0, 1),
+        ("B", "other"): (2, 0, 4.0, 1),
+    }
+
+
+def test_ingest_novelty_hand_computed(spark, monkeypatch, tmp_path):
+    """max_id 9 -> width 1 -> batch = doc_id. Batch 0 introduces both
+    its trigrams; batch 9 re-sees 'a b c' and introduces 'b c x'."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import corpus_ml
+
+    rows = [
+        (0, "a b c d", "en", "s", 7),
+        (9, "a b c x", "en", "s", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    out = str(tmp_path / "documents.parquet")
+    df.write.parquet(out)
+    _route_table(
+        monkeypatch,
+        "aws_big_data_blog_dmscdc_walkthrough_spark.plans.corpus_ml",
+        "documents",
+        out,
+    )
+    got = {
+        r.batch: (r.n_trigrams, r.n_new, r.new_share)
+        for r in corpus_ml.corpus_ingest_novelty(spark, "ignored").collect()
+    }
+    assert got == {0: (2, 2, 1.0), 9: (2, 1, 0.5)}
+
+
+def test_assortativity_hand_computed(spark, monkeypatch, tmp_path):
+    """Path graph 1-2-3 (each pair co-purchased in 2 baskets): degrees
+    1,2,1; directed edges (1,2)(2,1)(2,3)(3,2) give r = -1.0 (perfectly
+    disassortative)."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import analytics
+
+    li = []
+    for o, (pa, pb) in enumerate([(1, 2), (1, 2), (2, 3), (2, 3)]):
+        li += [(o, pa), (o, pb)]
+    df = spark.createDataFrame(li, "l_orderkey long, l_partkey long")
+    out = str(tmp_path / "lineitem.parquet")
+    df.write.parquet(out)
+    _route_table(
+        monkeypatch,
+        "aws_big_data_blog_dmscdc_walkthrough_spark.plans.analytics",
+        "lineitem",
+        out,
+    )
+    rows = analytics.q_copurchase_assortativity(spark, "ignored").collect()
+    assert len(rows) == 1
+    assert (rows[0].n_nodes, rows[0].n_directed_edges) == (3, 4)
+    assert rows[0].assortativity == -1.0
+
+
+def test_benford_hand_computed(spark, monkeypatch, tmp_path):
+    """4 totals leading with 1, one with 9: shares 0.8/0.2, deviations
+    against the pinned literal expectations; sub-1 totals excluded."""
+    from datetime import datetime as dt
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import analytics
+
+    rows = [
+        (i, i, "F", p, dt(2024, 1, 1), "1-URGENT")
+        for i, p in enumerate([150.0, 12.5, 199.9, 1000.0, 950.0, 0.5])
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    out = str(tmp_path / "orders.parquet")
+    df.write.parquet(out)
+    _route_table(
+        monkeypatch,
+        "aws_big_data_blog_dmscdc_walkthrough_spark.plans.analytics",
+        "orders",
+        out,
+    )
+    got = {
+        r.digit: (r.n_orders, r.observed_share, r.expected_share, r.deviation)
+        for r in analytics.q_orders_benford(spark, "ignored").collect()
+    }
+    e1 = analytics.BENFORD_EXPECTED[1]
+    e9 = analytics.BENFORD_EXPECTED[9]
+    assert got == {1: (4, 0.8, e1, 0.8 - e1), 9: (1, 0.2, e9, 0.2 - e9)}
