@@ -303,6 +303,9 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_ingest_novelty": corpus_ml.corpus_ingest_novelty,
         "q_copurchase_assortativity": analytics.q_copurchase_assortativity,
         "q_orders_benford": analytics.q_orders_benford,
+        # rows-only (#174: greedy MMR objective is not SQL-expressible;
+        # deterministic rows — numpy-pinned + hand-checked in pytest)
+        "ann_mmr_topk": llm_queries.ann_mmr_topk,
     }
 
 

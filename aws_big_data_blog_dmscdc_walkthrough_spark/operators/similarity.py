@@ -1341,3 +1341,101 @@ def hard_negatives(
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
     )
+
+
+# ------------------- MMR diverse top-k selection (#174)
+
+MMR_LAMBDA = 0.7
+MMR_POOL = 50
+
+
+def mmr_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    k: int,
+    pool: int = MMR_POOL,
+    lam: float = MMR_LAMBDA,
+) -> DataFrame:
+    """Maximal Marginal Relevance diverse top-k (#174).
+
+    Carbonell & Goldstein 1998 (public algorithm): greedily pick the
+    candidate maximizing ``λ·rel(q,d) − (1−λ)·max_{s∈selected}
+    sim(d,s)`` — the de-duplicated retrieval a RAG or hard-negative
+    pipeline wants when the plain top-k is k near-copies of one hit.
+
+    Split exactly like :func:`ivf_fit_centroids`: the O(corpus) part —
+    scoring every vector against the query — is the distributed
+    brute-force :func:`cosine_topk`, thinned to a BOUNDED ``pool``
+    (top-``pool`` by relevance; an item outside the relevance pool
+    can't enter an MMR top-k for any λ ≥ 0.5, and smaller λ is a
+    diversity-first regime where the pool is an explicit contract).
+    The greedy selection is O(pool²) on the driver in float64 numpy —
+    bounded rows, deterministic arithmetic, ties to the smaller id.
+
+    Returns (rank, id, relevance, max_sim_selected, mmr_score); rows
+    are fully deterministic (the pool comes from the hash-gated
+    sequential-fold cosine, numpy is order-fixed), so the rows-only
+    driver gate holds.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cands = (
+        cosine_topk(df, id_col, vec_col, query_df, pool)
+        .join(df.select(F.col(id_col), F.col(vec_col)), id_col)
+        .select(id_col, "cosine", as_double(F.col(vec_col)).alias("_v"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+    )
+    rows = cands.collect()
+    if not rows:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [],
+            f"rank int, {id_col} long, relevance double,"
+            " max_sim_selected double, mmr_score double",
+        )
+    ids = np.array([r[id_col] for r in rows])
+    rel = np.array([r["cosine"] for r in rows], dtype=np.float64)
+    V = np.array([r["_v"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(V, axis=1)
+    den = np.outer(norms, norms)
+    sims = (V @ V.T) / np.where(den == 0, 1.0, den)
+    selected: list[int] = []
+    out = []
+    avail = np.ones(len(ids), dtype=bool)
+    for rank in range(1, min(k, len(ids)) + 1):
+        if selected:
+            max_sim = sims[:, selected].max(axis=1)
+        else:
+            max_sim = np.zeros(len(ids))
+        score = lam * rel - (1.0 - lam) * max_sim
+        score_masked = np.where(avail, score, -np.inf)
+        # argmax with smaller-id tie-break: stable lexicographic pick
+        best = min(
+            (i for i in range(len(ids)) if avail[i]),
+            key=lambda i: (-score_masked[i], ids[i]),
+        )
+        out.append(
+            (
+                rank,
+                int(ids[best]),
+                float(rel[best]),
+                float(max_sim[best]),
+                float(score_masked[best]),
+            )
+        )
+        selected.append(best)
+        avail[best] = False
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        pd.DataFrame(
+            out,
+            columns=["rank", id_col, "relevance", "max_sim_selected", "mmr_score"],
+        ),
+        schema=(
+            f"rank int, {id_col} long, relevance double,"
+            " max_sim_selected double, mmr_score double"
+        ),
+    )

@@ -1596,3 +1596,18 @@ SELECT doc_id,
   COUNT(*) OVER (PARTITION BY sig) AS group_size
 FROM n
 """
+
+
+# ------------------- MMR diverse retrieval (#174)
+
+
+def ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query for #174: MMR-diversified top-10 from a top-50
+    relevance pool against the standard query vector. Rows-only gate
+    (the greedy objective is not SQL-expressible); determinism and the
+    hand-checked greedy behavior are pinned in tests/test_similarity.py.
+    """
+    embs = load_table(spark, sf_dir, "embeddings")
+    return similarity.mmr_topk(
+        embs, "vec_id", "embedding", _query_vec(spark, sf_dir), ANN_K
+    )

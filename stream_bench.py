@@ -310,12 +310,26 @@ def bench_dedup_stream(spark, sf_dir: str, work: str) -> dict:
     )
     q.awaitTermination()
     wall = time.perf_counter() - t0
+    # State size is the axis that decides whether this scales: the
+    # store holds one row per key seen within one TTL, NOT per event —
+    # numRowsTotal from the final progress is the exact count, so the
+    # sidecar records how state grows (or doesn't) with sf.
+    state_rows = None
+    try:
+        prog = q.lastProgress
+        if prog and prog.get("stateOperators"):
+            state_rows = prog["stateOperators"][0].get("numRowsTotal")
+    except Exception:
+        pass
     firsts = spark.sql(
         "SELECT count(*) AS n FROM sb_dedup WHERE row_type = 'first'"
     ).collect()[0]["n"]
     assert firsts > 0
-    return {"rows": n_rows, "sec": round(wall, 2),
-            "rows_per_sec": round(n_rows / wall), "first_rows": firsts}
+    out_rec = {"rows": n_rows, "sec": round(wall, 2),
+               "rows_per_sec": round(n_rows / wall), "first_rows": firsts}
+    if state_rows is not None:
+        out_rec["state_rows"] = state_rows
+    return out_rec
 
 
 def main() -> None:

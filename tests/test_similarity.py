@@ -471,3 +471,72 @@ def test_knn_propagate_empty_labeled_raises_clear_error(spark):
         knn_propagate(
             narrow, emb.limit(10), "vec_id", "embedding", "label", bands=2
         )
+
+
+def test_mmr_hand_computed_diversity(spark):
+    """Unit vectors at 10/15/60 degrees off the query. Plain top-2 is
+    (a, b); at lam=0.3, b's 5-degree closeness to a (sim cos5 ~ .996)
+    outweighs its relevance edge and c (60 deg, diverse) is picked:
+    score_b = .3*cos15 - .7*cos5 = -.408 < score_c = .3*cos60 -
+    .7*cos50 = -.300."""
+    import math
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import similarity
+
+    def at(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    rows = [(1, at(10), 0), (2, at(15), 0), (3, at(60), 0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = spark.createDataFrame(
+        [(99, at(0), 0)], "vec_id long, embedding array<float>, label int"
+    )
+    got = similarity.mmr_topk(df, "vec_id", "embedding", q, k=2, pool=3, lam=0.3)
+    picks = [(r.rank, r.vec_id) for r in got.collect()]
+    assert picks == [(1, 1), (2, 3)]
+
+
+def test_mmr_lambda_one_is_plain_topk(spark):
+    """lam=1.0 disables the diversity term: MMR must equal the
+    brute-force relevance top-k, same order."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import similarity
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans.llm_queries import (
+        ANN_K,
+        _query_vec,
+    )
+    from aws_big_data_blog_dmscdc_walkthrough_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    embs = load_table(spark, sf, "embeddings")
+    plain = [
+        r.vec_id
+        for r in similarity.cosine_topk(
+            embs, "vec_id", "embedding", _query_vec(spark, sf), ANN_K
+        ).collect()
+    ]
+    mmr = [
+        r.vec_id
+        for r in similarity.mmr_topk(
+            embs, "vec_id", "embedding", _query_vec(spark, sf), ANN_K, lam=1.0
+        ).collect()
+    ]
+    assert mmr == plain
+
+
+def test_mmr_deterministic_and_selected_sims_monotone(spark):
+    """Repeat runs produce identical rows (rows-only gate contract),
+    the first pick is the relevance top-1, picks are unique, and every
+    later pick's max_sim_selected is a real similarity in [-1, 1]."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import llm_queries
+
+    sf = "/root/testdata/sf0.001"
+    a = [tuple(r) for r in llm_queries.ann_mmr_topk(spark, sf).collect()]
+    b = [tuple(r) for r in llm_queries.ann_mmr_topk(spark, sf).collect()]
+    assert a == b and len(a) == llm_queries.ANN_K
+    ids = [r[1] for r in a]
+    assert len(set(ids)) == len(ids)
+    assert a[0][3] == 0.0  # first pick has no selected set
+    assert all(-1.0 - 1e-12 <= r[3] <= 1.0 + 1e-12 for r in a[1:])
+    rel = [r[2] for r in a]
+    assert rel[0] == max(rel)
