@@ -1550,6 +1550,59 @@ WHERE quality_score > src_p25
 HEAVY_HITTER_K = 50  # report words with frequency > corpus_tokens / K
 
 
+def _mg_prune(counts: dict, keep: int) -> None:
+    """One Misra-Gries decrement round: subtract the (keep+1)-th largest
+    counter from every counter and drop non-positives. Any prune
+    schedule is a legal MG merge sequence (Agarwal et al., PODS'12), so
+    callers may prune lazily without touching the error bound."""
+    if len(counts) <= keep:
+        return
+    vals = sorted(counts.values(), reverse=True)
+    m = vals[keep]  # (keep+1)-th largest
+    for w in list(counts):
+        c = counts[w] - m
+        if c > 0:
+            counts[w] = c
+        else:
+            del counts[w]
+
+
+def _mg_screen_fn(k: int):
+    """mapInPandas body: per-partition bounded MG summary over a
+    single ``word`` column, emitting ≤ k counter rows plus one
+    word=NULL sentinel row carrying the partition's token count — the
+    shared screen for the batch heavy hitters (#151) and the
+    incremental fold (#175)."""
+
+    def screen(batches):
+        counts: dict = {}
+        n_part = 0
+        # lazy prune bound: amortizes the sort; any prune schedule is a
+        # legal MG merge sequence, so the error bound is unaffected
+        soft_cap = max(4 * k, 1024)
+        for pdf in batches:
+            n_part += len(pdf)
+            for w, c in pdf["word"].value_counts().items():
+                counts[w] = counts.get(w, 0) + int(c)
+            if len(counts) > soft_cap:
+                _mg_prune(counts, k)
+        _mg_prune(counts, k)
+        # the corpus total rides the SAME pass as a word=NULL sentinel
+        # row per partition — folding what used to be a separate full
+        # tokenize+count scan into the screen (3 scans -> 2)
+        words = list(counts)
+        yield pd.DataFrame(
+            {
+                "word": pd.Series(words + [None], dtype="object"),
+                "part_n": pd.Series(
+                    [counts[w] for w in words] + [n_part], dtype="int64"
+                ),
+            }
+        )
+
+    return screen
+
+
 def text_heavy_hitters(
     spark: SparkSession, sf_dir: str, k: int = HEAVY_HITTER_K
 ) -> DataFrame:
@@ -1581,49 +1634,16 @@ def text_heavy_hitters(
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
-
-    def _mg_prune(counts: dict, keep: int) -> None:
-        if len(counts) <= keep:
-            return
-        vals = sorted(counts.values(), reverse=True)
-        m = vals[keep]  # (keep+1)-th largest
-        for w in list(counts):
-            c = counts[w] - m
-            if c > 0:
-                counts[w] = c
-            else:
-                del counts[w]
-
-    def screen(batches):
-        counts: dict = {}
-        n_part = 0
-        # lazy prune bound: amortizes the sort; any prune schedule is a
-        # legal MG merge sequence, so the error bound is unaffected
-        soft_cap = max(4 * k, 1024)
-        for pdf in batches:
-            n_part += len(pdf)
-            for w, c in pdf["word"].value_counts().items():
-                counts[w] = counts.get(w, 0) + int(c)
-            if len(counts) > soft_cap:
-                _mg_prune(counts, k)
-        _mg_prune(counts, k)
-        # the corpus total rides the SAME pass as a word=NULL sentinel
-        # row per partition — folding what used to be a separate full
-        # tokenize+count scan into the screen (3 scans -> 2)
-        words = list(counts)
-        yield pd.DataFrame(
-            {
-                "word": pd.Series(words + [None], dtype="object"),
-                "part_n": pd.Series([0] * len(words) + [n_part], dtype="int64"),
-            }
-        )
+    screen = _mg_screen_fn(k)
 
     # tiny output (<= k+1 rows/partition): persist so the candidate set
     # and the corpus total both read ONE screen pass; released by
     # release_persisted() with the other tracked frames
     scr = _dedup_track(toks.mapInPandas(screen, "word string, part_n long").persist())
     cands = scr.where(F.col("word").isNotNull()).select("word").distinct()
-    total = scr.agg(F.sum("part_n").alias("_n"))
+    # counter rows now carry MG estimates (the #175 fold consumes them);
+    # the corpus total is the sentinel rows alone
+    total = scr.where(F.col("word").isNull()).agg(F.sum("part_n").alias("_n"))
     return (
         toks.join(F.broadcast(cands), "word")
         .groupBy("word")
@@ -1672,3 +1692,154 @@ def nfc_canonical(col) -> "F.Column":
         )
 
     return F.trim(F.regexp_replace(_nfc(col), r"\s+", " "))
+
+
+# --------- incremental Misra-Gries heavy-hitter state + fold (#175)
+
+MG_STATE_K = 64  # counters kept in the persisted summary
+
+
+def fold_heavy_hitters(
+    spark: SparkSession,
+    batch: DataFrame,
+    text_col: str,
+    out_path: str,
+    k: int = MG_STATE_K,
+    batch_id: int | None = None,
+) -> bool:
+    """Incrementally maintain a persisted Misra-Gries heavy-hitter
+    summary (#175) — the heavy-hitter twin of the count-min fold
+    (#125, :func:`fold_count_min`), with the same manifest-committed,
+    replay-idempotent, single-writer contract.
+
+    Per ingest batch: ONE batch-sized tokenize + the shared bounded
+    per-partition MG screen (:func:`_mg_screen_fn` — ≤ k rows per
+    partition, the long tail never accumulates anywhere), then a
+    driver-side merge of the ≤ k·P batch counters into the stored ≤ k
+    counters (mergeable summaries: counter addition + one prune is a
+    legal MG merge, Agarwal et al. PODS'12). The stored table is FIXED
+    SIZE — ≤ k counter rows plus one word=NULL sentinel carrying the
+    all-time token total — so state rewrite cost is O(k) whatever has
+    ever streamed. The corpus never re-enters.
+
+    Read back via :func:`heavy_hitter_state_candidates`: every stored
+    counter is a LOWER bound on the word's true all-time count, with
+    undercount ≤ total/(k+1) (the MG bound survives any merge
+    schedule), so the readout can certify hitters and enumerate a
+    guaranteed superset of the true > total/K set for K ≤ k.
+
+    ``batch_id`` rides the commit as ``mg_folded_through`` (replayed
+    micro-batches are committed no-ops); ``k`` rides as ``mg_k`` and a
+    later fold with a different k raises — counters pruned at one k
+    are not a valid summary at another.
+    """
+    import uuid
+
+    from ..sources import lake_writer
+    from ..sources import manifest as manifest_mod
+
+    man = (
+        manifest_mod.read_manifest(spark, out_path)
+        if lake_writer.target_exists(spark, out_path)
+        else None
+    )
+    props_prev = dict((man or {}).get("properties") or {})
+    if man is not None and batch_id is not None:
+        done = props_prev.get("mg_folded_through")
+        if isinstance(done, int) and batch_id <= done:
+            return False  # replayed micro-batch: already folded
+    if man is not None:
+        k_prev = props_prev.get("mg_k")
+        if isinstance(k_prev, int) and k_prev != k:
+            raise ValueError(
+                f"heavy-hitter state at {out_path} was built with k={k_prev}; "
+                f"folding with k={k} would break the MG error bound"
+            )
+    toks = batch.select(F.explode(_tokens(F.col(text_col))).alias("word"))
+    scr = toks.mapInPandas(_mg_screen_fn(k), "word string, part_n long")
+    # bounded collect: <= k rows per partition + 1 sentinel each
+    counts: dict = {}
+    n_batch = 0
+    for r in scr.collect():
+        if r["word"] is None:
+            n_batch += int(r["part_n"])
+        else:
+            counts[r["word"]] = counts.get(r["word"], 0) + int(r["part_n"])
+    n_total = n_batch
+    if man is not None:
+        for r in manifest_mod.read_table(spark, out_path).collect():
+            if r["word"] is None:
+                n_total += int(r["n"])
+            else:
+                counts[r["word"]] = counts.get(r["word"], 0) + int(r["n"])
+    _mg_prune(counts, k)
+    rows = [(w, int(c)) for w, c in sorted(counts.items())] + [(None, int(n_total))]
+    merged = spark.createDataFrame(rows, "word string, n long")
+    sub = f"fold-{uuid.uuid4().hex[:12]}"
+    merged.coalesce(1).write.parquet(f"{out_path.rstrip('/')}/{sub}")
+    added = [
+        f"{sub}/{name}"
+        for name in manifest_mod.list_data_files(
+            spark, f"{out_path.rstrip('/')}/{sub}"
+        )
+    ]
+    latest = manifest_mod.read_manifest(spark, out_path)
+    if (latest or {}).get("version") != (man or {}).get("version"):
+        raise RuntimeError(
+            f"concurrent fold detected on {out_path}: manifest advanced "
+            f"from {(man or {}).get('version')} to "
+            f"{(latest or {}).get('version')} while this fold ran — the "
+            "heavy-hitter state is single-writer; retry the fold (staged "
+            f"files under {sub}/ are orphans, vacuum reclaims them)"
+        )
+    props = props_prev
+    props["mg_k"] = int(k)
+    if batch_id is not None:
+        props["mg_folded_through"] = int(batch_id)
+    manifest_mod.commit_manifest(
+        spark, out_path, added, schema_json=merged.schema.json(),
+        properties=props,
+    )
+    return True
+
+
+def heavy_hitter_state_candidates(
+    spark: SparkSession, out_path: str, top_fraction_k: int
+) -> DataFrame:
+    """Read the persisted MG state (#175) as certified/candidate heavy
+    hitters for the > total/``top_fraction_k`` threshold.
+
+    Every stored counter c satisfies c ≤ true ≤ c + total/(k+1), so:
+    ``certified`` (c·K > total) words are PROVEN hitters, and the
+    returned set (c·K·(k+1) > total·(k+1−K)... equivalently
+    c + total/(k+1) > total/K, evaluated as the exact integer
+    inequality c·K·(k+1) > total·(k+1) − total·K) is a guaranteed
+    SUPERSET of the true hitters — integer arithmetic only, no float
+    thresholds. Requires ``top_fraction_k`` ≤ the state's mg_k.
+    """
+    from ..sources import manifest as manifest_mod
+
+    man = manifest_mod.read_manifest(spark, out_path) or {}
+    k_state = (man.get("properties") or {}).get("mg_k")
+    if isinstance(k_state, int) and top_fraction_k > k_state:
+        raise ValueError(
+            f"state built with mg_k={k_state} cannot answer a "
+            f"top-1/{top_fraction_k} query: undercount may hide hitters"
+        )
+    rows = manifest_mod.read_table(spark, out_path)
+    total = rows.where(F.col("word").isNull()).select(
+        F.col("n").alias("_tot")
+    )
+    kk = F.lit(int(top_fraction_k))
+    kp1 = F.lit(int((k_state or top_fraction_k) + 1))
+    return (
+        rows.where(F.col("word").isNotNull())
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n") * kk * kp1 > F.col("_tot") * (kp1 - kk))
+        .select(
+            "word",
+            F.col("n").alias("count_lower_bound"),
+            F.col("_tot").alias("total_tokens"),
+            (F.col("n") * kk > F.col("_tot")).alias("certified"),
+        )
+    )

@@ -58,3 +58,47 @@ def start_sketch_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_heavy_hitter_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_path: str,
+    text_col: str,
+    schema,
+    checkpoint_dir: str,
+    k: int | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Stream landing-folder parquet into the persisted Misra-Gries
+    heavy-hitter state (#175) — same contract as
+    :func:`start_sketch_stream`: ``foreachBatch`` + the fold's
+    ``mg_folded_through`` replay guard make retried micro-batches
+    committed no-ops; per batch the cost is one batch-sized tokenize +
+    a ≤ k·P-row driver merge, and the stored state stays ≤ k+1 rows
+    however much text has ever streamed."""
+    from ..operators.text import MG_STATE_K, fold_heavy_hitters
+
+    kk = k or MG_STATE_K
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fold_heavy_hitters(
+            batch_df.sparkSession, batch_df, text_col, out_path,
+            k=kk, batch_id=batch_id,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

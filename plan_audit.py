@@ -97,9 +97,16 @@ AUDITED = [
     ("q_part_neighbors", "shared min-support pair frame; marginals by key; per-anchor topk window"),
     ("q_events_trigrams", "session windows + two LEADs; vocab-cubed count, bounded topk"),
     ("eval_auc_length", "counts-of-counts U: length spine broadcast; linear in sources"),
-    ("corpus_burstiness", "(doc,term) agg -> per-term reduce; scalar doc count broadcast"),
+    ("corpus_burstiness", "(doc,term) agg -> per-term reduce; distributed TakeOrdered topk (r13)"),
     ("eval_lang_kappa", "|labels|^2 confusion agg; everything after is label-scale"),
     ("dedup_unicode", "one Arrow NFC pass; one hash-partition shuffle on the canonical key"),
+    # round-13 additions (#168-#174)
+    ("corpus_repetition_indices", "(source,term) agg -> |sources| reduce; DECIMAL exact"),
+    ("corpus_zipf_spine", "counts-of-counts spine; window over bounded distinct-freq frame"),
+    ("corpus_chi2_keywords", "doc-freq agg; |sources| broadcast; WindowGroupLimit topk"),
+    ("corpus_ingest_novelty", "trigram-keyed distinct + min-batch reduce; scalar max broadcast"),
+    ("q_copurchase_assortativity", "shared edge frame; degree joins node-keyed; 1-row reduce"),
+    ("q_orders_benford", "one scan, 9-row agg, broadcast total"),
     # q_part_pagerank is NOT audited here: the returned frame's static
     # plan re-displays all five persisted rounds multiplied (~28k
     # phantom exchange nodes for what executes as one node-keyed

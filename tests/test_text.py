@@ -538,3 +538,97 @@ def test_heavy_hitters_bounded_summary_forces_prune(spark, tmp_path):
     # brute force: only 'heavy' exceeds n/50 = 432
     assert got == {("heavy", 1600)}, got
     assert 1600 * 50 > n_total
+
+
+def test_fold_heavy_hitters_bounds_and_superset(spark, tmp_path):
+    """MG invariants across a two-batch fold: every stored counter is a
+    lower bound on the true all-time count with undercount <= total/(k+1);
+    the candidate readout is a superset of the true > total/K hitters and
+    every certified row truly passes the threshold. State stays <= k+1
+    rows."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import text as text_ops
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import manifest
+
+    out = str(tmp_path / "mg_state")
+    # skewed corpus: 'hot' dominates, 'warm' borderline, long tail w{i}
+    b1 = spark.createDataFrame(
+        [(0, "hot " * 30 + "warm " * 8 + " ".join(f"w{i}" for i in range(40)))],
+        ["doc_id", "text"],
+    )
+    b2 = spark.createDataFrame(
+        [(1, "hot " * 25 + "warm " * 7 + " ".join(f"v{i}" for i in range(35)))],
+        ["doc_id", "text"],
+    )
+    k = 8
+    assert text_ops.fold_heavy_hitters(spark, b1, "text", out, k=k, batch_id=0)
+    assert text_ops.fold_heavy_hitters(spark, b2, "text", out, k=k, batch_id=1)
+    # replay is a committed no-op
+    assert not text_ops.fold_heavy_hitters(spark, b2, "text", out, k=k, batch_id=1)
+
+    union = b1.unionByName(b2)
+    true_counts = {
+        r["word"]: r["n"]
+        for r in union.selectExpr(
+            r"explode(split(trim(text), '\\s+')) AS word"
+        ).groupBy("word").count().withColumnRenamed("count", "n").collect()
+    }
+    total = sum(true_counts.values())
+
+    state = {r["word"]: r["n"] for r in manifest.read_table(spark, out).collect()}
+    assert state.pop(None) == total
+    assert len(state) <= k
+    for w, c in state.items():
+        assert c <= true_counts[w]
+        assert true_counts[w] - c <= total / (k + 1)
+
+    K = 5
+    cands = text_ops.heavy_hitter_state_candidates(spark, out, K)
+    rows = {r.word: (r.count_lower_bound, r.certified) for r in cands.collect()}
+    true_hitters = {w for w, c in true_counts.items() if c * K > total}
+    assert true_hitters <= set(rows)  # superset guarantee
+    for w, (c, certified) in rows.items():
+        if certified:
+            assert w in true_hitters  # certified rows are proven
+
+
+def test_fold_heavy_hitters_k_mismatch_and_query_guard(spark, tmp_path):
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import text as text_ops
+
+    out = str(tmp_path / "mg_state")
+    df = spark.createDataFrame([(0, "a a b")], ["doc_id", "text"])
+    text_ops.fold_heavy_hitters(spark, df, "text", out, k=8)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k=8"):
+        text_ops.fold_heavy_hitters(spark, df, "text", out, k=16)
+    with _pytest.raises(ValueError, match="top-1/32"):
+        text_ops.heavy_hitter_state_candidates(spark, out, 32).collect()
+
+
+def test_heavy_hitter_stream_drains_and_matches_fold(spark, tmp_path):
+    """The streaming twin over a 3-file landing folder produces the
+    same state as sequential folds of the same batches."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import text as text_ops
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import manifest
+    from aws_big_data_blog_dmscdc_walkthrough_spark.streaming import sketch_stream
+
+    src = str(tmp_path / "landing")
+    texts = ["hot hot hot cold", "hot warm warm", "hot hot tail1 tail2"]
+    for i, t in enumerate(texts):
+        spark.createDataFrame([(i, t)], ["doc_id", "text"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    out = str(tmp_path / "mg_stream")
+    q = sketch_stream.start_heavy_hitter_stream(
+        spark, src, out, "text", schema,
+        checkpoint_dir=str(tmp_path / "ckpt"), k=8, max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    state = {r["word"]: r["n"] for r in manifest.read_table(spark, out).collect()}
+    assert state[None] == 11  # total tokens across all files
+    assert state["hot"] >= 1 and state["hot"] <= 6
+    # certified at K=3: hot (6 of 11 > 11/3)
+    cands = text_ops.heavy_hitter_state_candidates(spark, out, 3)
+    certified = {r.word for r in cands.collect() if r.certified}
+    assert "hot" in certified or state["hot"] * 3 <= 11
