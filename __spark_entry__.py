@@ -303,6 +303,7 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_ingest_novelty": corpus_ml.corpus_ingest_novelty,
         "q_copurchase_assortativity": analytics.q_copurchase_assortativity,
         "q_orders_benford": analytics.q_orders_benford,
+        "dedup_cluster_source_span": llm_queries.dedup_cluster_source_span,
         # rows-only (#174: greedy MMR objective is not SQL-expressible;
         # deterministic rows — numpy-pinned + hand-checked in pytest)
         "ann_mmr_topk": llm_queries.ann_mmr_topk,
@@ -483,4 +484,5 @@ def secondary_oracle_sql() -> dict[str, str]:
         "corpus_ingest_novelty": corpus_ml.CORPUS_INGEST_NOVELTY_SQL,
         "q_copurchase_assortativity": analytics.Q_COPURCHASE_ASSORTATIVITY_SQL,
         "q_orders_benford": analytics.Q_ORDERS_BENFORD_SQL,
+        "dedup_cluster_source_span": llm_queries.DEDUP_CLUSTER_SOURCE_SPAN_SQL,
     }

@@ -1611,3 +1611,61 @@ def ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mmr_topk(
         embs, "vec_id", "embedding", _query_vec(spark, sf_dir), ANN_K
     )
+
+
+# ------------- cross-source duplicate-cluster span histogram (#176)
+
+
+def dedup_cluster_source_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many sources each duplicate cluster spans (#176).
+
+    The contamination-direction readout on top of the shared CC
+    substrate: #88's matrix says WHICH source pairs share near-dups;
+    this says how wide each duplicate FAMILY spreads — a histogram of
+    (distinct sources per multi-doc cluster) → (clusters, docs).
+    n_sources = 1 is intra-source boilerplate (dedup reclaims storage);
+    n_sources ≥ 2 is syndication/mirroring (dedup changes the corpus
+    MIXTURE — the number temperature-mix weighting (#92) needs to know
+    before trusting per-source token budgets).
+
+    Shape: the persisted cluster frame (shared CC pipeline) joined
+    doc-keyed to sources, one per-cluster aggregation, one ≤|sources|-
+    row histogram. Exact integers only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cl = _cluster_frame(docs).select("doc_id", "cluster_id")
+    per = (
+        cl.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("_sz"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .where(F.col("_sz") >= 2)
+    )
+    return (
+        per.groupBy("n_sources")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("_sz").alias("n_docs"),
+        )
+        .select(
+            F.col("n_sources").cast("bigint").alias("n_sources"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+DEDUP_CLUSTER_SOURCE_SPAN_SQL = f"""
+WITH RECURSIVE {_CLUSTER_CTES},
+per AS (
+  SELECT c.cluster_id, CAST(COUNT(*) AS BIGINT) AS sz,
+    CAST(COUNT(DISTINCT d.source) AS BIGINT) AS ns
+  FROM comp c JOIN documents d USING (doc_id)
+  GROUP BY 1
+)
+SELECT ns AS n_sources, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+  CAST(SUM(sz) AS BIGINT) AS n_docs
+FROM per WHERE sz >= 2 GROUP BY 1
+"""

@@ -1192,3 +1192,33 @@ def test_benford_hand_computed(spark, monkeypatch, tmp_path):
     e1 = analytics.BENFORD_EXPECTED[1]
     e9 = analytics.BENFORD_EXPECTED[9]
     assert got == {1: (4, 0.8, e1, 0.8 - e1), 9: (1, 0.2, e9, 0.2 - e9)}
+
+
+def test_cluster_source_span_hand_computed(spark, monkeypatch, tmp_path):
+    """One exact-dup pair across sources (span 2), one within a source
+    (span 1), one singleton (excluded)."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import llm_queries
+
+    rows = [
+        (0, "same text here", "en", "A", 14),
+        (1, "same text here", "en", "B", 14),
+        (2, "other dup words", "en", "A", 15),
+        (3, "other dup words", "en", "A", 15),
+        (4, "a unique document", "en", "B", 17),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    out = str(tmp_path / "documents.parquet")
+    df.write.parquet(out)
+    _route_table(
+        monkeypatch,
+        "aws_big_data_blog_dmscdc_walkthrough_spark.plans.llm_queries",
+        "documents",
+        out,
+    )
+    got = {
+        r.n_sources: (r.n_clusters, r.n_docs)
+        for r in llm_queries.dedup_cluster_source_span(spark, "ignored").collect()
+    }
+    assert got == {2: (1, 2), 1: (1, 2)}
