@@ -3174,12 +3174,23 @@ def q_copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     one degree join onto edges (node-keyed equi-joins), one scalar
     reduce. Nothing pairs beyond the edges that already exist.
     """
-    canon = _copurchase_edges(spark, sf_dir, TRIANGLE_MIN_BASKETS)
+    from ..operators.dedup import _track
+
+    # persist BEFORE mirroring and before the two degree joins: the
+    # union's branches and the deg reuse get no ReusedExchange (the
+    # #155/#120 pitfall), so without the pins the per-basket pair join
+    # runs twice and the degree agg four times (measured 4.4 -> 2.x s
+    # at sf0.1)
+    canon = _track(
+        _copurchase_edges(spark, sf_dir, TRIANGLE_MIN_BASKETS).persist()
+    )
     edges = canon.select(F.col("_pa").alias("_u"), F.col("_pb").alias("_v")).unionByName(
         canon.select(F.col("_pb").alias("_u"), F.col("_pa").alias("_v"))
     )
-    deg = edges.groupBy(F.col("_u").alias("_node")).agg(
-        F.count(F.lit(1)).alias("_deg")
+    deg = _track(
+        edges.groupBy(F.col("_u").alias("_node"))
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .persist()
     )
     dec = "decimal(19,0)"
     dx = F.col("_dx").cast(dec)
