@@ -1231,9 +1231,9 @@ def corpus_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def corpus_card_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """The fused per-source corpus card: one persisted tokenize
-    substrate feeds four panels that would otherwise each re-scan and
+    substrate feeds six panels that would otherwise each re-scan and
     re-tokenize ``documents`` from scratch (round-12 verdict item —
-    3 full tokenize scans saved on a combined run). Consumers must be
+    5 full tokenize scans saved on a combined run). Consumers must be
     evaluated before the next ``release_persisted()`` fires."""
     from ..operators import text as text_ops
     from ..operators.dedup import _track
@@ -1244,6 +1244,8 @@ def corpus_card_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]
         "burstiness": corpus_burstiness(spark, sf_dir, tf=tf),
         "lexical_diversity": corpus_lexical_diversity(spark, sf_dir, tf=tf),
         "surprisal": text_ops.token_surprisal_from_tf(tf),
+        "repetition_indices": corpus_repetition_indices(spark, sf_dir, tf=tf),
+        "zipf_spine": corpus_zipf_spine(spark, sf_dir, tf=tf),
     }
 
 

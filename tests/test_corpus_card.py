@@ -32,6 +32,8 @@ def test_corpus_card_panels_match_standalone(spark):
         "burstiness": corpus_ml.corpus_burstiness(spark, SF),
         "lexical_diversity": corpus_ml.corpus_lexical_diversity(spark, SF),
         "surprisal": text_ops.text_surprisal(spark, SF),
+        "repetition_indices": corpus_ml.corpus_repetition_indices(spark, SF),
+        "zipf_spine": corpus_ml.corpus_zipf_spine(spark, SF),
     }
     for name, f in fused.items():
         assert f.columns == standalone[name].columns, name
@@ -55,6 +57,8 @@ def test_corpus_card_tokenizes_once(spark):
     assert doc_leaves(fused["top_terms"]) == []
     assert doc_leaves(fused["lexical_diversity"]) == []
     assert doc_leaves(fused["surprisal"]) == []
+    assert doc_leaves(fused["repetition_indices"]) == []
+    assert doc_leaves(fused["zipf_spine"]) == []
     assert len(doc_leaves(fused["burstiness"])) == 1  # n_docs scalar only
     # and every panel actually rides the shared cached substrate
     for name, df in fused.items():
