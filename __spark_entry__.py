@@ -304,6 +304,8 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_copurchase_assortativity": analytics.q_copurchase_assortativity,
         "q_orders_benford": analytics.q_orders_benford,
         "dedup_cluster_source_span": llm_queries.dedup_cluster_source_span,
+        "corpus_source_tvd": corpus_ml.corpus_source_tvd,
+        "q_customer_cadence": analytics.q_customer_cadence,
         # rows-only (#174: greedy MMR objective is not SQL-expressible;
         # deterministic rows — numpy-pinned + hand-checked in pytest)
         "ann_mmr_topk": llm_queries.ann_mmr_topk,
@@ -485,4 +487,6 @@ def secondary_oracle_sql() -> dict[str, str]:
         "q_copurchase_assortativity": analytics.Q_COPURCHASE_ASSORTATIVITY_SQL,
         "q_orders_benford": analytics.Q_ORDERS_BENFORD_SQL,
         "dedup_cluster_source_span": llm_queries.DEDUP_CLUSTER_SOURCE_SPAN_SQL,
+        "corpus_source_tvd": corpus_ml.CORPUS_SOURCE_TVD_SQL,
+        "q_customer_cadence": analytics.Q_CUSTOMER_CADENCE_SQL,
     }

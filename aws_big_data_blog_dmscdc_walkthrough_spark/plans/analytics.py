@@ -3337,3 +3337,86 @@ SELECT digit, n_orders,
     - (CASE digit {_BENFORD_CASE} END) AS deviation
 FROM digits, tot
 """
+
+
+# ------------- per-customer order-cadence profile (#178)
+
+CADENCE_MIN_ORDERS = 3
+
+
+def q_customer_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order cadence per repeat customer (#178).
+
+    The churn-model feature block #117's RFM snapshot can't express:
+    HOW REGULARLY a customer orders, not just how recently/often. Per
+    customer with ≥ {CADENCE_MIN_ORDERS} orders: gap count, min/max
+    gap (days), mean gap as one exactly-rounded division of exact
+    integers, and the day span. Same-day repeat orders are real
+    zero-day gaps, kept.
+
+    Shape: one LAG window partitioned by customer (each partition is
+    that customer's own orders — bounded by per-customer order count,
+    never data-scale; ordering tie-breaks on o_orderkey so same-day
+    orders are deterministic), one per-customer aggregation. Day
+    arithmetic is integer epoch-day division — identical floors in
+    both engines for the non-negative epoch range.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").alias(
+            "_day"
+        ),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("_day", "o_orderkey")
+    gaps = orders.withColumn("_prev", F.lag("_day").over(w)).withColumn(
+        "_gap", F.col("_day") - F.col("_prev")
+    )
+    agg = gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count("_gap").alias("_n_gaps"),
+        F.min("_gap").alias("min_gap_days"),
+        F.max("_gap").alias("max_gap_days"),
+        F.sum("_gap").alias("_gap_sum"),
+        (F.max("_day") - F.min("_day")).alias("span_days"),
+    )
+    return (
+        agg.where(F.col("n_orders") >= CADENCE_MIN_ORDERS)
+        .select(
+            "o_custkey",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.col("min_gap_days").cast("bigint").alias("min_gap_days"),
+            F.col("max_gap_days").cast("bigint").alias("max_gap_days"),
+            (
+                F.col("_gap_sum").cast("double") / F.col("_n_gaps").cast("double")
+            ).alias("mean_gap_days"),
+            F.col("span_days").cast("bigint").alias("span_days"),
+        )
+    )
+
+
+Q_CUSTOMER_CADENCE_SQL = f"""
+WITH days AS (
+  SELECT o_custkey, o_orderkey,
+    epoch_us(o_orderdate) // 86400000000 AS day
+  FROM orders
+), gaps AS (
+  SELECT o_custkey, day,
+    day - lag(day) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey)
+      AS gap
+  FROM days
+), agg AS (
+  SELECT o_custkey,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+    CAST(MIN(gap) AS BIGINT) AS min_gap_days,
+    CAST(MAX(gap) AS BIGINT) AS max_gap_days,
+    CAST(SUM(gap) AS BIGINT) AS gap_sum,
+    CAST(MAX(day) - MIN(day) AS BIGINT) AS span_days
+  FROM gaps GROUP BY 1
+)
+SELECT o_custkey, n_orders, min_gap_days, max_gap_days,
+  CAST(gap_sum AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_days,
+  span_days
+FROM agg WHERE n_orders >= {CADENCE_MIN_ORDERS}
+"""

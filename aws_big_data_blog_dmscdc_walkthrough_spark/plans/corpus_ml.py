@@ -1231,9 +1231,9 @@ def corpus_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def corpus_card_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """The fused per-source corpus card: one persisted tokenize
-    substrate feeds six panels that would otherwise each re-scan and
+    substrate feeds seven panels that would otherwise each re-scan and
     re-tokenize ``documents`` from scratch (round-12 verdict item —
-    5 full tokenize scans saved on a combined run). Consumers must be
+    6 full tokenize scans saved on a combined run). Consumers must be
     evaluated before the next ``release_persisted()`` fires."""
     from ..operators import text as text_ops
     from ..operators.dedup import _track
@@ -1246,6 +1246,7 @@ def corpus_card_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]
         "surprisal": text_ops.token_surprisal_from_tf(tf),
         "repetition_indices": corpus_repetition_indices(spark, sf_dir, tf=tf),
         "zipf_spine": corpus_zipf_spine(spark, sf_dir, tf=tf),
+        "source_tvd": corpus_source_tvd(spark, sf_dir, tf=tf),
     }
 
 
@@ -1784,4 +1785,128 @@ SELECT CAST(per_batch.batch AS BIGINT) AS batch, n_trigrams,
   CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
   CAST(COALESCE(n_new, 0) AS DOUBLE) / CAST(n_trigrams AS DOUBLE) AS new_share
 FROM per_batch LEFT JOIN new_b ON per_batch.batch = new_b.batch
+"""
+
+
+# -------------- pairwise cross-source lexical TVD (#177)
+
+
+def corpus_source_tvd(
+    spark: SparkSession, sf_dir: str, tf: DataFrame | None = None
+) -> DataFrame:
+    """Total-variation distance between every source pair's unigram
+    distributions (#177).
+
+    The distribution-level companion to #135's vocabulary OVERLAP (set
+    intersection can be high while the usage mixture diverges — and
+    it's the mixture a temperature-weighted sampler actually draws
+    from). TVD = ½·Σ_t |p_t − q_t| over the union vocabulary,
+    INTEGER-EXACT via the common denominator: with per-source term
+    counts c1, c2 and totals N1, N2,
+
+        TVD = (S_abs + (N1−S1)·N2 + (N2−S2)·N1) / (2·N1·N2)
+
+    where S_abs = Σ_common |c1·N2 − c2·N1| and S1/S2 are the common-
+    term count sums — the two correction terms fold in every term
+    that appears in only one source WITHOUT a full-outer join, so the
+    pair stage is a plain term-keyed equi-join over common terms. The
+    products reach N² ~ 1e28 at 100 TB, so S_abs runs in
+    DECIMAL(38,0) (order-independent exact), HUGEINT in the oracle;
+    the single final division is exactly rounded.
+
+    Shape: one (source, term) aggregation (substrate-compatible), a
+    |sources|-row totals broadcast to both join sides, one term-keyed
+    self-join whose fan-out is ≤ |sources|² rows per term, one
+    |pairs|-row reduce. Nothing is ever vocabulary-sorted or paired
+    beyond the bounded source set. A pair sharing NO term is absent
+    from the output (its TVD is trivially 1.0) — both engines agree
+    because both ride the same inner join.
+    """
+    if tf is None:
+        docs = load_table(spark, sf_dir, "documents")
+        tf = (
+            docs.select(
+                "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("_t")
+            )
+            .groupBy("source", "_t")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+    else:
+        tf = tf.groupBy("source", "_t").agg(F.sum("_c").alias("_c"))
+    totals = tf.groupBy("source").agg(F.sum("_c").alias("_n"))
+    a = (
+        tf.join(F.broadcast(totals), "source")
+        .select(
+            F.col("source").alias("_sa"),
+            F.col("_t"),
+            F.col("_c").alias("_ca"),
+            F.col("_n").alias("_na"),
+        )
+    )
+    b = (
+        tf.join(F.broadcast(totals), "source")
+        .select(
+            F.col("source").alias("_sb"),
+            F.col("_t"),
+            F.col("_c").alias("_cb"),
+            F.col("_n").alias("_nb"),
+        )
+    )
+    dec = "decimal(19,0)"
+    common = (
+        a.join(b, "_t")
+        .where(F.col("_sa") < F.col("_sb"))
+        .groupBy("_sa", "_sb", "_na", "_nb")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("_ca").cast(dec) * F.col("_nb").cast(dec)
+                    - F.col("_cb").cast(dec) * F.col("_na").cast(dec)
+                )
+            ).alias("_sabs"),
+            F.sum("_ca").alias("_s1"),
+            F.sum("_cb").alias("_s2"),
+        )
+    )
+    num = (
+        F.col("_sabs")
+        + (F.col("_na") - F.col("_s1")).cast(dec) * F.col("_nb").cast(dec)
+        + (F.col("_nb") - F.col("_s2")).cast(dec) * F.col("_na").cast(dec)
+    )
+    den = (
+        F.lit(2).cast(dec) * F.col("_na").cast(dec) * F.col("_nb").cast(dec)
+    )
+    return common.select(
+        F.col("_sa").alias("source_a"),
+        F.col("_sb").alias("source_b"),
+        F.col("_na").cast("bigint").alias("n_tokens_a"),
+        F.col("_nb").cast("bigint").alias("n_tokens_b"),
+        (num.cast("double") / den.cast("double")).alias("tvd"),
+    )
+
+
+CORPUS_SOURCE_TVD_SQL = r"""
+WITH tf AS (
+  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t
+    FROM documents
+  ) GROUP BY 1, 2
+), totals AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY 1
+), j AS (
+  SELECT a.source AS sa, b.source AS sb, na.n AS n1, nb.n AS n2,
+    -- HUGEINT mirrors Spark's DECIMAL(38,0): c*N reaches ~1e28 at 100 TB
+    CAST(SUM(abs(CAST(a.c AS HUGEINT) * nb.n - CAST(b.c AS HUGEINT) * na.n))
+         AS HUGEINT) AS sabs,
+    CAST(SUM(a.c) AS BIGINT) AS s1, CAST(SUM(b.c) AS BIGINT) AS s2
+  FROM tf a JOIN tf b ON a.t = b.t AND a.source < b.source
+  JOIN totals na ON na.source = a.source
+  JOIN totals nb ON nb.source = b.source
+  GROUP BY 1, 2, 3, 4
+)
+SELECT sa AS source_a, sb AS source_b, n1 AS n_tokens_a, n2 AS n_tokens_b,
+  CAST(sabs + CAST(n1 - s1 AS HUGEINT) * n2 + CAST(n2 - s2 AS HUGEINT) * n1
+       AS DOUBLE)
+  / CAST(2 * CAST(n1 AS HUGEINT) * n2 AS DOUBLE) AS tvd
+FROM j
 """

@@ -107,6 +107,8 @@ AUDITED = [
     ("corpus_ingest_novelty", "trigram-keyed distinct + min-batch reduce; scalar max broadcast"),
     ("q_copurchase_assortativity", "shared edge frame; degree joins node-keyed; 1-row reduce"),
     ("q_orders_benford", "one scan, 9-row agg, broadcast total"),
+    ("corpus_source_tvd", "term-keyed self-join <=|sources|^2 fan-out; |pairs| reduce"),
+    ("q_customer_cadence", "one per-customer LAG window; one aggregation"),
     # q_part_pagerank is NOT audited here: the returned frame's static
     # plan re-displays all five persisted rounds multiplied (~28k
     # phantom exchange nodes for what executes as one node-keyed

@@ -34,6 +34,7 @@ def test_corpus_card_panels_match_standalone(spark):
         "surprisal": text_ops.text_surprisal(spark, SF),
         "repetition_indices": corpus_ml.corpus_repetition_indices(spark, SF),
         "zipf_spine": corpus_ml.corpus_zipf_spine(spark, SF),
+        "source_tvd": corpus_ml.corpus_source_tvd(spark, SF),
     }
     for name, f in fused.items():
         assert f.columns == standalone[name].columns, name
@@ -59,6 +60,7 @@ def test_corpus_card_tokenizes_once(spark):
     assert doc_leaves(fused["surprisal"]) == []
     assert doc_leaves(fused["repetition_indices"]) == []
     assert doc_leaves(fused["zipf_spine"]) == []
+    assert doc_leaves(fused["source_tvd"]) == []
     assert len(doc_leaves(fused["burstiness"])) == 1  # n_docs scalar only
     # and every panel actually rides the shared cached substrate
     for name, df in fused.items():

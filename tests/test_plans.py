@@ -1222,3 +1222,67 @@ def test_cluster_source_span_hand_computed(spark, monkeypatch, tmp_path):
         for r in llm_queries.dedup_cluster_source_span(spark, "ignored").collect()
     }
     assert got == {2: (1, 2), 1: (1, 2)}
+
+
+def test_source_tvd_hand_computed(spark, monkeypatch, tmp_path):
+    """A = {a:2, b:1} (N=3), B = {a:1, c:1} (N=2). Common term a:
+    |2*2 - 1*3| = 1; only-in-A mass (3-2)*2 = 2; only-in-B (2-1)*3 = 3.
+    TVD = (1+2+3)/(2*3*2) = 0.5."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import corpus_ml
+
+    rows = [
+        (0, "a a b", "en", "A", 5),
+        (1, "a c", "en", "B", 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    out = str(tmp_path / "documents.parquet")
+    df.write.parquet(out)
+    _route_table(
+        monkeypatch,
+        "aws_big_data_blog_dmscdc_walkthrough_spark.plans.corpus_ml",
+        "documents",
+        out,
+    )
+    rows = corpus_ml.corpus_source_tvd(spark, "ignored").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.source_a, r.source_b, r.n_tokens_a, r.n_tokens_b) == ("A", "B", 3, 2)
+    assert r.tvd == 0.5
+
+
+def test_customer_cadence_hand_computed(spark, monkeypatch, tmp_path):
+    """Customer 1 orders on days 0, 0, 10 (same-day gap 0 kept): gaps
+    [0, 10] -> min 0, max 10, mean 5.0, span 10. Customer 2 has only
+    two orders and is filtered."""
+    from datetime import datetime as dt
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import analytics
+
+    rows = [
+        (1, 1, "F", 10.0, dt(2024, 1, 1), "1-URGENT"),
+        (2, 1, "F", 10.0, dt(2024, 1, 1), "1-URGENT"),
+        (3, 1, "F", 10.0, dt(2024, 1, 11), "1-URGENT"),
+        (4, 2, "F", 10.0, dt(2024, 1, 1), "1-URGENT"),
+        (5, 2, "F", 10.0, dt(2024, 1, 5), "1-URGENT"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    out = str(tmp_path / "orders.parquet")
+    df.write.parquet(out)
+    _route_table(
+        monkeypatch,
+        "aws_big_data_blog_dmscdc_walkthrough_spark.plans.analytics",
+        "orders",
+        out,
+    )
+    got = {
+        r.o_custkey: (r.n_orders, r.min_gap_days, r.max_gap_days,
+                      r.mean_gap_days, r.span_days)
+        for r in analytics.q_customer_cadence(spark, "ignored").collect()
+    }
+    assert got == {1: (3, 0, 10, 5.0, 10)}
