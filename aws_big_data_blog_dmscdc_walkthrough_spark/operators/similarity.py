@@ -1439,3 +1439,104 @@ def mmr_topk(
             " max_sim_selected double, mmr_score double"
         ),
     )
+
+
+# ------------------- IVF × PQ-ADC × exact rerank (#179)
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    codebooks: np.ndarray,
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    rerank: int = 100,
+    centroids=None,
+    codes_df: DataFrame | None = None,
+    assign_m: int = 1,
+) -> DataFrame:
+    """ANN upper-mid tier: IVF cell pruning × PQ-ADC × exact rerank —
+    the IVFPQ composition (Jégou et al. 2011; the FAISS default index
+    family), completing the ladder LSH (#25) → LSH×PQ (#114) →
+    IVF (#42): coarse cells prune the corpus to ``nprobe``/``n_centroids``
+    of its rows, ADC reads 8-byte codes instead of full vectors inside
+    the probed cells, and only the top-``rerank`` shortlist touches
+    stored vectors. Differences from textbook IVFPQ are deliberate and
+    documented: codes quantize the RAW vector, not the cell residual
+    (residual codebooks would need per-cell training data plumbing; the
+    recall floor is pinned in tests either way), and cell assignment is
+    the shared cosine ``ivf_assign`` (``assign_m > 1`` spills boundary
+    vectors into every bordering cell exactly like #42's spill
+    assignment — ids replicate, vectors don't).
+
+    At the 100 TB shape the corpus stores (cell, pq_codes) at ingest
+    (#73's partitioned layout + ``pq_encode``): pass ``codes_df`` and
+    the probe is a partition-prunable IN-list over cells followed by a
+    map-only ADC over codes — full vectors are read for ``rerank``
+    rows only. The convenience default fits/encodes on the fly.
+    """
+    from .dedup import _track
+
+    if centroids is None:
+        centroids = ivf_fit_centroids(df, vec_col, n_centroids=n_centroids)
+    cents = np.asarray(centroids, dtype=np.float64)
+    qrow = query_df.select(as_double(F.col(vec_col)).alias("_q")).first()
+    q = np.asarray(qrow["_q"], dtype=np.float64)
+    cnorm = np.linalg.norm(cents, axis=1) * (np.linalg.norm(q) or 1.0)
+    sims = (cents @ q) / np.where(cnorm == 0, 1, cnorm)
+    probe = [int(c) for c in np.argsort(-sims)[:nprobe]]
+
+    if assign_m > 1:
+        cells = df.select(
+            F.col(id_col),
+            ivf_assign_multi(cents, assign_m)(F.col(vec_col)).alias("_cells"),
+        ).where(F.arrays_overlap(F.col("_cells"), F.lit(probe)))
+    else:
+        cells = df.select(
+            F.col(id_col), ivf_assign(cents)(F.col(vec_col)).alias("_cell")
+        ).where(F.col("_cell").isin(probe))
+    if codes_df is None:
+        codes_df = pq_encode(df, id_col, vec_col, codebooks)
+    cand_codes = codes_df.join(cells.select(id_col), id_col, "left_semi")
+
+    M, K, sub = codebooks.shape
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+    lut = np.stack(
+        [
+            _seq_fold_sqdist(q[j * sub : (j + 1) * sub][None, :], cb[j])[0]
+            for j in range(M)
+        ]
+    )
+
+    @F.pandas_udf(DoubleType())
+    def adist(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype=np.float64)
+        cm = np.array([np.asarray(c, dtype=np.int64) for c in codes])
+        acc = np.zeros(len(cm), dtype=np.float64)
+        for j in range(M):
+            acc += lut[j][cm[:, j]]
+        return pd.Series(acc)
+
+    shortlist = (
+        cand_codes.select(F.col(id_col), adist(F.col("pq_codes")).alias("adist"))
+        .orderBy(F.col("adist").asc(), F.col(id_col))
+        .limit(max(k, rerank))
+    )
+    ids = [r[id_col] for r in shortlist.select(id_col).collect()]
+    qn = float(np.sqrt((q * q).sum()))
+    exact = df.where(F.col(id_col).isin(ids)).select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("_v")
+    )
+    cosine = _safe_cosine(
+        dot(F.col("_v"), F.lit(q.tolist()).cast("array<double>")),
+        norm(F.col("_v")) * F.lit(qn),
+    )
+    return (
+        exact.select(F.col(id_col), cosine.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -169,3 +169,24 @@ def test_lsh_pq_composition_clears_midtier_ceiling(spark, corpus):
         ),
     )
     assert composed >= 0.7, f"lsh+pq+rerank recall {composed}"
+
+
+def test_ivf_pq_composition_recall(spark, corpus):
+    """The #179 IVFPQ composition: coarse-cell pruning over PQ codes +
+    exact rerank. Spill assignment (m=2) + nprobe=6 of 16 cells reads
+    ~3/8 of the corpus as 8-byte CODES and `rerank` full vectors —
+    the floor tracks the IVF spill floor (0.85) because rerank repairs
+    ADC's quantization error on everything the cells admit."""
+    emb, Xn, ids = corpus
+    cents = sim.ivf_fit_centroids(emb, "embedding", 16)
+    cb = sim.pq_fit_codebooks(emb, "embedding", m=8, k=256)
+    codes = sim.pq_encode(emb, "vec_id", "embedding", cb)
+    composed = _recall(
+        spark, emb, Xn, ids,
+        lambda q: sim.ivf_pq_topk(
+            emb, "vec_id", "embedding", q, cb, K,
+            nprobe=6, rerank=100, centroids=cents, codes_df=codes,
+            assign_m=2,
+        ),
+    )
+    assert composed >= 0.8, f"ivf+pq+rerank recall {composed}"
