@@ -771,3 +771,76 @@ def vacuum(
         if v not in keep:
             fs.delete(jvm.org.apache.hadoop.fs.Path(_history_path(path, v)), False)
     return removed
+
+
+def schema_drift_report(
+    spark: SparkSession,
+    path: str,
+    from_version: int | None = None,
+    to_version: int | None = None,
+) -> "DataFrame":
+    """Schema drift between two committed lake versions (#180).
+
+    The audit a CDC pipeline runs when a merge starts failing schema
+    alignment: every committed version's manifest carries the table
+    schema (``schema_json`` rides the commit), so the drift between any
+    two retained versions is a pure metadata diff — no data files are
+    read. Per changed column: added / dropped / type_changed, the two
+    type strings, and whether the change sits on the engine's lossless
+    widening ladder (operators/cdc._WIDENING_LADDERS — the changes the
+    merge path can absorb with ``allow_widening=True``; anything else
+    needs a backfill).
+
+    Defaults compare the PREVIOUS retained version against the latest —
+    "what just changed" — and raise on unknown versions rather than
+    silently diffing the wrong pair. Output is a bounded
+    |changed columns|-row frame.
+    """
+    from pyspark.sql.types import StructType
+
+    from ..operators.cdc import _widened
+
+    versions = list_versions(spark, path)
+    if not versions:
+        raise ValueError(f"no retained manifest versions under {path}")
+    to_v = versions[-1] if to_version is None else to_version
+    if from_version is None:
+        before = [v for v in versions if v < to_v]
+        if not before:
+            raise ValueError(
+                f"version {to_v} has no retained predecessor to diff against"
+            )
+        from_v = before[-1]
+    else:
+        from_v = from_version
+    for v in (from_v, to_v):
+        if v not in versions:
+            raise ValueError(f"version {v} not retained under {path}: {versions}")
+
+    def fields(version: int) -> dict:
+        doc = _read_json_file(spark, _history_path(path, version))
+        sj = doc.get("schema")
+        if not sj:
+            raise ValueError(f"version {version} committed without schema_json")
+        return {
+            f.name: f.dataType.simpleString()
+            for f in StructType.fromJson(json.loads(sj)).fields
+        }
+
+    old, new = fields(from_v), fields(to_v)
+    rows = []
+    for col in sorted(set(old) | set(new)):
+        a, b = old.get(col), new.get(col)
+        if a == b:
+            continue
+        if a is None:
+            rows.append((col, "added", None, b, False))
+        elif b is None:
+            rows.append((col, "dropped", a, None, False))
+        else:
+            rows.append((col, "type_changed", a, b, _widened(a, b) == b))
+    return spark.createDataFrame(
+        rows,
+        "column string, change string, from_type string, to_type string,"
+        " lossless_widening boolean",
+    )

@@ -757,3 +757,38 @@ def test_partitioned_manifest_additive_evolution(spark, tmp_path):
         (1, 11, "x@y.z"), (2, 20, None), (3, 30, None), (4, 40, None)
     }
     assert "email" not in manifest.read_table(spark, out, version=1).columns
+
+
+def test_schema_drift_report(spark, tmp_path):
+    """v1 (a int, b string) -> v2 (a bigint, c double): a widened
+    losslessly, b dropped, c added; defaults diff latest vs its
+    predecessor; unknown versions raise."""
+    out = str(tmp_path / "drift")
+    df1 = spark.createDataFrame([(1, "x")], "a int, b string")
+    df1.write.mode("overwrite").parquet(f"{out}/s1")
+    manifest.commit_manifest(
+        spark, out,
+        [f"s1/{n}" for n in manifest.list_data_files(spark, f"{out}/s1")],
+        schema_json=df1.schema.json(),
+    )
+    df2 = spark.createDataFrame([(1, 1.5)], "a bigint, c double")
+    df2.write.mode("overwrite").parquet(f"{out}/s2")
+    manifest.commit_manifest(
+        spark, out,
+        [f"s2/{n}" for n in manifest.list_data_files(spark, f"{out}/s2")],
+        delete_files=[f"s1/{n}" for n in manifest.list_data_files(spark, f"{out}/s1")],
+        schema_json=df2.schema.json(),
+    )
+    got = {
+        r.column: (r.change, r.from_type, r.to_type, r.lossless_widening)
+        for r in manifest.schema_drift_report(spark, out).collect()
+    }
+    assert got == {
+        "a": ("type_changed", "int", "bigint", True),
+        "b": ("dropped", "string", None, False),
+        "c": ("added", None, "double", False),
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not retained"):
+        manifest.schema_drift_report(spark, out, from_version=7)
