@@ -1478,8 +1478,6 @@ def ivf_pq_topk(
     map-only ADC over codes — full vectors are read for ``rerank``
     rows only. The convenience default fits/encodes on the fly.
     """
-    from .dedup import _track
-
     if centroids is None:
         centroids = ivf_fit_centroids(df, vec_col, n_centroids=n_centroids)
     cents = np.asarray(centroids, dtype=np.float64)
