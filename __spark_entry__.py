@@ -94,10 +94,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": text.text_tokens,
         "text_quality": text.text_quality,
         "text_langid": text.text_langid,
-        "text_fingerprint": text.text_fingerprint,
-        "text_tfidf_topk": corpus_stats.text_tfidf_topk,
         "text_bm25": corpus_stats.text_bm25,
-        "text_chunks": corpus_stats.text_chunks,
         # Analytics surface (SURVEY §2 #12-18, #31-34, #40, #44-45,
         # #47-48, #51-52, #62-64)
         "q1_pricing_summary": analytics.q1_pricing_summary,
@@ -109,37 +106,53 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_orders_rollup": analytics.q_orders_rollup,
         "q_customers_no_orders": analytics.q_customers_no_orders,
         "q_orders_above_avg": analytics.q_orders_above_avg,
-        "q_events_json_extract": analytics.q_events_json_extract,
-        "q_events_asof_order": analytics.q_events_asof_order,
-        "q_events_range_join": analytics.q_events_range_join,
-        "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
-        "q18_large_volume_customers": analytics.q18_large_volume_customers,
-        # ROUND-13 DEBUT SLOTS (the round-12 verdict's rotation order):
-        # the eight round-12 debuts (dedup_tf_cosine, text_heavy_hitters,
-        # q_part_triangles, q_events_rolling_distinct, q_customer_gini,
-        # lake_integrity, lake_key_profile, eval_ann_mrr) hash-matched in
-        # CORRECTNESS_r12 (50/50 green) and move to secondary_queries();
-        # the next never-driver-gated block takes their slots:
-        # peak-concurrency sweep (#148), MoM growth (#149), bag-of-words
-        # dedup (#152), equi-depth histogram (#153), TVD drift (#154),
-        # embedding covariance (#140), session paths (#142), percentile
-        # CDF (#145).
-        "q_events_peak_concurrency": analytics.q_events_peak_concurrency,
-        "q_orders_mom_growth": analytics.q_orders_mom_growth,
-        "dedup_bag_of_words": llm_queries.dedup_bag_of_words,
-        "q_orders_histogram_eqdepth": analytics.q_orders_histogram_eqdepth,
-        "q_orders_drift_tvd": analytics.q_orders_drift_tvd,
-        "emb_covariance": corpus_ml.emb_covariance,
-        "q_events_session_paths": analytics.q_events_session_paths,
-        "q_orders_percentile": analytics.q_orders_percentile,
-        # ROUND-14 ROTATION PLAN: demote the eight round-13 debuts above
-        # once CORRECTNESS_r13 is green and debut the next
-        # never-driver-gated block (q_orders_mad_outliers,
-        # q_events_funnel_windowed, q_events_conversion_latency,
-        # q_events_wilson, corpus_vocab_overlap, corpus_fertility,
-        # dedup_cluster_sizes, q_orders_histogram), keeping every
-        # oracled query driver-gated at least once per two-to-three
-        # rounds until the never-gated set is empty.
+        # ROUND-14 DEBUT SLOTS — the rotation WIDENED to 16 per the
+        # round-13 verdict (the never-gated backlog grew to 62/166 at 8
+        # debuts/round; 16/round converges). Demoted to
+        # secondary_queries() after hash-matching in CORRECTNESS_r13:
+        # the eight round-13 debuts (q_events_peak_concurrency,
+        # q_orders_mom_growth, dedup_bag_of_words,
+        # q_orders_histogram_eqdepth, q_orders_drift_tvd,
+        # emb_covariance, q_events_session_paths, q_orders_percentile)
+        # plus eight multi-round veterans (q_events_json_extract,
+        # q_events_asof_order, q_events_range_join, q17, q18,
+        # text_fingerprint, text_tfidf_topk, text_chunks — every one
+        # hash-green in r13 and many rounds before).
+        # Debuts: the round-12 verdict's planned block of eight...
+        "q_orders_mad_outliers": analytics.q_orders_mad_outliers,
+        "q_events_funnel_windowed": analytics.q_events_funnel_windowed,
+        "q_events_conversion_latency": analytics.q_events_conversion_latency,
+        "q_events_wilson": analytics.q_events_wilson,
+        "corpus_vocab_overlap": corpus_ml.corpus_vocab_overlap,
+        "corpus_fertility": corpus_ml.corpus_fertility,
+        "dedup_cluster_sizes": llm_queries.dedup_cluster_sizes,
+        "q_orders_histogram": analytics.q_orders_histogram,
+        # ...plus the eight round-13 additions (the freshest code is
+        # the most valuable to hash-prove): repetition indices (#168),
+        # Zipf spine (#169), assortativity (#170), chi² keywords
+        # (#171), Benford audit (#172), cross-source TVD (#177), order
+        # cadence (#178), and burstiness (#163, the r12 weak item's
+        # rewrite — never yet driver-gated).
+        "corpus_repetition_indices": corpus_ml.corpus_repetition_indices,
+        "corpus_zipf_spine": corpus_ml.corpus_zipf_spine,
+        "q_copurchase_assortativity": analytics.q_copurchase_assortativity,
+        "corpus_chi2_keywords": corpus_ml.corpus_chi2_keywords,
+        "q_orders_benford": analytics.q_orders_benford,
+        "corpus_source_tvd": corpus_ml.corpus_source_tvd,
+        "q_customer_cadence": analytics.q_customer_cadence,
+        "corpus_burstiness": corpus_ml.corpus_burstiness,
+        # ROUND-15 ROTATION PLAN: demote the sixteen round-14 debuts
+        # above once CORRECTNESS_r14 is green and debut the next
+        # never-driver-gated block of sixteen (q_basket_affinity,
+        # q_events_decay_score, q_events_attribution,
+        # q_events_attribution_linear, q_events_transitions,
+        # q_customer_rfm, q_customer_feature_matrix,
+        # corpus_lang_mismatch, text_bigram_surprisal, sample_weighted,
+        # dedup_containment, dedup_unicode, q_part_fuzzy_levenshtein,
+        # eval_centroid_classifier, corpus_quality_filter,
+        # corpus_lexical_diversity), keeping every oracled query
+        # driver-gated at least once per two-to-three rounds until the
+        # never-gated set is empty.
         "q_events_filter_scan": analytics.q_events_filter_scan,
         "text_bigrams": text.text_bigrams,
     }
@@ -150,6 +163,25 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # outside the driver cap (plan-shape variants of gated joins/aggs,
     # plus ops added after the cap filled).
     return {
+        # rotated out of the driver gate after hash-matching in round 13
+        # (widened 16-slot rotation): the eight round-13 debuts + eight
+        # long-proven veterans; pytest-oracled here every round
+        "q_events_peak_concurrency": analytics.q_events_peak_concurrency,
+        "q_orders_mom_growth": analytics.q_orders_mom_growth,
+        "dedup_bag_of_words": llm_queries.dedup_bag_of_words,
+        "q_orders_histogram_eqdepth": analytics.q_orders_histogram_eqdepth,
+        "q_orders_drift_tvd": analytics.q_orders_drift_tvd,
+        "emb_covariance": corpus_ml.emb_covariance,
+        "q_events_session_paths": analytics.q_events_session_paths,
+        "q_orders_percentile": analytics.q_orders_percentile,
+        "q_events_json_extract": analytics.q_events_json_extract,
+        "q_events_asof_order": analytics.q_events_asof_order,
+        "q_events_range_join": analytics.q_events_range_join,
+        "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
+        "q18_large_volume_customers": analytics.q18_large_volume_customers,
+        "text_fingerprint": text.text_fingerprint,
+        "text_tfidf_topk": corpus_stats.text_tfidf_topk,
+        "text_chunks": corpus_stats.text_chunks,
         "corpus_decontaminate": llm_queries.corpus_decontaminate,
         "dedup_keep_best": llm_queries.dedup_keep_best,
         "corpus_source_stats": llm_queries.corpus_source_stats,
@@ -253,17 +285,11 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_centroid_classifier": corpus_ml.eval_centroid_classifier,
         "corpus_quality_filter": text.corpus_quality_filter,
         "q_events_attribution_linear": analytics.q_events_attribution_linear,
-        # round-11 additions (SURVEY §2 #132-#137)
-        "q_events_conversion_latency": analytics.q_events_conversion_latency,
-        "q_events_wilson": analytics.q_events_wilson,
-        "corpus_vocab_overlap": corpus_ml.corpus_vocab_overlap,
-        "corpus_fertility": corpus_ml.corpus_fertility,
-        "dedup_cluster_sizes": llm_queries.dedup_cluster_sizes,
-        # round-11 additions (SURVEY §2 #140-#143)
-        "q_orders_histogram": analytics.q_orders_histogram,
-        # round-11 additions (SURVEY §2 #144-#146)
-        "q_orders_mad_outliers": analytics.q_orders_mad_outliers,
-        "q_events_funnel_windowed": analytics.q_events_funnel_windowed,
+        # (round-11 additions #132-#137, #140-#146 moved to the driver
+        # gate as round-14 debuts: q_events_conversion_latency,
+        # q_events_wilson, corpus_vocab_overlap, corpus_fertility,
+        # dedup_cluster_sizes, q_orders_histogram, q_orders_mad_outliers,
+        # q_events_funnel_windowed)
         # rotated out of the driver gate after hash-matching in round 12
         # (the eight r12 debuts); pytest-oracled here every round
         "dedup_tf_cosine": llm_queries.dedup_tf_cosine,
@@ -292,20 +318,16 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_part_neighbors": analytics.q_part_neighbors,
         "q_events_trigrams": analytics.q_events_trigrams,
         "eval_auc_length": corpus_ml.eval_auc_length,
-        "corpus_burstiness": corpus_ml.corpus_burstiness,
         "eval_lang_kappa": llm_queries.eval_lang_kappa,
         "dedup_unicode": llm_queries.dedup_unicode,
         "corpus_lexical_diversity": corpus_ml.corpus_lexical_diversity,
-        # round-13 additions (SURVEY §2 #168-#173)
-        "corpus_repetition_indices": corpus_ml.corpus_repetition_indices,
-        "corpus_zipf_spine": corpus_ml.corpus_zipf_spine,
-        "corpus_chi2_keywords": corpus_ml.corpus_chi2_keywords,
+        # round-13 additions (corpus_repetition_indices,
+        # corpus_zipf_spine, corpus_chi2_keywords,
+        # q_copurchase_assortativity, q_orders_benford,
+        # corpus_source_tvd, q_customer_cadence and the #163 burstiness
+        # rewrite moved to the driver gate as round-14 debuts)
         "corpus_ingest_novelty": corpus_ml.corpus_ingest_novelty,
-        "q_copurchase_assortativity": analytics.q_copurchase_assortativity,
-        "q_orders_benford": analytics.q_orders_benford,
         "dedup_cluster_source_span": llm_queries.dedup_cluster_source_span,
-        "corpus_source_tvd": corpus_ml.corpus_source_tvd,
-        "q_customer_cadence": analytics.q_customer_cadence,
         # rows-only (#174: greedy MMR objective is not SQL-expressible;
         # deterministic rows — numpy-pinned + hand-checked in pytest)
         "ann_mmr_topk": llm_queries.ann_mmr_topk,
@@ -329,30 +351,31 @@ def oracle_sql() -> dict[str, str]:
         "q_orders_rollup": analytics.Q_ORDERS_ROLLUP_SQL,
         "q_customers_no_orders": analytics.Q_CUSTOMERS_NO_ORDERS_SQL,
         "q_orders_above_avg": analytics.Q_ORDERS_ABOVE_AVG_SQL,
-        "q_events_json_extract": analytics.Q_EVENTS_JSON_EXTRACT_SQL,
-        "q_events_asof_order": analytics.Q_EVENTS_ASOF_ORDER_SQL,
-        "q_events_range_join": analytics.Q_EVENTS_RANGE_JOIN_SQL,
-        "q17_small_quantity_revenue": analytics.Q17_SQL,
-        "q18_large_volume_customers": analytics.Q18_SQL,
-        # round-13 debuts (never driver-gated before this round)
-        "q_events_peak_concurrency": analytics.Q_EVENTS_PEAK_CONCURRENCY_SQL,
-        "q_orders_mom_growth": analytics.Q_ORDERS_MOM_GROWTH_SQL,
-        "dedup_bag_of_words": llm_queries.DEDUP_BAG_OF_WORDS_SQL,
-        "q_orders_histogram_eqdepth": analytics.Q_ORDERS_HISTOGRAM_EQDEPTH_SQL,
-        "q_orders_drift_tvd": analytics.Q_ORDERS_DRIFT_TVD_SQL,
-        "emb_covariance": corpus_ml.EMB_COVARIANCE_SQL,
-        "q_events_session_paths": analytics.Q_EVENTS_SESSION_PATHS_SQL,
-        "q_orders_percentile": analytics.Q_ORDERS_PERCENTILE_SQL,
+        # round-14 debuts (never driver-gated before this round;
+        # 16-slot widened rotation)
+        "q_orders_mad_outliers": analytics.Q_ORDERS_MAD_OUTLIERS_SQL,
+        "q_events_funnel_windowed": analytics.Q_EVENTS_FUNNEL_WINDOWED_SQL,
+        "q_events_conversion_latency": analytics.Q_EVENTS_CONVERSION_LATENCY_SQL,
+        "q_events_wilson": analytics.Q_EVENTS_WILSON_SQL,
+        "corpus_vocab_overlap": corpus_ml.CORPUS_VOCAB_OVERLAP_SQL,
+        "corpus_fertility": corpus_ml.CORPUS_FERTILITY_SQL,
+        "dedup_cluster_sizes": llm_queries.DEDUP_CLUSTER_SIZES_SQL,
+        "q_orders_histogram": analytics.Q_ORDERS_HISTOGRAM_SQL,
+        "corpus_repetition_indices": corpus_ml.CORPUS_REPETITION_INDICES_SQL,
+        "corpus_zipf_spine": corpus_ml.CORPUS_ZIPF_SPINE_SQL,
+        "q_copurchase_assortativity": analytics.Q_COPURCHASE_ASSORTATIVITY_SQL,
+        "corpus_chi2_keywords": corpus_ml.CORPUS_CHI2_KEYWORDS_SQL,
+        "q_orders_benford": analytics.Q_ORDERS_BENFORD_SQL,
+        "corpus_source_tvd": corpus_ml.CORPUS_SOURCE_TVD_SQL,
+        "q_customer_cadence": analytics.Q_CUSTOMER_CADENCE_SQL,
+        "corpus_burstiness": corpus_ml.CORPUS_BURSTINESS_SQL,
         "q_events_filter_scan": analytics.Q_EVENTS_FILTER_SCAN_SQL,
         "text_bigrams": text.TEXT_BIGRAMS_SQL,
         "text_word_topk": text.TEXT_WORD_TOPK_SQL,
         "text_tokens": text.TEXT_TOKENS_SQL,
         "text_quality": text.TEXT_QUALITY_SQL,
         "text_langid": text.TEXT_LANGID_SQL,
-        "text_fingerprint": text.TEXT_FINGERPRINT_SQL,
-        "text_tfidf_topk": corpus_stats.TEXT_TFIDF_TOPK_SQL,
         "text_bm25": corpus_stats.TEXT_BM25_SQL,
-        "text_chunks": corpus_stats.TEXT_CHUNKS_SQL,
         "dedup_exact": llm_queries.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": llm_queries.DEDUP_NGRAM_JACCARD_SQL,
         "dedup_minhash_lsh": llm_queries.DEDUP_MINHASH_LSH_SQL,
@@ -371,6 +394,24 @@ def oracle_sql() -> dict[str, str]:
 def secondary_oracle_sql() -> dict[str, str]:
     """DuckDB oracles for :func:`secondary_queries` (pytest-side gate)."""
     return {
+        # rotated out of the driver gate after hash-matching in round 13
+        # (widened 16-slot rotation)
+        "q_events_peak_concurrency": analytics.Q_EVENTS_PEAK_CONCURRENCY_SQL,
+        "q_orders_mom_growth": analytics.Q_ORDERS_MOM_GROWTH_SQL,
+        "dedup_bag_of_words": llm_queries.DEDUP_BAG_OF_WORDS_SQL,
+        "q_orders_histogram_eqdepth": analytics.Q_ORDERS_HISTOGRAM_EQDEPTH_SQL,
+        "q_orders_drift_tvd": analytics.Q_ORDERS_DRIFT_TVD_SQL,
+        "emb_covariance": corpus_ml.EMB_COVARIANCE_SQL,
+        "q_events_session_paths": analytics.Q_EVENTS_SESSION_PATHS_SQL,
+        "q_orders_percentile": analytics.Q_ORDERS_PERCENTILE_SQL,
+        "q_events_json_extract": analytics.Q_EVENTS_JSON_EXTRACT_SQL,
+        "q_events_asof_order": analytics.Q_EVENTS_ASOF_ORDER_SQL,
+        "q_events_range_join": analytics.Q_EVENTS_RANGE_JOIN_SQL,
+        "q17_small_quantity_revenue": analytics.Q17_SQL,
+        "q18_large_volume_customers": analytics.Q18_SQL,
+        "text_fingerprint": text.TEXT_FINGERPRINT_SQL,
+        "text_tfidf_topk": corpus_stats.TEXT_TFIDF_TOPK_SQL,
+        "text_chunks": corpus_stats.TEXT_CHUNKS_SQL,
         "corpus_decontaminate": llm_queries.CORPUS_DECONTAMINATE_SQL,
         "dedup_keep_best": llm_queries.DEDUP_KEEP_BEST_SQL,
         "corpus_source_stats": llm_queries.CORPUS_SOURCE_STATS_SQL,
@@ -441,17 +482,8 @@ def secondary_oracle_sql() -> dict[str, str]:
         "eval_centroid_classifier": corpus_ml.EVAL_CENTROID_CLASSIFIER_SQL,
         "corpus_quality_filter": text.CORPUS_QUALITY_FILTER_SQL,
         "q_events_attribution_linear": analytics.Q_EVENTS_ATTRIBUTION_LINEAR_SQL,
-        # round-11 additions (SURVEY §2 #132-#137)
-        "q_events_conversion_latency": analytics.Q_EVENTS_CONVERSION_LATENCY_SQL,
-        "q_events_wilson": analytics.Q_EVENTS_WILSON_SQL,
-        "corpus_vocab_overlap": corpus_ml.CORPUS_VOCAB_OVERLAP_SQL,
-        "corpus_fertility": corpus_ml.CORPUS_FERTILITY_SQL,
-        "dedup_cluster_sizes": llm_queries.DEDUP_CLUSTER_SIZES_SQL,
-        # round-11 additions (SURVEY §2 #140-#143)
-        "q_orders_histogram": analytics.Q_ORDERS_HISTOGRAM_SQL,
-        # round-11 additions (SURVEY §2 #144-#146)
-        "q_orders_mad_outliers": analytics.Q_ORDERS_MAD_OUTLIERS_SQL,
-        "q_events_funnel_windowed": analytics.Q_EVENTS_FUNNEL_WINDOWED_SQL,
+        # (round-11 additions #132-#146 moved to oracle_sql() as
+        # round-14 gate debuts)
         # rotated out of the driver gate after hash-matching in round 12
         "dedup_tf_cosine": llm_queries.DEDUP_TF_COSINE_SQL,
         "text_heavy_hitters": text.TEXT_HEAVY_HITTERS_SQL,
@@ -475,18 +507,11 @@ def secondary_oracle_sql() -> dict[str, str]:
         "q_part_neighbors": analytics.Q_PART_NEIGHBORS_SQL,
         "q_events_trigrams": analytics.Q_EVENTS_TRIGRAMS_SQL,
         "eval_auc_length": corpus_ml.EVAL_AUC_LENGTH_SQL,
-        "corpus_burstiness": corpus_ml.CORPUS_BURSTINESS_SQL,
         "eval_lang_kappa": llm_queries.EVAL_LANG_KAPPA_SQL,
         "dedup_unicode": llm_queries.DEDUP_UNICODE_SQL,
         "corpus_lexical_diversity": corpus_ml.CORPUS_LEXICAL_DIVERSITY_SQL,
-        # round-13 additions (SURVEY §2 #168-#173)
-        "corpus_repetition_indices": corpus_ml.CORPUS_REPETITION_INDICES_SQL,
-        "corpus_zipf_spine": corpus_ml.CORPUS_ZIPF_SPINE_SQL,
-        "corpus_chi2_keywords": corpus_ml.CORPUS_CHI2_KEYWORDS_SQL,
+        # round-13 additions (most moved to oracle_sql() as round-14
+        # gate debuts)
         "corpus_ingest_novelty": corpus_ml.CORPUS_INGEST_NOVELTY_SQL,
-        "q_copurchase_assortativity": analytics.Q_COPURCHASE_ASSORTATIVITY_SQL,
-        "q_orders_benford": analytics.Q_ORDERS_BENFORD_SQL,
         "dedup_cluster_source_span": llm_queries.DEDUP_CLUSTER_SOURCE_SPAN_SQL,
-        "corpus_source_tvd": corpus_ml.CORPUS_SOURCE_TVD_SQL,
-        "q_customer_cadence": analytics.Q_CUSTOMER_CADENCE_SQL,
     }

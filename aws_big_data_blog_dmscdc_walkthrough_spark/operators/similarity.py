@@ -1381,6 +1381,26 @@ def mmr_topk(
     """
     import numpy as np
     import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    # The id column keeps its NATIVE type end-to-end (round-13 ADVICE):
+    # the return schema is derived from df.schema[id_col], so string or
+    # decimal ids work and the empty and non-empty paths always agree.
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField("rank", IntegerType(), False),
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("relevance", DoubleType(), False),
+            StructField("max_sim_selected", DoubleType(), False),
+            StructField("mmr_score", DoubleType(), False),
+        ]
+    )
 
     cands = (
         cosine_topk(df, id_col, vec_col, query_df, pool)
@@ -1391,12 +1411,8 @@ def mmr_topk(
     rows = cands.collect()
     if not rows:
         spark = df.sparkSession
-        return spark.createDataFrame(
-            [],
-            f"rank int, {id_col} long, relevance double,"
-            " max_sim_selected double, mmr_score double",
-        )
-    ids = np.array([r[id_col] for r in rows])
+        return spark.createDataFrame([], out_schema)
+    ids = [r[id_col] for r in rows]
     rel = np.array([r["cosine"] for r in rows], dtype=np.float64)
     V = np.array([r["_v"] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(V, axis=1)
@@ -1420,7 +1436,7 @@ def mmr_topk(
         out.append(
             (
                 rank,
-                int(ids[best]),
+                ids[best],
                 float(rel[best]),
                 float(max_sim[best]),
                 float(score_masked[best]),
@@ -1434,10 +1450,7 @@ def mmr_topk(
             out,
             columns=["rank", id_col, "relevance", "max_sim_selected", "mmr_score"],
         ),
-        schema=(
-            f"rank int, {id_col} long, relevance double,"
-            " max_sim_selected double, mmr_score double"
-        ),
+        schema=out_schema,
     )
 
 

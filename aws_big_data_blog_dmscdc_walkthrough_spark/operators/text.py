@@ -769,21 +769,18 @@ def fold_count_min(
             spark, f"{out_path.rstrip('/')}/{sub}"
         )
     ]
-    latest = manifest_mod.read_manifest(spark, out_path)
-    if (latest or {}).get("version") != (man or {}).get("version"):
-        raise RuntimeError(
-            f"concurrent fold detected on {out_path}: manifest advanced "
-            f"from {(man or {}).get('version')} to "
-            f"{(latest or {}).get('version')} while this fold ran — the "
-            "sketch store is single-writer; retry the fold (staged files "
-            f"under {sub}/ are orphans, vacuum reclaims them)"
-        )
     props = dict((man or {}).get("properties") or {})
     if batch_id is not None:
         props["cms_folded_through"] = int(batch_id)
+    # CAS commit pinned to the version this fold READ (round-13 ADVICE,
+    # same fix as fold_heavy_hitters): a concurrent fold raises
+    # ConcurrentCommitError inside commit_manifest's atomic history
+    # create — no check-then-commit window. Staged files under sub/
+    # stay orphans; vacuum reclaims them.
     manifest_mod.commit_manifest(
         spark, out_path, added, schema_json=merged.schema.json(),
         properties=props or None,
+        expected_base_version=(man or {}).get("version") or 0,
     )
     return True
 
@@ -1783,22 +1780,22 @@ def fold_heavy_hitters(
             spark, f"{out_path.rstrip('/')}/{sub}"
         )
     ]
-    latest = manifest_mod.read_manifest(spark, out_path)
-    if (latest or {}).get("version") != (man or {}).get("version"):
-        raise RuntimeError(
-            f"concurrent fold detected on {out_path}: manifest advanced "
-            f"from {(man or {}).get('version')} to "
-            f"{(latest or {}).get('version')} while this fold ran — the "
-            "heavy-hitter state is single-writer; retry the fold (staged "
-            f"files under {sub}/ are orphans, vacuum reclaims them)"
-        )
     props = props_prev
     props["mg_k"] = int(k)
     if batch_id is not None:
         props["mg_folded_through"] = int(batch_id)
+    # Compare-and-swap commit (round-13 ADVICE): the old check-then-
+    # commit re-read left a TOCTOU window where a second fold landing
+    # between the re-check and the rename silently dropped this fold's
+    # counters. expected_base_version pins the commit to the manifest
+    # version this fold READ its counters from; a racing fold raises
+    # ConcurrentCommitError inside commit_manifest's atomic history
+    # create instead (staged files under the sub/ dir are orphans,
+    # vacuum reclaims them).
     manifest_mod.commit_manifest(
         spark, out_path, added, schema_json=merged.schema.json(),
         properties=props,
+        expected_base_version=(man or {}).get("version") or 0,
     )
     return True
 
@@ -1821,7 +1818,18 @@ def heavy_hitter_state_candidates(
 
     man = manifest_mod.read_manifest(spark, out_path) or {}
     k_state = (man.get("properties") or {}).get("mg_k")
-    if isinstance(k_state, int) and top_fraction_k > k_state:
+    # The superset guarantee is derived from the state's OWN k — a
+    # state without a recorded mg_k (not written by fold_heavy_hitters)
+    # has an unknown undercount bound, so guessing kp1 from the query's
+    # top_fraction_k would silently void the certification. Refuse,
+    # mirroring fold_heavy_hitters' k-mismatch guard (round-13 ADVICE).
+    if not isinstance(k_state, int) or isinstance(k_state, bool):
+        raise ValueError(
+            f"state at {out_path} has no integer mg_k property "
+            f"(got {k_state!r}): not a fold_heavy_hitters state, its "
+            "undercount bound is unknown — refusing to certify hitters"
+        )
+    if top_fraction_k > k_state:
         raise ValueError(
             f"state built with mg_k={k_state} cannot answer a "
             f"top-1/{top_fraction_k} query: undercount may hide hitters"
@@ -1831,7 +1839,7 @@ def heavy_hitter_state_candidates(
         F.col("n").alias("_tot")
     )
     kk = F.lit(int(top_fraction_k))
-    kp1 = F.lit(int((k_state or top_fraction_k) + 1))
+    kp1 = F.lit(int(k_state + 1))
     return (
         rows.where(F.col("word").isNotNull())
         .crossJoin(F.broadcast(total))

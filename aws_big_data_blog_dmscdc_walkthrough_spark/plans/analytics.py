@@ -2939,8 +2939,26 @@ def q_events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_var_num",
             F.col("_m").cast(dec) * F.col("_q") - F.col("_s") * F.col("_s"),
         )
+        .where(F.col("_m") >= ANOMALY_MIN_BASELINE)
+        # Overflow surfaces, never vanishes (round-13 ADVICE): under
+        # non-ANSI Spark a DECIMAL(38,0) product that overflows yields
+        # NULL, and a bare `_var_num > 0` would silently drop that
+        # (type, day) row while the DuckDB HUGEINT oracle raises — a
+        # silent cross-engine divergence. A NULL _var_num on a row that
+        # passed the baseline-count filter can ONLY be overflow (the
+        # window sums are non-NULL whenever _m > 0), so raise loudly.
         .where(
-            (F.col("_m") >= ANOMALY_MIN_BASELINE) & (F.col("_var_num") > 0)
+            F.when(
+                F.col("_var_num").isNull(),
+                F.raise_error(
+                    F.lit(
+                        "q_events_daily_anomaly: variance product "
+                        "overflowed DECIMAL(38,0) — daily counts exceed "
+                        "the documented ~1e18 envelope; pre-aggregate "
+                        "or widen the arithmetic"
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.col("_var_num") > 0)
         )
         .withColumn(
             "z",

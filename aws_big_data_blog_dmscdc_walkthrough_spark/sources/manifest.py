@@ -74,6 +74,12 @@ def collapse_empty_dirs(jvm, fs, base: str, rel_dirs) -> None:
 HISTORY_DIR = "_mmanifest_history"
 
 
+class ConcurrentCommitError(RuntimeError):
+    """A compare-and-swap commit lost the race: another writer
+    committed the same next version first (or a crashed writer left
+    its history entry behind — vacuum the orphan and retry)."""
+
+
 def _history_path(path: str, version: int) -> str:
     return path.rstrip("/") + f"/{HISTORY_DIR}/v{version:012d}.json"
 
@@ -238,8 +244,21 @@ def commit_manifest(
     schema_json: str | None = None,
     partition_keys: list[str] | None = None,
     properties: dict | None = None,
+    expected_base_version: int | None = None,
 ) -> int:
     """Atomically publish the live-file list; returns the new version.
+
+    ``expected_base_version`` turns the commit into a compare-and-swap
+    (optimistic concurrency, the Delta-log pattern): the new version is
+    pinned to ``expected_base_version + 1`` and the per-version history
+    file is created with **overwrite=False**, so two writers that both
+    read the same base race to create the SAME history path and exactly
+    one create succeeds — the loser raises
+    :class:`ConcurrentCommitError` before the LATEST pointer moves.
+    This closes the check-then-commit window a pre-commit version
+    re-read leaves open (round-13 ADVICE on fold_heavy_hitters).
+    ``None`` keeps the last-writer-wins behavior every non-CAS caller
+    relies on.
 
     ``partition_keys`` (recorded once, carried forward when ``None``)
     marks a partitioned table: ``files`` are then partition-relative
@@ -276,7 +295,17 @@ def commit_manifest(
     nothing once the data files are gone).
     """
     prev = read_manifest(spark, path)
-    version = (prev["version"] + 1) if prev else 1
+    if expected_base_version is not None:
+        prev_version = prev["version"] if prev else 0
+        if prev_version != expected_base_version:
+            raise ConcurrentCommitError(
+                f"manifest at {path} advanced to v{prev_version} while "
+                f"this writer worked from v{expected_base_version} — "
+                "re-read the table state and retry"
+            )
+        version = expected_base_version + 1
+    else:
+        version = (prev["version"] + 1) if prev else 1
     prev_targets = (prev or {}).get("dv_targets") or {}
     if delete_files is None:
         live = set(files)
@@ -324,10 +353,24 @@ def commit_manifest(
     finally:
         out.close()
     # durable per-version copy first (enables time travel), then the
-    # LATEST pointer swap — the rename is still the commit point
+    # LATEST pointer swap — the rename is still the commit point.
+    # Under expected_base_version the history create is ALSO the CAS
+    # point: overwrite=False makes two same-base writers collide on
+    # this one path, and Hadoop create(path, false) raises for the
+    # loser before its LATEST rename can clobber the winner's.
     hist = jvm.org.apache.hadoop.fs.Path(_history_path(path, version))
     fs.mkdirs(hist.getParent())
-    hout = fs.create(hist, True)
+    try:
+        hout = fs.create(hist, expected_base_version is None)
+    except Exception as exc:  # py4j surfaces FileAlreadyExists here
+        if expected_base_version is not None:
+            raise ConcurrentCommitError(
+                f"lost the commit race for v{version} at {path}: "
+                f"another writer (or a crashed one's orphan history "
+                f"entry) holds {_history_path(path, version)} — retry "
+                f"from a fresh read_manifest ({exc.__class__.__name__})"
+            ) from exc
+        raise
     try:
         hout.write(payload)
     finally:

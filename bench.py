@@ -127,9 +127,9 @@ def main() -> None:
     # instead of poisoning the round's number. Identical plans retried
     # under the same load just reproduce the time — bounded waste.
     try:
-        _, pre_deltas = _baseline_deltas(timings, sf)
+        _, pre_deltas, pre_base = _baseline_deltas(timings, sf)
     except Exception:  # noqa: BLE001 - retry pass is best-effort
-        pre_deltas = {}
+        pre_deltas, pre_base = {}, {}
     drifted = [
         n
         for n, r in sorted(pre_deltas.items(), key=lambda kv: -kv[1])
@@ -140,8 +140,10 @@ def main() -> None:
         # 1.3x band): a single retry inside the same load spike just
         # reproduces the spike — round 12's driver line drifted 1.37x
         # exactly this way. The baseline is the COMMITTED sidecar
-        # (below), so the band is anchored to a quiet-window record.
-        base = timings[name] / pre_deltas[name]
+        # (below), so the band is anchored to a quiet-window record —
+        # the RAW committed wall, not a value reconstructed from the
+        # rounded ratio (round-13 ADVICE).
+        base = pre_base[name]
         for _ in range(2):
             spark.catalog.clearCache()
             start = time.perf_counter()
@@ -167,7 +169,7 @@ def main() -> None:
     # Delta computation is decoration; it must never be able to destroy
     # the timing record it decorates (round 4 died exactly this way).
     try:
-        baseline_file, deltas = _baseline_deltas(timings, sf)
+        baseline_file, deltas, _ = _baseline_deltas(timings, sf)
     except Exception as exc:  # noqa: BLE001 - diagnostics only
         print(f"[bench] baseline delta computation failed: {exc!r}", file=sys.stderr)
         baseline_file, deltas = None, {}
@@ -272,13 +274,19 @@ def _baseline_deltas(timings: dict[str, float], sf: str, bench_dir: str | None =
         if str(rec.get("sf")) != sf or not isinstance(rec.get("queries"), dict) or not rec["queries"]:
             continue
         base_q = rec["queries"]
-        deltas = {
-            n: round(t / base_q[n], 2)
-            for n, t in timings.items()
-            if base_q.get(n)
+        # Raw baseline walls ride along (round-13 ADVICE): the retry
+        # loop's 1.3x band must compare against the UNROUNDED committed
+        # time — reconstructing it from a 2-decimal ratio makes the band
+        # noisy for sub-second queries (retries stop early or run
+        # needlessly).
+        baselines = {
+            n: float(base_q[n]) for n in timings if base_q.get(n)
         }
-        return os.path.basename(path), deltas
-    return None, {}
+        deltas = {
+            n: round(timings[n] / baselines[n], 2) for n in baselines
+        }
+        return os.path.basename(path), deltas, baselines
+    return None, {}, {}
 
 
 if __name__ == "__main__":

@@ -20,7 +20,7 @@ def _write(tmp_path, name, payload):
 
 def test_null_parsed_record_is_skipped(tmp_path):
     _write(tmp_path, "BENCH_r03.json", {"rc": 1, "parsed": None})
-    base, deltas = _baseline_deltas({"q1": 2.0}, "0.1", bench_dir=str(tmp_path))
+    base, deltas, raw = _baseline_deltas({"q1": 2.0}, "0.1", bench_dir=str(tmp_path))
     assert base is None
     assert deltas == {}
 
@@ -28,7 +28,7 @@ def test_null_parsed_record_is_skipped(tmp_path):
 def test_null_parsed_falls_through_to_older_good_record(tmp_path):
     _write(tmp_path, "BENCH_r02.json", {"parsed": {"sf": "0.1", "queries": {"q1": 1.0}}})
     _write(tmp_path, "BENCH_r04.json", {"rc": 1, "parsed": None})
-    base, deltas = _baseline_deltas({"q1": 2.0}, "0.1", bench_dir=str(tmp_path))
+    base, deltas, raw = _baseline_deltas({"q1": 2.0}, "0.1", bench_dir=str(tmp_path))
     assert base == "BENCH_r02.json"
     assert deltas == {"q1": 2.0}
 
@@ -36,7 +36,7 @@ def test_null_parsed_falls_through_to_older_good_record(tmp_path):
 def test_non_dict_parsed_and_bad_queries_are_skipped(tmp_path):
     _write(tmp_path, "BENCH_r01.json", {"parsed": "traceback text"})
     _write(tmp_path, "BENCH_r02.json", {"parsed": {"sf": "0.1", "queries": "oops"}})
-    base, deltas = _baseline_deltas({"q1": 2.0}, "0.1", bench_dir=str(tmp_path))
+    base, deltas, raw = _baseline_deltas({"q1": 2.0}, "0.1", bench_dir=str(tmp_path))
     assert base is None and deltas == {}
 
 
@@ -45,20 +45,20 @@ def test_committed_sidecar_preferred_over_driver_record(tmp_path):
     # a loaded host; the committed quiet-window sidecar anchors ratios
     _write(tmp_path, "BENCH_r09.json", {"parsed": {"sf": "0.1", "queries": {"q1": 4.0}}})
     _write(tmp_path, "BENCH_LOCAL_sf0.1.json", {"sf": "0.1", "queries": {"q1": 1.0}})
-    base, deltas = _baseline_deltas({"q1": 2.0}, "0.1", bench_dir=str(tmp_path))
+    base, deltas, raw = _baseline_deltas({"q1": 2.0}, "0.1", bench_dir=str(tmp_path))
     assert base == "BENCH_LOCAL_sf0.1.json"
     assert deltas == {"q1": 2.0}
 
 
 def test_sidecar_for_other_sf_not_used(tmp_path):
     _write(tmp_path, "BENCH_LOCAL_sf0.01.json", {"sf": "0.01", "queries": {"q1": 1.0}})
-    base, deltas = _baseline_deltas({"q1": 2.0}, "0.1", bench_dir=str(tmp_path))
+    base, deltas, raw = _baseline_deltas({"q1": 2.0}, "0.1", bench_dir=str(tmp_path))
     assert base is None and deltas == {}
 
 
 def test_sf_mismatch_is_skipped(tmp_path):
     _write(tmp_path, "BENCH_r02.json", {"parsed": {"sf": "0.01", "queries": {"q1": 1.0}}})
-    base, deltas = _baseline_deltas({"q1": 2.0}, "0.1", bench_dir=str(tmp_path))
+    base, deltas, raw = _baseline_deltas({"q1": 2.0}, "0.1", bench_dir=str(tmp_path))
     assert base is None and deltas == {}
 
 
@@ -68,11 +68,14 @@ def test_zero_and_missing_baseline_entries_ignored(tmp_path):
         "BENCH_r02.json",
         {"parsed": {"sf": "0.1", "queries": {"q1": 0.0, "q2": 4.0}}},
     )
-    base, deltas = _baseline_deltas(
+    base, deltas, raw = _baseline_deltas(
         {"q1": 2.0, "q2": 2.0, "q3": 9.0}, "0.1", bench_dir=str(tmp_path)
     )
     assert base == "BENCH_r02.json"
     assert deltas == {"q2": 0.5}
+    # the raw committed wall rides along UNROUNDED so the drift-retry
+    # band compares against the real baseline (round-13 ADVICE)
+    assert raw == {"q2": 4.0}
 
 
 def test_fit_driver_line_under_limit_passthrough():

@@ -792,3 +792,52 @@ def test_schema_drift_report(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not retained"):
         manifest.schema_drift_report(spark, out, from_version=7)
+
+
+def test_cas_commit_stale_base_raises(spark, tmp_path):
+    """expected_base_version (round-13 ADVICE): a writer working from a
+    version the table has already moved past must raise, not clobber."""
+    out = str(tmp_path / "cas_stale")
+    _init(spark, out)  # v1
+    man = manifest.read_manifest(spark, out)
+    files = man["files"]
+    manifest.commit_manifest(spark, out, files, expected_base_version=1)  # v2
+    with pytest.raises(manifest.ConcurrentCommitError, match="advanced"):
+        manifest.commit_manifest(spark, out, files, expected_base_version=1)
+    assert manifest.read_manifest(spark, out)["version"] == 2
+
+
+def test_cas_commit_history_create_is_the_atomic_point(spark, tmp_path):
+    """Two same-base writers collide on the no-overwrite history create:
+    the loser raises BEFORE the LATEST pointer moves, so the winner's
+    commit survives — no check-then-commit window at all."""
+    out = str(tmp_path / "cas_atomic")
+    _init(spark, out)  # v1
+    man = manifest.read_manifest(spark, out)
+    # simulate the winner: its v2 history entry is already on disk
+    # (the pre-check can't see it — LATEST still points at v1)
+    jvm = spark._jvm
+    hist = jvm.org.apache.hadoop.fs.Path(manifest._history_path(out, 2))
+    _, fs = manifest._fs(spark, out)
+    hout = fs.create(hist, False)
+    hout.write(b"{}")
+    hout.close()
+    with pytest.raises(manifest.ConcurrentCommitError, match="commit race"):
+        manifest.commit_manifest(
+            spark, out, man["files"], expected_base_version=1
+        )
+    assert manifest.read_manifest(spark, out)["version"] == 1
+
+
+def test_cas_commit_on_fresh_table_base_zero(spark, tmp_path):
+    """expected_base_version=0 commits v1 on a table with no manifest."""
+    out = str(tmp_path / "cas_fresh")
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    df.coalesce(1).write.parquet(out)
+    files = manifest.list_data_files(spark, out)
+    v = manifest.commit_manifest(
+        spark, out, files, schema_json=df.schema.json(),
+        expected_base_version=0,
+    )
+    assert v == 1
+    assert manifest.read_manifest(spark, out)["version"] == 1

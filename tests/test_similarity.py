@@ -497,6 +497,34 @@ def test_mmr_hand_computed_diversity(spark):
     assert picks == [(1, 1), (2, 3)]
 
 
+def test_mmr_string_ids_keep_native_type(spark):
+    """Round-13 ADVICE: the id column's native type must survive —
+    string ids used to crash on int() coercion and the empty path
+    disagreed with the non-empty one. Both paths now derive the schema
+    from df.schema[id_col]."""
+    import math
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import similarity
+
+    def at(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    rows = [("doc-a", at(10)), ("doc-b", at(15)), ("doc-c", at(60))]
+    df = spark.createDataFrame(rows, "doc string, embedding array<float>")
+    q = spark.createDataFrame([("q", at(0))], "doc string, embedding array<float>")
+    got = similarity.mmr_topk(df, "doc", "embedding", q, k=2, pool=3, lam=0.3)
+    assert dict(got.dtypes)["doc"] == "string"
+    assert [(r.rank, r.doc) for r in got.collect()] == [
+        (1, "doc-a"),
+        (2, "doc-c"),
+    ]
+    empty = similarity.mmr_topk(
+        df.where("doc = 'nope'"), "doc", "embedding", q, k=2, pool=3
+    )
+    assert empty.schema == got.schema and empty.count() == 0
+
+
 def test_mmr_lambda_one_is_plain_topk(spark):
     """lam=1.0 disables the diversity term: MMR must equal the
     brute-force relevance top-k, same order."""

@@ -433,9 +433,11 @@ def test_fold_count_min_detects_concurrent_writer(spark, tmp_path):
     text_ops.fold_count_min(spark, df.where("doc_id = 0"), "text", out)
     want = sorted(map(tuple, manifest.read_table(spark, out).collect()))
 
-    # simulate the race: the fold reads the manifest twice (state read,
-    # then the pre-commit version re-check); a concurrent fold commits
-    # in between
+    # simulate the race: the fold reads the manifest for its state,
+    # then a concurrent fold commits before this fold's CAS commit
+    # (the interleaved commit fires from inside commit_manifest's own
+    # base read — the worst-case ordering the old check-then-commit
+    # version re-read could not catch)
     orig = manifest.read_manifest
     calls = {"n": 0}
 
@@ -448,7 +450,7 @@ def test_fold_count_min_detects_concurrent_writer(spark, tmp_path):
 
     manifest.read_manifest = racing_read
     try:
-        with pytest.raises(RuntimeError, match="concurrent fold"):
+        with pytest.raises(manifest.ConcurrentCommitError):
             text_ops.fold_count_min(spark, df.where("doc_id = 1"), "text", out)
     finally:
         manifest.read_manifest = orig
@@ -603,6 +605,21 @@ def test_fold_heavy_hitters_k_mismatch_and_query_guard(spark, tmp_path):
         text_ops.fold_heavy_hitters(spark, df, "text", out, k=16)
     with _pytest.raises(ValueError, match="top-1/32"):
         text_ops.heavy_hitter_state_candidates(spark, out, 32).collect()
+
+    # a state WITHOUT a recorded mg_k (not written by fold_heavy_hitters)
+    # has an unknown undercount bound: the readout must refuse rather
+    # than guess kp1 from the query's k (round-13 ADVICE)
+    from aws_big_data_blog_dmscdc_walkthrough_spark.sources import manifest
+
+    alien = str(tmp_path / "alien_state")
+    spark.createDataFrame(
+        [("a", 2), (None, 3)], "word string, n long"
+    ).coalesce(1).write.parquet(alien)
+    manifest.commit_manifest(
+        spark, alien, manifest.list_data_files(spark, alien)
+    )
+    with _pytest.raises(ValueError, match="no integer mg_k"):
+        text_ops.heavy_hitter_state_candidates(spark, alien, 4)
 
 
 def test_heavy_hitter_stream_drains_and_matches_fold(spark, tmp_path):
