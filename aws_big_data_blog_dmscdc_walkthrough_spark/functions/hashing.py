@@ -216,6 +216,58 @@ def shingle_hashes_pandas(k: int = 3, distinct: bool = True):
     return udf
 
 
+def shingle_hashes_wide_pandas(k: int = 3):
+    """pandas_udf: text → DISTINCT k-word-shingle hashes on a ~60-bit key.
+
+    Two independent char-poly/combine folds — family A (POLY_MUL1,
+    POLY_MOD1) and family B (POLY_MUL2, POLY_MOD2), both k-token
+    combined by SHINGLE_COMBINE — packed as ``hA * POLY_MOD2 + hB``
+    (< 2^60, int64-safe). The single-family 30-bit key of
+    :func:`shingle_hashes_pandas` birthday-collides from ~3·10⁴
+    distinct shingles, which is fine for banding/minhash candidates but
+    NOT for a distinct-count readout; the wide key keeps corpus-scale
+    novelty/distinct statistics collision-free in practice while still
+    shuffling an 8-byte long instead of the raw shingle string. Both
+    folds ride ONE :func:`_poly_fold_tokens` pass; the arithmetic is
+    mirrored verbatim in the DuckDB oracles, so cross-engine results
+    stay bit-identical by construction even on a collision.
+    """
+    mul, mod, comb = POLY_MUL1, POLY_MOD1, SHINGLE_COMBINE
+    mul2, mod2 = POLY_MUL2, POLY_MOD2
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def udf(texts: pd.Series) -> pd.Series:
+        n_docs = len(texts)
+        if n_docs == 0:
+            return pd.Series([], dtype=object)
+        flat, counts = _batch_tokens(texts)
+        h1, h2 = _poly_fold_tokens(flat, [(mul, mod), (mul2, mod2)])
+        doc_of_tok = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        total = h1.size
+        if total >= k:
+            idx = np.arange(total - k + 1)
+            starts = idx[doc_of_tok[idx] == doc_of_tok[idx + k - 1]]
+            s1, s2 = h1[starts], h2[starts]
+            for j in range(1, k):
+                s1 = (s1 * comb + h1[starts + j]) % mod
+                s2 = (s2 * comb + h2[starts + j]) % mod2
+            sh = s1 * mod2 + s2
+            sh_doc = doc_of_tok[starts]
+            order = np.lexsort((sh, sh_doc))
+            sh, sh_doc = sh[order], sh_doc[order]
+            keep = np.ones(sh.size, dtype=bool)
+            keep[1:] = (sh[1:] != sh[:-1]) | (sh_doc[1:] != sh_doc[:-1])
+            sh, sh_doc = sh[keep], sh_doc[keep]
+        else:
+            sh = np.empty(0, dtype=np.int64)
+            sh_doc = np.empty(0, dtype=np.int64)
+        per_doc = np.bincount(sh_doc, minlength=n_docs)
+        bounds = np.cumsum(per_doc)[:-1]
+        return pd.Series([a.tolist() for a in np.split(sh, bounds)])
+
+    return udf
+
+
 def _segment_offsets(counts: np.ndarray) -> np.ndarray:
     """Start offset of each segment given per-segment item counts (>0)."""
     offs = np.zeros(counts.size, dtype=np.int64)

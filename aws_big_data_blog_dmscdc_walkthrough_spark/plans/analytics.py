@@ -2623,25 +2623,41 @@ GROUP BY rows_.dim, te, tl
 PAGERANK_TOP_K = 25
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str, min_support: int) -> DataFrame:
-    """Canonical (pa < pb) co-purchase part pairs with basket support.
-
-    Shared edge builder for the graph queries (#155 PageRank, #157
-    triangles): one distinct (order, part) scan PERSISTED before the
-    per-basket-quadratic self-join (the alias-different branches never
-    get ReusedExchange — analytics.py's #120 comment measured it), one
-    canonical pair agg, support filter. Callers mirror to both
-    directions when they need a symmetric/directed view — cheaper than
-    generating both orders through the join itself.
-    """
-    from ..operators.dedup import _track
-
-    li = _track(
+def _copurchase_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (order, part) basket memberships — the row-scale scan
+    every co-purchase query starts from. Persist before reuse (the
+    graph card persists it once for the whole family)."""
+    return (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .persist()
     )
+
+
+def _copurchase_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    min_support: int,
+    baskets: DataFrame | None = None,
+) -> DataFrame:
+    """Canonical (pa < pb) co-purchase part pairs with basket support.
+
+    Shared edge builder for the graph queries (#155 PageRank, #157
+    triangles, #160 neighbors, #170 assortativity): one distinct
+    (order, part) scan PERSISTED before the per-basket-quadratic
+    self-join (the alias-different branches never get ReusedExchange —
+    analytics.py's #120 comment measured it), one canonical pair agg,
+    support filter. Callers mirror to both directions when they need a
+    symmetric/directed view — cheaper than generating both orders
+    through the join itself. ``baskets`` lets the graph card
+    (:func:`graph_card_frames`) hand in an already-persisted membership
+    frame so the distinct scan also runs once per combined run.
+    """
+    from ..operators.dedup import _track
+
+    li = baskets
+    if li is None:
+        li = _track(_copurchase_baskets(spark, sf_dir).persist())
     a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("_pa"))
     b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("_pb"))
     return (
@@ -2653,7 +2669,40 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str, min_support: int) -> Dat
     )
 
 
-def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_card_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The fused co-purchase graph card (round-13 verdict item #3, the
+    corpus-card precedent): ONE persisted distinct-membership scan and
+    ONE persisted canonical min-support edge frame feed all four graph
+    readouts — PageRank (#155), triangle census (#157), item-item
+    neighbors (#160), and degree assortativity (#170) — which would
+    otherwise each rebuild the per-basket-quadratic pair join from
+    scratch in a combined run. Lossless by construction: every panel is
+    the standalone query fed the identical substrate (bit-identity +
+    single-leaf probes pinned in tests/test_graph_card.py). Consumers
+    must be evaluated before the next ``release_persisted()`` fires."""
+    from ..operators.dedup import _track
+
+    baskets = _track(_copurchase_baskets(spark, sf_dir).persist())
+    canon = _track(
+        _copurchase_edges(
+            spark, sf_dir, TRIANGLE_MIN_BASKETS, baskets=baskets
+        ).persist()
+    )
+    return {
+        "pagerank": q_part_pagerank(spark, sf_dir, canon=canon),
+        "triangles": q_part_triangles(spark, sf_dir, canon=canon),
+        "neighbors": q_part_neighbors(
+            spark, sf_dir, canon=canon, baskets=baskets
+        ),
+        "assortativity": q_copurchase_assortativity(
+            spark, sf_dir, canon=canon
+        ),
+    }
+
+
+def q_part_pagerank(
+    spark: SparkSession, sf_dir: str, canon: DataFrame | None = None
+) -> DataFrame:
     """Top parts by PageRank over the co-purchase graph (#155).
 
     The graph-centrality upgrade of #120's pairwise lift: a part is
@@ -2675,8 +2724,12 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame is persisted BEFORE mirroring — the union's two branches get
     # no ReusedExchange (same pitfall the _copurchase_edges docstring
     # records for the self-join), so without the pin the pair join runs
-    # twice (measured 16 s -> 35 s at sf0.1).
-    canon = _track(_copurchase_edges(spark, sf_dir, TRIANGLE_MIN_BASKETS).persist())
+    # twice (measured 16 s -> 35 s at sf0.1). A graph-card run hands in
+    # the already-persisted shared frame instead.
+    if canon is None:
+        canon = _track(
+            _copurchase_edges(spark, sf_dir, TRIANGLE_MIN_BASKETS).persist()
+        )
     edges = canon.unionByName(
         canon.select(
             F.col("_pb").alias("_pa"), F.col("_pa").alias("_pb"), "_w"
@@ -2762,7 +2815,9 @@ GROUP BY wday
 TRIANGLE_MIN_BASKETS = 2  # edge = parts co-purchased in >= this many orders
 
 
-def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_part_triangles(
+    spark: SparkSession, sf_dir: str, canon: DataFrame | None = None
+) -> DataFrame:
     """Co-purchase triangle census via degree-ordered orientation (#157).
 
     Triangle density separates genuine product communities from hub
@@ -2780,11 +2835,14 @@ def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.dedup import _track
 
-    edges = _track(
-        _copurchase_edges(spark, sf_dir, TRIANGLE_MIN_BASKETS)
-        .select("_pa", "_pb")
-        .persist()
-    )
+    if canon is None:
+        canon = _copurchase_edges(spark, sf_dir, TRIANGLE_MIN_BASKETS)
+        edges = _track(canon.select("_pa", "_pb").persist())
+    else:
+        # graph-card run: canon is already persisted by the caller and
+        # the narrow projection reuses its cached partitions — a second
+        # persist would only duplicate storage
+        edges = canon.select("_pa", "_pb")
     deg = (
         edges.select(F.col("_pa").alias("node"))
         .unionByName(edges.select(F.col("_pb").alias("node")))
@@ -3008,7 +3066,12 @@ WHERE m >= {ANOMALY_MIN_BASELINE} AND m * q - s * s > 0
 NEIGHBOR_TOP_K = 5
 
 
-def q_part_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_part_neighbors(
+    spark: SparkSession,
+    sf_dir: str,
+    canon: DataFrame | None = None,
+    baskets: DataFrame | None = None,
+) -> DataFrame:
     """Top-k co-purchase cosine neighbors per part (#160).
 
     Item-item collaborative filtering over the same basket pairs as
@@ -3024,13 +3087,20 @@ def q_part_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     builder (min-support pruned); marginals join back by part key; the
     per-part top-k is one window over pair rows keyed by anchor.
     """
-    canon = _copurchase_edges(spark, sf_dir, TRIANGLE_MIN_BASKETS)
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    marg = li.groupBy(F.col("l_partkey").alias("_p")).agg(
+    from ..operators.dedup import _track
+
+    if baskets is None:
+        # persisted ONCE, reused by the edge builder's self-join AND the
+        # per-part marginals below — standalone used to run the distinct
+        # scan twice (once inside _copurchase_edges, once here)
+        baskets = _track(_copurchase_baskets(spark, sf_dir).persist())
+    if canon is None:
+        canon = _track(
+            _copurchase_edges(
+                spark, sf_dir, TRIANGLE_MIN_BASKETS, baskets=baskets
+            ).persist()
+        )
+    marg = baskets.groupBy(F.col("l_partkey").alias("_p")).agg(
         F.count(F.lit(1)).alias("_c")
     )
     pairs = canon.unionByName(
@@ -3170,7 +3240,9 @@ SELECT step1, step2, step3, n, CAST(rk AS INT) AS rank FROM (
 # ------------- co-purchase degree assortativity (#170)
 
 
-def q_copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_copurchase_assortativity(
+    spark: SparkSession, sf_dir: str, canon: DataFrame | None = None
+) -> DataFrame:
     """Degree assortativity of the co-purchase graph (#170).
 
     The one-number structure readout for the graph #155/#157/#160 rank
@@ -3198,10 +3270,11 @@ def q_copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # union's branches and the deg reuse get no ReusedExchange (the
     # #155/#120 pitfall), so without the pins the per-basket pair join
     # runs twice and the degree agg four times (measured 4.4 -> 2.x s
-    # at sf0.1)
-    canon = _track(
-        _copurchase_edges(spark, sf_dir, TRIANGLE_MIN_BASKETS).persist()
-    )
+    # at sf0.1). A graph-card run hands in the shared persisted frame.
+    if canon is None:
+        canon = _track(
+            _copurchase_edges(spark, sf_dir, TRIANGLE_MIN_BASKETS).persist()
+        )
     edges = canon.select(F.col("_pa").alias("_u"), F.col("_pb").alias("_v")).unionByName(
         canon.select(F.col("_pb").alias("_u"), F.col("_pa").alias("_v"))
     )

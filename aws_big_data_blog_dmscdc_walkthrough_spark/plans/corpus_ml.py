@@ -1723,24 +1723,31 @@ def corpus_ingest_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, one per-trigram min-batch reduce, two tiny per-batch
     aggregations — everything keys on the trigram, nothing pairs. All
     outputs are exact integers plus one exactly-rounded division.
+
+    Shuffle width (round-13 verdict item #5): the trigram key is the
+    ~60-bit double-poly shingle hash
+    (:func:`functions.hashing.shingle_hashes_wide_pandas` — the
+    paragraph-dedup precedent of hashing the key while keeping the
+    election exact), NOT the raw three-token string. The distinct and
+    the min-batch reduce then shuffle an 8-byte long per shingle
+    instead of ~25 UTF-8 bytes, the per-doc dedup happens for free
+    inside the Arrow batch, and the explode emits arrays of longs. The
+    oracle mirrors the identical fold arithmetic, so both engines
+    count the same keys bit-for-bit; the wide key keeps the hashed
+    distinct collision-free in practice (single 30-bit family would
+    birthday-collide from ~3e4 shingles).
     """
+    from ..functions import hashing
+
     docs = load_table(spark, sf_dir, "documents")
     max_id = docs.agg(F.max("doc_id").alias("_m"))
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    tri = F.when(
-        F.size(F.col("_toks")) >= 3,
-        F.expr(
-            "transform(sequence(0, size(_toks) - 3),"
-            " i -> concat_ws(' ', _toks[i], _toks[i+1], _toks[i+2]))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    sh = hashing.shingle_hashes_wide_pandas(3)
     # integer width w = max_id div K + 1; batch = doc_id div w in 0..K-1
     batched = (
         docs.crossJoin(F.broadcast(max_id))
         .withColumn("_w", F.expr(f"_m div {NOVELTY_BATCHES} + 1"))
         .withColumn("batch", F.expr("doc_id div _w"))
-        .withColumn("_toks", toks)
-        .select("batch", F.explode(tri).alias("_tg"))
+        .select("batch", F.explode(sh(F.col("text"))).alias("_tg"))
         .distinct()
     )
     first = batched.groupBy("_tg").agg(F.min("batch").alias("_fb"))
@@ -1766,14 +1773,29 @@ def corpus_ingest_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CORPUS_INGEST_NOVELTY_SQL = rf"""
 WITH m AS (SELECT MAX(doc_id) AS mx FROM documents),
+tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+th AS (
+  -- the two char-poly folds mirrored from shingle_hashes_wide_pandas:
+  -- family A (31, 1e9+7) and family B (131, 1073741789)
+  SELECT doc_id,
+    [list_reduce(list_prepend(0::BIGINT,
+       [ascii(c)::BIGINT for c in string_split(t, '')]),
+       (a, b) -> (a * 31 + b) % 1000000007) for t in w] AS h1,
+    [list_reduce(list_prepend(0::BIGINT,
+       [ascii(c)::BIGINT for c in string_split(t, '')]),
+       (a, b) -> (a * 131 + b) % 1073741789) for t in w] AS h2
+  FROM tok
+),
 tg AS (
-  SELECT DISTINCT doc_id // (mx // {NOVELTY_BATCHES} + 1) AS batch, u.tgram
-  FROM (
-    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-    FROM documents
-  ), m,
-  UNNEST(list_transform(range(1, greatest(len(toks) - 1, 1)),
-    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS u(tgram)
+  SELECT DISTINCT doc_id // (mx // {NOVELTY_BATCHES} + 1) AS batch,
+    ((h1[u.i] * 131 + h1[u.i+1]) % 1000000007 * 131 + h1[u.i+2])
+      % 1000000007 * 1073741789
+    + ((h2[u.i] * 131 + h2[u.i+1]) % 1073741789 * 131 + h2[u.i+2])
+      % 1073741789 AS tgram
+  FROM th, m,
+  UNNEST(range(1, greatest(len(h1) - 1, 1))) AS u(i)
 ), first AS (
   SELECT tgram, MIN(batch) AS fb FROM tg GROUP BY 1
 ), per_batch AS (

@@ -1,0 +1,80 @@
+"""Fused co-purchase graph card (round-13 verdict item #3): one
+persisted distinct-membership scan + one persisted canonical min-support
+edge frame feed #155 PageRank, #157 triangles, #160 neighbors, and #170
+assortativity. The fusion must be LOSSLESS — each panel's rows are
+bit-identical to its standalone query — and must actually eliminate the
+redundant pair joins (every panel reads the substrate only: zero direct
+lineitem parquet leaves in a fused run).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from aws_big_data_blog_dmscdc_walkthrough_spark.operators.dedup import (
+    release_persisted,
+)
+from aws_big_data_blog_dmscdc_walkthrough_spark.plans import analytics
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_graph_card_panels_match_standalone(spark):
+    release_persisted()
+    fused = analytics.graph_card_frames(spark, SF)
+    standalone = {
+        "pagerank": analytics.q_part_pagerank(spark, SF),
+        "triangles": analytics.q_part_triangles(spark, SF),
+        "neighbors": analytics.q_part_neighbors(spark, SF),
+        "assortativity": analytics.q_copurchase_assortativity(spark, SF),
+    }
+    for name, f in fused.items():
+        assert f.columns == standalone[name].columns, name
+        assert _rows(f) == _rows(standalone[name]), name
+    release_persisted()
+
+
+def test_graph_card_builds_pair_join_once(spark):
+    """Every panel must have NO direct parquet leaf over lineitem —
+    they read only the persisted substrate frames (inputFiles() walks
+    the logical leaves and does not descend into InMemoryRelation), so
+    a combined run scans baskets once and runs the per-basket-quadratic
+    pair join once instead of four times."""
+    release_persisted()
+    fused = analytics.graph_card_frames(spark, SF)
+
+    def lineitem_leaves(df):
+        return [f for f in df.inputFiles() if "lineitem.parquet" in f]
+
+    for name, df in fused.items():
+        assert lineitem_leaves(df) == [], name
+        if name == "pagerank":
+            # the iterative rank loop localCheckpoints its result, so
+            # the panel's own plan is a LogicalRDD — the substrate
+            # reuse already happened upstream at build time, which the
+            # zero-leaf assertion above still proves
+            continue
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" in plan, name
+    release_persisted()
+
+
+def test_neighbors_standalone_scans_baskets_once(spark):
+    """Standalone #160 used to run the distinct (order, part) scan
+    twice — once inside the edge builder, once for the marginals. The
+    shared persisted baskets frame makes the optimized plan reference
+    one InMemoryRelation for both, with no second distinct aggregate
+    over a raw lineitem scan."""
+    release_persisted()
+    df = analytics.q_part_neighbors(spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan
+    # the raw scan appears only below the cached substrate, never as a
+    # second independent leaf of this query's own plan
+    assert len([f for f in df.inputFiles() if "lineitem.parquet" in f]) == 0
+    release_persisted()
