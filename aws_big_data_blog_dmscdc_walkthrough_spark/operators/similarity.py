@@ -1551,3 +1551,210 @@ def ivf_pq_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# ------------- residual-encoded IVFPQ (#182): the textbook variant
+
+
+def pq_fit_codebooks_residual(
+    df: DataFrame,
+    vec_col: str,
+    centroids,
+    m: int = 8,
+    k: int = 256,
+    sample_rows: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train PQ codebooks on IVF-cell RESIDUALS ``v − c(v)`` — the
+    textbook IVFADC recipe (Jégou et al. 2011 §III: quantize the
+    residual, not the raw vector). Residuals concentrate around the
+    origin with far less variance than raw vectors, so the same (m, k)
+    byte budget spends its codewords on the part of the vector the
+    coarse quantizer did NOT explain — the recall lever #179 documents
+    as its deliberate gap. Fitting mirrors :func:`pq_fit_codebooks`:
+    bounded driver sample, per-subspace seeded Lloyd, model broadcasts
+    back inside the encode/search closures.
+    """
+    cents = np.asarray(centroids, dtype=np.float64)
+    cnorm = np.linalg.norm(cents, axis=1)
+    sample = np.asarray(
+        df.select(as_double(F.col(vec_col)).alias("v"))
+        .limit(sample_rows)
+        .toPandas()["v"]
+        .tolist()
+    )
+    if len(sample) == 0:
+        raise ValueError("pq_fit_codebooks_residual: corpus is empty")
+    denom = np.linalg.norm(sample, axis=1, keepdims=True) * cnorm[None, :]
+    assign = np.argmax(
+        (sample @ cents.T) / np.where(denom == 0, 1, denom), axis=1
+    )
+    resid = sample - cents[assign]
+    dim = resid.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    k = min(k, len(resid))
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        S = resid[:, j * sub : (j + 1) * sub]
+        cb = S[rng.choice(len(S), size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = S[a == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books.append(cb)
+    return np.stack(books)
+
+
+def pq_encode_residual(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids,
+    codebooks: np.ndarray,
+    assign_m: int = 1,
+) -> DataFrame:
+    """Encode each vector's RESIDUAL against every cell it spills into.
+
+    Returns (id, cell, pq_codes) — one row per (vector, assigned cell),
+    because a residual code is only meaningful relative to its own
+    cell's centroid. With ``assign_m > 1`` the posting list replicates
+    ×m exactly like #42's spill assignment (codes are m small ints, so
+    the replicated bytes stay far below the raw vectors). Map-only
+    Arrow pass; cell order matches :func:`ivf_assign_multi`
+    (``argsort(-cosine)[:m]``) bit-for-bit.
+    """
+    cents = np.asarray(centroids, dtype=np.float64)
+    cnorm = np.linalg.norm(cents, axis=1)
+    M, K, sub = codebooks.shape
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+
+    @F.pandas_udf(ArrayType(ArrayType(IntegerType())))
+    def encode(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        denom = np.linalg.norm(V, axis=1, keepdims=True) * cnorm[None, :]
+        sims = (V @ cents.T) / np.where(denom == 0, 1, denom)
+        cells = np.argsort(-sims, axis=1)[:, :assign_m]
+        out = []
+        for i in range(len(V)):
+            per_cell = []
+            for c in cells[i]:
+                r = (V[i] - cents[c])[None, :]
+                codes = [
+                    int(
+                        np.argmin(
+                            _seq_fold_sqdist(
+                                r[:, j * sub : (j + 1) * sub], cb[j]
+                            )[0]
+                        )
+                    )
+                    for j in range(M)
+                ]
+                per_cell.append(codes)
+            out.append(per_cell)
+        return pd.Series(out)
+
+    enc = df.select(
+        F.col(id_col),
+        ivf_assign_multi(cents, assign_m)(F.col(vec_col)).alias("_cells"),
+        encode(F.col(vec_col)).alias("_cc"),
+    )
+    return enc.select(
+        F.col(id_col), F.explode(F.arrays_zip("_cells", "_cc")).alias("_z")
+    ).select(
+        F.col(id_col),
+        F.col("_z._cells").alias("cell"),
+        F.col("_z._cc").alias("pq_codes"),
+    )
+
+
+def ivf_pq_topk_residual(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    centroids,
+    codebooks: np.ndarray,
+    k: int,
+    nprobe: int = 4,
+    rerank: int = 100,
+    codes_df: DataFrame | None = None,
+    assign_m: int = 1,
+) -> DataFrame:
+    """IVFADC with residual codes (#182): per-cell lookup tables.
+
+    Same probe/shortlist/rerank skeleton as :func:`ivf_pq_topk`, but
+    the ADC distance of a row in cell ``c`` is computed against the
+    query's OWN residual ``q − centroid_c`` — one (M × K) LUT per
+    probed cell, built on the driver (nprobe·M·K doubles, model scale).
+    A spilled id appearing in several probed cells keeps its MINIMUM
+    estimated distance before the shortlist cut. Only the
+    top-``rerank`` shortlist ever touches stored vectors.
+    """
+    cents = np.asarray(centroids, dtype=np.float64)
+    qrow = query_df.select(as_double(F.col(vec_col)).alias("_q")).first()
+    q = np.asarray(qrow["_q"], dtype=np.float64)
+    cnorm = np.linalg.norm(cents, axis=1) * (np.linalg.norm(q) or 1.0)
+    sims = (cents @ q) / np.where(cnorm == 0, 1, cnorm)
+    probe = [int(c) for c in np.argsort(-sims)[:nprobe]]
+
+    if codes_df is None:
+        codes_df = pq_encode_residual(
+            df, id_col, vec_col, cents, codebooks, assign_m=assign_m
+        )
+    M, K, sub = codebooks.shape
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+    # per-cell LUT over the query residual — indexed by ABSOLUTE cell id
+    # (a tiny dense array: n_cells × M × K doubles, model scale)
+    n_cells = len(cents)
+    lut = np.zeros((n_cells, M, K), dtype=np.float64)
+    for c in probe:
+        qr = q - cents[c]
+        for j in range(M):
+            lut[c, j] = _seq_fold_sqdist(
+                qr[j * sub : (j + 1) * sub][None, :], cb[j]
+            )[0]
+
+    @F.pandas_udf(DoubleType())
+    def adist(cells: pd.Series, codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype=np.float64)
+        cl = cells.to_numpy(dtype=np.int64)
+        cm = np.array([np.asarray(c, dtype=np.int64) for c in codes])
+        acc = np.zeros(len(cm), dtype=np.float64)
+        for j in range(M):
+            acc += lut[cl, j, cm[:, j]]
+        return pd.Series(acc)
+
+    cand = codes_df.where(F.col("cell").isin(probe))
+    shortlist = (
+        cand.select(
+            F.col(id_col), adist(F.col("cell"), F.col("pq_codes")).alias("_d")
+        )
+        .groupBy(id_col)
+        .agg(F.min("_d").alias("adist"))
+        .orderBy(F.col("adist").asc(), F.col(id_col))
+        .limit(max(k, rerank))
+    )
+    ids = [r[id_col] for r in shortlist.select(id_col).collect()]
+    qn = float(np.sqrt((q * q).sum()))
+    exact = df.where(F.col(id_col).isin(ids)).select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("_v")
+    )
+    cosine = _safe_cosine(
+        dot(F.col("_v"), F.lit(q.tolist()).cast("array<double>")),
+        norm(F.col("_v")) * F.lit(qn),
+    )
+    return (
+        exact.select(F.col(id_col), cosine.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
