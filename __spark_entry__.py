@@ -331,6 +331,16 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (#174: greedy MMR objective is not SQL-expressible;
         # deterministic rows — numpy-pinned + hand-checked in pytest)
         "ann_mmr_topk": llm_queries.ann_mmr_topk,
+        # round-14 additions (SURVEY §2 #184-#189)
+        "q_orders_autocorr": analytics.q_orders_autocorr,
+        "q_events_bot_burst": analytics.q_events_bot_burst,
+        "q_supplier_reliability": analytics.q_supplier_reliability,
+        "corpus_source_balance": corpus_ml.corpus_source_balance,
+        "corpus_doclen_histogram": corpus_ml.corpus_doclen_histogram,
+        "emb_centroid_distances": llm_queries.emb_centroid_distances,
+        # rows-only (#190: the k-core peel is a fixpoint loop, not
+        # SQL-expressible; deterministic rows — invariants in pytest)
+        "q_part_kcore": analytics.q_part_kcore,
     }
 
 
@@ -514,4 +524,11 @@ def secondary_oracle_sql() -> dict[str, str]:
         # gate debuts)
         "corpus_ingest_novelty": corpus_ml.CORPUS_INGEST_NOVELTY_SQL,
         "dedup_cluster_source_span": llm_queries.DEDUP_CLUSTER_SOURCE_SPAN_SQL,
+        # round-14 additions (SURVEY §2 #184-#189)
+        "q_orders_autocorr": analytics.Q_ORDERS_AUTOCORR_SQL,
+        "q_events_bot_burst": analytics.Q_EVENTS_BOT_BURST_SQL,
+        "q_supplier_reliability": analytics.Q_SUPPLIER_RELIABILITY_SQL,
+        "corpus_source_balance": corpus_ml.CORPUS_SOURCE_BALANCE_SQL,
+        "corpus_doclen_histogram": corpus_ml.CORPUS_DOCLEN_HISTOGRAM_SQL,
+        "emb_centroid_distances": llm_queries.EMB_CENTROID_DISTANCES_SQL,
     }

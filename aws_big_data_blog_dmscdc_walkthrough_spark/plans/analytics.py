@@ -3511,3 +3511,273 @@ SELECT o_custkey, n_orders, min_gap_days, max_gap_days,
   span_days
 FROM agg WHERE n_orders >= {CADENCE_MIN_ORDERS}
 """
+
+
+# ------------- lag-1 autocorrelation of daily order volume (#184)
+
+AUTOCORR_MIN_PAIRS = 8
+
+
+def q_orders_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily order-count series per
+    priority (#184).
+
+    The volatility-structure readout behind #159's anomaly days: a
+    series with high lag-1 autocorrelation trends (yesterday predicts
+    today — capacity planning can smooth), one near zero is shot noise
+    (alerting thresholds must widen). Pairs are CONSECUTIVE calendar
+    days only (LAG over the day spine, gap days break the pair rather
+    than silently stretching it — the #159 discipline); Pearson r over
+    the (yesterday, today) pairs.
+
+    Exactness (the #170 recipe): counts are integers, all six sums run
+    in DECIMAL(38,0)/HUGEINT (m·Σxy wraps int64 at ~1e12 orders/day),
+    r = double-cast exact integers through one division and two
+    exactly-rounded sqrts — bit-identical across engines. Zero-variance
+    series (constant counts) are excluded; fewer than
+    ``AUTOCORR_MIN_PAIRS`` pairs is noise, not signal.
+
+    Scale: one row-keyed agg to days, one LAG + reduce over the tiny
+    (priority, day) frame — nothing row-scale sorts.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderdate"
+    )
+    daily = o.groupBy(
+        "o_orderpriority",
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+        ).alias("_d"),
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy("o_orderpriority").orderBy("_d")
+    paired = daily.select(
+        "o_orderpriority",
+        "_d",
+        "_n",
+        F.lag("_d").over(w).alias("_pd"),
+        F.lag("_n").over(w).alias("_pn"),
+    ).where(F.col("_pd") == F.col("_d") - 1)
+    dec = "decimal(19,0)"
+    x = F.col("_pn").cast(dec)
+    y = F.col("_n").cast(dec)
+    sums = paired.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+    )
+    m = F.col("_m").cast(dec)
+    var_x = (m * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    var_y = (m * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    cov = (m * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    return (
+        sums.where(
+            (F.col("_m") >= AUTOCORR_MIN_PAIRS) & (var_x > 0) & (var_y > 0)
+        )
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("_m").cast("bigint").alias("n_pairs"),
+            (cov / (F.sqrt(var_x) * F.sqrt(var_y))).alias("autocorr_lag1"),
+        )
+    )
+
+
+Q_ORDERS_AUTOCORR_SQL = f"""
+WITH daily AS (
+  SELECT o_orderpriority AS priority,
+    epoch_us(o_orderdate) // 86400000000 AS d,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+), paired AS (
+  SELECT priority, d, n,
+    LAG(d) OVER w AS pd, LAG(n) OVER w AS pn
+  FROM daily WINDOW w AS (PARTITION BY priority ORDER BY d)
+), p2 AS (
+  SELECT * FROM paired WHERE pd = d - 1
+), sums AS (
+  -- HUGEINT mirrors Spark's DECIMAL(38,0): m * sum(x*y) wraps int64
+  SELECT priority, CAST(COUNT(*) AS HUGEINT) AS m,
+    SUM(CAST(pn AS HUGEINT)) AS sx, SUM(CAST(n AS HUGEINT)) AS sy,
+    SUM(CAST(pn AS HUGEINT) * n) AS sxy,
+    SUM(CAST(pn AS HUGEINT) * pn) AS sxx,
+    SUM(CAST(n AS HUGEINT) * n) AS syy
+  FROM p2 GROUP BY 1
+)
+SELECT priority, CAST(m AS BIGINT) AS n_pairs,
+  CAST(m * sxy - sx * sy AS DOUBLE)
+    / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+       * sqrt(CAST(m * syy - sy * sy AS DOUBLE))) AS autocorr_lag1
+FROM sums
+WHERE m >= {AUTOCORR_MIN_PAIRS}
+  AND m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+"""
+
+
+# ------------- per-user burst-rate bot screen (#186)
+
+BOT_BURST_WINDOW_US = 86_400_000_000
+BOT_BURST_MIN = 5
+
+
+def q_events_bot_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users whose densest trailing-24-hour burst reaches
+    ``BOT_BURST_MIN`` events (#186) — the rate-limit / bot screen a
+    training-data pipeline runs before trusting engagement signals
+    (the window is a constant; a production screen tightens it to
+    minutes as volume grows).
+
+    Exact sweep: per event, the count of the SAME user's events in the
+    trailing (24 h − 1 µs, inclusive] window — a RANGE frame over the
+    integer microsecond timestamp, so simultaneous events are peers in
+    both engines — then one max per user. No self-join, no bucketing
+    approximation: the window is user-partitioned (the natural key; no
+    global sort) and the frame bound is a constant.
+
+    Scale: one user-keyed window + one user-keyed agg — both shuffles
+    on the same key, and AQE coalesces them into one exchange.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    per = ev.withColumn(
+        "_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_us")
+        .rangeBetween(-(BOT_BURST_WINDOW_US - 1), 0)
+    )
+    return (
+        per.withColumn("_burst", F.count(F.lit(1)).over(w))
+        .groupBy("user_id")
+        .agg(
+            F.max("_burst").cast("bigint").alias("max_burst_24h"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .where(F.col("max_burst_24h") >= BOT_BURST_MIN)
+    )
+
+
+Q_EVENTS_BOT_BURST_SQL = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+b AS (
+  SELECT user_id,
+    COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN {BOT_BURST_WINDOW_US - 1} PRECEDING
+                             AND CURRENT ROW) AS burst
+  FROM e
+)
+SELECT user_id, CAST(MAX(burst) AS BIGINT) AS max_burst_24h,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM b GROUP BY 1 HAVING MAX(burst) >= {BOT_BURST_MIN}
+"""
+
+
+# ------------- supplier shipping-reliability report (#188)
+
+SLOW_SHIP_DAYS = 90
+RELIABILITY_MIN_LINES = 20
+
+
+def q_supplier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier slow-shipment rate (#188): the share of a
+    supplier's line items shipped more than ``SLOW_SHIP_DAYS`` whole
+    days after the order date, over suppliers with at least
+    ``RELIABILITY_MIN_LINES`` lines (a rate over three lines is noise).
+
+    The operational twin of #134's Wilson funnel: integer day lag
+    (microsecond subtraction, floor division — identical in both
+    engines), integer counts, one exactly-rounded division for the
+    rate.
+
+    Scale: lineitem⋈orders is the schema's canonical keyed equi-join
+    (shuffle on orderkey, AQE picks the side to build), then one
+    supplier-keyed agg with map-side partials. Nothing row-scale sorts.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lag_days = F.expr(
+        "(unix_micros(cast(l_shipdate as timestamp))"
+        " - unix_micros(cast(o_orderdate as timestamp))) div 86400000000"
+    )
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("l_suppkey", (lag_days > SLOW_SHIP_DAYS).cast("long").alias("_slow"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("_slow").alias("n_slow"),
+        )
+    )
+    return agg.where(F.col("n_lines") >= RELIABILITY_MIN_LINES).select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("n_slow").cast("bigint").alias("n_slow"),
+        (F.col("n_slow").cast("double") / F.col("n_lines").cast("double")).alias(
+            "slow_rate"
+        ),
+    )
+
+
+Q_SUPPLIER_RELIABILITY_SQL = f"""
+WITH j AS (
+  SELECT l_suppkey,
+    CASE WHEN (epoch_us(l_shipdate) - epoch_us(o_orderdate))
+              // 86400000000 > {SLOW_SHIP_DAYS} THEN 1 ELSE 0 END AS slow
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT l_suppkey AS suppkey,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM(slow) AS BIGINT) AS n_slow,
+  CAST(SUM(slow) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS slow_rate
+FROM j GROUP BY 1 HAVING COUNT(*) >= {RELIABILITY_MIN_LINES}
+"""
+
+
+# ------------- k-core census of the co-purchase graph (#190)
+
+KCORE_K = 3
+KCORE_TOP = 20
+
+
+def q_part_kcore(
+    spark: SparkSession, sf_dir: str, canon: DataFrame | None = None
+) -> DataFrame:
+    """Top members of the co-purchase graph's {KCORE_K}-core (#190).
+
+    The cohesion readout the rest of the graph family can't give:
+    PageRank (#155) finds globally central hubs, triangles (#157) count
+    closure, but the k-core is the maximal subgraph where EVERY member
+    keeps ≥ k co-purchase partners — the standard dense-community
+    extraction (Seidman 1983) whose members are mutually substitutable
+    catalog anchors. Iterative peeling via operators/graph.kcore over
+    the shared canonical edge frame; output is the top
+    ``KCORE_TOP`` members by within-core degree (ties to the smaller
+    part key) — deterministic, so the rows-only gate holds (the
+    fixpoint loop is not SQL-expressible; invariants pinned in pytest).
+    """
+    from ..operators import graph
+    from ..operators.dedup import _track
+
+    if canon is None:
+        canon = _track(
+            _copurchase_edges(spark, sf_dir, TRIANGLE_MIN_BASKETS).persist()
+        )
+    core = graph.kcore(
+        canon.select("_pa", "_pb"), "_pa", "_pb", KCORE_K
+    )
+    deg = (
+        core.select(F.col("_pa").alias("p_partkey"))
+        .unionByName(core.select(F.col("_pb").alias("p_partkey")))
+        .groupBy("p_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+    )
+    return (
+        deg.orderBy(F.col("core_degree").desc(), F.col("p_partkey"))
+        .limit(KCORE_TOP)
+        .select("p_partkey", "core_degree")
+    )

@@ -1932,3 +1932,118 @@ SELECT sa AS source_a, sb AS source_b, n1 AS n_tokens_a, n2 AS n_tokens_b,
   / CAST(2 * CAST(n1 AS HUGEINT) * n2 AS DOUBLE) AS tvd
 FROM j
 """
+
+
+# -------------- per-source language-balance report (#185)
+
+
+def corpus_source_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source class balance of the language column (#185): Gini
+    impurity ``1 − Σp²`` and the effective class count ``1/Σp²``
+    (inverse Simpson) — the mixture-health readout a multilingual
+    curation run watches (one dominant language ⇒ impurity → 0,
+    effective_langs → 1; a uniform K-way mix ⇒ effective_langs → K).
+
+    Rational arithmetic only (the #132 Gini discipline, no entropy/log
+    — ln is an unpinned libm call): with T = Σc and S₂ = Σc²,
+    impurity = (T² − S₂)/T² and effective = T²/S₂ — integer products in
+    DECIMAL(38,0)/HUGEINT (T ~ 1e12 docs/source wraps int64 squared),
+    one exactly-rounded division each. NULL lang counts as its own
+    class in both engines.
+
+    Scale: two keyed aggregations, the second over |source × lang|
+    rows — model-scale.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("source", "lang")
+    dec = "decimal(19,0)"
+    cl = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("_c"))
+    c = F.col("_c").cast(dec)
+    agg = cl.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sum(c).alias("_t"),
+        F.sum(c * c).alias("_s2"),
+    )
+    t2 = F.col("_t") * F.col("_t")
+    return agg.select(
+        "source",
+        F.col("n_langs").cast("bigint").alias("n_langs"),
+        F.col("_t").cast("bigint").alias("n_docs"),
+        ((t2 - F.col("_s2")).cast("double") / t2.cast("double")).alias(
+            "gini_impurity"
+        ),
+        (t2.cast("double") / F.col("_s2").cast("double")).alias(
+            "effective_langs"
+        ),
+    )
+
+
+CORPUS_SOURCE_BALANCE_SQL = """
+WITH cl AS (
+  SELECT source, lang, CAST(COUNT(*) AS HUGEINT) AS c
+  FROM documents GROUP BY 1, 2
+), agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_langs,
+    SUM(c) AS t, SUM(c * c) AS s2
+  FROM cl GROUP BY 1
+)
+SELECT source, n_langs, CAST(t AS BIGINT) AS n_docs,
+  CAST(t * t - s2 AS DOUBLE) / CAST(t * t AS DOUBLE) AS gini_impurity,
+  CAST(t * t AS DOUBLE) / CAST(s2 AS DOUBLE) AS effective_langs
+FROM agg
+"""
+
+
+# -------------- per-source power-of-two doc-length histogram (#189)
+
+
+def corpus_doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source power-of-two histogram of whitespace token counts
+    (#189): bucket b holds docs with 2^(b−1) ≤ tokens < 2^b (bucket 0 =
+    empty docs). The sequence-length planning readout a packing
+    pipeline (#77) reads before picking a context length — exponential
+    buckets keep the histogram ~30 rows per source at ANY corpus scale.
+
+    No libm: the bucket is the BIT LENGTH of the token count —
+    ``length(bin(n))`` in both engines (``floor(log2 n) + 1`` for
+    n ≥ 1, branch for 0) — integer string length, never a float log.
+    Token counts use the #28 whitespace convention verbatim.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    n = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    bucket = F.when(n <= 0, F.lit(0)).otherwise(F.length(F.bin(n.cast("long"))))
+    return (
+        docs.select("source", bucket.cast("int").alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "source",
+            "bucket",
+            F.expr(
+                "CAST(CASE WHEN bucket = 0 THEN 0"
+                " ELSE shiftleft(1L, bucket - 1) END AS BIGINT)"
+            ).alias("min_tokens"),
+            F.expr("CAST(shiftleft(1L, bucket) - 1 AS BIGINT)").alias(
+                "max_tokens"
+            ),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+CORPUS_DOCLEN_HISTOGRAM_SQL = r"""
+WITH t AS (
+  SELECT source,
+    len(string_split_regex(trim(text), '\s+')) AS n
+  FROM documents
+), b AS (
+  SELECT source,
+    CASE WHEN n <= 0 THEN 0 ELSE len(bin(n)) END AS bucket
+  FROM t
+)
+SELECT source, bucket,
+  CAST(CASE WHEN bucket = 0 THEN 0 ELSE 1 << (bucket - 1) END AS BIGINT)
+    AS min_tokens,
+  CAST((1 << bucket) - 1 AS BIGINT) AS max_tokens,
+  CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM b GROUP BY 1, 2
+"""

@@ -1669,3 +1669,75 @@ SELECT ns AS n_sources, CAST(COUNT(*) AS BIGINT) AS n_clusters,
   CAST(SUM(sz) AS BIGINT) AS n_docs
 FROM per WHERE sz >= 2 GROUP BY 1
 """
+
+
+# ------------------- pairwise label-centroid cosine matrix (#187)
+
+
+def emb_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label mean embeddings (#187) — the
+    label-geometry readout behind #65's centroids and #84's semantic
+    dedup: two labels whose centroids sit at cosine ≈ 1 are candidates
+    for merging; a centroid near-orthogonal to every other marks a
+    well-separated class.
+
+    Exactness: centroids come from the #65 DECIMAL-summed mean (order-
+    independent), pivoted to position-ordered arrays; the dot/norm
+    folds run LEFT-TO-RIGHT (functions.vectors.dot) so the oracle's
+    explicit term chain reproduces every double bit-for-bit — the ANN
+    oracle convention.
+
+    Scale: everything after the one corpus-keyed centroid aggregation
+    is model-scale (|labels|² rows); the pair join is a broadcast over
+    a frame of K rows.
+    """
+    cents = similarity.vector_mean_by(
+        load_table(spark, sf_dir, "embeddings"), "label", "embedding", EMB_DIM
+    )
+    arr = (
+        cents.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mean"))).alias("_s"))
+        .select(
+            "label", F.transform("_s", lambda s: s["mean"]).alias("_v")
+        )
+    )
+    a = arr.select(F.col("label").alias("label_a"), F.col("_v").alias("_va"))
+    b = arr.select(F.col("label").alias("label_b"), F.col("_v").alias("_vb"))
+    dot_ab = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731 - local fold helper
+        F.aggregate(
+            F.zip_with(c, c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            (dot_ab / (nrm(F.col("_va")) * nrm(F.col("_vb")))).alias("cosine"),
+        )
+    )
+
+
+EMB_CENTROID_DISTANCES_SQL = f"""
+WITH cent AS (
+  SELECT label, i - 1 AS pos,
+    CAST(SUM(CAST(embedding[i]::DOUBLE AS DECIMAL(30,10))) AS DOUBLE)
+      / COUNT(*) AS mean
+  FROM embeddings, range(1, {EMB_DIM} + 1) t(i)
+  GROUP BY label, i
+), v AS (
+  SELECT label, list(mean ORDER BY pos) AS vec FROM cent GROUP BY label
+)
+SELECT a.label AS label_a, b.label AS label_b,
+  ({_dot_sql('a.vec', 'b.vec')})
+    / (sqrt({_dot_sql('a.vec', 'a.vec')})
+       * sqrt({_dot_sql('b.vec', 'b.vec')})) AS cosine
+FROM v a JOIN v b ON a.label < b.label
+"""

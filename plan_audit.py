@@ -109,6 +109,14 @@ AUDITED = [
     ("q_orders_benford", "one scan, 9-row agg, broadcast total"),
     ("corpus_source_tvd", "term-keyed self-join <=|sources|^2 fan-out; |pairs| reduce"),
     ("q_customer_cadence", "one per-customer LAG window; one aggregation"),
+    # round-14 additions (#184-#190)
+    ("q_orders_autocorr", "day-keyed agg; LAG + reduce over tiny (priority,day) frame"),
+    ("q_events_bot_burst", "user-keyed RANGE window + user-keyed agg: one key, AQE-coalesced"),
+    ("q_supplier_reliability", "orderkey equi-join; supplier agg map-side partials"),
+    ("corpus_source_balance", "two keyed aggs; second over |source x lang| rows"),
+    ("corpus_doclen_histogram", "map-side bucket expr; one (source,bucket) agg"),
+    ("emb_centroid_distances", "one corpus-keyed centroid agg; K-row broadcast pair join"),
+    ("q_part_kcore", "shared edge frame; per-round degree agg + semi-joins, node-keyed"),
     # q_part_pagerank is NOT audited here: the returned frame's static
     # plan re-displays all five persisted rounds multiplied (~28k
     # phantom exchange nodes for what executes as one node-keyed

@@ -334,3 +334,61 @@ def test_pagerank_return_delta_converges(spark):
     assert got5 == plain
     assert 0.0 < d20 < d5 < 1.0, (d5, d20)
     dedup.release_persisted()
+
+
+def test_kcore_hand_computed_triangle_plus_chain(spark):
+    """Triangle {1,2,3} with a pendant chain 3-4-5: the 2-core is
+    exactly the triangle (peeling 5 exposes 4, peeling 4 leaves the
+    triangle — the cascade the iteration must follow)."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)], "a long, b long"
+    )
+    core = graph.kcore(edges, "a", "b", 2)
+    got = sorted((r.a, r.b) for r in core.collect())
+    assert got == [(1, 2), (1, 3), (2, 3)]
+    # k above the max coreness: empty
+    assert graph.kcore(edges, "a", "b", 3).count() == 0
+
+
+def test_kcore_invariants_and_idempotence(spark):
+    """On a random-ish graph: every surviving endpoint has core-degree
+    >= k, and peeling the core again is a no-op (fixpoint)."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import graph
+    from pyspark.sql import functions as F
+
+    rows = [(i, (i * 7 + 3) % 40) for i in range(120)]
+    edges = (
+        spark.createDataFrame(rows, "x long, y long")
+        .where(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .distinct()
+    )
+    core = graph.kcore(edges, "a", "b", 3).cache()
+    deg = (
+        core.select(F.col("a").alias("n"))
+        .unionByName(core.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .count()
+    )
+    if core.count():
+        assert deg.agg(F.min("count")).first()[0] >= 3
+    again = graph.kcore(core, "a", "b", 3)
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, core.collect())
+    )
+
+
+def test_kcore_query_shape(spark):
+    """The #190 plan query: deterministic rows, bounded output, rides
+    the shared canonical edge frame."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import analytics
+
+    sf = "/root/testdata/sf0.001"
+    a = [tuple(r) for r in analytics.q_part_kcore(spark, sf).collect()]
+    b = [tuple(r) for r in analytics.q_part_kcore(spark, sf).collect()]
+    assert a == b
+    assert len(a) <= analytics.KCORE_TOP
