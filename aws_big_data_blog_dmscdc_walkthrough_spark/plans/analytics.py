@@ -2674,9 +2674,9 @@ def graph_card_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     corpus-card precedent): ONE persisted distinct-membership scan and
     ONE persisted canonical min-support edge frame feed all four graph
     readouts — PageRank (#155), triangle census (#157), item-item
-    neighbors (#160), and degree assortativity (#170) — which would
-    otherwise each rebuild the per-basket-quadratic pair join from
-    scratch in a combined run. Lossless by construction: every panel is
+    neighbors (#160), degree assortativity (#170), and the k-core
+    census (#190) — which would otherwise each rebuild the
+    per-basket-quadratic pair join from scratch in a combined run. Lossless by construction: every panel is
     the standalone query fed the identical substrate (bit-identity +
     single-leaf probes pinned in tests/test_graph_card.py). Consumers
     must be evaluated before the next ``release_persisted()`` fires."""
@@ -2697,6 +2697,7 @@ def graph_card_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "assortativity": q_copurchase_assortativity(
             spark, sf_dir, canon=canon
         ),
+        "kcore": q_part_kcore(spark, sf_dir, canon=canon),
     }
 
 

@@ -32,6 +32,7 @@ def test_graph_card_panels_match_standalone(spark):
         "triangles": analytics.q_part_triangles(spark, SF),
         "neighbors": analytics.q_part_neighbors(spark, SF),
         "assortativity": analytics.q_copurchase_assortativity(spark, SF),
+        "kcore": analytics.q_part_kcore(spark, SF),
     }
     for name, f in fused.items():
         assert f.columns == standalone[name].columns, name
@@ -53,9 +54,9 @@ def test_graph_card_builds_pair_join_once(spark):
 
     for name, df in fused.items():
         assert lineitem_leaves(df) == [], name
-        if name == "pagerank":
-            # the iterative rank loop localCheckpoints its result, so
-            # the panel's own plan is a LogicalRDD — the substrate
+        if name in ("pagerank", "kcore"):
+            # the iterative loops localCheckpoint their results, so
+            # these panels' own plans are LogicalRDDs — the substrate
             # reuse already happened upstream at build time, which the
             # zero-leaf assertion above still proves
             continue
