@@ -248,6 +248,9 @@ def test_residual_ivfpq_beats_raw_at_tight_code_budget(spark):
             nprobe=6, rerank=20, codes_df=codes_res,
         )
     )
+    # the helper's cache must not leak into the shared session (the
+    # drains-all-caches test asserts zero persistent RDDs)
+    emb.unpersist()
     assert res >= 0.4, f"residual recall {res}"
     assert res >= raw + 0.15, f"residual {res} must clearly beat raw {raw}"
 

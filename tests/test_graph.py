@@ -380,6 +380,7 @@ def test_kcore_invariants_and_idempotence(spark):
     assert sorted(map(tuple, again.collect())) == sorted(
         map(tuple, core.collect())
     )
+    core.unpersist()  # keep the shared session cache-clean
 
 
 def test_kcore_query_shape(spark):
