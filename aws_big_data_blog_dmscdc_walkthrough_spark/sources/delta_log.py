@@ -210,8 +210,71 @@ def read_delta_snapshot(
     }
 
 
+_CMP = {
+    "=": lambda lo, hi, p: lo <= p <= hi,
+    ">": lambda lo, hi, p: hi > p,
+    ">=": lambda lo, hi, p: hi >= p,
+    "<": lambda lo, hi, p: lo < p,
+    "<=": lambda lo, hi, p: lo <= p,
+}
+
+
+def _delta_file_may_match(add: dict, col: str, op: str, value) -> bool:
+    """Conservative skip from an add action's ``stats`` JSON
+    (numRecords/minValues/maxValues — the protocol's optional per-file
+    statistics). True (keep) unless the recorded [min, max] PROVES no
+    row matches. Only same-domain compares decide (number vs number,
+    string vs string — Delta logs temporals as ISO strings, whose
+    lexicographic order IS chronological order, so string probes work
+    for them too); anything else keeps the file.
+    """
+    raw = add.get("stats")
+    if not raw:
+        return True
+    try:
+        st = json.loads(raw) if isinstance(raw, str) else raw
+        lo = (st.get("minValues") or {}).get(col)
+        hi = (st.get("maxValues") or {}).get(col)
+    except (ValueError, AttributeError):
+        return True
+    if lo is None or hi is None:
+        return True
+    num = isinstance(value, (int, float)) and not isinstance(value, bool)
+    if num and isinstance(lo, (int, float)) and isinstance(hi, (int, float)):
+        return _CMP[op](lo, hi, value)
+    if isinstance(value, str) and isinstance(lo, str) and isinstance(hi, str):
+        return _CMP[op](lo, hi, value)
+    return True
+
+
+def _delta_partition_may_match(add: dict, col: str, op: str, value) -> bool:
+    """Typed prune from the add action's partitionValues (strings in
+    the log; NULL partitions satisfy no comparison predicate)."""
+    pv = add.get("partitionValues") or {}
+    if col not in pv:
+        return True
+    s = pv[col]
+    if s is None:
+        return False
+    try:
+        if isinstance(value, bool):
+            probe: object = s.lower() in ("true", "1")
+        elif isinstance(value, int):
+            probe = int(s)
+        elif isinstance(value, float):
+            probe = float(s)
+        else:
+            probe = s
+    except ValueError:
+        return True
+    return _CMP[op](probe, probe, value)
+
+
 def read_delta_table(
-    spark: SparkSession, table_path: str, version: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    predicate: tuple[str, str, object] | None = None,
 ) -> DataFrame:
     """The snapshot as a DataFrame — the engine-side read surface.
 
@@ -222,19 +285,55 @@ def read_delta_table(
     the table schema — Delta stores them as strings in the log), so the
     result schema matches what a Delta reader serves. An empty snapshot
     returns an empty DataFrame with the table schema.
+
+    ``predicate`` = (col, op, value), op ∈ {=, <, <=, >, >=} — the
+    manifest ``read_table`` contract: files PRUNE at metadata level
+    (partition values for partition columns, the add actions' optional
+    ``stats`` min/max for data columns — a writer that skipped stats
+    keeps its files), and the same filter applies to the surviving
+    rows, so results are identical with or without statistics.
     """
     snap = read_delta_snapshot(spark, table_path, version)
+    if predicate is not None:
+        col, op, value = predicate
+        part = col in snap["partition_columns"]
+        keep = {
+            p: a
+            for p, a in snap["files"].items()
+            if (
+                _delta_partition_may_match(a, col, op, value)
+                if part
+                else _delta_file_may_match(a, col, op, value)
+            )
+        }
+        snap = {**snap, "files": keep}
     schema: StructType | None = snap["schema"]
     root = table_path.rstrip("/")
+
+    def _filtered(df: DataFrame) -> DataFrame:
+        if predicate is None:
+            return df
+        col, op, value = predicate
+        cmp = {
+            "=": F.col(col) == F.lit(value),
+            ">": F.col(col) > F.lit(value),
+            ">=": F.col(col) >= F.lit(value),
+            "<": F.col(col) < F.lit(value),
+            "<=": F.col(col) <= F.lit(value),
+        }[op]
+        return df.where(cmp)
+
     if not snap["files"]:
         if schema is None:
             raise ValueError("empty Delta snapshot with no schemaString")
-        return spark.createDataFrame([], schema)
+        return _filtered(spark.createDataFrame([], schema))
     part_cols = snap["partition_columns"]
     if not part_cols:
         paths = [f"{root}/{p}" for p in sorted(snap["files"])]
         df = spark.read.parquet(*paths)
-        return df.select(*[F.col(f.name) for f in schema.fields]) if schema else df
+        if schema:
+            df = df.select(*[F.col(f.name) for f in schema.fields])
+        return _filtered(df)
 
     # group by partition tuple: one scan per distinct partition value
     # set (file-compacted Delta tables keep this in the hundreds; the
@@ -247,7 +346,10 @@ def read_delta_table(
     type_of = {f.name: f.dataType for f in (schema.fields if schema else [])}
     data_cols = [f.name for f in schema.fields if f.name not in part_cols]
     frames = []
-    for key, paths in sorted(by_part.items(), key=lambda kv: kv[0]):
+    for key, paths in sorted(
+        by_part.items(),
+        key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
+    ):
         df = spark.read.parquet(*paths).select(*data_cols)
         for c, raw in zip(part_cols, key):
             # Delta logs partition values as strings (null = NULL
@@ -260,4 +362,4 @@ def read_delta_table(
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
-    return out
+    return _filtered(out)

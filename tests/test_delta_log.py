@@ -224,3 +224,69 @@ def test_empty_snapshot_keeps_schema(spark, tmp_path):
     _commit(t, 1, [_remove("f1.parquet")])
     df = delta_log.read_delta_table(spark, t)
     assert df.columns == ["id", "name"] and df.count() == 0
+
+
+def _add_with_stats(path, lo, hi, n):
+    a = _add(path)
+    a["add"]["stats"] = json.dumps(
+        {"numRecords": n, "minValues": {"id": lo}, "maxValues": {"id": hi}}
+    )
+    return a
+
+
+def test_stats_file_skipping_prunes_scan(spark, tmp_path):
+    """A predicate on a stats-covered column must prune files at
+    metadata level (the manifest read_table contract): the plan's
+    inputFiles show only the surviving file, and results equal the
+    full-scan + filter."""
+    t = str(tmp_path / "stable")
+    _write_parquet(t, "lo.parquet", [1, 2, 3], ["a", "b", "c"])
+    _write_parquet(t, "hi.parquet", [100, 200], ["x", "y"])
+    _commit(t, 0, [
+        {"protocol": {"minReaderVersion": 1}}, _meta(),
+        _add_with_stats("lo.parquet", 1, 3, 3),
+        _add_with_stats("hi.parquet", 100, 200, 2),
+    ])
+    df = delta_log.read_delta_table(spark, t, predicate=("id", ">", 50))
+    assert [f.rsplit("/", 1)[-1] for f in df.inputFiles()] == ["hi.parquet"]
+    assert _rows(df) == [(100, "x"), (200, "y")]
+    # equality prunes to the one file whose range covers the probe
+    df2 = delta_log.read_delta_table(spark, t, predicate=("id", "=", 2))
+    assert [f.rsplit("/", 1)[-1] for f in df2.inputFiles()] == ["lo.parquet"]
+    assert _rows(df2) == [(2, "b")]
+
+
+def test_stats_skipping_keeps_statless_files(spark, tmp_path):
+    """A writer that skipped stats must not lose rows: its files always
+    survive pruning and the row-level filter still applies."""
+    t = str(tmp_path / "nstable")
+    _write_parquet(t, "s.parquet", [1], ["a"])
+    _write_parquet(t, "ns.parquet", [500], ["z"])
+    _commit(t, 0, [
+        {"protocol": {"minReaderVersion": 1}}, _meta(),
+        _add_with_stats("s.parquet", 1, 1, 1),
+        _add("ns.parquet"),  # no stats recorded
+    ])
+    df = delta_log.read_delta_table(spark, t, predicate=("id", ">", 100))
+    assert sorted(f.rsplit("/", 1)[-1] for f in df.inputFiles()) == ["ns.parquet"]
+    assert _rows(df) == [(500, "z")]
+
+
+def test_partition_value_pruning(spark, tmp_path):
+    t = str(tmp_path / "pptable")
+    _write_parquet(t, "ds=10/p1.parquet", [1], ["a"])
+    _write_parquet(t, "ds=20/p2.parquet", [2], ["b"])
+    _commit(t, 0, [
+        {"protocol": {"minReaderVersion": 1}},
+        _meta(PART_SCHEMA_STRING, ["ds"]),
+        _add("ds=10/p1.parquet", {"ds": "10"}),
+        _add("ds=20/p2.parquet", {"ds": "20"}),
+    ])
+    df = delta_log.read_delta_table(spark, t, predicate=("ds", ">=", 20))
+    assert [f.rsplit("/", 1)[-1] for f in df.inputFiles()] == ["p2.parquet"]
+    assert [(r.id, r.ds) for r in df.collect()] == [(2, 20)]
+    # typed compare, not lexical: ds=100 would sort before ds=20 as text
+    _write_parquet(t, "ds=100/p3.parquet", [3], ["c"])
+    _commit(t, 1, [_add("ds=100/p3.parquet", {"ds": "100"})])
+    df2 = delta_log.read_delta_table(spark, t, predicate=("ds", ">", 20))
+    assert [f.rsplit("/", 1)[-1] for f in df2.inputFiles()] == ["p3.parquet"]
