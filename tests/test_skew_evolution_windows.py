@@ -280,3 +280,59 @@ def test_streaming_dedup_ttl_first_suppress_expire(spark, tmp_path):
     assert ("B", "first", 1, 10, 0) in rows
     b_exp = [r for r in rows if r[0] == "B" and r[1] == "expired"]
     assert b_exp and b_exp[0][4] == 0               # B saw no dups
+
+
+def test_burst_screen_flags_and_summarizes(spark, tmp_path):
+    """Streaming burst screen (#186's twin): user A fires 5 events
+    inside one hour (threshold 5) -> exactly ONE 'flag' row at the
+    crossing; user B stays below threshold -> no flag. After both go
+    quiet past window + watermark, each emits one 'summary' with the
+    true peak and lifetime totals."""
+    import time
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.streaming import (
+        rate_stream as rs,
+    )
+
+    src, ckpt = str(tmp_path / "rsrc"), str(tmp_path / "rck")
+    # A: 5 events in hour 1 (bucket granularity 1h, window 4h)
+    _write_events(
+        spark,
+        [(_t(1, m), "A", 1.0, m) for m in (0, 5, 10, 15, 20)]
+        + [(_t(1, 30), "B", 1.0, 50), (_t(1, 45), "B", 1.0, 51)],
+        src,
+        "a",
+    )
+    time.sleep(1.1)
+    # a 6th A event later: already flagged -> no second flag row
+    _write_events(spark, [(_t(2, 0), "A", 1.0, 6)], src, "b")
+    time.sleep(1.1)
+    # watermark pushers: past window (4h) + watermark (2h) for both
+    _write_events(spark, [(_t(12, 0), "wm1", 0.0, 90)], src, "c")
+    time.sleep(1.1)
+    _write_events(spark, [(_t(23, 0), "wm2", 0.0, 91)], src, "d")
+
+    stream = sw.stream_events(spark, src, EVENT_SCHEMA, max_files_per_trigger=1)
+    out = rs.burst_screen(
+        stream,
+        user_col="event_type",
+        ts_col="ts",
+        window_seconds=4 * 3600,
+        bucket_seconds=3600,
+        threshold=5,
+    )
+    q = sw.run_to_sink(out, ckpt, "burst_sink", output_mode="append")
+    q.awaitTermination(240)
+    rows = sorted(
+        (r.user, r.row_type, r.burst, r.n_events)
+        for r in spark.sql(
+            "select * from burst_sink where user in ('A','B')"
+        ).collect()
+    )
+    flags = [r for r in rows if r[1] == "flag"]
+    assert flags == [("A", "flag", 5, 0)]  # one crossing, at burst=5
+    summaries = {r[0]: r for r in rows if r[1] == "summary"}
+    # A's peak is 6 (the 6th event lands inside the same 4h window);
+    # lifetime totals count every event
+    assert summaries["A"][2:] == (6, 6)
+    assert summaries["B"][2:] == (2, 2)
