@@ -1097,11 +1097,20 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("frequency"),
         _dsum(F.col("o_totalprice")).alias("monetary"),
     )
+    # one array-percentile per metric (3 buffers, not 9): each separate
+    # percentile() aggregate buffers the full value multiset, so the
+    # array form cuts the per-partition buffering and exchange payload
+    # 3x at identical interpolation (same doubles)
     qs = per.agg(
         *[
-            F.expr(f"percentile({c}, {p})").alias(f"{c[0]}{i + 1}")
+            F.expr(f"percentile({c}, array(0.25, 0.5, 0.75))").alias(f"_{c}_qs")
             for c in ("recency_days", "frequency", "monetary")
-            for i, p in enumerate((0.25, 0.5, 0.75))
+        ]
+    ).select(
+        *[
+            F.col(f"_{c}_qs").getItem(i).alias(f"{c[0]}{i + 1}")
+            for c in ("recency_days", "frequency", "monetary")
+            for i in range(3)
         ]
     )
 
@@ -1176,24 +1185,31 @@ def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators import dedup as _dedup
 
-    # `items` (scan + distinct shuffle) feeds four branches: n_orders,
-    # both marginal frames, and both sides of the pair self-join. Only
-    # alias-identical subtrees get ReusedExchange, so persist it —
-    # tracked in the shared registry the queries() wrapper drains after
-    # each entry (same convention as the dedup shingle frames).
-    items = _dedup._track(
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-        .persist()
+    # The per-order sorted-array substrate (the #155/#157 builder's
+    # shape): one order-keyed collect_set aggregation feeds the pair
+    # fan-out, both marginals, and n_orders — replacing the round-13
+    # distinct frame + per-order self-join, which cost two extra
+    # exchanges (the alias-different join branches never get
+    # ReusedExchange). Pair generation is map-side: position-exploded
+    # anchor × suffix slice of the sorted array, so part_a < part_b by
+    # construction and the pair multiset is exactly the self-join's.
+    # Persisted because it feeds three consumers; tracked in the shared
+    # registry the queries() wrapper drains after each entry.
+    items = _dedup._track(_copurchase_baskets(spark, sf_dir).persist())
+    n_orders = items.select(F.count(F.lit(1)).alias("_n"))
+    part_n = items.select(F.explode("_parts").alias("pk")).groupBy("pk").agg(
+        F.count(F.lit(1)).alias("_pn")
     )
-    n_orders = items.select(F.countDistinct("ok").alias("_n"))
-    part_n = items.groupBy("pk").agg(F.count(F.lit(1)).alias("_pn"))
-    a = items.select("ok", F.col("pk").alias("part_a"))
-    b = items.select("ok", F.col("pk").alias("part_b"))
+    anchored = items.select(
+        F.col("_parts"), F.posexplode("_parts").alias("_i", "part_a")
+    )
     pairs = (
-        a.join(b, "ok")
-        .where(F.col("part_a") < F.col("part_b"))
+        anchored.select(
+            "part_a",
+            F.explode(
+                F.slice("_parts", F.col("_i") + 2, F.size("_parts"))
+            ).alias("part_b"),
+        )
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("pair_orders"))
         .where(F.col("pair_orders") >= BASKET_MIN_SUPPORT)
@@ -2485,11 +2501,18 @@ def q_orders_histogram_eqdepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders").select("o_totalprice")
     n = EQDEPTH_BUCKETS
+    # ONE percentile(col, array(...)) aggregate, not n-1 independent
+    # percentile() calls: each percentile aggregate buffers the full
+    # per-partition value multiset, so nine of them serialized nine
+    # copies of the column through the single-partition exchange
+    # (measured 2.7 s at sf0.1; the array form shares one buffer and
+    # computes all nine cut points from it — identical interpolation,
+    # identical doubles).
+    probs = ", ".join(str(i / n) for i in range(1, n))
     qs = o.agg(
-        *[
-            F.expr(f"percentile(o_totalprice, {i / n})").alias(f"_b{i}")
-            for i in range(1, n)
-        ]
+        F.expr(f"percentile(o_totalprice, array({probs}))").alias("_bs")
+    ).select(
+        *[F.col("_bs").getItem(i - 1).alias(f"_b{i}") for i in range(1, n)]
     )
     bucket = F.lit(n - 1)
     for i in range(n - 1, 0, -1):
@@ -2624,13 +2647,22 @@ PAGERANK_TOP_K = 25
 
 
 def _copurchase_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (order, part) basket memberships — the row-scale scan
-    every co-purchase query starts from. Persist before reuse (the
-    graph card persists it once for the whole family)."""
+    """Per-order SORTED array of distinct co-purchased parts — the
+    substrate every co-purchase query starts from. One order-keyed
+    aggregation (collect_set dedups in the partial, so the shuffle
+    carries bounded per-order sets, not raw line items); pair and
+    marginal consumers then fan out MAP-SIDE from the arrays. This
+    replaced the round-13 distinct-(order, part) frame + per-order
+    self-join: that shape cost four exchanges (distinct, two join-side
+    re-shuffles on the order key — alias-different branches get no
+    ReusedExchange — and the pair aggregation) where this one costs two
+    (the group-by here, the pair aggregation in the consumer). Persist
+    before multi-consumer reuse (the graph card persists it once for
+    the whole family)."""
     return (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("_parts"))
     )
 
 
@@ -2643,27 +2675,33 @@ def _copurchase_edges(
     """Canonical (pa < pb) co-purchase part pairs with basket support.
 
     Shared edge builder for the graph queries (#155 PageRank, #157
-    triangles, #160 neighbors, #170 assortativity): one distinct
-    (order, part) scan PERSISTED before the per-basket-quadratic
-    self-join (the alias-different branches never get ReusedExchange —
-    analytics.py's #120 comment measured it), one canonical pair agg,
-    support filter. Callers mirror to both directions when they need a
-    symmetric/directed view — cheaper than generating both orders
-    through the join itself. ``baskets`` lets the graph card
-    (:func:`graph_card_frames`) hand in an already-persisted membership
-    frame so the distinct scan also runs once per combined run.
+    triangles, #160 neighbors, #170 assortativity): pairs are generated
+    MAP-SIDE from the per-order sorted part arrays — position-exploded
+    anchor × suffix slice, so ``_pa < _pb`` holds by construction and
+    the per-basket-quadratic fan-out never passes through a join — then
+    one canonical pair aggregation + support filter. Exactly the
+    round-13 self-join's pair multiset (sorted distinct parts per
+    order), at half its exchanges. Callers mirror to both directions
+    when they need a symmetric/directed view. ``baskets`` lets the
+    graph card (:func:`graph_card_frames`) hand in an already-persisted
+    substrate so the order-keyed aggregation also runs once per
+    combined run; standalone callers need no persist at all (the
+    substrate feeds exactly one consumer).
     """
-    from ..operators.dedup import _track
-
     li = baskets
     if li is None:
-        li = _track(_copurchase_baskets(spark, sf_dir).persist())
-    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("_pa"))
-    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("_pb"))
+        li = _copurchase_baskets(spark, sf_dir)
+    anchored = li.select(
+        F.col("_parts"), F.posexplode("_parts").alias("_i", "_pa")
+    )
+    pairs = anchored.select(
+        "_pa",
+        F.explode(
+            F.slice("_parts", F.col("_i") + 2, F.size("_parts"))
+        ).alias("_pb"),
+    )
     return (
-        a.join(b, "l_orderkey")
-        .where(F.col("_pa") < F.col("_pb"))
-        .groupBy("_pa", "_pb")
+        pairs.groupBy("_pa", "_pb")
         .agg(F.count(F.lit(1)).alias("_w"))
         .where(F.col("_w") >= min_support)
     )
@@ -3091,9 +3129,9 @@ def q_part_neighbors(
     from ..operators.dedup import _track
 
     if baskets is None:
-        # persisted ONCE, reused by the edge builder's self-join AND the
-        # per-part marginals below — standalone used to run the distinct
-        # scan twice (once inside _copurchase_edges, once here)
+        # persisted ONCE, reused by the edge builder's pair fan-out AND
+        # the per-part marginals below — standalone used to run the
+        # basket scan twice (once inside _copurchase_edges, once here)
         baskets = _track(_copurchase_baskets(spark, sf_dir).persist())
     if canon is None:
         canon = _track(
@@ -3101,8 +3139,13 @@ def q_part_neighbors(
                 spark, sf_dir, TRIANGLE_MIN_BASKETS, baskets=baskets
             ).persist()
         )
-    marg = baskets.groupBy(F.col("l_partkey").alias("_p")).agg(
-        F.count(F.lit(1)).alias("_c")
+    # per-part basket count from the same array substrate (sets hold
+    # distinct parts per order, so the exploded count == the old
+    # distinct-(order, part) count)
+    marg = (
+        baskets.select(F.explode("_parts").alias("_p"))
+        .groupBy("_p")
+        .agg(F.count(F.lit(1)).alias("_c"))
     )
     pairs = canon.unionByName(
         canon.select(F.col("_pb").alias("_pa"), F.col("_pa").alias("_pb"), "_w")

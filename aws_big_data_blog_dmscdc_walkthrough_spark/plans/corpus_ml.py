@@ -1003,29 +1003,37 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.dedup import spread
 
+    # The whole chain is built from SQL STRINGS (selectExpr / F.expr),
+    # not Column-object chains: the Column API costs several py4j
+    # round-trips per operator, and this query's ~600 expressions paid
+    # 24k round-trips = 3.9 s of pure driver-side CONSTRUCTION time per
+    # bench run (measured; the JVM parses the equivalent strings in
+    # ~50 ms). The parsed expression trees are identical — same ops,
+    # same order, same doubles.
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-    v = as_double(F.col("embedding"))
-    cols = [F.element_at(v, i + 1).alias(f"_x{i}") for i in range(COV_DIMS)]
-    base = emb.select(*cols)
-    aggs = [F.count(F.lit(1)).alias("_n")]
+    base = emb.selectExpr(
+        *[
+            f"cast(element_at(embedding, {i + 1}) as double) as _x{i}"
+            for i in range(COV_DIMS)
+        ]
+    )
+    aggs = ["count(1) as _n"]
     aggs += [
-        F.sum(F.col(f"_x{i}").cast("decimal(30,10)")).alias(f"_s{i}")
-        for i in range(COV_DIMS)
+        f"sum(cast(_x{i} as decimal(30,10))) as _s{i}" for i in range(COV_DIMS)
     ]
     aggs += [
-        F.sum(
-            (F.col(f"_x{i}") * F.col(f"_x{j}")).cast("decimal(30,10)")
-        ).alias(f"_p{i}_{j}")
+        f"sum(cast(_x{i} * _x{j} as decimal(30,10))) as _p{i}_{j}"
         for i in range(COV_DIMS)
         for j in range(i, COV_DIMS)
     ]
-    wide = base.agg(*aggs)
-    n = F.col("_n").cast("double")
+    wide = base.agg(*[F.expr(a) for a in aggs])
 
-    def cov(i: int, j: int):
-        return F.col(f"_p{i}_{j}").cast("double") / n - (
-            F.col(f"_s{i}").cast("double") / n
-        ) * (F.col(f"_s{j}").cast("double") / n)
+    def cov(i: int, j: int) -> str:
+        return (
+            f"cast(_p{i}_{j} as double) / cast(_n as double) - "
+            f"(cast(_s{i} as double) / cast(_n as double)) * "
+            f"(cast(_s{j} as double) / cast(_n as double))"
+        )
 
     # materialize each cov ONCE in a middle projection: building corr
     # straight off cov() re-expands three expression trees per pair
@@ -1033,27 +1041,20 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codegen at EVERY scale (compile, not compute). Referencing the
     # aliased columns keeps the tree linear in pairs; multi-referenced
     # aliases also stop CollapseProject from re-inlining them.
-    covd = wide.select(
+    covd = wide.selectExpr(
         *[
-            cov(i, j).alias(f"_c{i}_{j}")
+            f"{cov(i, j)} as _c{i}_{j}"
             for i in range(COV_DIMS)
             for j in range(i, COV_DIMS)
         ]
     )
-    terms = [
-        F.struct(
-            F.lit(i).alias("i"),
-            F.lit(j).alias("j"),
-            F.col(f"_c{i}_{j}").alias("cov"),
-            (
-                F.col(f"_c{i}_{j}")
-                / (F.sqrt(F.col(f"_c{i}_{i}")) * F.sqrt(F.col(f"_c{j}_{j}")))
-            ).alias("corr"),
-        )
+    terms = ", ".join(
+        f"named_struct('i', {i}, 'j', {j}, 'cov', _c{i}_{j}, "
+        f"'corr', _c{i}_{j} / (sqrt(_c{i}_{i}) * sqrt(_c{j}_{j})))"
         for i in range(COV_DIMS)
         for j in range(i, COV_DIMS)
-    ]
-    return covd.select(F.inline(F.array(*terms)))
+    )
+    return covd.selectExpr(f"inline(array({terms}))")
 
 
 def _cov_sql() -> str:

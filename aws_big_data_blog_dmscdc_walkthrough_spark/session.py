@@ -32,6 +32,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Per-call DataFrame-API origin capture (error-message call-site
+        # enrichment) costs a Python stack walk plus ~4 extra py4j
+        # round-trips on EVERY wrapped API call — measured 47k socket
+        # round-trips / 7.3 s of pure plan-CONSTRUCTION time for one
+        # wide query (emb_covariance) before disabling. Purely a
+        # debugging aid; plans and results are identical without it.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
