@@ -211,7 +211,9 @@ def shingle_hashes_pandas(k: int = 3, distinct: bool = True):
             sh_doc = np.empty(0, dtype=np.int64)
         per_doc = np.bincount(sh_doc, minlength=n_docs)
         bounds = np.cumsum(per_doc)[:-1]
-        return pd.Series([a.tolist() for a in np.split(sh, bounds)])
+        # numpy slices, not tolist(): pyarrow ingests int64 ndarrays
+        # ~8x faster than lists of Python ints (values identical)
+        return pd.Series(np.split(sh, bounds))
 
     return udf
 
@@ -263,7 +265,8 @@ def shingle_hashes_wide_pandas(k: int = 3):
             sh_doc = np.empty(0, dtype=np.int64)
         per_doc = np.bincount(sh_doc, minlength=n_docs)
         bounds = np.cumsum(per_doc)[:-1]
-        return pd.Series([a.tolist() for a in np.split(sh, bounds)])
+        # numpy slices, not tolist() (see shingle_hashes_pandas)
+        return pd.Series(np.split(sh, bounds))
 
     return udf
 
@@ -321,7 +324,7 @@ def minhash_signature_pandas():
             sigs = (a_vec * flat + b_vec) % MINHASH_P
             mins = np.minimum.reduceat(sigs, _segment_offsets(ne_counts[lo:hi]), axis=1)
             for j, i in enumerate(docs):
-                out[i] = mins[:, j].tolist()
+                out[i] = mins[:, j]
         return pd.Series(out, dtype=object)
 
     return udf

@@ -689,10 +689,18 @@ def incremental_minhash_pairs(
 
 
 def _prepared_shingles(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Spread + shingle + persist one side of an incremental match."""
+    """Spread + shingle + persist one side of an incremental match.
+
+    min_bytes=0: the shingle+minhash chain stacks TWO ArrowEvalPython
+    nodes (shingle UDF, then the signature UDF) whose per-node
+    JVM<->Python round-trip dominates a single-task run — measured
+    ~1.3 s single-task vs ~0.1 s spread at sf0.1 for the banded-key
+    materialization (the Python bodies themselves are <0.2 s; the cost
+    is the serialized per-node handshake, which spreading
+    parallelizes)."""
     return _materialize(
         _track(
-            shingle_frame(spread(docs), id_col, text_col)
+            shingle_frame(spread(docs, min_bytes=0), id_col, text_col)
             .withColumnRenamed(id_col, "_id")
             .where(F.size("_sh") > 0)
             .persist()

@@ -93,27 +93,56 @@ def connected_components(
         return _star_components(nodes, edges, id_col, src_col, dst_col, max_iter)
     if algorithm != "label":
         raise ValueError(f"unknown algorithm {algorithm!r}")
-    sym = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .unionByName(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # Local-solve probe in ONE job: union-find needs neither the
+    # symmetrized nor the deduplicated edge list (union(a,b) is
+    # symmetric and re-unions are no-ops), so probe the RAW directed
+    # edges with limit(cap+1) — if at most cap rows come back, that IS
+    # the complete edge list and the driver solves it outright. The old
+    # path paid a distinct shuffle over 2x the rows plus a persist +
+    # count + separate toPandas (three jobs) before the same
+    # union-find. Raw-edge count ≥ distinct-symmetrized count, so the
+    # gate is conservative: a frame that passes here is never larger
+    # than the old bound; one that fails falls through to the exact
+    # distinct + count gate below (big graphs pay one cheap extra
+    # limit job, small graphs save two jobs and an exchange).
+    raw = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).where(
+        F.col("a") != F.col("b")
     )
-    n_edges = sym.count()  # also materializes the persist
-    if n_edges <= local_solve_edges:
+    probe = (
+        raw.limit(local_solve_edges + 1).toPandas()
+        if local_solve_edges > 0
+        else None
+    )
+    if probe is not None and len(probe) <= local_solve_edges:
         # driver-solved labels are BOUNDED by local_solve_edges (the
         # rows already live on the driver), so the broadcast hint is
         # safe — and necessary: a createDataFrame frame carries no
         # stats, so the planner would otherwise sort-merge the
         # re-attach join against the full node set.
-        labels = F.broadcast(_local_union_find(nodes.sparkSession, sym))
+        labels = F.broadcast(
+            _local_union_find_pdf(nodes.sparkSession, probe, raw.schema["a"].dataType)
+        )
     else:
-        # distributed fixpoint: no hint — AQE sees the materialized
-        # size at runtime and picks broadcast vs shuffle, so a
-        # pathological all-duplicates corpus can't OOM the driver.
-        labels = _propagate_labels(sym, max_iter)
-    sym.unpersist()
+        sym = (
+            raw.unionByName(
+                edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")).where(
+                    F.col("a") != F.col("b")
+                )
+            )
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_edges = sym.count()  # also materializes the persist
+        if n_edges <= local_solve_edges:
+            # raw edges overflowed the probe but the deduplicated
+            # symmetric list fits (heavily duplicated pair input)
+            labels = F.broadcast(_local_union_find(nodes.sparkSession, sym))
+        else:
+            # distributed fixpoint: no hint — AQE sees the materialized
+            # size at runtime and picks broadcast vs shuffle, so a
+            # pathological all-duplicates corpus can't OOM the driver.
+            labels = _propagate_labels(sym, max_iter)
+        sym.unpersist()
     # Re-attach isolated nodes (they are their own component); the
     # label side covers edge endpoints only, small relative to `nodes`.
     out = (
@@ -131,6 +160,17 @@ def _local_union_find(spark, sym: DataFrame) -> DataFrame:
     an in-memory union-find; returns ``(id, component)`` for ACTIVE
     nodes only (edge endpoints), component = min member id — identical
     semantics to the distributed fixpoint."""
+    # Arrow transfer (toPandas), not collect(): Row objects cost
+    # ~150-200 bytes each; columnar arrays move the bounded edge list
+    # at memcpy speed in both directions
+    return _local_union_find_pdf(spark, sym.toPandas(), sym.schema["a"].dataType)
+
+
+def _local_union_find_pdf(spark, pdf, id_type) -> DataFrame:
+    """Union-find over an already-collected pandas edge list ``(a, b)``.
+    Neither symmetrization nor deduplication is required: union is
+    symmetric and repeated unions are no-ops, so raw directed edges
+    produce the identical labeling."""
     from pyspark.sql.types import StructField, StructType
 
     parent: dict = {}
@@ -143,10 +183,6 @@ def _local_union_find(spark, sym: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    # Arrow transfer (toPandas), not collect(): Row objects cost
-    # ~150-200 bytes each; columnar arrays move the bounded edge list
-    # at memcpy speed in both directions
-    pdf = sym.toPandas()
     for a, b in zip(pdf["a"].tolist(), pdf["b"].tolist()):
         if a not in parent:
             parent[a] = a
@@ -161,7 +197,6 @@ def _local_union_find(spark, sym: DataFrame) -> DataFrame:
     out = pd.DataFrame(
         {"id": list(parent.keys()), "component": [find(n) for n in parent]}
     )
-    id_type = sym.schema["a"].dataType
     schema = StructType(
         [StructField("id", id_type), StructField("component", id_type)]
     )

@@ -135,16 +135,23 @@ def test_release_persisted_drains_all_caches(spark):
     from aws_big_data_blog_dmscdc_walkthrough_spark.operators import dedup
     from tests.conftest import SF_SMOKE
 
+    # Assert on the DELTA vs caches already present in the shared
+    # session (earlier tests' localCheckpoints linger until the context
+    # cleaner collects them — test-order noise, not tracker leaks).
+    def live_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+    baseline = live_ids()
     qs = entry_mod.queries()
     qs["dedup_minhash_lsh"](spark, SF_SMOKE).count()
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) > 0
+    assert len(live_ids() - baseline) > 0
     dedup.release_persisted()
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    assert len(live_ids() - baseline) == 0
     # the next queries() entry releases the previous one's caches itself
     qs["dedup_simhash"](spark, SF_SMOKE).count()
-    n_after_simhash = len(spark.sparkContext._jsc.getPersistentRDDs())
+    n_after_simhash = len(live_ids() - baseline)
     qs["dedup_exact"](spark, SF_SMOKE).count()
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) < max(n_after_simhash, 1)
+    assert len(live_ids() - baseline) < max(n_after_simhash, 1)
     dedup.release_persisted()
 
 
