@@ -620,8 +620,12 @@ def minhash_lsh_pairs(
 
     bands = NUM_MINHASH // rows_per_band
     # persist: the shingle arrays feed band generation AND two verify-join
-    # branches; recomputing the (interpreted) hash chain 3× dominates cost
-    sh = _prepared_shingles(df, id_col, text_col)
+    # branches; recomputing the (interpreted) hash chain 3× dominates
+    # cost. materialize=False: the banded count below evaluates the
+    # shingle chain exactly once and fills THIS cache too — the verify
+    # joins only run after that job completes, so no stage can race the
+    # unfilled cache and the separate count job was pure overhead.
+    sh = _prepared_shingles(df, id_col, text_col, materialize=False)
     banded = _materialize(
         _track(
             _banded_keys(sh, rows_per_band).persist(StorageLevel.MEMORY_AND_DISK)
@@ -676,8 +680,14 @@ def incremental_minhash_pairs(
     fresh compute, O(corpus signatures) scan that bucketing or a
     band-partitioned layout prunes.
     """
-    sh_new = _prepared_shingles(new_docs, id_col, text_col)
-    sh_old = _prepared_shingles(corpus, id_col, text_col)
+    sh_new = _prepared_shingles(new_docs, id_col, text_col, materialize=False)
+    sh_old = _prepared_shingles(corpus, id_col, text_col, materialize=False)
+    # ONE fused job fills both shingle caches (replacing two separate
+    # count jobs): the union's two scan stages evaluate each Arrow
+    # chain exactly once, in parallel; everything downstream reads
+    # cache. (round 14 — the per-side counts were half the query's
+    # driver-job overhead at bench scale)
+    sh_new.select("_id").unionAll(sh_old.select("_id")).count()
     return _match_banded(
         sh_new,
         _banded_keys(sh_old, rows_per_band),
@@ -688,7 +698,9 @@ def incremental_minhash_pairs(
     )
 
 
-def _prepared_shingles(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _prepared_shingles(
+    docs: DataFrame, id_col: str, text_col: str, materialize: bool = True
+) -> DataFrame:
     """Spread + shingle + persist one side of an incremental match.
 
     min_bytes=0: the shingle+minhash chain stacks TWO ArrowEvalPython
@@ -697,15 +709,23 @@ def _prepared_shingles(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     ~1.3 s single-task vs ~0.1 s spread at sf0.1 for the banded-key
     materialization (the Python bodies themselves are <0.2 s; the cost
     is the serialized per-node handshake, which spreading
-    parallelizes)."""
-    return _materialize(
-        _track(
-            shingle_frame(spread(docs, min_bytes=0), id_col, text_col)
-            .withColumnRenamed(id_col, "_id")
-            .where(F.size("_sh") > 0)
-            .persist()
-        )
+    parallelizes).
+
+    ``materialize=False`` skips the deterministic cache fill — for
+    callers that IMMEDIATELY materialize a downstream persisted frame
+    (the banded keys) in their own single job, which populates this
+    cache as a side effect with exactly one evaluation: the separate
+    count job bought nothing there (measured ~0.4 s of the
+    minhash-family fixed overhead, round 14). Callers whose first
+    action fans the frame into concurrent racing stages must keep the
+    default (see :func:`_materialize`)."""
+    sh = _track(
+        shingle_frame(spread(docs, min_bytes=0), id_col, text_col)
+        .withColumnRenamed(id_col, "_id")
+        .where(F.size("_sh") > 0)
+        .persist()
     )
+    return _materialize(sh) if materialize else sh
 
 
 def _match_banded(

@@ -435,6 +435,21 @@ def keep_best(
 
 # ----------------------------- weighted PageRank (fixed-round) (#155)
 
+# At or below this many RAW edge rows (probed with one limit job, the
+# connected-components local-solve pattern), the whole power iteration
+# runs on the driver in numpy instead of 5 distributed rounds. Each
+# distributed round costs a broadcast build + a node-keyed exchange + an
+# eager localCheckpoint job REGARDLESS of data volume — ~10 fixed-
+# overhead jobs for microseconds of arithmetic on a bench-scale graph —
+# while the driver solve is one Arrow transfer (≤ ~6 MB at the cap) and
+# a vectorized loop. Big graphs (the 100 TB shape) overflow the probe
+# and run the distributed rounds unchanged. Floats: the local solve
+# accumulates in (src, dst)-sorted edge order, so its ranks are a
+# deterministic function of the edge SET — within the same ~1 ulp·degree
+# envelope as the distributed shuffle-order sums (consumers gate on
+# rows/tolerance, never hash; tests pin both paths against numpy).
+PAGERANK_LOCAL_SOLVE_EDGES = 250_000
+
 # Below this node count the per-round rank frame (16 B/node — ~80 MB at
 # the cap) broadcasts to every executor, turning the rank⋈edges join,
 # the dangling semi-join, and the nodes⋈contrib join into broadcast
@@ -490,6 +505,68 @@ class _LocalCheckpointHandle:
             self._jrdd = None
 
 
+def _local_pagerank(
+    spark,
+    pdf,
+    id_type,
+    iterations: int,
+    damping: float,
+    return_delta: bool,
+):
+    """Driver-side power iteration over an already-collected edge list
+    ``(_src, _dst, _w)`` — semantics identical to the distributed
+    rounds: nodes = src∪dst, uniform init, per-edge share w/W(u),
+    dangling mass redistributed uniformly, r' = (1−d)/N + d·(recv +
+    dangling/N). Edges are sorted by (src, dst) first so the float
+    accumulation order — hence every rank — is a deterministic function
+    of the edge set, not of scan arrival order."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    pdf = pdf.sort_values(["_src", "_dst"], kind="mergesort", ignore_index=True)
+    codes, nodes = pd.factorize(
+        pd.concat([pdf["_src"], pdf["_dst"]], ignore_index=True), sort=True
+    )
+    n_edges = len(pdf)
+    si, di = codes[:n_edges], codes[n_edges:]
+    n = len(nodes)
+    if n == 0:
+        raise ValueError("pagerank requires a non-empty edge frame")
+    w = pdf["_w"].to_numpy(dtype="float64")
+    outw = np.zeros(n)
+    np.add.at(outw, si, w)
+    # IEEE division like the distributed plan's w/W (a pathological
+    # all-zero-weight source yields NaN there too); dangling = no
+    # out-EDGE at all, matching the left-anti join on the out-weight
+    # groups (not on the summed weight).
+    with np.errstate(divide="ignore", invalid="ignore"):
+        share = w / outw[si]
+    is_src = np.zeros(n, dtype=bool)
+    is_src[si] = True
+    dangling_mask = ~is_src
+    r = np.full(n, 1.0 / n)
+    teleport = (1.0 - damping) / n
+    last_delta = 0.0
+    for i in range(iterations):
+        recv = np.zeros(n)
+        np.add.at(recv, di, r[si] * share)
+        dang = float(r[dangling_mask].sum())
+        new_r = teleport + damping * (recv + dang / n)
+        if return_delta and i == iterations - 1:
+            last_delta = float(np.abs(new_r - r).sum())
+        r = new_r
+    out = spark.createDataFrame(
+        pd.DataFrame({"node": nodes, "rank": r}),
+        StructType(
+            [StructField("node", id_type), StructField("rank", DoubleType())]
+        ),
+    )
+    if return_delta:
+        return out, last_delta
+    return out
+
+
 def pagerank(
     edges: DataFrame,
     src: str,
@@ -500,6 +577,7 @@ def pagerank(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
     return_delta: bool = False,
+    local_solve_edges: int = PAGERANK_LOCAL_SOLVE_EDGES,
 ):
     """Weighted PageRank, a fixed number of synchronous rounds (#155).
 
@@ -546,6 +624,24 @@ def pagerank(
     e = edges.select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst"), w_col.alias("_w")
     )
+    # Local-solve probe (the connected_components pattern, see
+    # PAGERANK_LOCAL_SOLVE_EDGES): one limit job decides; a graph that
+    # fits runs the whole iteration in numpy on the driver, a graph
+    # that doesn't pays one cheap extra limit job and runs the
+    # distributed rounds below. checkpoint_dir opts OUT — a caller
+    # asking for reliable checkpoints wants restartable distributed
+    # rounds, not a driver solve.
+    if checkpoint_dir is None and local_solve_edges > 0:
+        probe = e.limit(local_solve_edges + 1).toPandas()
+        if len(probe) <= local_solve_edges:
+            return _local_pagerank(
+                edges.sparkSession,
+                probe,
+                edges.schema[src].dataType,
+                iterations,
+                damping,
+                return_delta,
+            )
     e = _track(e.persist(StorageLevel.MEMORY_AND_DISK))
     nodes = (
         e.select(F.col("_src").alias("node"))
@@ -710,12 +806,50 @@ def pagerank(
     return ranks
 
 
+# Same local-solve gate as PAGERANK_LOCAL_SOLVE_EDGES: each distributed
+# peel round is a degree aggregation + two semi-joins + an eager
+# localCheckpoint + a count — fixed job overhead per round that dwarfs
+# the arithmetic on a driver-sized graph. Peeling is confluent and all
+# counts are integers, so the local peel returns the IDENTICAL edge set
+# the distributed rounds produce (only row order differs).
+KCORE_LOCAL_SOLVE_EDGES = 250_000
+
+
+def _local_kcore(spark, pdf, k: int, max_iters: int, u_type, v_type):
+    """Driver-side synchronous peel over a collected canonical edge
+    list ``(_u, _v)``; one loop iteration == one distributed round
+    (degrees recomputed over the surviving frame, then both-endpoint
+    filter), capped at ``max_iters`` exactly like the distributed
+    path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    for _ in range(max_iters):
+        if not len(pdf):
+            break
+        codes, uniq = pd.factorize(
+            pd.concat([pdf["_u"], pdf["_v"]], ignore_index=True)
+        )
+        deg = np.bincount(codes, minlength=len(uniq))
+        m = len(pdf)
+        keep = (deg[codes[:m]] >= k) & (deg[codes[m:]] >= k)
+        if keep.all():
+            break
+        pdf = pdf[keep]
+    return spark.createDataFrame(
+        pdf.reset_index(drop=True),
+        StructType([StructField("_u", u_type), StructField("_v", v_type)]),
+    )
+
+
 def kcore(
     edges: DataFrame,
     src: str,
     dst: str,
     k: int,
     max_iters: int = 50,
+    local_solve_edges: int = KCORE_LOCAL_SOLVE_EDGES,
 ) -> DataFrame:
     """The k-core of an undirected graph (#190): iteratively peel every
     node of degree < k until a fixpoint — the classical
@@ -741,6 +875,17 @@ def kcore(
     from .dedup import _track
 
     cur = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+    if local_solve_edges > 0:
+        probe = cur.limit(local_solve_edges + 1).toPandas()
+        if len(probe) <= local_solve_edges:
+            return _local_kcore(
+                edges.sparkSession,
+                probe,
+                k,
+                max_iters,
+                edges.schema[src].dataType,
+                edges.schema[dst].dataType,
+            ).select(F.col("_u").alias(src), F.col("_v").alias(dst))
     cur = cur.localCheckpoint(eager=True)
     prev_handle = _LocalCheckpointHandle(cur)
     n_edges = cur.count()

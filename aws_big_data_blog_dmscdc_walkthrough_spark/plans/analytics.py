@@ -2854,6 +2854,66 @@ GROUP BY wday
 TRIANGLE_MIN_BASKETS = 2  # edge = parts co-purchased in >= this many orders
 
 
+# Bounds the driver-side wedge merge of the triangle local solve: Σ
+# outdeg² rows materialize in pandas, so past this the distributed
+# wedge join (which never materializes the wedge set on one machine)
+# is the right plan even when the edge list itself fits.
+TRIANGLE_LOCAL_WEDGE_CAP = 3_000_000
+
+
+def _local_triangle_census(probe):
+    """Exact census over a collected canonical edge list ``(_pa, _pb)``.
+    Returns the five-integer row, or None when the oriented wedge
+    volume exceeds TRIANGLE_LOCAL_WEDGE_CAP (caller falls back to the
+    distributed joins). Identical arithmetic to the distributed plan:
+    degree-ordered orientation, wedge closure, Σ C(deg,2) — integers
+    end to end, so the result is bit-identical."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(probe)
+    if m == 0:
+        return (0, 0, None, 0, 0)
+    va = probe["_pa"].to_numpy()
+    vb = probe["_pb"].to_numpy()
+    codes, uniq = pd.factorize(
+        pd.concat([probe["_pa"], probe["_pb"]], ignore_index=True)
+    )
+    deg = np.bincount(codes).astype(np.int64)
+    a, b = codes[:m], codes[m:]
+    n_nodes = len(uniq)
+    n_wedges = int((deg * (deg - 1) // 2).sum())
+    da, db = deg[a], deg[b]
+    fwd = (da < db) | ((da == db) & (va < vb))
+    src = np.where(fwd, a, b)
+    dstv = np.where(fwd, vb, va)
+    od = np.bincount(src, minlength=n_nodes).astype(np.int64)
+    if int((od * (od - 1) // 2).sum()) > TRIANGLE_LOCAL_WEDGE_CAP:
+        return None
+    oe = pd.DataFrame({"s": src, "dv": dstv})
+    w = oe.merge(oe, on="s")
+    w = w[w["dv_x"] < w["dv_y"]]
+    closing = pd.DataFrame(
+        {"dv_x": np.concatenate([va, vb]), "dv_y": np.concatenate([vb, va])}
+    )
+    n_tri = len(w.merge(closing, on=["dv_x", "dv_y"]))
+    return (n_nodes, m, n_wedges, n_tri, 3 * n_tri)
+
+
+def _triangle_schema():
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    return StructType(
+        [
+            StructField("n_nodes", LongType(), False),
+            StructField("n_edges", LongType(), False),
+            StructField("n_wedges", LongType(), True),
+            StructField("n_triangles", LongType(), False),
+            StructField("closure_num", LongType(), False),
+        ]
+    )
+
+
 def q_part_triangles(
     spark: SparkSession, sf_dir: str, canon: DataFrame | None = None
 ) -> DataFrame:
@@ -2873,6 +2933,7 @@ def q_part_triangles(
     numerator/denominator (engine-exact integers).
     """
     from ..operators.dedup import _track
+    from ..operators.graph import KCORE_LOCAL_SOLVE_EDGES
 
     if canon is None:
         canon = _copurchase_edges(spark, sf_dir, TRIANGLE_MIN_BASKETS)
@@ -2882,6 +2943,18 @@ def q_part_triangles(
         # the narrow projection reuses its cached partitions — a second
         # persist would only duplicate storage
         edges = canon.select("_pa", "_pb")
+    # Local-solve probe (the graph-operator pattern, round 14): the
+    # census is five INTEGER aggregates of the canonical edge set, so a
+    # driver-sized graph computes them exactly (bit-identical to the
+    # distributed joins — no floats anywhere) in pandas from one probe,
+    # replacing the oriented-edge persist + wedge/closing joins (~6
+    # fixed-overhead jobs). An oriented-wedge volume gate bounds the
+    # driver merge; a graph over either cap runs distributed unchanged.
+    probe = edges.limit(KCORE_LOCAL_SOLVE_EDGES + 1).toPandas()
+    if len(probe) <= KCORE_LOCAL_SOLVE_EDGES:
+        out = _local_triangle_census(probe)
+        if out is not None:
+            return spark.createDataFrame([out], schema=_triangle_schema())
     deg = (
         edges.select(F.col("_pa").alias("node"))
         .unionByName(edges.select(F.col("_pb").alias("node")))
@@ -3284,6 +3357,63 @@ SELECT step1, step2, step3, n, CAST(rk AS INT) AS rank FROM (
 # ------------- co-purchase degree assortativity (#170)
 
 
+def _local_assortativity_rows(probe):
+    """Exact Newman r over a collected canonical edge list ``(_pa,
+    _pb)``: every sum is an integer (int64 is safe at the probe cap —
+    max Σdx·dy ≈ 1.3e17 at 250k edges), the m·Σxy − Σx·Σy products run
+    in arbitrary-precision Python ints (the DECIMAL(38,0)/HUGEINT
+    twin), and exactly one correctly-rounded int→double conversion per
+    factor feeds the same double-typed divide/sqrt as the distributed
+    plan — so the emitted row is bit-identical. Returns [] when the
+    graph is empty or degenerate (the distributed var>0 filter)."""
+    import numpy as np
+    import pandas as pd
+
+    mc = len(probe)
+    if mc == 0:
+        return []
+    codes, uniq = pd.factorize(
+        pd.concat(
+            [probe["_pa"], probe["_pb"], probe["_pb"], probe["_pa"]],
+            ignore_index=True,
+        )
+    )
+    u = np.concatenate([codes[:mc], codes[mc : 2 * mc]])
+    v = np.concatenate([codes[2 * mc : 3 * mc], codes[3 * mc :]])
+    deg = np.bincount(u, minlength=len(uniq)).astype(np.int64)
+    dx, dy = deg[u], deg[v]
+    m = 2 * mc
+    sx, sy = int(dx.sum()), int(dy.sum())
+    sxy = int((dx * dy).sum())
+    sxx = int((dx * dx).sum())
+    syy = int((dy * dy).sum())
+    var_x = float(m * sxx - sx * sx)
+    var_y = float(m * syy - sy * sy)
+    if not (var_x > 0 and var_y > 0):
+        return []
+    cov = float(m * sxy - sx * sy)
+    import math
+
+    return [(len(uniq), m, cov / math.sqrt(var_x * var_y))]
+
+
+def _assortativity_schema():
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("n_nodes", LongType(), False),
+            StructField("n_directed_edges", LongType(), False),
+            StructField("assortativity", DoubleType(), True),
+        ]
+    )
+
+
 def q_copurchase_assortativity(
     spark: SparkSession, sf_dir: str, canon: DataFrame | None = None
 ) -> DataFrame:
@@ -3318,6 +3448,19 @@ def q_copurchase_assortativity(
     if canon is None:
         canon = _track(
             _copurchase_edges(spark, sf_dir, TRIANGLE_MIN_BASKETS).persist()
+        )
+    # Local-solve probe (round 14, the graph-family pattern): the whole
+    # readout is integer sums + one final double expression, so a
+    # driver-sized edge list computes the bit-identical row in numpy,
+    # replacing the mirror union + two degree joins + scalar reduce
+    # (~5 fixed-overhead jobs at bench scale). Bigger graphs fall
+    # through to the distributed plan below unchanged.
+    from ..operators.graph import KCORE_LOCAL_SOLVE_EDGES
+
+    probe = canon.select("_pa", "_pb").limit(KCORE_LOCAL_SOLVE_EDGES + 1).toPandas()
+    if len(probe) <= KCORE_LOCAL_SOLVE_EDGES:
+        return spark.createDataFrame(
+            _local_assortativity_rows(probe), schema=_assortativity_schema()
         )
     edges = canon.select(F.col("_pa").alias("_u"), F.col("_pb").alias("_v")).unionByName(
         canon.select(F.col("_pb").alias("_u"), F.col("_pa").alias("_v"))

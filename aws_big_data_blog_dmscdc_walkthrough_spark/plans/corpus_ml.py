@@ -255,7 +255,7 @@ def emb_knn_propagate_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = emb.where(F.col("vec_id") % KNN_PROP_MOD != 0)
     return knn_propagate(
         labeled, unlabeled, "vec_id", "embedding", "label",
-        k=5, bits=KNN_PROP_BITS, bands=KNN_PROP_BANDS,
+        k=5, bits=KNN_PROP_BITS, bands=KNN_PROP_BANDS, dim=EMB_DIM,
     )
 
 
@@ -274,7 +274,8 @@ def emb_knn_propagate_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     unlabeled = emb.where(F.col("vec_id") % KNN_PROP_MOD == 0)
     labeled = emb.where(F.col("vec_id") % KNN_PROP_MOD != 0)
     return knn_propagate(
-        labeled, unlabeled, "vec_id", "embedding", "label", k=5, bands=4
+        labeled, unlabeled, "vec_id", "embedding", "label", k=5, bands=4,
+        dim=EMB_DIM,
     )
 
 

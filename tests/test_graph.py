@@ -309,7 +309,13 @@ def test_pagerank_reliable_checkpoint_matches_local(spark, tmp_path):
             df, "s", "d", "w", checkpoint_dir=ckdir, checkpoint_every=2
         ).collect()
     }
-    assert reliable == local
+    # checkpoint_dir opts out of the driver local-solve, so this also
+    # compares the distributed rounds against the numpy path — equal up
+    # to float summation order (both are pinned to 1e-9 vs numpy in
+    # test_pagerank_matches_numpy_power_iteration)
+    assert set(reliable) == set(local)
+    for node, rank in local.items():
+        assert abs(reliable[node] - rank) < 1e-12, (node, reliable[node], rank)
     # the reliable rounds actually wrote checkpoint files
     found = [
         os.path.join(root, f)
@@ -393,3 +399,47 @@ def test_kcore_query_shape(spark):
     b = [tuple(r) for r in analytics.q_part_kcore(spark, sf).collect()]
     assert a == b
     assert len(a) <= analytics.KCORE_TOP
+
+
+def test_pagerank_local_solve_matches_distributed(spark):
+    """The driver local-solve (default gate) and the distributed rounds
+    (forced via local_solve_edges=0) must agree to float-summation
+    tolerance on every rank, including the dangling node."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import graph
+
+    df = _toy_pagerank_edges(spark)
+    local = {r.node: r.rank for r in graph.pagerank(df, "s", "d", "w").collect()}
+    dist = {
+        r.node: r.rank
+        for r in graph.pagerank(
+            df, "s", "d", "w", local_solve_edges=0
+        ).collect()
+    }
+    assert set(local) == set(dist)
+    for node, rank in dist.items():
+        assert abs(local[node] - rank) < 1e-12, (node, local[node], rank)
+    assert abs(sum(local.values()) - 1.0) < 1e-9
+    dedup.release_persisted()
+
+
+def test_kcore_local_solve_identical_to_distributed(spark):
+    """Peeling is confluent and integer-exact: the driver local peel
+    (default gate) must return the IDENTICAL edge set as the
+    distributed rounds (forced via local_solve_edges=0)."""
+    from pyspark.sql import functions as F
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import graph
+
+    rows = [(i, (i * 11 + 5) % 60) for i in range(200)]
+    edges = (
+        spark.createDataFrame(rows, "x long, y long")
+        .where(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .distinct()
+    )
+    local = sorted(map(tuple, graph.kcore(edges, "a", "b", 3).collect()))
+    dist = sorted(
+        map(tuple, graph.kcore(edges, "a", "b", 3, local_solve_edges=0).collect())
+    )
+    assert local == dist
+    dedup.release_persisted()

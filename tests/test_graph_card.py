@@ -54,10 +54,12 @@ def test_graph_card_builds_pair_join_once(spark):
 
     for name, df in fused.items():
         assert lineitem_leaves(df) == [], name
-        if name in ("pagerank", "kcore"):
-            # the iterative loops localCheckpoint their results, so
-            # these panels' own plans are LogicalRDDs — the substrate
-            # reuse already happened upstream at build time, which the
+        if name in ("pagerank", "kcore", "triangles", "assortativity"):
+            # pagerank/kcore localCheckpoint (or driver-solve) their
+            # results, and the triangle census / assortativity reduce
+            # driver-solve at bench scale, so these panels' own plans
+            # are LogicalRDDs / LocalRelations — the substrate reuse
+            # already happened upstream at build time, which the
             # zero-leaf assertion above still proves
             continue
         plan = df._jdf.queryExecution().optimizedPlan().toString()
@@ -79,3 +81,49 @@ def test_neighbors_standalone_scans_baskets_once(spark):
     # second independent leaf of this query's own plan
     assert len([f for f in df.inputFiles() if "lineitem.parquet" in f]) == 0
     release_persisted()
+
+
+def test_triangles_local_solve_identical_to_distributed(spark):
+    """The driver-side triangle census (default gate) and the
+    distributed wedge joins (forced by zeroing the probe cap) are the
+    same five integers — the census is integer-exact end to end."""
+    import aws_big_data_blog_dmscdc_walkthrough_spark.operators.graph as G
+
+    release_persisted()
+    local = [tuple(r) for r in analytics.q_part_triangles(spark, SF).collect()]
+    saved = G.KCORE_LOCAL_SOLVE_EDGES
+    G.KCORE_LOCAL_SOLVE_EDGES = 0
+    try:
+        release_persisted()
+        dist = [
+            tuple(r) for r in analytics.q_part_triangles(spark, SF).collect()
+        ]
+    finally:
+        G.KCORE_LOCAL_SOLVE_EDGES = saved
+    release_persisted()
+    assert local == dist
+
+
+def test_assortativity_local_solve_identical_to_distributed(spark):
+    """The driver-side Newman r (default gate) and the distributed
+    degree joins (forced by zeroing the probe cap) emit the bit-same
+    row: integer sums either way, one double expression at the end."""
+    import aws_big_data_blog_dmscdc_walkthrough_spark.operators.graph as G
+
+    release_persisted()
+    local = [
+        tuple(r)
+        for r in analytics.q_copurchase_assortativity(spark, SF).collect()
+    ]
+    saved = G.KCORE_LOCAL_SOLVE_EDGES
+    G.KCORE_LOCAL_SOLVE_EDGES = 0
+    try:
+        release_persisted()
+        dist = [
+            tuple(r)
+            for r in analytics.q_copurchase_assortativity(spark, SF).collect()
+        ]
+    finally:
+        G.KCORE_LOCAL_SOLVE_EDGES = saved
+    release_persisted()
+    assert local == dist
