@@ -774,6 +774,38 @@ def _match_banded(
     )
 
 
+def split_minhash_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    new_pred,
+    threshold: float = 0.5,
+    rows_per_band: int = 2,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Stateless one-table twin of :func:`incremental_minhash_pairs`:
+    both sides come from the SAME frame, split by a row predicate
+    (``new_pred`` maps the id column to a boolean Column; the complement
+    plays the corpus). Signatures are computed ONCE over the whole
+    table and the split happens on the prepared shingle frame — the
+    two-frame form pays two spread exchanges and two Arrow chains over
+    what is physically one input (measured ~1 s of the bench query's
+    fixed cost, round 14). Row-identical to calling the two-frame form
+    with ``docs.where(pred)`` / ``docs.where(~pred)``: the signature
+    UDFs are row-wise, so splitting before or after signing computes
+    the same values (pinned in tests/test_dedup.py)."""
+    sh_all = _prepared_shingles(docs, id_col, text_col)
+    pred = new_pred(F.col("_id"))
+    return _match_banded(
+        sh_all.where(pred),
+        _banded_keys(sh_all.where(~pred), rows_per_band),
+        sh_all.where(~pred),
+        threshold,
+        rows_per_band,
+        bucket_cap,
+    )
+
+
 def _store_meta_path(path: str) -> str:
     return f"{path}/_store_meta.json"
 
@@ -922,7 +954,12 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     from ..functions.hashing import simhash_pandas
 
-    return spread(df).select(
+    # min_bytes=0: the numpy bit-matrix body is CPU-bound per row, so a
+    # single-file bench-scale input otherwise runs it in ONE task
+    # (measured 0.9 s single-task vs ~0.2 s spread at sf0.1, round 14);
+    # at real scale the input arrives multi-partition and spread is a
+    # no-op either way.
+    return spread(df, min_bytes=0).select(
         F.col(id_col), simhash_pandas()(F.col(text_col)).alias("simhash")
     )
 

@@ -1011,7 +1011,11 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bench run (measured; the JVM parses the equivalent strings in
     # ~50 ms). The parsed expression trees are identical — same ops,
     # same order, same doubles.
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    # min_bytes=0 (round 14): the 153-aggregate partial pass is
+    # expensive PER ROW, so even the sub-4MB bench file ran it in one
+    # task (1.3 s single-task vs 0.35 s for the spread exchange;
+    # 2.3 → 1.8 s A/B). At sf1+ the adaptive gate spread anyway.
+    emb = spread(load_table(spark, sf_dir, "embeddings"), min_bytes=0)
     base = emb.selectExpr(
         *[
             f"cast(element_at(embedding, {i + 1}) as double) as _x{i}"

@@ -248,10 +248,15 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Benchmark THAT shape for ingest-cost questions; this query's wall
     time measures the stateless replay, not the steady state."""
     docs = load_table(spark, sf_dir, "documents")
-    new = docs.where(F.col("doc_id") % DEDUP_INCREMENTAL_MOD == 0)
-    corpus = docs.where(F.col("doc_id") % DEDUP_INCREMENTAL_MOD != 0)
-    return dedup.incremental_minhash_pairs(
-        new, corpus, "doc_id", "text", threshold=MINHASH_JACCARD_THRESHOLD
+    # one-table split form: signatures computed ONCE over the union
+    # (row-identical to signing the two filtered frames separately —
+    # the UDFs are row-wise), saving a spread exchange + Arrow chain
+    return dedup.split_minhash_pairs(
+        docs,
+        "doc_id",
+        "text",
+        lambda c: c % DEDUP_INCREMENTAL_MOD == 0,
+        threshold=MINHASH_JACCARD_THRESHOLD,
     )
 
 

@@ -256,6 +256,36 @@ def test_signature_store_incremental_matching(spark, tmp_path):
     assert want2  # fixture actually produces cross-batch near-dups
 
 
+def test_split_minhash_pairs_matches_two_frame_form(spark):
+    """The one-table split form must be row-identical to calling the
+    two-frame operator with the predicate-filtered frames — the round-14
+    rewrite only moves WHERE the split happens (after signing instead of
+    before), and the signature UDFs are row-wise."""
+    from pyspark.sql import functions as F
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import dedup as dd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        (r.new_id, r.corpus_id, round(r.jaccard, 9))
+        for r in dd.split_minhash_pairs(
+            docs, "doc_id", "text", lambda c: c % 3 == 0, threshold=0.3
+        ).collect()
+    }
+    want = {
+        (r.new_id, r.corpus_id, round(r.jaccard, 9))
+        for r in dd.incremental_minhash_pairs(
+            docs.where(F.col("doc_id") % 3 == 0),
+            docs.where(F.col("doc_id") % 3 != 0),
+            "doc_id",
+            "text",
+            threshold=0.3,
+        ).collect()
+    }
+    assert got == want
+    assert want  # fixture actually produces cross-side near-dups
+
+
 def test_signature_store_banding_mismatch_raises(spark, tmp_path):
     """A probe built with a different rows_per_band than the store
     would silently join nothing — the recorded layout must make the
