@@ -1374,21 +1374,38 @@ def tf_cosine_pairs(
         )
     else:
         terms = toks
+    # ONE compact exchange serves the whole per-doc pipeline (round 14):
+    # repartition the raw (_id, text) rows by _id BEFORE exploding, so
+    # the tf aggregation (grouping keys ⊇ the partition key), the
+    # per-doc norm, the df-ordered suffix window, and the tf-map
+    # aggregation below all reuse that partitioning with NO further
+    # exchange. The previous shape paid a posting-scale (_id, _t)
+    # exchange for tf, an _id exchange + join for norm2, and an _id
+    # re-exchange for the suffix window; it also ran the whole
+    # explode+count serially in one task on a single-file bench input.
+    # AQE owns the partition count (RepartitionByExpression without a
+    # fixed N), so this stays scale-adaptive.
     tf = (
-        df.select(F.col(id_col).alias("_id"), F.explode(terms).alias("_t"))
+        df.select(F.col(id_col).alias("_id"), F.col(text_col))
+        .repartition(F.col("_id"))
+        .select("_id", F.explode(terms).alias("_t"))
         .groupBy("_id", "_t")
         .agg(F.count(F.lit(1)).alias("_tf"))
     )
     tf = _materialize(_track(tf.persist()))
-    norm2 = tf.groupBy("_id").agg(F.sum(F.col("_tf") * F.col("_tf")).alias("_n2"))
     gdf = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    # per-doc norm as a whole-partition window over the SAME _id
+    # partitioning (replaces the groupBy(_id) frame + id-keyed join);
+    # the inner join with gdf loses no rows (gdf is built FROM tf), so
+    # the window sum is the identical integer.
+    wdoc = Window.partitionBy("_id")
     suffix = Window.partitionBy("_id").orderBy(
         F.col("_df").asc(), F.col("_t").asc()
     ).rowsBetween(Window.currentRow, Window.unboundedFollowing)
     indexed = _materialize(
         _track(
             tf.join(gdf, "_t")
-            .join(norm2, "_id")
+            .withColumn("_n2", F.sum(F.col("_tf") * F.col("_tf")).over(wdoc))
             .withColumn(
                 "_suf2", F.sum(F.col("_tf") * F.col("_tf")).over(suffix)
             )

@@ -636,7 +636,17 @@ def knn_propagate(
     cos = _safe_cosine(dot(F.col("_v"), F.col("_q")), F.col("_n") * F.col("_qn"))
     cand = (
         qry.join(corp, ["_band", "_bkt"])
+        # project to the scored pair BEFORE the query-keyed exchange:
+        # the shuffle then carries one double per candidate, not two
+        # vectors (cosine is identical wherever it is evaluated)
         .select("_uid", "_cid", "_lbl", cos.alias("cosine"))
+        # ONE query-keyed exchange serves the whole vote pipeline
+        # (round 14): hash-partitioning by _uid satisfies the pair
+        # dedup (grouping keys ⊇ _uid), the top-k window, the vote
+        # aggregation AND the best-label window — the previous shape
+        # exchanged on (_uid, _cid) for the dedup and then AGAIN on
+        # _uid for the window.
+        .repartition(F.col("_uid"))
         # a pair that met in several bands scores identically each time
         .groupBy("_uid", "_cid")
         .agg(F.first("_lbl").alias("_lbl"), F.first("cosine").alias("cosine"))

@@ -2665,8 +2665,19 @@ def _copurchase_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the group-by here, the pair aggregation in the consumer). Persist
     before multi-consumer reuse (the graph card persists it once for
     the whole family)."""
+    # Repartition the two projected columns by the group key BEFORE the
+    # aggregation (round 14): the single-row-group bench file arrives as
+    # ONE scan partition, so the groupBy's partial collect_set otherwise
+    # runs serially in the scan task; hash-partitioning by l_orderkey
+    # satisfies the aggregation's distribution, so this is still ONE
+    # exchange total — it just moves the serial work down to a cheap raw
+    # two-column shuffle write and runs the set-building in parallel.
+    # At scale (orderkey, partkey) is near-unique per row, so the lost
+    # partial aggregation deduped almost nothing anyway.
     return (
         load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .repartition(F.col("l_orderkey"))
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("_parts"))
     )

@@ -421,15 +421,16 @@ def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_ops.minhash_lsh_pairs(
         docs, "doc_id", "text", threshold=MINHASH_JACCARD_THRESHOLD
     )
-    sp = docs.select("doc_id", split_column("doc_id").alias("split"))
-    j = (
-        pairs.join(
-            sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("_pa")),
-            "id_a",
-        ).join(
-            sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("_pb")),
-            "id_b",
-        )
+    # The split is PURE ARITHMETIC on the id (that is its whole design —
+    # reproducible in any engine), so evaluate it directly on the pair
+    # frame's id columns instead of joining the docs scan back twice
+    # (round 14: two broadcast joins + a second documents scan removed;
+    # identical values — every pair id comes from docs.doc_id, and the
+    # expression is the same one the joined column carried).
+    j = pairs.select(
+        split_column("id_a").alias("_pa"),
+        split_column("id_b").alias("_pb"),
+        "jaccard",
     )
     return (
         j.select(

@@ -24,6 +24,7 @@ from ..operators.dedup import (
     SIMHASH_BAND_CHUNKS,
     SIMHASH_BAND_SUBSET,
     SIMHASH_HALF_BITS,
+    spread,
 )
 from ..session import load_table
 
@@ -837,7 +838,10 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators import text as text_ops
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread before scoring (round 14): same single-task rationale as
+    # dedup_keep_best — the blend's regex+tokenize work must not run
+    # serially in the lone scan task of a single-file input
+    docs = spread(load_table(spark, sf_dir, "documents"), min_bytes=0)
     # score inline (map-side column, no join): one scan feeds the gate
     quality = docs.withColumn(
         "quality_score", text_ops.quality_score_col("text")
@@ -1006,7 +1010,10 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     clusters = _cluster_frame(docs)
-    scored = docs.select(
+    # spread the scoring branch (round 14): the quality blend runs two
+    # regex passes + tokenize + array_distinct per row, which a
+    # single-file bench input otherwise evaluates serially in one task
+    scored = spread(docs, min_bytes=0).select(
         "doc_id", text_ops.quality_score_col("text").alias("quality_score")
     )
     return graph.keep_best(clusters, scored).select(
