@@ -1307,21 +1307,34 @@ def ngram_containment_pairs(
                 F.size("_sh_b").alias("_szb"),
             )
         )
-    fwd = inter.select(
-        F.col("id_a").alias("id_inner"),
-        F.col("id_b").alias("id_outer"),
-        (F.col("_inter").cast("double") / F.col("_sza").cast("double")).alias(
-            "containment"
-        ),
-    )
-    rev = inter.select(
-        F.col("id_b").alias("id_inner"),
-        F.col("id_a").alias("id_outer"),
-        (F.col("_inter").cast("double") / F.col("_szb").cast("double")).alias(
-            "containment"
-        ),
-    )
-    return fwd.unionByName(rev).where(F.col("containment") >= threshold)
+    # Emit BOTH directions from each undirected pair row in ONE pass
+    # (round 14): the former fwd/rev union duplicated the whole
+    # join+aggregation subtree per branch (2× broadcast join builds and
+    # probes, 2× final aggregate — broadcast joins have no exchange for
+    # AQE to reuse), purely to flip two columns. Exploding a 2-struct
+    # array yields the identical row multiset with the subtree evaluated
+    # once.
+    both = inter.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("id_inner"),
+                    F.col("id_b").alias("id_outer"),
+                    (
+                        F.col("_inter").cast("double") / F.col("_sza").cast("double")
+                    ).alias("containment"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("id_inner"),
+                    F.col("id_a").alias("id_outer"),
+                    (
+                        F.col("_inter").cast("double") / F.col("_szb").cast("double")
+                    ).alias("containment"),
+                ),
+            )
+        ).alias("_dir")
+    ).select("_dir.id_inner", "_dir.id_outer", "_dir.containment")
+    return both.where(F.col("containment") >= threshold)
 
 
 # --------------------- exact prefix-filtered TF-cosine pairs (#150)

@@ -3216,18 +3216,26 @@ def q_part_neighbors(
     builder (min-support pruned); marginals join back by part key; the
     per-part top-k is one window over pair rows keyed by anchor.
     """
-    from ..operators.dedup import _track
+    from ..operators.dedup import _materialize, _track
 
     if baskets is None:
         # persisted ONCE, reused by the edge builder's pair fan-out AND
         # the per-part marginals below — standalone used to run the
-        # basket scan twice (once inside _copurchase_edges, once here)
-        baskets = _track(_copurchase_baskets(spark, sf_dir).persist())
+        # basket scan twice (once inside _copurchase_edges, once here).
+        # _materialize: the edge build and the marginals launch as
+        # INDEPENDENT stages that race an unfilled cache and each re-run
+        # the basket aggregation (observed as twin ~0.6 s job shapes in
+        # the round-14 profile); one deterministic fill pins a single
+        # evaluation.
+        baskets = _materialize(_track(_copurchase_baskets(spark, sf_dir).persist()))
     if canon is None:
-        canon = _track(
-            _copurchase_edges(
-                spark, sf_dir, TRIANGLE_MIN_BASKETS, baskets=baskets
-            ).persist()
+        # same race: canon feeds its own union flip (two consumers)
+        canon = _materialize(
+            _track(
+                _copurchase_edges(
+                    spark, sf_dir, TRIANGLE_MIN_BASKETS, baskets=baskets
+                ).persist()
+            )
         )
     # per-part basket count from the same array substrate (sets hold
     # distinct parts per order, so the exploded count == the old

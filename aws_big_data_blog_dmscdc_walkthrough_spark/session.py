@@ -51,6 +51,23 @@ def get_spark(
         # (do NOT also set runtimeFilter.semiJoinReduction here — setting
         # it at session build hangs JVM startup on this Spark build)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # File-split cost model (round 14): the stock 4 MiB
+        # openCostInBytes floors every split at 4 MiB, so a 10 MiB
+        # single-file table scans in 2-3 tasks no matter how many cores
+        # are idle — the (bytes + openCost)/cores estimate only wins
+        # when it exceeds the floor. 1 MiB keeps sub-MiB tables in one
+        # task (their scans are cheaper than task overhead) while
+        # letting the multi-MiB fact tables split across cores; A/B'd
+        # against 4 MiB (q1 2.3→1.7 s, q9 1.3→1.1, cdc_merge 1.9→1.3,
+        # mad_outliers 1.7→1.4 warm) and against 128 KiB (over-splits
+        # the small-table scans — shuffle-heavy paths regressed). At
+        # the 100 TB target bytesPerCore >> the floor on every table,
+        # maxPartitionBytes (untouched, 128 MiB) governs, and this
+        # setting is inert. Env-parameterised for cluster tuning.
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST", str(1024 * 1024)),
+        )
         # the driver's events table carries parquet TIMESTAMP(NANOS), which
         # vanilla Spark rejects; read as long and convert in load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
