@@ -170,6 +170,46 @@ def _poly_fold_tokens(tokens: list[str], params: Sequence[tuple[int, int]]) -> l
     return accs
 
 
+def shingle_flat(texts, k: int, distinct: bool = True) -> tuple[np.ndarray, np.ndarray, int]:
+    """Flat ``(shingle_hash, doc_index)`` arrays for a batch of texts.
+
+    The shared computational core of :func:`shingle_hashes_pandas` (which
+    splits the flat arrays back into per-doc lists) and the fused
+    small-input pair stage in ``operators/dedup.py`` (which consumes the
+    flat posting form directly — re-splitting and re-exploding would be
+    pure overhead). Arithmetic is the canonical shingle chain: per-token
+    char poly-fold (POLY_MUL1/POLY_MOD1), k-token combine by
+    SHINGLE_COMBINE; with ``distinct`` the (doc, shingle) pairs come back
+    doc-major, shingle-ascending, deduped. Returns
+    ``(sh, sh_doc, n_docs)``.
+    """
+    mul, mod, comb = POLY_MUL1, POLY_MOD1, SHINGLE_COMBINE
+    n_docs = len(texts)
+    flat, counts = _batch_tokens(texts)
+    (hs,) = _poly_fold_tokens(flat, [(mul, mod)])
+    doc_of_tok = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    total = hs.size
+    if total >= k:
+        idx = np.arange(total - k + 1)
+        # a shingle is valid iff its k tokens belong to one document
+        starts = idx[doc_of_tok[idx] == doc_of_tok[idx + k - 1]]
+        sh = hs[starts]
+        for j in range(1, k):
+            sh = (sh * comb + hs[starts + j]) % mod
+        sh_doc = doc_of_tok[starts]
+        if distinct:
+            # distinct + sorted within each doc: one global lexsort
+            order = np.lexsort((sh, sh_doc))
+            sh, sh_doc = sh[order], sh_doc[order]
+            keep = np.ones(sh.size, dtype=bool)
+            keep[1:] = (sh[1:] != sh[:-1]) | (sh_doc[1:] != sh_doc[:-1])
+            sh, sh_doc = sh[keep], sh_doc[keep]
+    else:
+        sh = np.empty(0, dtype=np.int64)
+        sh_doc = np.empty(0, dtype=np.int64)
+    return sh, sh_doc, n_docs
+
+
 def shingle_hashes_pandas(k: int = 3, distinct: bool = True):
     """pandas_udf: text → k-word-shingle hashes.
 
@@ -180,35 +220,13 @@ def shingle_hashes_pandas(k: int = 3, distinct: bool = True):
     WINDOW POSITION in document order — the exact-substring-dup report
     needs position multiplicity.
     """
-    mul, mod, comb = POLY_MUL1, POLY_MOD1, SHINGLE_COMBINE
 
     @F.pandas_udf(ArrayType(LongType()))
     def udf(texts: pd.Series) -> pd.Series:
         n_docs = len(texts)
         if n_docs == 0:
             return pd.Series([], dtype=object)
-        flat, counts = _batch_tokens(texts)
-        (hs,) = _poly_fold_tokens(flat, [(mul, mod)])
-        doc_of_tok = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
-        total = hs.size
-        if total >= k:
-            idx = np.arange(total - k + 1)
-            # a shingle is valid iff its k tokens belong to one document
-            starts = idx[doc_of_tok[idx] == doc_of_tok[idx + k - 1]]
-            sh = hs[starts]
-            for j in range(1, k):
-                sh = (sh * comb + hs[starts + j]) % mod
-            sh_doc = doc_of_tok[starts]
-            if distinct:
-                # distinct + sorted within each doc: one global lexsort
-                order = np.lexsort((sh, sh_doc))
-                sh, sh_doc = sh[order], sh_doc[order]
-                keep = np.ones(sh.size, dtype=bool)
-                keep[1:] = (sh[1:] != sh[:-1]) | (sh_doc[1:] != sh_doc[:-1])
-                sh, sh_doc = sh[keep], sh_doc[keep]
-        else:
-            sh = np.empty(0, dtype=np.int64)
-            sh_doc = np.empty(0, dtype=np.int64)
+        sh, sh_doc, _ = shingle_flat(texts, k, distinct)
         per_doc = np.bincount(sh_doc, minlength=n_docs)
         bounds = np.cumsum(per_doc)[:-1]
         # numpy slices, not tolist(): pyarrow ingests int64 ndarrays

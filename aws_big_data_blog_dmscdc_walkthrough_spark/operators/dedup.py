@@ -421,17 +421,12 @@ def ngram_jaccard_pairs(
             "(threshold <= 0 would mean every same-block pair - a "
             "quadratic scan no formulation survives at scale)"
         )
-    sh = _materialize(
-        _track(
-            # min_bytes=0: the shingle hash chain is expensive per byte
-            # (serial Arrow hashing cost 5.7x at bench scale without it)
-            shingle_frame(spread(df, min_bytes=0), id_col, text_col, block_cols, k)
-            .where(F.size("_sh") > 0)
-            .persist()  # feeds both join sides; avoid recomputing the hash chain
-        )
-    )
     bc = list(block_cols)
     if bc:
+        # Decide the small-input plan BEFORE building the shingle frame:
+        # the fused direct path (one grouped Arrow stage) needs no
+        # spread exchange, no ArrowEvalPython node, and no persisted
+        # intermediate at all — gating first skips all three.
         total = scan_bytes(df)
         if total is not None:
             small = total < SPREAD_MIN_INPUT_BYTES
@@ -444,7 +439,18 @@ def ngram_jaccard_pairs(
             except Exception:
                 small = True
         if small:
-            return _ngram_pairs_direct(sh, id_col, bc, threshold, block_cap)
+            return _ngram_pairs_direct(
+                df, id_col, text_col, bc, threshold, k, block_cap
+            )
+    sh = _materialize(
+        _track(
+            # min_bytes=0: the shingle hash chain is expensive per byte
+            # (serial Arrow hashing cost 5.7x at bench scale without it)
+            shingle_frame(spread(df, min_bytes=0), id_col, text_col, block_cols, k)
+            .where(F.size("_sh") > 0)
+            .persist()  # feeds both join sides; avoid recomputing the hash chain
+        )
+    )
     join_cols = bc + ["_t"]
     tok = sh.select(
         F.col(id_col).alias("_id"),
@@ -518,50 +524,131 @@ def ngram_jaccard_pairs(
     )
 
 
+# Bound on the pair rows a single vectorized posting chunk materializes
+# inside _ngram_pairs_direct's grouped solver (~6 int64 arrays of this
+# length live at once — ~400 MB at the cap). Only a pathological block
+# (every doc sharing the same hot shingles) ever chunks; the bench-scale
+# blocks generate well under one chunk.
+_FUSED_PAIRS_PER_CHUNK = 8 * 1024 * 1024
+
+
 def _ngram_pairs_direct(
-    sh: DataFrame,
+    df: DataFrame,
     id_col: str,
+    text_col: str,
     block_cols: list[str],
     threshold: float,
+    k: int,
     block_cap: int | None,
 ) -> DataFrame:
-    """Small-input direct plan: blocked all-pairs + ``array_intersect``.
+    """Small-input direct plan: ONE grouped Arrow stage per block.
 
-    One join, no index explode — cheapest under a few MB where the
-    quadratic pair count is bounded by construction (the size gate in
-    :func:`ngram_jaccard_pairs` is the only caller). ``block_cap``
-    bounds whole block populations here.
+    The size gate in :func:`ngram_jaccard_pairs` is the only caller, so
+    every block fits a task by construction. The pre-round-14 shape
+    (shingle UDF → persist → blocked self-join → per-pair
+    ``array_intersect``) paid five fixed-overhead steps — a spread
+    exchange, an ArrowEvalPython node, a cache materialization, a join
+    materializing |block|² rows of paired arrays, and the intersect
+    itself; at bench scale that was ~2.2 s for 622k candidate pairs
+    whose useful arithmetic is milliseconds. Here one
+    ``groupBy(*block_cols).applyInPandas`` computes the identical
+    output per block in numpy: the shared :func:`shingle_flat` chain
+    (bit-identical hashes), then exact |A∩B| counts from the sorted
+    posting lists — pairs sharing zero shingles never materialize (the
+    AllPairs insight, applied in-process) — and
+    ``jaccard = inter/(|A|+|B|−inter)`` as the same float64 division.
+    ``block_cap`` keeps its direct-path meaning: a block whose
+    population (docs with ≥1 shingle) exceeds the cap is dropped whole.
+
+    Exactness: per-doc shingle sets are distinct, so within one
+    shingle's posting group every doc appears once and the per-pair hit
+    count IS the intersection size; sizes come from the same arrays.
+    Pair order (``id_a < id_b``) falls out of sort-factorized id codes.
     """
-    a = sh.select(
-        F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"), *block_cols
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from ..functions.hashing import shingle_flat
+
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField("jaccard", DoubleType()),
+        ]
     )
-    b = sh.select(
-        F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"), *block_cols
-    )
-    if block_cap is not None:
-        cap_w = Window.partitionBy(*block_cols)
-        a = (
-            a.withColumn("_bn", F.count(F.lit(1)).over(cap_w))
-            .where(F.col("_bn") <= block_cap)
-            .drop("_bn")
+
+    def solve(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        sh, sh_doc, n_docs = shingle_flat(pdf[text_col], k)
+        if sh.size == 0:
+            return empty
+        sizes_row = np.bincount(sh_doc, minlength=n_docs)
+        if block_cap is not None and int((sizes_row > 0).sum()) > block_cap:
+            return empty  # overfull block dropped whole (documented recall trade)
+        # sort-factorize ids so code order == id order (any id dtype)
+        codes, uniq = pd.factorize(pdf[id_col], sort=True)
+        d = codes[sh_doc]
+        sizes = np.zeros(len(uniq), dtype=np.int64)
+        sizes[codes] = sizes_row
+        # postings: shingle-major, id-code-minor → within a group the
+        # doc codes are strictly increasing (per-doc shingles distinct),
+        # so every generated pair has id_a < id_b by construction
+        order = np.lexsort((d, sh))
+        s, d = sh[order], d[order]
+        npos = s.size
+        newg = np.ones(npos, dtype=bool)
+        newg[1:] = s[1:] != s[:-1]
+        starts = np.nonzero(newg)[0]
+        grp = np.cumsum(newg) - 1
+        kpos = np.arange(npos, dtype=np.int64) - starts[grp]
+        # each position pairs with the k earlier positions of its group;
+        # chunked so a pathological hot-shingle block stays bounded
+        n = len(uniq)
+        key_parts, cnt_parts = [], []
+        cum = np.concatenate(([0], np.cumsum(kpos)))
+        lo = 0
+        while lo < npos:
+            hi = int(
+                np.searchsorted(cum, cum[lo] + _FUSED_PAIRS_PER_CHUNK, side="right")
+            ) - 1
+            hi = max(hi, lo + 1)
+            kc = kpos[lo:hi]
+            pc = int(cum[hi] - cum[lo])
+            if pc > 0:
+                before = np.concatenate(([0], np.cumsum(kc)[:-1]))
+                a_off = np.arange(pc, dtype=np.int64) - np.repeat(before, kc)
+                a_pos = np.repeat(np.arange(lo, hi, dtype=np.int64) - kc, kc) + a_off
+                b_pos = np.repeat(np.arange(lo, hi, dtype=np.int64), kc)
+                ku, kc2 = np.unique(d[a_pos] * n + d[b_pos], return_counts=True)
+                key_parts.append(ku)
+                cnt_parts.append(kc2)
+            lo = hi
+        if not key_parts:
+            return empty
+        keys = np.concatenate(key_parts)
+        cnts = np.concatenate(cnt_parts)
+        ku, inv = np.unique(keys, return_inverse=True)
+        inter = np.zeros(ku.size, dtype=np.int64)
+        np.add.at(inter, inv, cnts)
+        da, db = ku // n, ku % n
+        jac = inter / (sizes[da] + sizes[db] - inter)
+        keep = jac >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": np.asarray(uniq)[da[keep]],
+                "id_b": np.asarray(uniq)[db[keep]],
+                "jaccard": jac[keep],
+            }
         )
-        b = (
-            b.withColumn("_bn", F.count(F.lit(1)).over(cap_w))
-            .where(F.col("_bn") <= block_cap)
-            .drop("_bn")
-        )
-    ratio_ok = (
-        F.size("_sh_a") >= F.lit(threshold) * F.size("_sh_b")
-    ) & (F.size("_sh_b") >= F.lit(threshold) * F.size("_sh_a"))
-    pairs = (
-        a.join(b, block_cols)
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(ratio_ok)
-    )
+
     return (
-        _with_jaccard(pairs, "_sh_a", "_sh_b")
-        .select("id_a", "id_b", "jaccard")
-        .where(F.col("jaccard") >= threshold)
+        df.select(id_col, text_col, *block_cols)
+        .groupBy(*block_cols)
+        .applyInPandas(solve, out_schema)
     )
 
 
