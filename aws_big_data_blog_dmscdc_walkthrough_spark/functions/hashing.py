@@ -348,39 +348,47 @@ def minhash_signature_pandas():
     return udf
 
 
-def simhash_pandas():
-    """pandas_udf: text → 60-bit SimHash (two 30-bit halves).
+def simhash_flat(texts) -> np.ndarray:
+    """Vectorized 60-bit SimHash per text (two 30-bit halves).
 
     Identical semantics to the explode + SUM(CASE) formulation: per-token
     ±1 votes on each bit of two char poly-hashes, bit set iff vote sum is
-    strictly positive — but computed map-side (a chunk-wide bit matrix
-    + segmented vote sums), removing the token-explode shuffle entirely.
-    """
+    strictly positive — computed as a chunk-wide bit matrix + segmented
+    vote sums. Shared core of :func:`simhash_pandas` and the fused
+    small-input pair solver in operators/dedup.py, so the two callers
+    cannot drift."""
     bits = np.arange(SIMHASH_HALF_BITS, dtype=np.int64)
     weights = np.int64(1) << bits
 
     def _votes(h: np.ndarray, offs: np.ndarray) -> np.ndarray:
         return np.add.reduceat(2 * ((h[:, None] >> bits) & 1) - 1, offs, axis=0)
 
+    flat, counts = _batch_tokens(texts)
+    h1, h2 = _poly_fold_tokens(
+        flat, [(POLY_MUL1, POLY_MOD1), (POLY_MUL2, POLY_MOD2)]
+    )
+    out = np.zeros(len(counts), dtype=np.int64)
+    ne_idx = np.nonzero(counts > 0)[0]
+    ne_counts = counts[ne_idx]
+    tok_ends = np.cumsum(ne_counts)
+    for lo, hi in _doc_chunks(ne_counts, _MAX_ITEMS_PER_STEP // SIMHASH_HALF_BITS):
+        t0 = int(tok_ends[lo - 1]) if lo else 0
+        t1 = int(tok_ends[hi - 1])
+        offs = _segment_offsets(ne_counts[lo:hi])
+        v1 = _votes(h1[t0:t1], offs)
+        v2 = _votes(h2[t0:t1], offs)
+        lo_bits = ((v1 > 0) * weights).sum(axis=1)
+        hi_bits = ((v2 > 0) * weights).sum(axis=1)
+        out[ne_idx[lo:hi]] = hi_bits * (np.int64(1) << SIMHASH_HALF_BITS) + lo_bits
+    return out
+
+
+def simhash_pandas():
+    """pandas_udf: text → 60-bit SimHash (:func:`simhash_flat` per batch),
+    removing the token-explode shuffle entirely."""
+
     @F.pandas_udf(LongType())
     def udf(texts: pd.Series) -> pd.Series:
-        flat, counts = _batch_tokens(texts)
-        h1, h2 = _poly_fold_tokens(
-            flat, [(POLY_MUL1, POLY_MOD1), (POLY_MUL2, POLY_MOD2)]
-        )
-        out = np.zeros(len(counts), dtype=np.int64)
-        ne_idx = np.nonzero(counts > 0)[0]
-        ne_counts = counts[ne_idx]
-        tok_ends = np.cumsum(ne_counts)
-        for lo, hi in _doc_chunks(ne_counts, _MAX_ITEMS_PER_STEP // SIMHASH_HALF_BITS):
-            t0 = int(tok_ends[lo - 1]) if lo else 0
-            t1 = int(tok_ends[hi - 1])
-            offs = _segment_offsets(ne_counts[lo:hi])
-            v1 = _votes(h1[t0:t1], offs)
-            v2 = _votes(h2[t0:t1], offs)
-            lo_bits = ((v1 > 0) * weights).sum(axis=1)
-            hi_bits = ((v2 > 0) * weights).sum(axis=1)
-            out[ne_idx[lo:hi]] = hi_bits * (np.int64(1) << SIMHASH_HALF_BITS) + lo_bits
-        return pd.Series(out)
+        return pd.Series(simhash_flat(texts))
 
     return udf

@@ -532,6 +532,62 @@ def ngram_jaccard_pairs(
 _FUSED_PAIRS_PER_CHUNK = 8 * 1024 * 1024
 
 
+def _posting_pair_counts(sh, d, n):
+    """Exact |A∩B| for every doc-code pair sharing ≥1 posting.
+
+    ``sh``/``d`` are parallel posting arrays (shingle hash, doc code),
+    ``n`` the doc-code count. Sorts postings shingle-major /
+    code-minor — within one shingle's group every doc appears once
+    (per-doc shingle sets are distinct) and codes strictly increase, so
+    every generated pair satisfies ``code_a < code_b`` by construction;
+    the per-pair hit count across groups IS the intersection size.
+    Pair materialization is chunked at ``_FUSED_PAIRS_PER_CHUNK`` rows
+    so one pathological hot posting stays memory-bounded. Returns
+    ``(da, db, inter)`` (int64 arrays) or None when no pair shares a
+    posting. Shared by the fused small-input n-gram and MinHash-LSH
+    solvers — the hash chain feeding ``sh`` must already be the
+    bit-identical :func:`shingle_flat` output.
+    """
+    import numpy as np
+
+    order = np.lexsort((d, sh))
+    s, d = sh[order], d[order]
+    npos = s.size
+    newg = np.ones(npos, dtype=bool)
+    newg[1:] = s[1:] != s[:-1]
+    starts = np.nonzero(newg)[0]
+    grp = np.cumsum(newg) - 1
+    kpos = np.arange(npos, dtype=np.int64) - starts[grp]
+    # each position pairs with the k earlier positions of its group
+    key_parts, cnt_parts = [], []
+    cum = np.concatenate(([0], np.cumsum(kpos)))
+    lo = 0
+    while lo < npos:
+        hi = int(
+            np.searchsorted(cum, cum[lo] + _FUSED_PAIRS_PER_CHUNK, side="right")
+        ) - 1
+        hi = max(hi, lo + 1)
+        kc = kpos[lo:hi]
+        pc = int(cum[hi] - cum[lo])
+        if pc > 0:
+            before = np.concatenate(([0], np.cumsum(kc)[:-1]))
+            a_off = np.arange(pc, dtype=np.int64) - np.repeat(before, kc)
+            a_pos = np.repeat(np.arange(lo, hi, dtype=np.int64) - kc, kc) + a_off
+            b_pos = np.repeat(np.arange(lo, hi, dtype=np.int64), kc)
+            ku, kc2 = np.unique(d[a_pos] * n + d[b_pos], return_counts=True)
+            key_parts.append(ku)
+            cnt_parts.append(kc2)
+        lo = hi
+    if not key_parts:
+        return None
+    keys = np.concatenate(key_parts)
+    cnts = np.concatenate(cnt_parts)
+    ku, inv = np.unique(keys, return_inverse=True)
+    inter = np.zeros(ku.size, dtype=np.int64)
+    np.add.at(inter, inv, cnts)
+    return ku // n, ku % n, inter
+
+
 def _ngram_pairs_direct(
     df: DataFrame,
     id_col: str,
@@ -594,47 +650,10 @@ def _ngram_pairs_direct(
         d = codes[sh_doc]
         sizes = np.zeros(len(uniq), dtype=np.int64)
         sizes[codes] = sizes_row
-        # postings: shingle-major, id-code-minor → within a group the
-        # doc codes are strictly increasing (per-doc shingles distinct),
-        # so every generated pair has id_a < id_b by construction
-        order = np.lexsort((d, sh))
-        s, d = sh[order], d[order]
-        npos = s.size
-        newg = np.ones(npos, dtype=bool)
-        newg[1:] = s[1:] != s[:-1]
-        starts = np.nonzero(newg)[0]
-        grp = np.cumsum(newg) - 1
-        kpos = np.arange(npos, dtype=np.int64) - starts[grp]
-        # each position pairs with the k earlier positions of its group;
-        # chunked so a pathological hot-shingle block stays bounded
-        n = len(uniq)
-        key_parts, cnt_parts = [], []
-        cum = np.concatenate(([0], np.cumsum(kpos)))
-        lo = 0
-        while lo < npos:
-            hi = int(
-                np.searchsorted(cum, cum[lo] + _FUSED_PAIRS_PER_CHUNK, side="right")
-            ) - 1
-            hi = max(hi, lo + 1)
-            kc = kpos[lo:hi]
-            pc = int(cum[hi] - cum[lo])
-            if pc > 0:
-                before = np.concatenate(([0], np.cumsum(kc)[:-1]))
-                a_off = np.arange(pc, dtype=np.int64) - np.repeat(before, kc)
-                a_pos = np.repeat(np.arange(lo, hi, dtype=np.int64) - kc, kc) + a_off
-                b_pos = np.repeat(np.arange(lo, hi, dtype=np.int64), kc)
-                ku, kc2 = np.unique(d[a_pos] * n + d[b_pos], return_counts=True)
-                key_parts.append(ku)
-                cnt_parts.append(kc2)
-            lo = hi
-        if not key_parts:
+        pc = _posting_pair_counts(sh, d, len(uniq))
+        if pc is None:
             return empty
-        keys = np.concatenate(key_parts)
-        cnts = np.concatenate(cnt_parts)
-        ku, inv = np.unique(keys, return_inverse=True)
-        inter = np.zeros(ku.size, dtype=np.int64)
-        np.add.at(inter, inv, cnts)
-        da, db = ku // n, ku % n
+        da, db, inter = pc
         jac = inter / (sizes[da] + sizes[db] - inter)
         keep = jac >= threshold
         return pd.DataFrame(
@@ -649,6 +668,298 @@ def _ngram_pairs_direct(
         df.select(id_col, text_col, *block_cols)
         .groupBy(*block_cols)
         .applyInPandas(solve, out_schema)
+    )
+
+
+def _minhash_pairs_direct(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    rows_per_band: int,
+    new_pred=None,
+) -> DataFrame:
+    """Small-input fused MinHash-LSH: scan + solve in ONE task, one job.
+
+    The size gates in :func:`minhash_lsh_pairs` /
+    :func:`split_minhash_pairs` are the only callers (``bucket_cap is
+    None`` and ``threshold > 0`` required), so the whole input fits one
+    task by construction. The distributed shape pays ~8 fixed-overhead
+    steps at that scale (spread exchange, two ArrowEvalPython nodes,
+    banded-key explode + persist + materialize job, band self-join,
+    distinct, two verify joins, ``array_intersect``); here one
+    ``coalesce(1).mapInPandas`` computes the identical output in numpy:
+
+    - shingles via the shared :func:`shingle_flat` (bit-identical hash
+      chain to ``shingle_hashes_pandas`` feeding the distributed path);
+    - signatures as the same ``(a·x + b) mod P`` segmented minima the
+      ``minhash_signature_pandas`` UDF computes, doc-chunked by the
+      same ``_MAX_ITEMS_PER_STEP`` bound;
+    - exact |A∩B| from :func:`_posting_pair_counts` for pairs sharing
+      ≥1 shingle, then ``jaccard = inter/(|A|+|B|−inter)`` as the same
+      float64 division;
+    - the LSH candidate predicate as a vectorized per-pair band test
+      (∃ band j: all ``rows_per_band`` signature rows equal) — exactly
+      what equality of the distributed ``j:m1:m2`` band-key strings
+      encodes, with no bucket pair materialization at all.
+
+    Exactness of the composition: every emitted pair must pass the
+    threshold, and with ``threshold > 0`` any passing pair shares ≥1
+    shingle — so testing band membership on the posting-count pairs
+    loses nothing (a band candidate sharing zero shingles has jaccard
+    0 and is dropped by both plans). Docs with zero shingles generate
+    no postings, mirroring the distributed ``size(_sh) > 0`` filter.
+
+    ``new_pred`` (split form): keep only cross-split pairs, oriented
+    (new_id, corpus_id) — the exact pair set of the banded
+    new-side-probe join.
+    """
+    from pyspark.sql.types import BooleanType, DoubleType, StructField, StructType
+
+    from ..functions.hashing import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        NUM_MINHASH as _K,
+        _doc_chunks,
+        _segment_offsets,
+        shingle_flat,
+    )
+
+    id_type = df.schema[id_col].dataType
+    split = new_pred is not None
+    out_names = ("new_id", "corpus_id") if split else ("id_a", "id_b")
+    out_schema = StructType(
+        [
+            StructField(out_names[0], id_type),
+            StructField(out_names[1], id_type),
+            StructField("jaccard", DoubleType()),
+        ]
+    )
+    cols = [F.col(id_col), F.col(text_col)]
+    if split:
+        cols.append(new_pred(F.col(id_col)).cast(BooleanType()).alias("_new"))
+
+    def solve_iter(batches):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {out_names[0]: [], out_names[1]: [], "jaccard": []}
+        )
+        pdfs = list(batches)
+        if not pdfs:
+            yield empty
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        sh, sh_doc, n_docs = shingle_flat(pdf[text_col], 3)
+        if sh.size == 0:
+            yield empty
+            return
+        codes, uniq = pd.factorize(pdf[id_col], sort=True)
+        n = len(uniq)
+        d = codes[sh_doc]
+        sizes = np.zeros(n, dtype=np.int64)
+        sizes[codes] = np.bincount(sh_doc, minlength=n_docs)
+        # per-doc signatures: postings doc-major, segmented min per doc,
+        # chunked like minhash_signature_pandas (same arithmetic)
+        a_vec = np.asarray(MINHASH_A, dtype=np.int64)[:, None]
+        b_vec = np.asarray(MINHASH_B, dtype=np.int64)[:, None]
+        dorder = np.argsort(d, kind="stable")
+        ds, ss = d[dorder], sh[dorder]
+        ne_docs = np.unique(ds)
+        ne_counts = sizes[ne_docs]
+        sig = np.zeros((_K, n), dtype=np.int64)
+        base = 0
+        for lo, hi in _doc_chunks(ne_counts, 1 << 20):
+            cnts = ne_counts[lo:hi]
+            span = int(cnts.sum())
+            flat = ss[base : base + span]
+            mins = np.minimum.reduceat(
+                (a_vec * flat + b_vec) % MINHASH_P, _segment_offsets(cnts), axis=1
+            )
+            sig[:, ne_docs[lo:hi]] = mins
+            base += span
+        pc = _posting_pair_counts(sh, d, n)
+        if pc is None:
+            yield empty
+            return
+        da, db, inter = pc
+        # band candidate test: ∃ band with all rows_per_band rows equal
+        cand = np.zeros(da.size, dtype=bool)
+        for j0 in range(0, _K - rows_per_band + 1, rows_per_band):
+            band_eq = np.ones(da.size, dtype=bool)
+            for r in range(j0, j0 + rows_per_band):
+                band_eq &= sig[r, da] == sig[r, db]
+            cand |= band_eq
+        jac = inter / (sizes[da] + sizes[db] - inter)
+        keep = cand & (jac >= threshold)
+        da, db, jac = da[keep], db[keep], jac[keep]
+        ids = np.asarray(uniq)
+        if split:
+            new_by_code = np.zeros(n, dtype=bool)
+            new_by_code[codes] = pdf["_new"].to_numpy(dtype=bool)
+            cross = new_by_code[da] != new_by_code[db]
+            da, db, jac = da[cross], db[cross], jac[cross]
+            a_new = new_by_code[da]
+            out_a = np.where(a_new, da, db)
+            out_b = np.where(a_new, db, da)
+            yield pd.DataFrame(
+                {
+                    out_names[0]: ids[out_a],
+                    out_names[1]: ids[out_b],
+                    "jaccard": jac,
+                }
+            )
+            return
+        yield pd.DataFrame(
+            {out_names[0]: ids[da], out_names[1]: ids[db], "jaccard": jac}
+        )
+
+    return df.select(*cols).coalesce(1).mapInPandas(solve_iter, out_schema)
+
+
+def _small_scan(df: DataFrame) -> bool:
+    """The shared small-input test behind every fused direct plan: the
+    same byte threshold as :func:`spread`, decided BEFORE any derived
+    frame is built. Unknown-size frames follow the
+    :func:`ngram_jaccard_pairs` convention — createDataFrame fixtures
+    (no input files) are small, a file scan without local sizes (object
+    store) is presumed large."""
+    total = scan_bytes(df)
+    if total is not None:
+        return total < SPREAD_MIN_INPUT_BYTES
+    try:
+        return not df.inputFiles()
+    except Exception:
+        return True
+
+
+def _minhash_direct_eligible(
+    df: DataFrame, threshold: float, bucket_cap: int | None
+) -> bool:
+    """Size gate for the fused MinHash plan. ``bucket_cap`` callers keep
+    the distributed plan (the cap's lossy recall set is defined on band
+    buckets there); ``threshold <= 0`` would break the shares-a-shingle
+    composition argument, so it also falls through."""
+    if bucket_cap is not None or threshold <= 0:
+        return False
+    return _small_scan(df)
+
+
+# byte-wise popcount LUT (numpy<2 has no bitwise_count); int64 views as
+# 8 bytes, so popcount(x) = LUT[bytes-of-x].sum per value
+_POPCNT8 = None
+
+
+def _popcount64(arr):
+    import numpy as np
+
+    global _POPCNT8
+    if _POPCNT8 is None:
+        _POPCNT8 = np.array(
+            [bin(i).count("1") for i in range(256)], dtype=np.int64
+        )
+    return _POPCNT8[arr.view(np.uint8).reshape(arr.size, 8)].sum(axis=1)
+
+
+def _simhash_pairs_direct(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int
+) -> DataFrame:
+    """Small-input fused SimHash: scan + solve in ONE task, one job.
+
+    The size gate in :func:`simhash_pairs` is the only caller
+    (``bucket_cap is None`` required), so the input fits one task by
+    construction. Replaces the distributed signature persist +
+    composite-key explode + self-join + distinct (spread exchange, an
+    ArrowEvalPython node, a materialize job, the join and the pair
+    shuffle) with one ``coalesce(1).mapInPandas``:
+
+    - signatures via the shared :func:`simhash_flat` core (the same
+      arithmetic ``simhash_pandas`` wraps — callers cannot drift);
+    - the Manku composite keys as the same packed integers the
+      distributed ``combo_key`` builds (combo id folded with the chunk
+      values, so equality ⇔ same combo AND same 30 selected bits);
+    - candidate pairs from :func:`_posting_pair_counts` over the
+      (key, doc) postings — per doc the 20 keys are distinct (the combo
+      id is folded in), so the helper's uniqueness precondition holds
+      and its deduped pair set IS the join+distinct's candidate set;
+    - the Hamming filter as a byte-LUT popcount of the signature XOR —
+      the same integer ``bit_count`` computes.
+
+    Docs with empty token lists keep their all-zero signature and pair
+    with each other, exactly as the distributed plan's unfiltered
+    signature frame does.
+    """
+    from itertools import combinations
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from ..functions.hashing import (
+        SIMHASH_BAND_BITS,
+        SIMHASH_BAND_CHUNKS,
+        SIMHASH_BAND_SUBSET,
+        simhash_flat,
+    )
+
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField("hamming", IntegerType()),
+        ]
+    )
+    combos = list(
+        combinations(range(SIMHASH_BAND_CHUNKS), SIMHASH_BAND_SUBSET)
+    )
+
+    def solve_iter(batches):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        pdfs = list(batches)
+        if not pdfs:
+            yield empty
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        if not len(pdf):
+            yield empty
+            return
+        sigs_row = simhash_flat(pdf[text_col])
+        codes, uniq = pd.factorize(pdf[id_col], sort=True)
+        n = len(uniq)
+        sig = np.zeros(n, dtype=np.int64)
+        sig[codes] = sigs_row
+        mask = np.int64((1 << SIMHASH_BAND_BITS) - 1)
+        keys = np.empty((len(combos), n), dtype=np.int64)
+        for i, combo in enumerate(combos):
+            key = np.full(n, i, dtype=np.int64)
+            for j in combo:
+                key = (key << SIMHASH_BAND_BITS) | (
+                    (sig >> (j * SIMHASH_BAND_BITS)) & mask
+                )
+            keys[i] = key
+        d = np.tile(np.arange(n, dtype=np.int64), len(combos))
+        pc = _posting_pair_counts(keys.ravel(), d, n)
+        if pc is None:
+            yield empty
+            return
+        da, db, _cnt = pc
+        ham = _popcount64(sig[da] ^ sig[db])
+        keep = ham <= max_hamming
+        ids = np.asarray(uniq)
+        yield pd.DataFrame(
+            {
+                "id_a": ids[da[keep]],
+                "id_b": ids[db[keep]],
+                "hamming": ham[keep].astype(np.int32),
+            }
+        )
+
+    return (
+        df.select(id_col, text_col).coalesce(1).mapInPandas(solve_iter, out_schema)
     )
 
 
@@ -704,6 +1015,13 @@ def minhash_lsh_pairs(
     skew-join split, which collect_list never does.
     """
     from pyspark import StorageLevel
+
+    # Small-input fused plan (round 14): one task computes signatures,
+    # band candidates and exact Jaccard in numpy — the distributed
+    # pipeline below is pure fixed overhead at that scale. Output
+    # identical (see _minhash_pairs_direct's exactness notes).
+    if _minhash_direct_eligible(df, threshold, bucket_cap):
+        return _minhash_pairs_direct(df, id_col, text_col, threshold, rows_per_band)
 
     bands = NUM_MINHASH // rows_per_band
     # persist: the shingle arrays feed band generation AND two verify-join
@@ -881,6 +1199,13 @@ def split_minhash_pairs(
     with ``docs.where(pred)`` / ``docs.where(~pred)``: the signature
     UDFs are row-wise, so splitting before or after signing computes
     the same values (pinned in tests/test_dedup.py)."""
+    # Small-input fused plan (round 14): same gate as minhash_lsh_pairs;
+    # the solver keeps only cross-split pairs oriented (new, corpus) —
+    # exactly the banded new-side-probe join's pair set.
+    if _minhash_direct_eligible(docs, threshold, bucket_cap):
+        return _minhash_pairs_direct(
+            docs, id_col, text_col, threshold, rows_per_band, new_pred=new_pred
+        )
     sh_all = _prepared_shingles(docs, id_col, text_col)
     pred = new_pred(F.col("_id"))
     return _match_banded(
@@ -1013,6 +1338,18 @@ def decontaminate(
     groupBy on the doc id. At 100 TB the corpus is never shuffled on the
     join key; only (id, matched-hash) survivors shuffle into the count.
     """
+    # Small-input fused plan (round 14): both sides fit one task, so a
+    # single mapInPandas over the tagged union computes the identical
+    # report in numpy — shared shingle_flat hash chain, eval set as a
+    # sorted unique array, per-row distinct-overlap via membership +
+    # bincount by id code (exactly the join + groupBy count: per-row
+    # shingles are distinct, so matched rows per (row, hash) = the
+    # intersection size, summed per id). Replaces two ArrowEvalPython
+    # nodes, the explodes, the broadcast build and the count shuffle.
+    if _small_scan(docs) and _small_scan(eval_docs):
+        return _decontaminate_direct(
+            docs, eval_docs, id_col, text_col, eval_text_col, k, min_overlap
+        )
     ev = (
         shingle_frame(eval_docs, id_col, eval_text_col or text_col, k=k)
         .select(F.explode("_sh").alias("_h"))
@@ -1027,6 +1364,82 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("overlap_ngrams"))
         .where(F.col("overlap_ngrams") >= min_overlap)
     )
+
+
+def _decontaminate_direct(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_text_col: str | None,
+    k: int,
+    min_overlap: int,
+) -> DataFrame:
+    """Small-input fused twin of :func:`decontaminate` (see the gate
+    comment there). The tagged union carries both frames into ONE task;
+    the eval flag separates them inside the solver."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..functions.hashing import shingle_flat
+
+    id_type = docs.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField(id_col, id_type),
+            StructField("overlap_ngrams", LongType()),
+        ]
+    )
+    tagged = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_txt"),
+        F.lit(False).alias("_ev"),
+    ).unionByName(
+        eval_docs.select(
+            F.col(id_col).alias("_id"),
+            F.col(eval_text_col or text_col).alias("_txt"),
+            F.lit(True).alias("_ev"),
+        )
+    )
+
+    def solve_iter(batches):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({id_col: [], "overlap_ngrams": []})
+        pdfs = list(batches)
+        if not pdfs:
+            yield empty
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        sh, sh_row, _n = shingle_flat(pdf["_txt"], k)
+        if sh.size == 0:
+            yield empty
+            return
+        ev_rows = pdf["_ev"].to_numpy(dtype=bool)
+        row_is_ev = ev_rows[sh_row]
+        ev_set = np.unique(sh[row_is_ev])
+        c_sh, c_row = sh[~row_is_ev], sh_row[~row_is_ev]
+        if ev_set.size == 0 or c_sh.size == 0:
+            yield empty
+            return
+        hit = c_row[np.isin(c_sh, ev_set)]
+        if hit.size == 0:
+            yield empty
+            return
+        # per-ID totals (not per row): duplicate ids merge like groupBy;
+        # only corpus-row hits index into the bincount, so eval twins of
+        # the same id contribute nothing (as in the distributed plan)
+        codes, uniq = pd.factorize(pdf["_id"], sort=False)
+        counts = np.bincount(codes[hit], minlength=len(uniq))
+        keep = counts >= max(min_overlap, 1)
+        yield pd.DataFrame(
+            {
+                id_col: np.asarray(uniq)[keep],
+                "overlap_ngrams": counts[keep].astype(np.int64),
+            }
+        )
+
+    return tagged.coalesce(1).mapInPandas(solve_iter, out_schema)
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -1123,6 +1536,12 @@ def simhash_pairs(
     from itertools import combinations
 
     from pyspark import StorageLevel
+
+    # Small-input fused plan (round 14): one task computes signatures,
+    # composite keys, candidate pairs and the Hamming filter in numpy —
+    # identical output (see _simhash_pairs_direct's exactness notes).
+    if bucket_cap is None and _small_scan(df):
+        return _simhash_pairs_direct(df, id_col, text_col, max_hamming)
 
     sig = _materialize(
         _track(

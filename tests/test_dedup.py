@@ -286,6 +286,132 @@ def test_split_minhash_pairs_matches_two_frame_form(spark):
     assert want  # fixture actually produces cross-side near-dups
 
 
+def test_minhash_fused_and_distributed_paths_agree(spark):
+    """The small-input fused MinHash-LSH plan (one mapInPandas task)
+    and the distributed banded-join plan emit the same pairs with
+    bit-identical jaccard doubles — the fused band test and posting
+    intersection reproduce the banded self-join + array_intersect
+    exactly."""
+    import random
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import dedup as dd
+
+    rng = random.Random(14)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    for i in range(150):
+        base = rng.sample(vocab, 15)
+        rows.append((2 * i, " ".join(base)))
+        mut = list(base)
+        for _ in range(rng.randint(0, 5)):
+            mut[rng.randrange(len(mut))] = rng.choice(vocab)
+        rows.append((2 * i + 1, " ".join(mut)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(threshold):
+        dd.release_persisted()
+        return {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dd.minhash_lsh_pairs(
+                docs, "doc_id", "text", threshold=threshold
+            ).collect()
+        }
+
+    # bucket_cap / threshold<=0 callers must keep the distributed plan
+    # (the cap's recall set is defined on band buckets there; the fused
+    # composition argument needs threshold > 0). Checked BEFORE the
+    # forced-distributed run below: spread() stamps the (faked) scan
+    # size onto the fixture frame, which would poison the gate probe.
+    assert dd._minhash_direct_eligible(docs, 0.5, None)
+    assert not dd._minhash_direct_eligible(docs, 0.5, 500)
+    assert not dd._minhash_direct_eligible(docs, 0.0, None)
+
+    fused = run(0.3)  # fixture input -> small -> fused path
+    orig = dd._scan_sizes
+    dd._scan_sizes = lambda df: [10**9]  # force the distributed path
+    try:
+        dist = run(0.3)
+    finally:
+        dd._scan_sizes = orig
+    assert len(fused) > 30  # the corpus really is dense
+    assert fused == dist  # same pairs AND bit-identical doubles
+    dd.release_persisted()
+
+
+def test_decontaminate_fused_and_distributed_paths_agree(spark):
+    """The small-input fused decontamination plan (tagged union, one
+    mapInPandas task) and the distributed broadcast-join plan emit the
+    same (id, overlap) rows."""
+    from pyspark.sql import functions as F
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import dedup as dd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.where(F.col("doc_id") % 11 == 0)
+
+    def run():
+        dd.release_persisted()
+        return sorted(
+            (r.doc_id, r.overlap_ngrams)
+            for r in dd.decontaminate(
+                docs, ev, "doc_id", "text", k=5, min_overlap=2
+            ).collect()
+        )
+
+    fused = run()  # small scan -> fused path
+    orig = dd._scan_sizes
+    dd._scan_sizes = lambda df: [10**9]  # force the distributed path
+    try:
+        dist = run()
+    finally:
+        dd._scan_sizes = orig
+    assert fused and fused == dist
+    dd.release_persisted()
+
+
+def test_simhash_fused_and_distributed_paths_agree(spark):
+    """The small-input fused SimHash plan (one mapInPandas task) and
+    the distributed composite-key self-join emit the same pairs with
+    the same hamming integers — including empty-text docs, whose
+    all-zero signatures pair with each other on both paths."""
+    import random
+
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import dedup as dd
+
+    rng = random.Random(21)
+    vocab = [f"tok{i}" for i in range(80)]
+    rows = []
+    for i in range(120):
+        base = rng.sample(vocab, 25)
+        rows.append((2 * i, " ".join(base)))
+        mut = list(base)
+        if rng.random() < 0.7:
+            mut[rng.randrange(len(mut))] = rng.choice(vocab)
+        rows.append((2 * i + 1, " ".join(mut)))
+    rows.append((9001, ""))  # empty docs share signature 0
+    rows.append((9002, ""))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run():
+        dd.release_persisted()
+        return {
+            (r.id_a, r.id_b): r.hamming
+            for r in dd.simhash_pairs(docs, "doc_id", "text", 3).collect()
+        }
+
+    fused = run()  # fixture input -> small -> fused path
+    orig = dd._scan_sizes
+    dd._scan_sizes = lambda df: [10**9]  # force the distributed path
+    try:
+        dist = run()
+    finally:
+        dd._scan_sizes = orig
+    assert (9001, 9002) in fused  # the empty-doc pair really is there
+    assert len(fused) > 20
+    assert fused == dist
+    dd.release_persisted()
+
+
 def test_signature_store_banding_mismatch_raises(spark, tmp_path):
     """A probe built with a different rows_per_band than the store
     would silently join nothing — the recorded layout must make the
