@@ -532,7 +532,7 @@ def ngram_jaccard_pairs(
 _FUSED_PAIRS_PER_CHUNK = 8 * 1024 * 1024
 
 
-def _posting_pair_counts(sh, d, n):
+def _posting_pair_counts(sh, d, n, presorted: bool = False):
     """Exact |A∩B| for every doc-code pair sharing ≥1 posting.
 
     ``sh``/``d`` are parallel posting arrays (shingle hash, doc code),
@@ -550,8 +550,13 @@ def _posting_pair_counts(sh, d, n):
     """
     import numpy as np
 
-    order = np.lexsort((d, sh))
-    s, d = sh[order], d[order]
+    if presorted:
+        # caller guarantees posting-major / code-minor order already
+        # (e.g. arrays straight out of a packed-key np.unique)
+        s = sh
+    else:
+        order = np.lexsort((d, sh))
+        s, d = sh[order], d[order]
     npos = s.size
     newg = np.ones(npos, dtype=bool)
     newg[1:] = s[1:] != s[:-1]
@@ -580,11 +585,17 @@ def _posting_pair_counts(sh, d, n):
         lo = hi
     if not key_parts:
         return None
-    keys = np.concatenate(key_parts)
-    cnts = np.concatenate(cnt_parts)
-    ku, inv = np.unique(keys, return_inverse=True)
-    inter = np.zeros(ku.size, dtype=np.int64)
-    np.add.at(inter, inv, cnts)
+    if len(key_parts) == 1:
+        # single chunk (the common case): the in-chunk unique already
+        # produced sorted-unique keys with exact counts — the outer
+        # re-unique + scatter-add below would redo the same sort
+        ku, inter = key_parts[0], cnt_parts[0]
+    else:
+        keys = np.concatenate(key_parts)
+        cnts = np.concatenate(cnt_parts)
+        ku, inv = np.unique(keys, return_inverse=True)
+        inter = np.zeros(ku.size, dtype=np.int64)
+        np.add.at(inter, inv, cnts)
     return ku // n, ku % n, inter
 
 

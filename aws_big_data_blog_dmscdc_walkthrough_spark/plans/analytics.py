@@ -1185,6 +1185,36 @@ def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators import dedup as _dedup
 
+    # Whole-substrate local solve first (round 14): under the scan gate
+    # the pair counts, marginals, basket count AND the lift expression
+    # compute in numpy from one toPandas job — same integer counts,
+    # and lift = (pairs_d · n_d) / (na_d · nb_d) in the identical
+    # floating-point operation order, so every double is bit-equal.
+    loc = _copurchase_local(spark, sf_dir)
+    if loc is not None:
+        import numpy as np
+        import pandas as pd
+
+        keep = loc["w"] >= BASKET_MIN_SUPPORT
+        da, db, w = loc["da"][keep], loc["db"][keep], loc["w"][keep]
+        lift = (
+            w.astype(np.float64) * np.float64(loc["n_orders"])
+        ) / (
+            loc["marg"][da].astype(np.float64)
+            * loc["marg"][db].astype(np.float64)
+        )
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "part_a": loc["parts"][da],
+                    "part_b": loc["parts"][db],
+                    "pair_orders": w,
+                    "lift": lift,
+                }
+            ),
+            schema="part_a bigint, part_b bigint, pair_orders bigint, lift double",
+        )
+
     # The per-order sorted-array substrate (the #155/#157 builder's
     # shape): one order-keyed collect_set aggregation feeds the pair
     # fan-out, both marginals, and n_orders — replacing the round-13
@@ -2683,6 +2713,68 @@ def _copurchase_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Whole-substrate local solve gate (round 14): at or below this many
+# on-disk lineitem bytes, the ENTIRE co-purchase substrate — distinct
+# (order, part) membership, canonical pair counts, per-part marginals,
+# basket count — computes on the driver from ONE column-pruned toPandas
+# job. The distributed build costs an order-keyed exchange, a
+# collect_set aggregation, the pair explode and a pair-keyed exchange
+# per standalone graph query (~1.5 s of each query's wall at sf0.1)
+# for integer work that takes ~0.2 s in numpy at this size. 32 MiB of
+# parquet ≈ a few MB of (order, part) int64 pairs in memory — bounded
+# driver work by construction; bigger scans (sf1+, the 100 TB shape)
+# fall through to the distributed builder unchanged.
+COPURCHASE_LOCAL_SCAN_BYTES = 32 * 1024 * 1024
+
+
+def _copurchase_local(spark: SparkSession, sf_dir: str) -> dict | None:
+    """Driver-side co-purchase substrate, or None above the size gate.
+
+    Returns numpy arrays: sorted unique part keys (``parts``), the
+    UNFILTERED canonical pair codes/counts (``da``/``db``/``w`` — codes
+    index ``parts``, ``da < db`` by part order, consumers apply their
+    own min-support), per-part distinct-basket counts (``marg``), and
+    the basket count (``n_orders``). Pair counting reuses
+    :func:`~..operators.dedup._posting_pair_counts` over the distinct
+    (order, part-code) postings — the same chunked kernel the fused
+    dedup solvers share — so the pair multiset is exactly the
+    distributed builder's (distinct membership, all within-order
+    combinations, counted across orders)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.dedup import _posting_pair_counts, scan_bytes
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    total = scan_bytes(li)
+    if total is None or total >= COPURCHASE_LOCAL_SCAN_BYTES:
+        return None
+    pdf = li.toPandas()
+    empty = np.empty(0, dtype=np.int64)
+    if not len(pdf):
+        return {
+            "parts": empty, "da": empty, "db": empty, "w": empty,
+            "marg": empty, "n_orders": 0,
+        }
+    pk_codes, parts = pd.factorize(pdf["l_partkey"], sort=True)
+    ok = pdf["l_orderkey"].to_numpy(dtype=np.int64)
+    npart = len(parts)
+    # distinct (order, part) membership via one packed-key unique; for
+    # equal orders the part codes come out ascending — the sorted
+    # collect_set array order the distributed builder explodes
+    uk = np.unique(ok * np.int64(npart) + pk_codes)
+    o, pc = uk // npart, uk % npart
+    marg = np.bincount(pc, minlength=npart)
+    # uk is sorted, so (o, pc) is already posting-major / code-minor
+    ppc = _posting_pair_counts(o, pc, npart, presorted=True)
+    da, db, w = ppc if ppc is not None else (empty, empty, empty)
+    return {
+        "parts": np.asarray(parts, dtype=np.int64),
+        "da": da, "db": db, "w": w, "marg": marg,
+        "n_orders": int(np.unique(o).size),
+    }
+
+
 def _copurchase_edges(
     spark: SparkSession,
     sf_dir: str,
@@ -3195,6 +3287,49 @@ WHERE m >= {ANOMALY_MIN_BASELINE} AND m * q - s * s > 0
 NEIGHBOR_TOP_K = 5
 
 
+def _local_neighbors_pdf(loc: dict, min_support: int, top_k: int):
+    """Driver-side twin of the #160 cosine/top-k tail over the local
+    co-purchase substrate. Same arithmetic in the same order: cosine =
+    w_double / sqrt(c_a_double · c_b_double) (one exactly-rounded
+    multiply, divide, sqrt — bit-identical to the distributed
+    expression), rank = row_number over (cosine DESC, neighbor ASC)
+    per anchor — realized as one stable lexsort + per-group cumcount,
+    the same deterministic total order."""
+    import numpy as np
+    import pandas as pd
+
+    keep = loc["w"] >= min_support
+    da, db, w = loc["da"][keep], loc["db"][keep], loc["w"][keep]
+    ap = np.concatenate([da, db])
+    bp = np.concatenate([db, da])
+    w2 = np.concatenate([w, w])
+    cf = w2.astype(np.float64) / np.sqrt(
+        loc["marg"][ap].astype(np.float64) * loc["marg"][bp].astype(np.float64)
+    )
+    parts = loc["parts"]
+    # anchor ASC, cosine DESC, neighbor ASC — negating a float is exact,
+    # so -cf sorts by cosine DESC with identical tie classes
+    order = np.lexsort((parts[bp], -cf, parts[ap]))
+    ap, bp, w2, cf = ap[order], bp[order], w2[order], cf[order]
+    anchor = parts[ap]
+    newg = np.ones(anchor.size, dtype=bool)
+    newg[1:] = anchor[1:] != anchor[:-1]
+    starts = np.nonzero(newg)[0]
+    rk = np.arange(anchor.size, dtype=np.int64) - np.repeat(
+        starts, np.diff(np.concatenate([starts, [anchor.size]]))
+    ) + 1
+    kkeep = rk <= top_k
+    return pd.DataFrame(
+        {
+            "p_partkey": anchor[kkeep],
+            "neighbor_partkey": parts[bp[kkeep]],
+            "n_baskets": w2[kkeep],
+            "cosine": cf[kkeep],
+            "rank": rk[kkeep].astype(np.int32),
+        }
+    )
+
+
 def q_part_neighbors(
     spark: SparkSession,
     sf_dir: str,
@@ -3218,6 +3353,20 @@ def q_part_neighbors(
     """
     from ..operators.dedup import _materialize, _track
 
+    if baskets is None and canon is None:
+        # whole-substrate local solve first (round 14): under the scan
+        # gate the entire query — pairs, marginals, cosine, per-anchor
+        # top-k — computes in numpy from one toPandas job, replacing
+        # the basket/edge persists, two marginal joins and the window
+        loc = _copurchase_local(spark, sf_dir)
+        if loc is not None:
+            return spark.createDataFrame(
+                _local_neighbors_pdf(loc, TRIANGLE_MIN_BASKETS, NEIGHBOR_TOP_K),
+                schema=(
+                    "p_partkey bigint, neighbor_partkey bigint, "
+                    "n_baskets bigint, cosine double, rank int"
+                ),
+            )
     if baskets is None:
         # persisted ONCE, reused by the edge builder's pair fan-out AND
         # the per-part marginals below — standalone used to run the

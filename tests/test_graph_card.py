@@ -72,9 +72,16 @@ def test_neighbors_standalone_scans_baskets_once(spark):
     twice — once inside the edge builder, once for the marginals. The
     shared persisted baskets frame makes the optimized plan reference
     one InMemoryRelation for both, with no second distinct aggregate
-    over a raw lineitem scan."""
+    over a raw lineitem scan. (Round 14 added a fully-local plan below
+    the scan gate — forced off here; the distributed shape this test
+    pins is the one that runs at scale.)"""
     release_persisted()
-    df = analytics.q_part_neighbors(spark, SF)
+    saved = analytics.COPURCHASE_LOCAL_SCAN_BYTES
+    analytics.COPURCHASE_LOCAL_SCAN_BYTES = 0
+    try:
+        df = analytics.q_part_neighbors(spark, SF)
+    finally:
+        analytics.COPURCHASE_LOCAL_SCAN_BYTES = saved
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "InMemoryRelation" in plan
     # the raw scan appears only below the cached substrate, never as a
@@ -127,3 +134,23 @@ def test_assortativity_local_solve_identical_to_distributed(spark):
         G.KCORE_LOCAL_SOLVE_EDGES = saved
     release_persisted()
     assert local == dist
+
+
+def test_local_copurchase_substrate_matches_distributed(spark):
+    """The driver-side co-purchase substrate (one toPandas + the shared
+    posting-pair kernel) must be row-identical — pairs, marginal-fed
+    cosines, lifts, ranks — to the distributed basket/edge build it
+    replaces under the scan gate for #160 neighbors and #120 affinity."""
+    for fn in (analytics.q_part_neighbors, analytics.q_basket_affinity):
+        release_persisted()
+        local = _rows(fn(spark, SF))
+        saved = analytics.COPURCHASE_LOCAL_SCAN_BYTES
+        analytics.COPURCHASE_LOCAL_SCAN_BYTES = 0  # force distributed
+        try:
+            release_persisted()
+            dist = _rows(fn(spark, SF))
+        finally:
+            analytics.COPURCHASE_LOCAL_SCAN_BYTES = saved
+        release_persisted()
+        assert local, fn.__name__  # fixture produces rows
+        assert local == dist, fn.__name__
