@@ -682,6 +682,78 @@ def _ngram_pairs_direct(
     )
 
 
+def _containment_pairs_direct(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    threshold: float,
+    k: int,
+    block_cap: int | None,
+) -> DataFrame:
+    """Small-input fused twin of :func:`ngram_containment_pairs`: one
+    grouped Arrow stage per block (the :func:`_ngram_pairs_direct`
+    shape), emitting BOTH directions of every co-shingled pair with
+    ``containment = inter_double / size_double`` — the identical
+    division the distributed projection computes. ``block_cap`` keeps
+    the direct-path meaning (overfull block dropped whole)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from ..functions.hashing import shingle_flat
+
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("id_inner", id_type),
+            StructField("id_outer", id_type),
+            StructField("containment", DoubleType()),
+        ]
+    )
+
+    def solve(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"id_inner": [], "id_outer": [], "containment": []}
+        )
+        sh, sh_doc, n_docs = shingle_flat(pdf[text_col], k)
+        if sh.size == 0:
+            return empty
+        sizes_row = np.bincount(sh_doc, minlength=n_docs)
+        if block_cap is not None and int((sizes_row > 0).sum()) > block_cap:
+            return empty  # overfull block dropped whole
+        codes, uniq = pd.factorize(pdf[id_col], sort=True)
+        d = codes[sh_doc]
+        n = len(uniq)
+        sizes = np.zeros(n, dtype=np.int64)
+        sizes[codes] = sizes_row
+        pc = _posting_pair_counts(sh, d, n)
+        if pc is None:
+            return empty
+        da, db, inter = pc
+        ids = np.asarray(uniq)
+        inner = np.concatenate([da, db])
+        outer = np.concatenate([db, da])
+        cont = np.concatenate([inter, inter]).astype(np.float64) / sizes[
+            inner
+        ].astype(np.float64)
+        keep = cont >= threshold
+        return pd.DataFrame(
+            {
+                "id_inner": ids[inner[keep]],
+                "id_outer": ids[outer[keep]],
+                "containment": cont[keep],
+            }
+        )
+
+    return (
+        df.select(id_col, text_col, *block_cols)
+        .groupBy(*block_cols)
+        .applyInPandas(solve, out_schema)
+    )
+
+
 def _minhash_pairs_direct(
     df: DataFrame,
     id_col: str,
@@ -689,6 +761,7 @@ def _minhash_pairs_direct(
     threshold: float,
     rows_per_band: int,
     new_pred=None,
+    source_matrix_col: str | None = None,
 ) -> DataFrame:
     """Small-input fused MinHash-LSH: scan + solve in ONE task, one job.
 
@@ -724,8 +797,21 @@ def _minhash_pairs_direct(
     ``new_pred`` (split form): keep only cross-split pairs, oriented
     (new_id, corpus_id) — the exact pair set of the banded
     new-side-probe join.
+
+    ``source_matrix_col`` (#88 form): aggregate the pair set to the
+    cross-source matrix (least/greatest source, pair count, max
+    jaccard) inside the same task — string min/max on Python strings
+    matches Spark's binary least/greatest (UTF-8 byte order preserves
+    code-point order), the count is exact, and max over bit-identical
+    doubles is order-independent.
     """
-    from pyspark.sql.types import BooleanType, DoubleType, StructField, StructType
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
     from ..functions.hashing import (
         MINHASH_A,
@@ -740,24 +826,42 @@ def _minhash_pairs_direct(
     id_type = df.schema[id_col].dataType
     split = new_pred is not None
     out_names = ("new_id", "corpus_id") if split else ("id_a", "id_b")
-    out_schema = StructType(
-        [
-            StructField(out_names[0], id_type),
-            StructField(out_names[1], id_type),
-            StructField("jaccard", DoubleType()),
-        ]
-    )
+    if source_matrix_col is not None:
+        src_type = df.schema[source_matrix_col].dataType
+        out_schema = StructType(
+            [
+                StructField("source_a", src_type),
+                StructField("source_b", src_type),
+                StructField("n_pairs", LongType()),
+                StructField("max_jaccard", DoubleType()),
+            ]
+        )
+    else:
+        out_schema = StructType(
+            [
+                StructField(out_names[0], id_type),
+                StructField(out_names[1], id_type),
+                StructField("jaccard", DoubleType()),
+            ]
+        )
     cols = [F.col(id_col), F.col(text_col)]
     if split:
         cols.append(new_pred(F.col(id_col)).cast(BooleanType()).alias("_new"))
+    if source_matrix_col is not None:
+        cols.append(F.col(source_matrix_col).alias("_src"))
 
     def solve_iter(batches):
         import numpy as np
         import pandas as pd
 
-        empty = pd.DataFrame(
-            {out_names[0]: [], out_names[1]: [], "jaccard": []}
-        )
+        if source_matrix_col is not None:
+            empty = pd.DataFrame(
+                {"source_a": [], "source_b": [], "n_pairs": [], "max_jaccard": []}
+            )
+        else:
+            empty = pd.DataFrame(
+                {out_names[0]: [], out_names[1]: [], "jaccard": []}
+            )
         pdfs = list(batches)
         if not pdfs:
             yield empty
@@ -807,6 +911,21 @@ def _minhash_pairs_direct(
         keep = cand & (jac >= threshold)
         da, db, jac = da[keep], db[keep], jac[keep]
         ids = np.asarray(uniq)
+        if source_matrix_col is not None:
+            src_by_code = np.empty(n, dtype=object)
+            src_by_code[codes] = pdf["_src"].to_numpy()
+            sa, sb = src_by_code[da], src_by_code[db]
+            swap = sa > sb  # least/greatest canonical order
+            lo = np.where(swap, sb, sa)
+            hi = np.where(swap, sa, sb)
+            g = (
+                pd.DataFrame({"source_a": lo, "source_b": hi, "jaccard": jac})
+                .groupby(["source_a", "source_b"], as_index=False)
+                .agg(n_pairs=("jaccard", "size"), max_jaccard=("jaccard", "max"))
+            )
+            g["n_pairs"] = g["n_pairs"].astype(np.int64)
+            yield g
+            return
         if split:
             new_by_code = np.zeros(n, dtype=bool)
             new_by_code[codes] = pdf["_new"].to_numpy(dtype=bool)
@@ -1768,6 +1887,15 @@ def ngram_containment_pairs(
             "ngram_containment_pairs requires threshold > 0 (the index "
             "plan only materializes pairs sharing >=1 shingle)"
         )
+    bc = list(block_cols)
+    # Small-input fused plan (round 14): same gate and grouped-Arrow
+    # shape as the jaccard twin's _ngram_pairs_direct — one stage per
+    # block, shared shingle_flat chain, |I∩O| from the posting kernel,
+    # both directions emitted as the same double divisions.
+    if bc and _small_scan(df):
+        return _containment_pairs_direct(
+            df, id_col, text_col, bc, threshold, k, block_cap
+        )
     sh = _materialize(
         _track(
             shingle_frame(spread(df, min_bytes=0), id_col, text_col, block_cols, k)
@@ -1775,7 +1903,6 @@ def ngram_containment_pairs(
             .persist()
         )
     )
-    bc = list(block_cols)
     join_cols = bc + ["_t"]
     tok = sh.select(
         F.col(id_col).alias("_id"),

@@ -190,6 +190,19 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     source lookups are linear equi-joins on doc_id.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # Small-input fused form (round 14): the LSH pair solve AND the
+    # source-matrix aggregation run inside one mapInPandas task —
+    # the two doc->source joins and the matrix shuffle disappear.
+    # Exactness notes live on _minhash_pairs_direct.
+    if dedup._minhash_direct_eligible(docs, MINHASH_JACCARD_THRESHOLD, None):
+        return dedup._minhash_pairs_direct(
+            docs,
+            "doc_id",
+            "text",
+            MINHASH_JACCARD_THRESHOLD,
+            2,
+            source_matrix_col="source",
+        )
     pairs = dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", threshold=MINHASH_JACCARD_THRESHOLD
     )

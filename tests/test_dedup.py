@@ -335,6 +335,53 @@ def test_minhash_fused_and_distributed_paths_agree(spark):
         dd._scan_sizes = orig
     assert len(fused) > 30  # the corpus really is dense
     assert fused == dist  # same pairs AND bit-identical doubles
+
+    # the #88 source-matrix mode aggregates the same pair set in-task:
+    # rebuild the expected matrix from the fused pair output
+    from pyspark.sql import functions as F
+
+    docs_src = docs.withColumn("source", (F.col("doc_id") % 3).cast("string"))
+    dd.release_persisted()
+    mat = {
+        (r.source_a, r.source_b): (r.n_pairs, r.max_jaccard)
+        for r in dd._minhash_pairs_direct(
+            docs_src, "doc_id", "text", 0.3, 2, source_matrix_col="source"
+        ).collect()
+    }
+    want: dict = {}
+    for (ia, ib), j in fused.items():
+        key = tuple(sorted((str(ia % 3), str(ib % 3))))
+        n, mx = want.get(key, (0, 0.0))
+        want[key] = (n + 1, max(mx, j))
+    assert mat == want
+    dd.release_persisted()
+
+
+def test_containment_fused_and_distributed_paths_agree(spark):
+    """The small-input fused containment plan and the distributed
+    inverted-index plan emit the same directed pairs with bit-identical
+    containment doubles."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import dedup as dd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def run():
+        dd.release_persisted()
+        return sorted(
+            (r.id_inner, r.id_outer, r.containment)
+            for r in dd.ngram_containment_pairs(
+                docs, "doc_id", "text", ["source"], 0.3
+            ).collect()
+        )
+
+    fused = run()  # small scan -> fused path
+    orig = dd._scan_sizes
+    dd._scan_sizes = lambda df: [10**9]  # force the distributed path
+    try:
+        dist = run()
+    finally:
+        dd._scan_sizes = orig
+    assert fused and fused == dist
     dd.release_persisted()
 
 
