@@ -532,8 +532,12 @@ def ngram_jaccard_pairs(
 _FUSED_PAIRS_PER_CHUNK = 8 * 1024 * 1024
 
 
-def _posting_pair_counts(sh, d, n, presorted: bool = False):
+def _posting_pair_counts(sh, d, n, presorted: bool = False, weights=None):
     """Exact |A∩B| for every doc-code pair sharing ≥1 posting.
+
+    With ``weights`` (int64, parallel to the postings), returns the
+    exact weighted dot Σ w_a·w_b per pair instead of the count — the
+    TF-cosine numerator. All sums stay integer.
 
     ``sh``/``d`` are parallel posting arrays (shingle hash, doc code),
     ``n`` the doc-code count. Sorts postings shingle-major /
@@ -557,6 +561,8 @@ def _posting_pair_counts(sh, d, n, presorted: bool = False):
     else:
         order = np.lexsort((d, sh))
         s, d = sh[order], d[order]
+        if weights is not None:
+            weights = weights[order]
     npos = s.size
     newg = np.ones(npos, dtype=bool)
     newg[1:] = s[1:] != s[:-1]
@@ -579,7 +585,13 @@ def _posting_pair_counts(sh, d, n, presorted: bool = False):
             a_off = np.arange(pc, dtype=np.int64) - np.repeat(before, kc)
             a_pos = np.repeat(np.arange(lo, hi, dtype=np.int64) - kc, kc) + a_off
             b_pos = np.repeat(np.arange(lo, hi, dtype=np.int64), kc)
-            ku, kc2 = np.unique(d[a_pos] * n + d[b_pos], return_counts=True)
+            pk = d[a_pos] * n + d[b_pos]
+            if weights is None:
+                ku, kc2 = np.unique(pk, return_counts=True)
+            else:
+                ku, inv = np.unique(pk, return_inverse=True)
+                kc2 = np.zeros(ku.size, dtype=np.int64)
+                np.add.at(kc2, inv, weights[a_pos] * weights[b_pos])
             key_parts.append(ku)
             cnt_parts.append(kc2)
         lo = hi
@@ -1984,6 +1996,89 @@ def ngram_containment_pairs(
 # --------------------- exact prefix-filtered TF-cosine pairs (#150)
 
 
+def _tf_cosine_direct(
+    df: DataFrame, id_col: str, terms, threshold: float
+) -> DataFrame:
+    """Small-input fused twin of :func:`tf_cosine_pairs` (see the gate
+    comment there). ``terms`` is the SAME Catalyst column the
+    distributed plan explodes, evaluated JVM-side in the one coalesced
+    task — so the term domain is bit-identical by construction; only
+    the counting moves to numpy. dot = Σ tf_a·tf_b stays integer
+    (weighted posting kernel); cosine = dot_double /
+    sqrt(n2a_double · n2b_double) is the identical expression."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def solve_iter(batches):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        pdfs = list(batches)
+        if not pdfs:
+            yield empty
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        if not len(pdf):
+            yield empty
+            return
+        codes, uniq = pd.factorize(pdf[id_col], sort=True)
+        tl = pdf["_terms"]
+        counts = np.fromiter(
+            (0 if t is None else len(t) for t in tl),
+            dtype=np.int64,
+            count=len(tl),
+        )
+        total = int(counts.sum())
+        if total == 0:
+            yield empty
+            return
+        flat: list = []
+        for t in tl:
+            if t is not None and len(t):
+                flat.extend(t)
+        tcodes, _tuniq = pd.factorize(pd.Series(flat, dtype=object))
+        nterm = len(_tuniq)
+        dcodes = np.repeat(codes, counts)
+        n = len(uniq)
+        # tf per (doc, term): packed-key unique with counts (sorted →
+        # doc-major, term-code-minor is NOT guaranteed in term-code
+        # order of the df/term sort — irrelevant here, no prefix order
+        # is needed)
+        ku, tf = np.unique(dcodes * np.int64(nterm) + tcodes, return_counts=True)
+        d_post, t_post = ku // nterm, ku % nterm
+        tf = tf.astype(np.int64)
+        n2 = np.zeros(n, dtype=np.int64)
+        np.add.at(n2, d_post, tf * tf)
+        pc = _posting_pair_counts(t_post, d_post, n, weights=tf)
+        if pc is None:
+            yield empty
+            return
+        da, db, dot = pc
+        cos = dot.astype(np.float64) / np.sqrt(
+            n2[da].astype(np.float64) * n2[db].astype(np.float64)
+        )
+        keep = cos >= threshold
+        ids = np.asarray(uniq)
+        yield pd.DataFrame(
+            {"id_a": ids[da[keep]], "id_b": ids[db[keep]], "cosine": cos[keep]}
+        )
+
+    return (
+        df.select(F.col(id_col), terms.alias("_terms"))
+        .coalesce(1)
+        .mapInPandas(solve_iter, out_schema)
+    )
+
+
 def tf_cosine_pairs(
     df: DataFrame,
     id_col: str,
@@ -2031,6 +2126,15 @@ def tf_cosine_pairs(
         )
     else:
         terms = toks
+    # Small-input fused plan (round 14): the SAME Catalyst expression
+    # computes the term arrays (tokenization semantics cannot drift),
+    # then one mapInPandas task does tf, the weighted posting dots and
+    # the cosine in numpy. threshold > 0 makes skipping the prefix
+    # filter lossless: every qualifying pair shares a term and the
+    # posting kernel enumerates exactly those pairs with exact integer
+    # dots — no candidate ever needs the (superset-only) prefix prune.
+    if threshold > 0 and _small_scan(df):
+        return _tf_cosine_direct(df, id_col, terms, threshold)
     # ONE compact exchange serves the whole per-doc pipeline (round 14):
     # repartition the raw (_id, text) rows by _id BEFORE exploding, so
     # the tf aggregation (grouping keys ⊇ the partition key), the

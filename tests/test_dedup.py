@@ -357,6 +357,36 @@ def test_minhash_fused_and_distributed_paths_agree(spark):
     dd.release_persisted()
 
 
+def test_tf_cosine_fused_and_distributed_paths_agree(spark):
+    """The small-input fused TF-cosine plan (Catalyst-built term
+    arrays, weighted posting dots in one task) and the distributed
+    prefix-filtered plan emit the same pairs with bit-identical
+    cosines — the fused path skips the (lossless, superset-only)
+    prefix filter and scores every co-shingled pair exactly."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import dedup as dd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def run():
+        dd.release_persisted()
+        return sorted(
+            (r.id_a, r.id_b, r.cosine)
+            for r in dd.tf_cosine_pairs(
+                docs, "doc_id", "text", 0.8, ngram=3
+            ).collect()
+        )
+
+    fused = run()  # small scan -> fused path
+    orig = dd._scan_sizes
+    dd._scan_sizes = lambda df: [10**9]  # force the distributed path
+    try:
+        dist = run()
+    finally:
+        dd._scan_sizes = orig
+    assert fused and fused == dist
+    dd.release_persisted()
+
+
 def test_containment_fused_and_distributed_paths_agree(spark):
     """The small-input fused containment plan and the distributed
     inverted-index plan emit the same directed pairs with bit-identical
