@@ -543,6 +543,145 @@ def band_bucket(vec_col, bits: int, band: int):
 KNN_PROPAGATE_TARGET_BUCKET = 256
 
 
+def _knn_propagate_local(
+    spark,
+    labeled: DataFrame,
+    unlabeled: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int,
+    bits: int | None,
+    bands: int,
+    dim: int,
+) -> DataFrame:
+    """Driver-side twin of :func:`knn_propagate` for gate-small scans.
+
+    Two column-pruned toPandas jobs replace the banded join + pair
+    dedup + two windows + vote aggregation (~8 fixed-overhead stages).
+    Bit-faithful by construction: band buckets are the same sign bits
+    over the same disjoint coordinate slices; cosines accumulate one
+    dimension at a time (the `_seq_fold_cosines` trick — identical IEEE
+    rounding to the JVM left fold, zero-norm guard included); top-k and
+    best-label ranks realize the same (cosine DESC, cid ASC) /
+    (votes DESC, label ASC) total orders via stable lexsorts; the
+    auto-``bits`` formula is evaluated on the same count.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    L = labeled.select(
+        F.col(id_col).alias("_cid"),
+        F.col(label_col).alias("_lbl"),
+        F.col(vec_col).alias("_v"),
+    ).toPandas()
+    if bits is None:
+        n = len(L)
+        bits = max(
+            4, math.ceil(math.log2(max(n, 1) / KNN_PROPAGATE_TARGET_BUCKET + 1))
+        )
+        bits = min(bits, dim // max(bands, 1))
+    if bits < 1:
+        raise ValueError(
+            f"computed {bits} hyperplane bits per band: embedding dim "
+            f"{dim} is too narrow for bands={bands} disjoint slices — "
+            "lower bands or pass bits explicitly"
+        )
+    if bands * bits > dim:
+        raise ValueError(
+            f"bands*bits = {bands * bits} exceeds the embedding dim {dim}: "
+            "band hyperplane slices are disjoint coordinate ranges"
+        )
+    U = unlabeled.select(
+        F.col(id_col).alias("_uid"), F.col(vec_col).alias("_q")
+    ).toPandas()
+    out_schema = StructType(
+        [
+            StructField(id_col, unlabeled.schema[id_col].dataType),
+            StructField("label_pred", labeled.schema[label_col].dataType),
+            StructField("votes", LongType()),
+        ]
+    )
+    empty = spark.createDataFrame([], out_schema)
+    if not len(L) or not len(U):
+        return empty
+    V = np.stack(L["_v"].to_numpy()).astype(np.float64)
+    Q = np.stack(U["_q"].to_numpy()).astype(np.float64)
+    weights = np.int64(1) << np.arange(bits, dtype=np.int64)
+    uu_parts, cc_parts = [], []
+    for j in range(bands):
+        off = j * bits
+        bl = ((V[:, off : off + bits] >= 0) * weights).sum(axis=1)
+        bq = ((Q[:, off : off + bits] >= 0) * weights).sum(axis=1)
+        order = np.argsort(bl, kind="stable")
+        bls = bl[order]
+        lo = np.searchsorted(bls, bq, side="left")
+        hi = np.searchsorted(bls, bq, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            continue
+        uu = np.repeat(np.arange(len(U), dtype=np.int64), cnt)
+        offs = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        cc = order[
+            np.arange(total, dtype=np.int64)
+            - np.repeat(offs, cnt)
+            + np.repeat(lo, cnt)
+        ]
+        uu_parts.append(uu)
+        cc_parts.append(cc)
+    if not uu_parts:
+        return empty
+    pk = np.unique(
+        np.concatenate(uu_parts) * np.int64(len(L)) + np.concatenate(cc_parts)
+    )
+    uu, cc = pk // len(L), pk % len(L)
+    # cosines with the JVM fold's exact rounding: one dim at a time
+    num = np.zeros(pk.size, dtype=np.float64)
+    nl = np.zeros(len(L), dtype=np.float64)
+    nu = np.zeros(len(U), dtype=np.float64)
+    Vc, Qc = V[cc], Q[uu]
+    for i in range(dim):
+        num += Vc[:, i] * Qc[:, i]
+        nl += V[:, i] * V[:, i]
+        nu += Q[:, i] * Q[:, i]
+    den = np.sqrt(nl)[cc] * np.sqrt(nu)[uu]
+    cos = np.divide(num, den, out=np.zeros_like(num), where=den > 0)
+    cid_vals = L["_cid"].to_numpy()
+    # top-k: (uid ASC groups; cosine DESC, cid ASC within) — stable
+    ordi = np.lexsort((cid_vals[cc], -cos, uu))
+    us = uu[ordi]
+    newg = np.ones(us.size, dtype=bool)
+    newg[1:] = us[1:] != us[:-1]
+    starts = np.nonzero(newg)[0]
+    rk = np.arange(us.size, dtype=np.int64) - starts[np.cumsum(newg) - 1]
+    keep = rk < k
+    us, cs = us[keep], cc[ordi][keep]
+    lcodes, luniq = pd.factorize(L["_lbl"], sort=True)
+    vk, votes = np.unique(
+        us * np.int64(len(luniq)) + lcodes[cs], return_counts=True
+    )
+    vu, vl = vk // len(luniq), vk % len(luniq)
+    # best label: (uid ASC groups; votes DESC, label ASC within) —
+    # label-code order == label order (sort-factorized)
+    ordv = np.lexsort((vl, -votes, vu))
+    vus = vu[ordv]
+    first = np.ones(vus.size, dtype=bool)
+    first[1:] = vus[1:] != vus[:-1]
+    sel = ordv[first]
+    out = pd.DataFrame(
+        {
+            id_col: U["_uid"].to_numpy()[vu[sel]],
+            "label_pred": np.asarray(luniq, dtype=object)[vl[sel]],
+            "votes": votes[sel].astype(np.int64),
+        }
+    )
+    return spark.createDataFrame(out, out_schema)
+
+
 def knn_propagate(
     labeled: DataFrame,
     unlabeled: DataFrame,
@@ -597,6 +736,26 @@ def knn_propagate(
             "knn_propagate needs a non-empty labeled frame of "
             f"fixed-width vectors; got embedding dim {dim} "
             "(empty labeled input?)"
+        )
+    # Small-input local solve (round 14): both sides under the spread
+    # byte gate — two toPandas jobs + numpy replace the banded join,
+    # pair dedup, two windows and the vote aggregation. Bit-faithful
+    # (see _knn_propagate_local); big corpora run the plan below
+    # unchanged.
+    from .dedup import _small_scan
+
+    if _small_scan(labeled) and _small_scan(unlabeled):
+        return _knn_propagate_local(
+            labeled.sparkSession,
+            labeled,
+            unlabeled,
+            id_col,
+            vec_col,
+            label_col,
+            k,
+            bits,
+            bands,
+            dim,
         )
     if bits is None:
         n = labeled.count()

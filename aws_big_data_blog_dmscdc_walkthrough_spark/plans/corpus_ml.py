@@ -131,6 +131,54 @@ KNN_K = 5
 KNN_UNLABELED_BELOW = 50
 
 
+def _knn_label_prop_local(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Driver-side twin of the exact #109 plan (see the gate comment in
+    :func:`emb_knn_label_propagation`)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    pdf = emb.select("vec_id", "label", "embedding").toPandas()
+    out_schema = StructType(
+        [
+            StructField("vec_id", emb.schema["vec_id"].dataType),
+            StructField("label_pred", emb.schema["label"].dataType),
+            StructField("votes", LongType()),
+        ]
+    )
+    ids = pdf["vec_id"].to_numpy()
+    umask = ids < KNN_UNLABELED_BELOW
+    if not umask.any() or umask.all():
+        return spark.createDataFrame([], out_schema)
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    Q, C = V[umask], V[~umask]
+    qids, cids = ids[umask], ids[~umask]
+    clbl = pdf["label"].to_numpy()[~umask]
+    # left-fold cosine matrix, guard-free division like the plan
+    num = np.zeros((len(Q), len(C)), dtype=np.float64)
+    nq = np.zeros(len(Q), dtype=np.float64)
+    nc = np.zeros(len(C), dtype=np.float64)
+    for i in range(V.shape[1]):
+        num += Q[:, i, None] * C[None, :, i]
+        nq += Q[:, i] * Q[:, i]
+        nc += C[:, i] * C[:, i]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = num / (np.sqrt(nq)[:, None] * np.sqrt(nc)[None, :])
+    rows_u, rows_l, rows_v = [], [], []
+    lcodes, luniq = pd.factorize(pd.Series(clbl), sort=True)
+    for qi in range(len(Q)):
+        order = np.lexsort((cids, -cos[qi]))[:KNN_K]
+        vk, votes = np.unique(lcodes[order], return_counts=True)
+        sel = np.lexsort((vk, -votes))[0]
+        rows_u.append(qids[qi])
+        rows_l.append(luniq[vk[sel]])
+        rows_v.append(int(votes[sel]))
+    out = pd.DataFrame(
+        {"vec_id": rows_u, "label_pred": rows_l, "votes": rows_v}
+    )
+    return spark.createDataFrame(out, out_schema)
+
+
 def emb_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-supervised labeling: rows with ``vec_id < 50`` play the
     unlabeled query batch; each gets the majority label of its 5
@@ -148,6 +196,16 @@ def emb_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     probing; the vote stage is identical. The gate keeps the exact
     pair form so the oracle can replay it."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # Small-input local solve (round 14): one toPandas job + numpy
+    # replaces the broadcast cross join, the top-k window and the vote
+    # pipeline. Bit-faithful: cosines accumulate one dimension at a
+    # time (the JVM left fold's IEEE rounding, incl. the guard-free
+    # division this query uses), ranks realize the same
+    # (cosine DESC, vec_id ASC) / (votes DESC, label ASC) orders.
+    from ..operators.dedup import _small_scan
+
+    if _small_scan(emb):
+        return _knn_label_prop_local(spark, emb)
     nrm = lambda c: F.sqrt(  # noqa: E731 - local fold helper
         F.aggregate(
             F.zip_with(c, c, lambda x, y: x * y),

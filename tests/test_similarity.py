@@ -568,3 +568,37 @@ def test_mmr_deterministic_and_selected_sims_monotone(spark):
     assert all(-1.0 - 1e-12 <= r[3] <= 1.0 + 1e-12 for r in a[1:])
     rel = [r[2] for r in a]
     assert rel[0] == max(rel)
+
+
+def test_knn_propagate_local_and_distributed_paths_agree(spark):
+    """The driver-side local solve (small-scan gate) and the distributed
+    banded-join plan emit identical rows — including the bit-sensitive
+    cosine-rank boundaries (the local fold reproduces the JVM left
+    fold's IEEE rounding one dimension at a time)."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import (
+        dedup as dd,
+        similarity as S,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from pyspark.sql import functions as F
+
+    unl = emb.where(F.col("vec_id") % 5 == 0)
+    lab = emb.where(F.col("vec_id") % 5 != 0)
+
+    def run():
+        return sorted(
+            tuple(r)
+            for r in S.knn_propagate(
+                lab, unl, "vec_id", "embedding", "label", k=5, bands=4, dim=64
+            ).collect()
+        )
+
+    local = run()  # small scan -> local solve
+    orig = dd._scan_sizes
+    dd._scan_sizes = lambda df: [10**9]  # force the distributed plan
+    try:
+        dist = run()
+    finally:
+        dd._scan_sizes = orig
+    assert local and local == dist
