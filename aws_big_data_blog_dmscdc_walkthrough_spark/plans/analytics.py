@@ -2314,6 +2314,88 @@ CONCURRENCY_GAP_S = 1800  # session gap, same convention as #17
 CONCURRENCY_CHUNK_US = 3_600_000_000
 
 
+def _peak_concurrency_local(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """Driver-side twin of the #148 sweep for gate-small scans. The
+    whole computation is integer epoch-microsecond arithmetic — session
+    gaps, day clipping, +1/−1 deltas, running sums — so the numpy
+    replay is exact by construction; ranks/ties realize the same
+    (ts ASC, delta DESC) sweep order and the same earliest-instant
+    peak tie-break."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("day", TimestampType()),
+            StructField("peak_concurrency", LongType()),
+            StructField("ts_at_peak_us", LongType()),
+        ]
+    )
+    pdf = events.select("user_id", "ts", "event_id").toPandas()
+    if not len(pdf):
+        return spark.createDataFrame([], out_schema)
+    us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    uid = pdf["user_id"].to_numpy()
+    eid = pdf["event_id"].to_numpy()
+    order = np.lexsort((eid, us, uid))
+    u, t = uid[order], us[order]
+    gap = np.int64(CONCURRENCY_GAP_S * 1_000_000)
+    boundary = np.ones(t.size, dtype=bool)
+    boundary[1:] = (u[1:] != u[:-1]) | ((t[1:] - t[:-1]) > gap)
+    starts_idx = np.nonzero(boundary)[0]
+    ends_idx = np.concatenate([starts_idx[1:] - 1, [t.size - 1]])
+    s_us, e_us = t[starts_idx], t[ends_idx]
+    day_us = np.int64(86_400 * 1_000_000)
+    d0, d1 = s_us // day_us, e_us // day_us
+    cnt = (d1 - d0 + 1).astype(np.int64)
+    total = int(cnt.sum())
+    offs = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    within = np.arange(total, dtype=np.int64) - np.repeat(offs, cnt)
+    dayno = np.repeat(d0, cnt) + within
+    cs = np.maximum(np.repeat(s_us, cnt), dayno * day_us)
+    ce = np.minimum(np.repeat(e_us, cnt), (dayno + 1) * day_us - 1)
+    dn = np.concatenate([dayno, dayno])
+    ts2 = np.concatenate([cs, ce])
+    delta = np.concatenate(
+        [np.ones(total, dtype=np.int64), -np.ones(total, dtype=np.int64)]
+    )
+    so = np.lexsort((-delta, ts2, dn))
+    dns, tss, ds = dn[so], ts2[so], delta[so]
+    newd = np.ones(dns.size, dtype=bool)
+    newd[1:] = dns[1:] != dns[:-1]
+    dstarts = np.nonzero(newd)[0]
+    # per-day running sum (the day count is small; the loop is cheap)
+    peak_rows = []
+    bounds = np.concatenate([dstarts, [dns.size]])
+    for i in range(len(dstarts)):
+        lo, hi = bounds[i], bounds[i + 1]
+        c = np.cumsum(ds[lo:hi])
+        p = int(c.max())
+        at = int(tss[lo:hi][c == p].min())
+        peak_rows.append((int(dns[lo]), p, at))
+    out = pd.DataFrame(
+        {
+            "day": pd.to_datetime(
+                np.array([r[0] for r in peak_rows], dtype=np.int64) * 86_400,
+                unit="s",
+            ),
+            "peak_concurrency": np.array(
+                [r[1] for r in peak_rows], dtype=np.int64
+            ),
+            "ts_at_peak_us": np.array(
+                [r[2] for r in peak_rows], dtype=np.int64
+            ),
+        }
+    )
+    return spark.createDataFrame(out, out_schema)
+
+
 def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day peak concurrent sessions via a sweep line (#148).
 
@@ -2340,6 +2422,13 @@ def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     (MIN ts at the max).
     """
     events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    # Small-input local solve (round 14): all-integer arithmetic, so
+    # the numpy replay is exact — one toPandas job replaces the session
+    # windows, the day explode, the two-level sweep and the peak joins.
+    from ..operators.dedup import _small_scan
+
+    if _small_scan(events):
+        return _peak_concurrency_local(spark, events)
     by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     epoch = F.unix_micros(F.col("ts").cast("timestamp"))
     new_session = F.when(

@@ -1286,3 +1286,27 @@ def test_customer_cadence_hand_computed(spark, monkeypatch, tmp_path):
         for r in analytics.q_customer_cadence(spark, "ignored").collect()
     }
     assert got == {1: (3, 0, 10, 5.0, 10)}
+
+
+def test_peak_concurrency_local_and_distributed_paths_agree(spark):
+    """The driver-side #148 sweep (small-scan gate) and the two-level
+    distributed sweep emit identical rows — the computation is integer
+    epoch-microsecond arithmetic end to end."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import dedup as dd
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import analytics as A
+
+    sf = "/root/testdata/sf0.001"
+
+    def rows():
+        return sorted(
+            tuple(r) for r in A.q_events_peak_concurrency(spark, sf).collect()
+        )
+
+    local = rows()  # small scan -> local sweep
+    orig = dd._scan_sizes
+    dd._scan_sizes = lambda df: [10**9]  # force the distributed sweep
+    try:
+        dist = rows()
+    finally:
+        dd._scan_sizes = orig
+    assert local and local == dist
