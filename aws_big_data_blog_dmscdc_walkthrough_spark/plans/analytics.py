@@ -2122,6 +2122,61 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 MAD_K = 10.0  # flag |x - median| > K * MAD (tight data: high K)
 
 
+def _mad_outliers_local(
+    spark: SparkSession, o: DataFrame, c: DataFrame
+) -> DataFrame:
+    """Driver-side twin of the #146 report (see the gate comment in
+    :func:`q_orders_mad_outliers`)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("c_mktsegment", c.schema["c_mktsegment"].dataType),
+            StructField("n_orders", LongType()),
+            StructField("median_price", DoubleType()),
+            StructField("mad", DoubleType()),
+            StructField("n_outliers", LongType()),
+        ]
+    )
+    op = o.toPandas()
+    cp = c.toPandas()
+    seg_of = dict(zip(cp["c_custkey"].to_numpy(), cp["c_mktsegment"].to_numpy()))
+    segs = op["o_custkey"].map(seg_of)
+    mask = segs.notna().to_numpy()
+    price = op["o_totalprice"].to_numpy(dtype=np.float64)[mask]
+    scodes, suniq = pd.factorize(segs[mask], sort=True)
+
+    def _median_sorted(v: np.ndarray) -> float:
+        # Spark Percentile(0.5): pos = 0.5·(n−1); lower + 0.5·(upper−lower)
+        n = v.size
+        if n % 2:
+            return float(v[n // 2])
+        a, b = v[n // 2 - 1], v[n // 2]
+        return float(a + 0.5 * (b - a))
+
+    rows = []
+    for si, seg in enumerate(suniq):
+        v = np.sort(price[scodes == si])
+        m = _median_sorted(v)
+        dev = np.abs(price[scodes == si] - m)
+        mad = _median_sorted(np.sort(dev))
+        n_out = int((dev > np.float64(MAD_K) * mad).sum())
+        rows.append((seg, int(v.size), m, mad, n_out))
+    out = pd.DataFrame(
+        rows,
+        columns=["c_mktsegment", "n_orders", "median_price", "mad", "n_outliers"],
+    )
+    return spark.createDataFrame(out, out_schema)
+
+
 def q_orders_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD robust outlier report per segment (#146).
 
@@ -2136,6 +2191,16 @@ def q_orders_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # Small-input local solve (round 14): two toPandas jobs + numpy
+    # replace the join, two grouped exact-median passes, two broadcast
+    # joins and the counting pass. The medians replicate Spark's
+    # Percentile(0.5) interpolation (lower + 0.5·(upper−lower)) on the
+    # sorted doubles; |x−median| and the K·MAD threshold are the same
+    # single-rounding float ops.
+    from ..operators.dedup import _small_scan
+
+    if _small_scan(o) and _small_scan(c):
+        return _mad_outliers_local(spark, o, c)
     j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
         "c_mktsegment", "o_totalprice"
     )
