@@ -1531,6 +1531,90 @@ FROM aged GROUP BY o_custkey
 # ---------------------- linear multi-touch attribution (#131)
 
 
+def _attribution_linear_local(spark: SparkSession, ev: DataFrame) -> DataFrame:
+    """Driver-side twin of the #131 report (see the gate comment in
+    :func:`q_events_attribution_linear`)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("channel", StringType()),
+            StructField("touched_purchases", LongType()),
+            StructField("credit", DoubleType()),
+        ]
+    )
+    pdf = ev.select("event_id", "user_id", "ts", "event_type", "value").toPandas()
+    sec = (
+        pdf["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64).astype(np.float64)
+        / 1e6
+    )
+    et = pdf["event_type"].to_numpy()
+    pmask = et == "purchase"
+    tmask = (et == "click") | (et == "view")
+    p = pd.DataFrame(
+        {
+            "u": pdf["user_id"].to_numpy()[pmask],
+            "p_id": pdf["event_id"].to_numpy()[pmask],
+            "p_sec": sec[pmask],
+            "p_val": pdf["value"].to_numpy(dtype=np.float64)[pmask],
+        }
+    )
+    t = pd.DataFrame(
+        {
+            "u": pdf["user_id"].to_numpy()[tmask],
+            "t_sec": sec[tmask],
+            "channel": et[tmask],
+        }
+    )
+    win_s = ATTRIBUTION_WINDOW_DAYS * 86400.0
+    pairs = p.merge(t, on="u")
+    age = pairs["p_sec"].to_numpy() - pairs["t_sec"].to_numpy()
+    pairs = pairs[(age > 0) & (age <= win_s)]
+    def _dec_sum(vals) -> float:
+        # Spark's double→DECIMAL(30,10) cast goes through the shortest
+        # decimal repr (BigDecimal.valueOf) then HALF_UP at scale 10 —
+        # Decimal(repr(x)) is the same value; summing the scaled
+        # integers is exact and one Decimal division renders the result
+        acc = 0
+        for x in vals:
+            acc += int(
+                Decimal(repr(float(x))).scaleb(10).to_integral_value(
+                    rounding=ROUND_HALF_UP
+                )
+            )
+        return float(Decimal(acc).scaleb(-10))
+
+    rows = []
+    if len(pairs):
+        nt = pairs.groupby("p_id")["u"].transform("size").to_numpy(np.float64)
+        credit = pairs["p_val"].to_numpy() / nt
+        g = pd.DataFrame(
+            {"channel": pairs["channel"].to_numpy(), "p_id": pairs["p_id"].to_numpy(), "c": credit}
+        )
+        for ch, sub in g.groupby("channel", sort=False):
+            rows.append(
+                (str(ch), int(sub["p_id"].nunique()), _dec_sum(sub["c"]))
+            )
+        touched = set(g["p_id"].unique().tolist())
+    else:
+        touched = set()
+    direct = p[~p["p_id"].isin(touched)]
+    if len(direct):
+        rows.append(("direct", int(len(direct)), _dec_sum(direct["p_val"])))
+    out = pd.DataFrame(rows, columns=["channel", "touched_purchases", "credit"])
+    return spark.createDataFrame(out, out_schema)
+
+
 def q_events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear multi-touch attribution by channel (#131).
 
@@ -1545,6 +1629,17 @@ def q_events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     division (IEEE-identical cross-engine); sums go through DECIMAL.
     """
     ev = load_table(spark, sf_dir, "events")
+    # Small-input local solve (round 14): one toPandas job + numpy/
+    # Decimal replaces the range join, the per-purchase count join and
+    # the two aggregations. Per-pair credit is the same IEEE double
+    # division; the DECIMAL(30,10) sums are replayed with Python
+    # Decimal (same HALF_UP quantization, exact integer-scaled sum) —
+    # and the oracle comparison normalizes doubles to 6 significant
+    # digits anyway, far above any representation corner.
+    from ..operators.dedup import _small_scan
+
+    if _small_scan(ev):
+        return _attribution_linear_local(spark, ev)
     p = ev.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("p_id"),
         F.col("user_id").alias("u"),

@@ -1335,3 +1335,28 @@ def test_mad_outliers_local_and_distributed_paths_agree(spark):
     finally:
         dd._scan_sizes = orig
     assert local and local == dist
+
+
+def test_attribution_linear_local_and_distributed_paths_agree(spark):
+    """The driver-side #131 report (small-scan gate) matches the
+    distributed range-join plan — IEEE per-pair credit division plus a
+    Python-Decimal replay of the DECIMAL(30,10) sums."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import dedup as dd
+    from aws_big_data_blog_dmscdc_walkthrough_spark.plans import analytics as A
+
+    sf = "/root/testdata/sf0.001"
+
+    def rows():
+        return sorted(
+            tuple(r)
+            for r in A.q_events_attribution_linear(spark, sf).collect()
+        )
+
+    local = rows()  # small scan -> local solve
+    orig = dd._scan_sizes
+    dd._scan_sizes = lambda df: [10**9]  # force the distributed plan
+    try:
+        dist = rows()
+    finally:
+        dd._scan_sizes = orig
+    assert local and local == dist
