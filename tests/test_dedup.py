@@ -143,16 +143,24 @@ def test_release_persisted_drains_all_caches(spark):
 
     baseline = live_ids()
     qs = entry_mod.queries()
-    qs["dedup_minhash_lsh"](spark, SF_SMOKE).count()
-    assert len(live_ids() - baseline) > 0
-    dedup.release_persisted()
-    assert len(live_ids() - baseline) == 0
-    # the next queries() entry releases the previous one's caches itself
-    qs["dedup_simhash"](spark, SF_SMOKE).count()
-    n_after_simhash = len(live_ids() - baseline)
-    qs["dedup_exact"](spark, SF_SMOKE).count()
-    assert len(live_ids() - baseline) < max(n_after_simhash, 1)
-    dedup.release_persisted()
+    # Force the DISTRIBUTED plans: the round-14 fused small-input paths
+    # persist nothing (one mapInPandas task), so only the distributed
+    # shapes exercise the tracker this test pins.
+    orig = dedup._scan_sizes
+    dedup._scan_sizes = lambda df: [10**9]
+    try:
+        qs["dedup_minhash_lsh"](spark, SF_SMOKE).count()
+        assert len(live_ids() - baseline) > 0
+        dedup.release_persisted()
+        assert len(live_ids() - baseline) == 0
+        # the next queries() entry releases the previous one's caches itself
+        qs["dedup_simhash"](spark, SF_SMOKE).count()
+        n_after_simhash = len(live_ids() - baseline)
+        qs["dedup_exact"](spark, SF_SMOKE).count()
+        assert len(live_ids() - baseline) < max(n_after_simhash, 1)
+        dedup.release_persisted()
+    finally:
+        dedup._scan_sizes = orig
 
 
 def test_decontaminate_flags_eval_overlap(spark):
