@@ -739,6 +739,12 @@ def test_peak_concurrency_no_day_grain_window(spark, monkeypatch, tmp_path):
         "events",
         out,
     )
+    # force the DISTRIBUTED sweep: this test pins its plan shape (the
+    # round-14 local solve has no window at all; its values are pinned
+    # by test_peak_concurrency_local_and_distributed_paths_agree)
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import dedup as _dd
+
+    monkeypatch.setattr(_dd, "_scan_sizes", lambda df: [10**9])
     res = analytics.q_events_peak_concurrency(spark, "ignored")
     got = {
         str(r.day)[:10]: (r.peak_concurrency, r.ts_at_peak_us)
