@@ -773,7 +773,7 @@ def _minhash_pairs_direct(
     threshold: float,
     rows_per_band: int,
     new_pred=None,
-    source_matrix_col: str | None = None,
+    source_matrix_col=None,
 ) -> DataFrame:
     """Small-input fused MinHash-LSH: scan + solve in ONE task, one job.
 
@@ -810,13 +810,16 @@ def _minhash_pairs_direct(
     (new_id, corpus_id) — the exact pair set of the banded
     new-side-probe join.
 
-    ``source_matrix_col`` (#88 form): aggregate the pair set to the
-    cross-source matrix (least/greatest source, pair count, max
-    jaccard) inside the same task — string min/max on Python strings
-    matches Spark's binary least/greatest (UTF-8 byte order preserves
-    code-point order), the count is exact, and max over bit-identical
-    doubles is order-independent.
+    ``source_matrix_col`` (#88 form, also the #112 split-leakage form):
+    aggregate the pair set to the cross-group matrix (least/greatest
+    group key, pair count, max jaccard) inside the same task — string
+    min/max on Python strings matches Spark's binary least/greatest
+    (UTF-8 byte order preserves code-point order), the count is exact,
+    and max over bit-identical doubles is order-independent. Accepts a
+    column NAME or any per-doc Column expression (evaluated JVM-side in
+    the coalesced task, so its semantics cannot drift).
     """
+    from pyspark.sql.column import Column
     from pyspark.sql.types import (
         BooleanType,
         DoubleType,
@@ -839,7 +842,9 @@ def _minhash_pairs_direct(
     split = new_pred is not None
     out_names = ("new_id", "corpus_id") if split else ("id_a", "id_b")
     if source_matrix_col is not None:
-        src_type = df.schema[source_matrix_col].dataType
+        if not isinstance(source_matrix_col, Column):
+            source_matrix_col = F.col(source_matrix_col)
+        src_type = df.select(source_matrix_col.alias("_src")).schema[0].dataType
         out_schema = StructType(
             [
                 StructField("source_a", src_type),
@@ -860,13 +865,15 @@ def _minhash_pairs_direct(
     if split:
         cols.append(new_pred(F.col(id_col)).cast(BooleanType()).alias("_new"))
     if source_matrix_col is not None:
-        cols.append(F.col(source_matrix_col).alias("_src"))
+        cols.append(source_matrix_col.alias("_src"))
+    # the solver must not close over the Column (JVM handle, unpicklable)
+    matrix_mode = source_matrix_col is not None
 
     def solve_iter(batches):
         import numpy as np
         import pandas as pd
 
-        if source_matrix_col is not None:
+        if matrix_mode:
             empty = pd.DataFrame(
                 {"source_a": [], "source_b": [], "n_pairs": [], "max_jaccard": []}
             )
@@ -923,7 +930,7 @@ def _minhash_pairs_direct(
         keep = cand & (jac >= threshold)
         da, db, jac = da[keep], db[keep], jac[keep]
         ids = np.asarray(uniq)
-        if source_matrix_col is not None:
+        if matrix_mode:
             src_by_code = np.empty(n, dtype=object)
             src_by_code[codes] = pdf["_src"].to_numpy()
             sa, sb = src_by_code[da], src_by_code[db]

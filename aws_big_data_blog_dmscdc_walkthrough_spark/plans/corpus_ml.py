@@ -476,6 +476,26 @@ def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_queries import MINHASH_JACCARD_THRESHOLD
 
     docs = load_table(spark, sf_dir, "documents")
+    # Small-input fused form (round 14): the LSH pair solve AND the
+    # (split, split) matrix aggregation run inside one mapInPandas task
+    # — the split Column evaluates JVM-side in that task, so its
+    # arithmetic cannot drift; only the leaks flag and the column names
+    # are added on top of the local relation.
+    if dedup_ops._minhash_direct_eligible(docs, MINHASH_JACCARD_THRESHOLD, None):
+        mat = dedup_ops._minhash_pairs_direct(
+            docs,
+            "doc_id",
+            "text",
+            MINHASH_JACCARD_THRESHOLD,
+            2,
+            source_matrix_col=split_column("doc_id"),
+        )
+        return mat.select(
+            F.col("source_a").alias("split_a"),
+            F.col("source_b").alias("split_b"),
+            "n_pairs",
+            "max_jaccard",
+        ).withColumn("leaks", F.col("split_a") != F.col("split_b"))
     pairs = dedup_ops.minhash_lsh_pairs(
         docs, "doc_id", "text", threshold=MINHASH_JACCARD_THRESHOLD
     )
