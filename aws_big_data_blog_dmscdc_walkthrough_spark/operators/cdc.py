@@ -131,6 +131,7 @@ def impacted_keys(
     changes: DataFrame,
     primary_keys: Sequence[str],
     broadcast_max_bytes: int = BROADCAST_KEYS_MAX_BYTES,
+    prune_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct change keys that exist in the target.
 
@@ -140,9 +141,16 @@ def impacted_keys(
     only while Catalyst's size estimate stays under
     ``broadcast_max_bytes`` — a bulk-reload batch takes the shuffled
     semi-join instead of OOMing the driver.
+
+    ``prune_keys`` mirrors :func:`apply_changes`: a caller that already
+    holds (and size-guarded) the change-key frame passes it in and the
+    probe side is used as given — the semi-join result is insensitive to
+    duplicate keys, so the frame need not be distinct.
     """
-    keys = _maybe_broadcast(
-        changes.select(*primary_keys).distinct(), broadcast_max_bytes
+    keys = (
+        prune_keys
+        if prune_keys is not None
+        else _maybe_broadcast(changes.select(*primary_keys), broadcast_max_bytes)
     )
     return (
         target.join(keys, list(primary_keys), "left_semi")
@@ -229,6 +237,77 @@ def align_schemas(
     return target, changes
 
 
+def merge_parts(
+    target: DataFrame,
+    changes: DataFrame,
+    primary_keys: Sequence[str],
+    seq_col: str,
+    op_col: str = OP_COL,
+    prune_with_broadcast: bool = True,
+    broadcast_max_bytes: int = BROADCAST_KEYS_MAX_BYTES,
+    prune_keys: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame | None, DataFrame]:
+    """The merge's internal frames, for consumers that don't need the
+    full merged table: ``(survivors, untouched, impacted)``.
+
+    ``survivors`` is the latest-wins winner per IMPACTED key (target
+    data columns + ``_op`` — delete tombstones still present, callers
+    filter); ``untouched`` is the target rows whose keys the batch never
+    mentions (``None`` when pruning is off — the window then saw the
+    whole target and ``survivors`` is already the full merge);
+    ``impacted`` is the pre-merge target rows for the batch's keys.
+    ``apply_changes`` = survivors (minus/flagging deletes) ∪ untouched;
+    a snapshot diff or an incremental-agg delta needs only
+    (impacted, survivors) — exposing the parts lets those consumers
+    skip the untouched anti-join + union entirely.
+    """
+    pks = list(primary_keys)
+    data_cols = list(target.columns)
+    change_cols = set(changes.columns)
+    missing = [c for c in data_cols if c not in change_cols]
+    if missing:
+        raise ValueError(f"changes missing target columns: {missing}")
+
+    if prune_with_broadcast:
+        # no .distinct() on the key frame: semi/anti joins are
+        # duplicate-insensitive, so the distinct bought nothing but a
+        # full shuffle + two aggregate passes of the key set per merge
+        # (Catalyst's size estimate for the broadcast guard is the same
+        # either way — size-only stats don't shrink through Aggregate)
+        keys = (
+            prune_keys
+            if prune_keys is not None
+            else _maybe_broadcast(changes.select(*pks), broadcast_max_bytes)
+        )
+        impacted = target.join(keys, pks, "left_semi")
+        untouched = target.join(keys, pks, "left_anti")
+    else:
+        impacted, untouched = target, None
+
+    change_side = changes.select(
+        *data_cols,
+        F.col(op_col).alias("_op"),
+        F.lit(1).alias("_src"),
+        F.col(seq_col).alias("_seq"),
+    )
+    target_side = impacted.select(
+        *data_cols,
+        F.lit("T").alias("_op"),
+        F.lit(0).alias("_src"),
+        F.lit(None).cast(change_side.schema["_seq"].dataType).alias("_seq"),
+    )
+
+    window = Window.partitionBy(*pks).orderBy(
+        F.col("_src").desc(), F.col("_seq").desc_nulls_last()
+    )
+    survivors = (
+        change_side.unionByName(target_side)
+        .withColumn("_rnk", F.row_number().over(window))
+        .where(F.col("_rnk") == 1)
+    )
+    return survivors, untouched, impacted
+
+
 def apply_changes(
     target: DataFrame,
     changes: DataFrame,
@@ -259,51 +338,24 @@ def apply_changes(
     set is broadcast only while Catalyst estimates it under
     ``broadcast_max_bytes`` — a huge backfill batch degrades to a
     shuffled semi/anti join instead of OOMing the driver (AQE may still
-    re-broadcast at runtime if the post-distinct set is small).
+    re-broadcast at runtime if the key set turns out small).
 
     ``prune_keys`` lets a caller that already built (and size-guarded)
-    the distinct change-key frame pass it in, skipping the second
-    driver-side stats probe — the lake merge path computes the same
-    frame for impacted-partition discovery.
+    the change-key frame pass it in, skipping the second driver-side
+    stats probe — the lake merge path computes the same frame for
+    impacted-partition discovery.
     """
     pks = list(primary_keys)
     data_cols = list(target.columns)
-    change_cols = set(changes.columns)
-    missing = [c for c in data_cols if c not in change_cols]
-    if missing:
-        raise ValueError(f"changes missing target columns: {missing}")
-
-    if prune_with_broadcast:
-        keys = (
-            prune_keys
-            if prune_keys is not None
-            else _maybe_broadcast(changes.select(*pks).distinct(), broadcast_max_bytes)
-        )
-        impacted = target.join(keys, pks, "left_semi")
-        untouched = target.join(keys, pks, "left_anti")
-    else:
-        impacted, untouched = target, None
-
-    change_side = changes.select(
-        *data_cols,
-        F.col(op_col).alias("_op"),
-        F.lit(1).alias("_src"),
-        F.col(seq_col).alias("_seq"),
-    )
-    target_side = impacted.select(
-        *data_cols,
-        F.lit("T").alias("_op"),
-        F.lit(0).alias("_src"),
-        F.lit(None).cast(change_side.schema["_seq"].dataType).alias("_seq"),
-    )
-
-    window = Window.partitionBy(*pks).orderBy(
-        F.col("_src").desc(), F.col("_seq").desc_nulls_last()
-    )
-    survivors = (
-        change_side.unionByName(target_side)
-        .withColumn("_rnk", F.row_number().over(window))
-        .where(F.col("_rnk") == 1)
+    survivors, untouched, _ = merge_parts(
+        target,
+        changes,
+        pks,
+        seq_col,
+        op_col=op_col,
+        prune_with_broadcast=prune_with_broadcast,
+        broadcast_max_bytes=broadcast_max_bytes,
+        prune_keys=prune_keys,
     )
 
     if soft_delete:
@@ -585,8 +637,10 @@ def scd2_apply(
         if c not in ("valid_from_seq", "valid_to_seq", "is_current")
     ]
     seq_type = changes.schema[seq_col].dataType
+    # no .distinct(): both consumers are semi-joins (duplicate-insensitive),
+    # so the distinct only added a shuffle + two aggregate passes
     keys = _maybe_broadcast(
-        changes.select(*pks).distinct(), BROADCAST_KEYS_MAX_BYTES
+        changes.select(*pks), BROADCAST_KEYS_MAX_BYTES
     )
     first_seq = changes.groupBy(*pks).agg(
         F.min(F.col(seq_col)).alias("_close_seq")

@@ -799,55 +799,79 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A user converts a step only with an event strictly AFTER their
     previous step's first qualifying event (the product-analytics
-    definition — unordered presence would overcount). Three stages,
-    each one user-keyed aggregate + one linear join: t1 = first view,
-    t2 = first click after t1, t3 = first purchase after t2. User-level
-    frames are corpus-linear but tiny relative to events; every join is
-    a user-key equi-join, no windows over the full event stream.
+    definition — unordered presence would overcount). t1 = first view,
+    t2 = first click after t1, t3 = first purchase after t2.
+
+    Round 15 (guide §2.3/§2.4 — partition once, reuse everywhere): ONE
+    user-keyed exchange serves the whole funnel. The step times chain as
+    per-user window minima over the pre-filtered stream (t2's predicate
+    references the t1 window column, t3 folds into the per-user
+    aggregate, which reuses the same partitioning), and the three user
+    counts collapse into one global aggregate. The round-14 shape ran
+    three user-keyed aggregations plus two events⋈user-frame joins —
+    five shuffles and three full scans of events for the same rows.
     Output: one row per step with reach and conversion from the
-    previous step (single exact division).
+    previous step (single exact division, identical operand order).
     """
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    t1 = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type")
+        .where(F.col("event_type").isin("view", "click", "purchase"))
     )
-    t2 = (
-        ev.join(t1, "user_id")
-        .where((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    t3 = (
-        ev.join(t2, "user_id")
-        .where((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    counts = (
-        t1.agg(F.count(F.lit(1)).alias("n_users"))
-        .select(F.lit(1).alias("step_order"), F.lit("view").alias("step"), "n_users")
-        .unionByName(
-            t2.agg(F.count(F.lit(1)).alias("n_users")).select(
-                F.lit(2).alias("step_order"), F.lit("click").alias("step"), "n_users"
+    by_user = Window.partitionBy("user_id")
+    staged = ev.withColumn(
+        "_t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(by_user)
+    ).withColumn(
+        "_t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("_t1")),
+                F.col("ts"),
             )
-        )
-        .unionByName(
-            t3.agg(F.count(F.lit(1)).alias("n_users")).select(
-                F.lit(3).alias("step_order"), F.lit("purchase").alias("step"), "n_users"
-            )
-        )
+        ).over(by_user),
     )
-    w = Window.orderBy("step_order")
-    prev = F.lag("n_users").over(w)
-    return counts.select(
-        "step_order",
-        "step",
-        "n_users",
-        F.when(
-            prev > 0, F.col("n_users").cast("double") / prev.cast("double")
-        ).alias("conv_from_prev"),
+    per_user = staged.groupBy("user_id").agg(
+        F.max("_t1").alias("_t1"),
+        F.max("_t2").alias("_t2"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("_t2")),
+                F.col("ts"),
+            )
+        ).alias("_t3"),
+    )
+    counts = per_user.agg(
+        F.count("_t1").alias("_n1"),
+        F.count("_t2").alias("_n2"),
+        F.count("_t3").alias("_n3"),
+    )
+    n1, n2, n3 = F.col("_n1"), F.col("_n2"), F.col("_n3")
+    steps = F.array(
+        F.struct(
+            F.lit(1).alias("step_order"),
+            F.lit("view").alias("step"),
+            n1.alias("n_users"),
+            F.lit(None).cast("double").alias("conv_from_prev"),
+        ),
+        F.struct(
+            F.lit(2).alias("step_order"),
+            F.lit("click").alias("step"),
+            n2.alias("n_users"),
+            F.when(n1 > 0, n2.cast("double") / n1.cast("double")).alias(
+                "conv_from_prev"
+            ),
+        ),
+        F.struct(
+            F.lit(3).alias("step_order"),
+            F.lit("purchase").alias("step"),
+            n3.alias("n_users"),
+            F.when(n2 > 0, n3.cast("double") / n2.cast("double")).alias(
+                "conv_from_prev"
+            ),
+        ),
+    )
+    return counts.select(F.explode(steps).alias("_s")).select(
+        "_s.step_order", "_s.step", "_s.n_users", "_s.conv_from_prev"
     )
 
 
@@ -1815,6 +1839,11 @@ def q_events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded per user), then a per-cohort sort window whose partition
     count is the cohort-month cardinality; the output is cohort-sized.
     """
+    # Round 15: a one-user-exchange window form was A/B'd and REJECTED
+    # (0.32 → 0.35 s interleaved): the window shuffles RAW
+    # signup/purchase events while this shape's signup aggregate is
+    # map-side partial before its exchange (guide §2.3) — the join then
+    # moves only purchases plus the small signup frame.
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
     s = (
         ev.where(F.col("event_type") == "signup")
@@ -1940,6 +1969,11 @@ def q_events_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit. Plan: one (channel,user)-keyed agg, one user-keyed
     purchase agg broadcast-joined back, one |channels|-row reduce.
     """
+    # Round 15: a one-user-exchange window form was A/B'd and REJECTED
+    # (0.22 → 0.28 s interleaved): the window shuffles RAW filtered
+    # events while this shape's two aggregations are map-side partial
+    # (guide §2.3 "aggregate before you shuffle") — fewer exchanges but
+    # more bytes loses at every scale.
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
     touch = (
         ev.where(F.col("event_type").isin("click", "view"))
@@ -2382,55 +2416,71 @@ def q_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     only — the #47/#48 fan-out argument); the output is |steps| rows
     with exactly-rounded conversion-rate divisions.
     """
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    # Round 15 (guide §2.3/§2.4): the same one-exchange window form as
+    # q_events_funnel — the r14 shape was three user-keyed aggs, two
+    # events⋈user-frame joins, three scalar counts and a 3-way union
+    # (30 Exchange nodes in the static plan). Step times chain as
+    # per-user window minima over the pre-filtered stream; the three
+    # counts collapse into one global aggregate; the rate divisions are
+    # the identical double casts.
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type")
+        .where(F.col("event_type").isin(*FUNNEL_STEPS))
+    )
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     base = ev.select("user_id", "event_type", us.alias("_us"))
-    s1 = (
-        base.where(F.col("event_type") == FUNNEL_STEPS[0])
-        .groupBy("user_id")
-        .agg(F.min("_us").alias("_t1"))
+    by_user = Window.partitionBy("user_id")
+    staged = base.withColumn(
+        "_t1",
+        F.min(
+            F.when(F.col("event_type") == FUNNEL_STEPS[0], F.col("_us"))
+        ).over(by_user),
+    ).withColumn(
+        "_t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == FUNNEL_STEPS[1])
+                & (F.col("_us") >= F.col("_t1"))
+                & (F.col("_us") - F.col("_t1") <= F.lit(_FUNNEL_STEP_US)),
+                F.col("_us"),
+            )
+        ).over(by_user),
     )
-    s2 = (
-        base.where(F.col("event_type") == FUNNEL_STEPS[1])
-        .join(s1, "user_id")
-        .where(
-            (F.col("_us") >= F.col("_t1"))
-            & (F.col("_us") - F.col("_t1") <= F.lit(_FUNNEL_STEP_US))
-        )
-        .groupBy("user_id", "_t1")
-        .agg(F.min("_us").alias("_t2"))
+    per_user = staged.groupBy("user_id").agg(
+        F.max("_t1").alias("_t1"),
+        F.max("_t2").alias("_t2"),
+        F.min(
+            F.when(
+                (F.col("event_type") == FUNNEL_STEPS[2])
+                & (F.col("_us") >= F.col("_t2"))
+                & (F.col("_us") - F.col("_t2") <= F.lit(_FUNNEL_STEP_US)),
+                F.col("_us"),
+            )
+        ).alias("_t3"),
     )
-    s3 = (
-        base.where(F.col("event_type") == FUNNEL_STEPS[2])
-        .join(s2, "user_id")
-        .where(
-            (F.col("_us") >= F.col("_t2"))
-            & (F.col("_us") - F.col("_t2") <= F.lit(_FUNNEL_STEP_US))
-        )
-        .groupBy("user_id")
-        .agg(F.min("_us").alias("_t3"))
+    counts = per_user.agg(
+        F.count("_t1").alias("_n1"),
+        F.count("_t2").alias("_n2"),
+        F.count("_t3").alias("_n3"),
     )
-    counts = [
-        s1.agg(F.count(F.lit(1)).alias("_n")),
-        s2.agg(F.count(F.lit(1)).alias("_n")),
-        s3.agg(F.count(F.lit(1)).alias("_n")),
-    ]
-    rows = None
-    first = counts[0].select(F.col("_n").alias("_n1"))
-    for k, c in enumerate(counts):
-        r = (
-            c.crossJoin(F.broadcast(first))
-            .select(
+    steps = F.array(
+        *[
+            F.struct(
                 F.lit(k + 1).alias("step"),
                 F.lit(FUNNEL_STEPS[k]).alias("step_name"),
-                F.col("_n").alias("n_users"),
+                F.col(f"_n{k + 1}").alias("n_users"),
                 (
-                    F.col("_n").cast("double") / F.col("_n1").cast("double")
+                    F.col(f"_n{k + 1}").cast("double")
+                    / F.col("_n1").cast("double")
                 ).alias("rate_from_first"),
             )
-        )
-        rows = r if rows is None else rows.unionByName(r)
-    return rows
+            for k in range(3)
+        ]
+    )
+    return counts.select(F.explode(steps).alias("_s")).select(
+        "_s.step", "_s.step_name", "_s.n_users", "_s.rate_from_first"
+    )
 
 
 Q_EVENTS_FUNNEL_WINDOWED_SQL = f"""

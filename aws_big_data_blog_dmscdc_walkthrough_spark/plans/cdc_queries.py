@@ -54,33 +54,64 @@ def base_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def synth_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The deterministic change batch described in the module docstring."""
+    """The deterministic change batch described in the module docstring.
+
+    Two scans, not a 4-branch union (round 15, guide §2.4): the three
+    seq-1 branches are disjoint modulo classes of the SAME scan, so one
+    filtered pass (``o_orderkey % 10 <= 4``) computes key/price/op by
+    conditional projection; only the seq-2 delete rider (``% 100 == 0``,
+    1% of rows) needs a second branch. The union form re-scanned orders
+    once per branch — and every merge plan references ``changes`` at
+    least twice (prune keys + change side), multiplying that to 8+ scans
+    per query. (An explode-of-struct-array single-scan form was A/B'd
+    and rejected: one scan fewer, but the per-row array build + generate
+    cost ~1.8x the whole two-branch pipeline at bench scale.) Row
+    multiset is identical: the same rows match the same modulo
+    predicates, with the same arithmetic on the same columns.
+    """
     base = base_orders(spark, sf_dir)
     key = F.col("o_orderkey")
-    upd = (
-        base.where(key % 10 <= 2)
-        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
-        .withColumn("op", F.lit("U"))
-        .withColumn("seq", F.lit(1))
+    price = F.col("o_totalprice")
+    main = base.where(key % 10 <= 4).select(
+        F.when(key % 10 == 4, key + 10_000_000).otherwise(key).alias("o_orderkey"),
+        "o_custkey",
+        "o_orderstatus",
+        F.when(key % 10 <= 2, price * 1.1)
+        .when(key % 10 == 4, price + 0.5)
+        .otherwise(price)
+        .alias("o_totalprice"),
+        "o_orderpriority",
+        F.when(key % 10 <= 2, F.lit("U"))
+        .when(key % 10 == 3, F.lit("D"))
+        .otherwise(F.lit("I"))
+        .alias("op"),
+        F.lit(1).alias("seq"),
     )
-    dele = (
-        base.where(key % 10 == 3)
-        .withColumn("op", F.lit("D"))
-        .withColumn("seq", F.lit(1))
+    second = base.where(key % 100 == 0).select(
+        *BASE_COLS, F.lit("D").alias("op"), F.lit(2).alias("seq")
     )
-    ins = (
-        base.where(key % 10 == 4)
-        .withColumn("o_orderkey", key + 10_000_000)
-        .withColumn("o_totalprice", F.col("o_totalprice") + 0.5)
-        .withColumn("op", F.lit("I"))
-        .withColumn("seq", F.lit(1))
+    return main.unionByName(second)
+
+
+def synth_change_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch's key projection as ONE single-column scan.
+
+    ``synth_changes(...).select("o_orderkey")`` forces the full change
+    pipeline just to learn which keys the batch touches; the key set is
+    known directly from the modulo classes (the seq-2 rider touches keys
+    already in ``% 10 == 0 ⊆ % 10 <= 2``). Only for duplicate-insensitive
+    consumers (semi/anti prune joins) — the multiset drops the rider's
+    duplicate key.
+    """
+    key = F.col("o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .where(key % 10 <= 4)
+        .select(
+            F.when(key % 10 == 4, key + 10_000_000).otherwise(key).alias("o_orderkey")
+        )
     )
-    second = (
-        base.where(key % 100 == 0)
-        .withColumn("op", F.lit("D"))
-        .withColumn("seq", F.lit(2))
-    )
-    return upd.unionByName(dele).unionByName(ins).unionByName(second)
 
 
 def cdc_initial_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,10 +151,27 @@ FROM changes WHERE op = 'I'
 """
 
 
+def _batch_prune_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-guarded broadcast key frame for the synthesized batch.
+
+    Round 15 (guide §2.3): every merge-family plan builds a change-key
+    frame for its semi/anti pruning joins; deriving it from the key
+    column alone (one single-column scan) instead of projecting the full
+    change pipeline cut the keys subtree from 4 five-column scans + a
+    distinct shuffle to 1 one-column scan (A/B: 0.36 → 0.10 s at sf0.1).
+    """
+    return cdc._maybe_broadcast(
+        synth_change_keys(spark, sf_dir), cdc.BROADCAST_KEYS_MAX_BYTES
+    )
+
+
 def cdc_impacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Impacted-key discovery (scalable form of impacted-file list)."""
     return cdc.impacted_keys(
-        base_orders(spark, sf_dir), synth_changes(spark, sf_dir), ["o_orderkey"]
+        base_orders(spark, sf_dir),
+        synth_changes(spark, sf_dir),
+        ["o_orderkey"],
+        prune_keys=_batch_prune_keys(spark, sf_dir),
     )
 
 
@@ -162,6 +210,7 @@ def cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderkey"],
         seq_col="seq",
         op_col="op",
+        prune_keys=_batch_prune_keys(spark, sf_dir),
     )
 
 
@@ -183,6 +232,7 @@ def cdc_merge_soft_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq_col="seq",
         op_col="op",
         soft_delete=True,
+        prune_keys=_batch_prune_keys(spark, sf_dir),
     )
 
 
@@ -235,12 +285,29 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (#90): old = the base table, new = the merged table;
     the diff must therefore reproduce the collapsed change batch (one
     row per touched key, latest image) — self-consistency the oracle
-    replays via the same FULL OUTER JOIN."""
+    replays via the same FULL OUTER JOIN.
+
+    Round 15 (guide §2.4): the diff runs over the merge's IMPACTED
+    frames, not the full tables. Keys the batch never mentions appear
+    in both snapshots as the identical row — the full outer join emits
+    nothing for them — so diff(old, merged) ≡ diff(impacted, survivors)
+    row for row ('I' keys exist only in survivors, 'D' only in
+    impacted, 'U' differ; everything else is confined to the batch's
+    key set by construction). This drops the untouched anti-join, the
+    full-table union, and shrinks the outer join's shuffle from two
+    table-sized inputs to two batch-sized ones.
+    """
     old = base_orders(spark, sf_dir)
-    new = cdc.apply_changes(
-        old, synth_changes(spark, sf_dir), ["o_orderkey"], seq_col="seq", op_col="op"
+    survivors, _, impacted = cdc.merge_parts(
+        old,
+        synth_changes(spark, sf_dir),
+        ["o_orderkey"],
+        seq_col="seq",
+        op_col="op",
+        prune_keys=_batch_prune_keys(spark, sf_dir),
     )
-    return cdc.snapshot_diff(old, new, ["o_orderkey"])
+    new_impacted = survivors.where(F.col("_op") != "D").select(*BASE_COLS)
+    return cdc.snapshot_diff(impacted, new_impacted, ["o_orderkey"])
 
 
 _DIFF_ATTRS = [c for c in BASE_COLS if c != "o_orderkey"]
@@ -277,12 +344,24 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch (delta = agg(new impacted) - agg(old impacted)) and must equal
     a from-scratch recompute over the merged table EXACTLY — which is
     what the oracle computes. Decimal state makes the identity exact."""
+    # Round 15 (guide §2.4): the maintenance delta needs exactly the
+    # merge's internal frames — old_rows IS the impacted split and
+    # new_rows IS the surviving-rows split (merged ⋉ keys ≡ survivors:
+    # untouched rows are left-anti on the same key set, so the semi-join
+    # against the full merged table selected precisely the survivors).
+    # Using merge_parts drops the second semi-join, the untouched
+    # anti-join + union, and a duplicate distinct-key aggregation.
     base = base_orders(spark, sf_dir)
     changes = synth_changes(spark, sf_dir)
-    merged = cdc.apply_changes(base, changes, ["o_orderkey"], seq_col="seq", op_col="op")
-    keys = changes.select("o_orderkey").distinct()
-    old_rows = base.join(keys, "o_orderkey", "leftsemi")
-    new_rows = merged.join(keys, "o_orderkey", "leftsemi")
+    survivors, _, old_rows = cdc.merge_parts(
+        base,
+        changes,
+        ["o_orderkey"],
+        seq_col="seq",
+        op_col="op",
+        prune_keys=_batch_prune_keys(spark, sf_dir),
+    )
+    new_rows = survivors.where(F.col("_op") != "D").select(*BASE_COLS)
     prev = cdc.grouped_agg_state(base, ["o_orderstatus"], "o_totalprice")
     state = cdc.maintain_grouped_agg(
         prev, old_rows, new_rows, ["o_orderstatus"], "o_totalprice"
