@@ -106,53 +106,36 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_orders_rollup": analytics.q_orders_rollup,
         "q_customers_no_orders": analytics.q_customers_no_orders,
         "q_orders_above_avg": analytics.q_orders_above_avg,
-        # ROUND-14 DEBUT SLOTS — the rotation WIDENED to 16 per the
-        # round-13 verdict (the never-gated backlog grew to 62/166 at 8
-        # debuts/round; 16/round converges). Demoted to
-        # secondary_queries() after hash-matching in CORRECTNESS_r13:
-        # the eight round-13 debuts (q_events_peak_concurrency,
-        # q_orders_mom_growth, dedup_bag_of_words,
-        # q_orders_histogram_eqdepth, q_orders_drift_tvd,
-        # emb_covariance, q_events_session_paths, q_orders_percentile)
-        # plus eight multi-round veterans (q_events_json_extract,
-        # q_events_asof_order, q_events_range_join, q17, q18,
-        # text_fingerprint, text_tfidf_topk, text_chunks — every one
-        # hash-green in r13 and many rounds before).
-        # Debuts: the round-12 verdict's planned block of eight...
-        "q_orders_mad_outliers": analytics.q_orders_mad_outliers,
-        "q_events_funnel_windowed": analytics.q_events_funnel_windowed,
-        "q_events_conversion_latency": analytics.q_events_conversion_latency,
-        "q_events_wilson": analytics.q_events_wilson,
-        "corpus_vocab_overlap": corpus_ml.corpus_vocab_overlap,
-        "corpus_fertility": corpus_ml.corpus_fertility,
-        "dedup_cluster_sizes": llm_queries.dedup_cluster_sizes,
-        "q_orders_histogram": analytics.q_orders_histogram,
-        # ...plus the eight round-13 additions (the freshest code is
-        # the most valuable to hash-prove): repetition indices (#168),
-        # Zipf spine (#169), assortativity (#170), chi² keywords
-        # (#171), Benford audit (#172), cross-source TVD (#177), order
-        # cadence (#178), and burstiness (#163, the r12 weak item's
-        # rewrite — never yet driver-gated).
-        "corpus_repetition_indices": corpus_ml.corpus_repetition_indices,
-        "corpus_zipf_spine": corpus_ml.corpus_zipf_spine,
-        "q_copurchase_assortativity": analytics.q_copurchase_assortativity,
-        "corpus_chi2_keywords": corpus_ml.corpus_chi2_keywords,
-        "q_orders_benford": analytics.q_orders_benford,
-        "corpus_source_tvd": corpus_ml.corpus_source_tvd,
-        "q_customer_cadence": analytics.q_customer_cadence,
-        "corpus_burstiness": corpus_ml.corpus_burstiness,
-        # ROUND-15 ROTATION PLAN: demote the sixteen round-14 debuts
-        # above once CORRECTNESS_r14 is green and debut the next
-        # never-driver-gated block of sixteen (q_basket_affinity,
-        # q_events_decay_score, q_events_attribution,
-        # q_events_attribution_linear, q_events_transitions,
-        # q_customer_rfm, q_customer_feature_matrix,
-        # corpus_lang_mismatch, text_bigram_surprisal, sample_weighted,
-        # dedup_containment, dedup_unicode, q_part_fuzzy_levenshtein,
-        # eval_centroid_classifier, corpus_quality_filter,
-        # corpus_lexical_diversity), keeping every oracled query
-        # driver-gated at least once per two-to-three rounds until the
-        # never-gated set is empty.
+        # ROUND-15 DEBUT SLOTS (16-slot rotation, per the round-13
+        # verdict). Demoted to secondary_queries() after hash-matching
+        # in CORRECTNESS_r14: the sixteen round-14 debuts
+        # (q_orders_mad_outliers, q_events_funnel_windowed,
+        # q_events_conversion_latency, q_events_wilson,
+        # corpus_vocab_overlap, corpus_fertility, dedup_cluster_sizes,
+        # q_orders_histogram, corpus_repetition_indices,
+        # corpus_zipf_spine, q_copurchase_assortativity,
+        # corpus_chi2_keywords, q_orders_benford, corpus_source_tvd,
+        # q_customer_cadence, corpus_burstiness — all 16 hash-green in
+        # r14). Debuts: the round-14 rotation plan's never-driver-gated
+        # block of sixteen, keeping every oracled query driver-gated at
+        # least once per two-to-three rounds until the never-gated set
+        # is empty.
+        "q_basket_affinity": analytics.q_basket_affinity,
+        "q_events_decay_score": analytics.q_events_decay_score,
+        "q_events_attribution": analytics.q_events_attribution,
+        "q_events_attribution_linear": analytics.q_events_attribution_linear,
+        "q_events_transitions": analytics.q_events_transitions,
+        "q_customer_rfm": analytics.q_customer_rfm,
+        "q_customer_feature_matrix": analytics.q_customer_feature_matrix,
+        "corpus_lang_mismatch": text.corpus_lang_mismatch,
+        "text_bigram_surprisal": text.text_bigram_surprisal,
+        "sample_weighted": text.sample_weighted,
+        "dedup_containment": llm_queries.dedup_containment,
+        "dedup_unicode": llm_queries.dedup_unicode,
+        "q_part_fuzzy_levenshtein": llm_queries.q_part_fuzzy_levenshtein,
+        "eval_centroid_classifier": corpus_ml.eval_centroid_classifier,
+        "corpus_quality_filter": text.corpus_quality_filter,
+        "corpus_lexical_diversity": corpus_ml.corpus_lexical_diversity,
         "q_events_filter_scan": analytics.q_events_filter_scan,
         "text_bigrams": text.text_bigrams,
     }
@@ -163,8 +146,27 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # outside the driver cap (plan-shape variants of gated joins/aggs,
     # plus ops added after the cap filled).
     return {
-        # rotated out of the driver gate after hash-matching in round 13
-        # (widened 16-slot rotation): the eight round-13 debuts + eight
+        # rotated out of the driver gate after hash-matching in round 14
+        # (16-slot rotation): the sixteen round-14 debuts;
+        # pytest-oracled here every round
+        "q_orders_mad_outliers": analytics.q_orders_mad_outliers,
+        "q_events_funnel_windowed": analytics.q_events_funnel_windowed,
+        "q_events_conversion_latency": analytics.q_events_conversion_latency,
+        "q_events_wilson": analytics.q_events_wilson,
+        "corpus_vocab_overlap": corpus_ml.corpus_vocab_overlap,
+        "corpus_fertility": corpus_ml.corpus_fertility,
+        "dedup_cluster_sizes": llm_queries.dedup_cluster_sizes,
+        "q_orders_histogram": analytics.q_orders_histogram,
+        "corpus_repetition_indices": corpus_ml.corpus_repetition_indices,
+        "corpus_zipf_spine": corpus_ml.corpus_zipf_spine,
+        "q_copurchase_assortativity": analytics.q_copurchase_assortativity,
+        "corpus_chi2_keywords": corpus_ml.corpus_chi2_keywords,
+        "q_orders_benford": analytics.q_orders_benford,
+        "corpus_source_tvd": corpus_ml.corpus_source_tvd,
+        "q_customer_cadence": analytics.q_customer_cadence,
+        "corpus_burstiness": corpus_ml.corpus_burstiness,
+        # rotated out after round 13 (widened 16-slot rotation): the
+        # eight round-13 debuts + eight
         # long-proven veterans; pytest-oracled here every round
         "q_events_peak_concurrency": analytics.q_events_peak_concurrency,
         "q_orders_mom_growth": analytics.q_orders_mom_growth,
@@ -268,23 +270,9 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-9 addition (SURVEY §2 #115): per-label embedding outliers
         "emb_label_outliers": corpus_ml.emb_label_outliers,
         # round-9 additions (SURVEY §2 #116-#117): transition matrix + RFM
-        "q_events_transitions": analytics.q_events_transitions,
-        "q_customer_rfm": analytics.q_customer_rfm,
         # round-9 addition (SURVEY §2 #118): lang metadata audit
-        "corpus_lang_mismatch": text.corpus_lang_mismatch,
         # round-9 addition (SURVEY §2 #119): bigram LM surprisal
-        "text_bigram_surprisal": text.text_bigram_surprisal,
         # round-10 additions (SURVEY §2 #120-#124, #127-#129)
-        "q_basket_affinity": analytics.q_basket_affinity,
-        "q_events_decay_score": analytics.q_events_decay_score,
-        "q_events_attribution": analytics.q_events_attribution,
-        "sample_weighted": text.sample_weighted,
-        "dedup_containment": llm_queries.dedup_containment,
-        "q_customer_feature_matrix": analytics.q_customer_feature_matrix,
-        "q_part_fuzzy_levenshtein": llm_queries.q_part_fuzzy_levenshtein,
-        "eval_centroid_classifier": corpus_ml.eval_centroid_classifier,
-        "corpus_quality_filter": text.corpus_quality_filter,
-        "q_events_attribution_linear": analytics.q_events_attribution_linear,
         # (round-11 additions #132-#137, #140-#146 moved to the driver
         # gate as round-14 debuts: q_events_conversion_latency,
         # q_events_wilson, corpus_vocab_overlap, corpus_fertility,
@@ -319,8 +307,6 @@ def _secondary_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_trigrams": analytics.q_events_trigrams,
         "eval_auc_length": corpus_ml.eval_auc_length,
         "eval_lang_kappa": llm_queries.eval_lang_kappa,
-        "dedup_unicode": llm_queries.dedup_unicode,
-        "corpus_lexical_diversity": corpus_ml.corpus_lexical_diversity,
         # round-13 additions (corpus_repetition_indices,
         # corpus_zipf_spine, corpus_chi2_keywords,
         # q_copurchase_assortativity, q_orders_benford,
@@ -361,24 +347,24 @@ def oracle_sql() -> dict[str, str]:
         "q_orders_rollup": analytics.Q_ORDERS_ROLLUP_SQL,
         "q_customers_no_orders": analytics.Q_CUSTOMERS_NO_ORDERS_SQL,
         "q_orders_above_avg": analytics.Q_ORDERS_ABOVE_AVG_SQL,
-        # round-14 debuts (never driver-gated before this round;
-        # 16-slot widened rotation)
-        "q_orders_mad_outliers": analytics.Q_ORDERS_MAD_OUTLIERS_SQL,
-        "q_events_funnel_windowed": analytics.Q_EVENTS_FUNNEL_WINDOWED_SQL,
-        "q_events_conversion_latency": analytics.Q_EVENTS_CONVERSION_LATENCY_SQL,
-        "q_events_wilson": analytics.Q_EVENTS_WILSON_SQL,
-        "corpus_vocab_overlap": corpus_ml.CORPUS_VOCAB_OVERLAP_SQL,
-        "corpus_fertility": corpus_ml.CORPUS_FERTILITY_SQL,
-        "dedup_cluster_sizes": llm_queries.DEDUP_CLUSTER_SIZES_SQL,
-        "q_orders_histogram": analytics.Q_ORDERS_HISTOGRAM_SQL,
-        "corpus_repetition_indices": corpus_ml.CORPUS_REPETITION_INDICES_SQL,
-        "corpus_zipf_spine": corpus_ml.CORPUS_ZIPF_SPINE_SQL,
-        "q_copurchase_assortativity": analytics.Q_COPURCHASE_ASSORTATIVITY_SQL,
-        "corpus_chi2_keywords": corpus_ml.CORPUS_CHI2_KEYWORDS_SQL,
-        "q_orders_benford": analytics.Q_ORDERS_BENFORD_SQL,
-        "corpus_source_tvd": corpus_ml.CORPUS_SOURCE_TVD_SQL,
-        "q_customer_cadence": analytics.Q_CUSTOMER_CADENCE_SQL,
-        "corpus_burstiness": corpus_ml.CORPUS_BURSTINESS_SQL,
+        # round-15 debuts (never driver-gated before this round;
+        # 16-slot rotation)
+        "q_basket_affinity": analytics.Q_BASKET_AFFINITY_SQL,
+        "q_events_decay_score": analytics.Q_EVENTS_DECAY_SCORE_SQL,
+        "q_events_attribution": analytics.Q_EVENTS_ATTRIBUTION_SQL,
+        "q_events_attribution_linear": analytics.Q_EVENTS_ATTRIBUTION_LINEAR_SQL,
+        "q_events_transitions": analytics.Q_EVENTS_TRANSITIONS_SQL,
+        "q_customer_rfm": analytics.Q_CUSTOMER_RFM_SQL,
+        "q_customer_feature_matrix": analytics.Q_CUSTOMER_FEATURE_MATRIX_SQL,
+        "corpus_lang_mismatch": text.CORPUS_LANG_MISMATCH_SQL,
+        "text_bigram_surprisal": text.TEXT_BIGRAM_SURPRISAL_SQL,
+        "sample_weighted": text.SAMPLE_WEIGHTED_SQL,
+        "dedup_containment": llm_queries.DEDUP_CONTAINMENT_SQL,
+        "dedup_unicode": llm_queries.DEDUP_UNICODE_SQL,
+        "q_part_fuzzy_levenshtein": llm_queries.Q_PART_FUZZY_LEVENSHTEIN_SQL,
+        "eval_centroid_classifier": corpus_ml.EVAL_CENTROID_CLASSIFIER_SQL,
+        "corpus_quality_filter": text.CORPUS_QUALITY_FILTER_SQL,
+        "corpus_lexical_diversity": corpus_ml.CORPUS_LEXICAL_DIVERSITY_SQL,
         "q_events_filter_scan": analytics.Q_EVENTS_FILTER_SCAN_SQL,
         "text_bigrams": text.TEXT_BIGRAMS_SQL,
         "text_word_topk": text.TEXT_WORD_TOPK_SQL,
@@ -404,6 +390,24 @@ def oracle_sql() -> dict[str, str]:
 def secondary_oracle_sql() -> dict[str, str]:
     """DuckDB oracles for :func:`secondary_queries` (pytest-side gate)."""
     return {
+        # rotated out of the driver gate after hash-matching in round 14
+        # (16-slot rotation)
+        "q_orders_mad_outliers": analytics.Q_ORDERS_MAD_OUTLIERS_SQL,
+        "q_events_funnel_windowed": analytics.Q_EVENTS_FUNNEL_WINDOWED_SQL,
+        "q_events_conversion_latency": analytics.Q_EVENTS_CONVERSION_LATENCY_SQL,
+        "q_events_wilson": analytics.Q_EVENTS_WILSON_SQL,
+        "corpus_vocab_overlap": corpus_ml.CORPUS_VOCAB_OVERLAP_SQL,
+        "corpus_fertility": corpus_ml.CORPUS_FERTILITY_SQL,
+        "dedup_cluster_sizes": llm_queries.DEDUP_CLUSTER_SIZES_SQL,
+        "q_orders_histogram": analytics.Q_ORDERS_HISTOGRAM_SQL,
+        "corpus_repetition_indices": corpus_ml.CORPUS_REPETITION_INDICES_SQL,
+        "corpus_zipf_spine": corpus_ml.CORPUS_ZIPF_SPINE_SQL,
+        "q_copurchase_assortativity": analytics.Q_COPURCHASE_ASSORTATIVITY_SQL,
+        "corpus_chi2_keywords": corpus_ml.CORPUS_CHI2_KEYWORDS_SQL,
+        "q_orders_benford": analytics.Q_ORDERS_BENFORD_SQL,
+        "corpus_source_tvd": corpus_ml.CORPUS_SOURCE_TVD_SQL,
+        "q_customer_cadence": analytics.Q_CUSTOMER_CADENCE_SQL,
+        "corpus_burstiness": corpus_ml.CORPUS_BURSTINESS_SQL,
         # rotated out of the driver gate after hash-matching in round 13
         # (widened 16-slot rotation)
         "q_events_peak_concurrency": analytics.Q_EVENTS_PEAK_CONCURRENCY_SQL,
@@ -478,20 +482,6 @@ def secondary_oracle_sql() -> dict[str, str]:
         "corpus_split_leakage": corpus_ml.CORPUS_SPLIT_LEAKAGE_SQL,
         "emb_knn_propagate_all": corpus_ml.EMB_KNN_PROPAGATE_ALL_SQL,
         "emb_label_outliers": corpus_ml.EMB_LABEL_OUTLIERS_SQL,
-        "q_events_transitions": analytics.Q_EVENTS_TRANSITIONS_SQL,
-        "q_customer_rfm": analytics.Q_CUSTOMER_RFM_SQL,
-        "corpus_lang_mismatch": text.CORPUS_LANG_MISMATCH_SQL,
-        "text_bigram_surprisal": text.TEXT_BIGRAM_SURPRISAL_SQL,
-        "q_basket_affinity": analytics.Q_BASKET_AFFINITY_SQL,
-        "q_events_decay_score": analytics.Q_EVENTS_DECAY_SCORE_SQL,
-        "q_events_attribution": analytics.Q_EVENTS_ATTRIBUTION_SQL,
-        "sample_weighted": text.SAMPLE_WEIGHTED_SQL,
-        "dedup_containment": llm_queries.DEDUP_CONTAINMENT_SQL,
-        "q_customer_feature_matrix": analytics.Q_CUSTOMER_FEATURE_MATRIX_SQL,
-        "q_part_fuzzy_levenshtein": llm_queries.Q_PART_FUZZY_LEVENSHTEIN_SQL,
-        "eval_centroid_classifier": corpus_ml.EVAL_CENTROID_CLASSIFIER_SQL,
-        "corpus_quality_filter": text.CORPUS_QUALITY_FILTER_SQL,
-        "q_events_attribution_linear": analytics.Q_EVENTS_ATTRIBUTION_LINEAR_SQL,
         # (round-11 additions #132-#146 moved to oracle_sql() as
         # round-14 gate debuts)
         # rotated out of the driver gate after hash-matching in round 12
@@ -518,8 +508,6 @@ def secondary_oracle_sql() -> dict[str, str]:
         "q_events_trigrams": analytics.Q_EVENTS_TRIGRAMS_SQL,
         "eval_auc_length": corpus_ml.EVAL_AUC_LENGTH_SQL,
         "eval_lang_kappa": llm_queries.EVAL_LANG_KAPPA_SQL,
-        "dedup_unicode": llm_queries.DEDUP_UNICODE_SQL,
-        "corpus_lexical_diversity": corpus_ml.CORPUS_LEXICAL_DIVERSITY_SQL,
         # round-13 additions (most moved to oracle_sql() as round-14
         # gate debuts)
         "corpus_ingest_novelty": corpus_ml.CORPUS_INGEST_NOVELTY_SQL,

@@ -252,41 +252,55 @@ def shingle_hashes_wide_pandas(k: int = 3):
     mirrored verbatim in the DuckDB oracles, so cross-engine results
     stay bit-identical by construction even on a collision.
     """
-    mul, mod, comb = POLY_MUL1, POLY_MOD1, SHINGLE_COMBINE
-    mul2, mod2 = POLY_MUL2, POLY_MOD2
-
     @F.pandas_udf(ArrayType(LongType()))
     def udf(texts: pd.Series) -> pd.Series:
         n_docs = len(texts)
         if n_docs == 0:
             return pd.Series([], dtype=object)
-        flat, counts = _batch_tokens(texts)
-        h1, h2 = _poly_fold_tokens(flat, [(mul, mod), (mul2, mod2)])
-        doc_of_tok = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
-        total = h1.size
-        if total >= k:
-            idx = np.arange(total - k + 1)
-            starts = idx[doc_of_tok[idx] == doc_of_tok[idx + k - 1]]
-            s1, s2 = h1[starts], h2[starts]
-            for j in range(1, k):
-                s1 = (s1 * comb + h1[starts + j]) % mod
-                s2 = (s2 * comb + h2[starts + j]) % mod2
-            sh = s1 * mod2 + s2
-            sh_doc = doc_of_tok[starts]
-            order = np.lexsort((sh, sh_doc))
-            sh, sh_doc = sh[order], sh_doc[order]
-            keep = np.ones(sh.size, dtype=bool)
-            keep[1:] = (sh[1:] != sh[:-1]) | (sh_doc[1:] != sh_doc[:-1])
-            sh, sh_doc = sh[keep], sh_doc[keep]
-        else:
-            sh = np.empty(0, dtype=np.int64)
-            sh_doc = np.empty(0, dtype=np.int64)
+        sh, sh_doc, _ = shingle_wide_flat(texts, k)
         per_doc = np.bincount(sh_doc, minlength=n_docs)
         bounds = np.cumsum(per_doc)[:-1]
         # numpy slices, not tolist() (see shingle_hashes_pandas)
         return pd.Series(np.split(sh, bounds))
 
     return udf
+
+
+def shingle_wide_flat(texts, k: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Flat DISTINCT ``(wide_shingle_hash, doc_index)`` arrays for a batch.
+
+    The shared computational core of :func:`shingle_hashes_wide_pandas`
+    (which splits the flat arrays back into per-doc lists) and the fused
+    small-input novelty solver in ``plans/corpus_ml.py`` (which consumes
+    the flat posting form directly). Identical arithmetic: two
+    char-poly/combine folds packed as ``hA * POLY_MOD2 + hB``; distinct
+    per doc. Returns ``(sh, sh_doc, n_docs)``.
+    """
+    mul, mod, comb = POLY_MUL1, POLY_MOD1, SHINGLE_COMBINE
+    mul2, mod2 = POLY_MUL2, POLY_MOD2
+    n_docs = len(texts)
+    flat, counts = _batch_tokens(texts)
+    h1, h2 = _poly_fold_tokens(flat, [(mul, mod), (mul2, mod2)])
+    doc_of_tok = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    total = h1.size
+    if total >= k:
+        idx = np.arange(total - k + 1)
+        starts = idx[doc_of_tok[idx] == doc_of_tok[idx + k - 1]]
+        s1, s2 = h1[starts], h2[starts]
+        for j in range(1, k):
+            s1 = (s1 * comb + h1[starts + j]) % mod
+            s2 = (s2 * comb + h2[starts + j]) % mod2
+        sh = s1 * mod2 + s2
+        sh_doc = doc_of_tok[starts]
+        order = np.lexsort((sh, sh_doc))
+        sh, sh_doc = sh[order], sh_doc[order]
+        keep = np.ones(sh.size, dtype=bool)
+        keep[1:] = (sh[1:] != sh[:-1]) | (sh_doc[1:] != sh_doc[:-1])
+        sh, sh_doc = sh[keep], sh_doc[keep]
+    else:
+        sh = np.empty(0, dtype=np.int64)
+        sh_doc = np.empty(0, dtype=np.int64)
+    return sh, sh_doc, n_docs
 
 
 def _segment_offsets(counts: np.ndarray) -> np.ndarray:

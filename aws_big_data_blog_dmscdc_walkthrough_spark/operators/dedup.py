@@ -119,6 +119,24 @@ def _scan_sizes(df: DataFrame) -> list[int] | None:
 _SCAN_BYTES_ATTR = "_sg_scan_bytes"
 
 
+# Distributed-truth probe (round 15): with SPARK_GRAFT_FORCE_DISTRIBUTED
+# set, every size gate sees "huge input" and takes the distributed plan
+# regardless of the actual scan bytes. The sf0.1 bench otherwise runs
+# ~19 queries through their gated single-task/local solves, leaving
+# their distributed shapes unmeasured between the (expensive) sf1+
+# scale runs — this env seam lets a bench pass exercise exactly the
+# plans a 100 TB input would take, on the small data. Read per call,
+# not at import: tests flip it around individual cases.
+_FORCE_DISTRIBUTED_ENV = "SPARK_GRAFT_FORCE_DISTRIBUTED"
+_FORCED_SCAN_BYTES = 1 << 40  # far above every gate threshold
+
+
+def force_distributed() -> bool:
+    import os
+
+    return os.environ.get(_FORCE_DISTRIBUTED_ENV, "") not in ("", "0")
+
+
 def scan_bytes(df: DataFrame) -> int | None:
     """Total on-disk bytes behind this frame, or None when unknown.
 
@@ -128,7 +146,11 @@ def scan_bytes(df: DataFrame) -> int | None:
     tfidf pin regression happened); falls back to a live leaf-file
     probe for raw frames. EVERY adaptive size gate downstream of a
     possible spread() must use this, never _scan_sizes directly.
+    With ``SPARK_GRAFT_FORCE_DISTRIBUTED`` set it reports a huge size,
+    so every gate falls through to its distributed plan.
     """
+    if force_distributed():
+        return _FORCED_SCAN_BYTES
     cached = getattr(df, _SCAN_BYTES_ATTR, None)
     if cached is not None:
         return cached
@@ -270,7 +292,11 @@ def spread(df: DataFrame, min_bytes: int | None = SPREAD_MIN_INPUT_BYTES) -> Dat
     target = df.sparkSession.sparkContext.defaultParallelism
     sizes = _scan_sizes(df)
     total = None if sizes is None else sum(sizes)
-    if min_bytes and total is not None and total < min_bytes:
+    # distributed-truth probe: under force_distributed() never take the
+    # small-input skip — repartition exactly as a big under-split input
+    # would (the stamp still carries the real bytes; downstream gates
+    # read the forced size through scan_bytes() anyway)
+    if min_bytes and total is not None and total < min_bytes and not force_distributed():
         return _stamp_scan_bytes(df, total)
     est = _estimated_scan_partitions(df, sizes)
     if est is None:
@@ -1772,6 +1798,16 @@ def substring_dup_report(
     """
     from ..functions.hashing import shingle_hashes_pandas
 
+    # Small-input fused twin (round 15, guide §4.3): below the byte gate
+    # the whole report — window hashes, per-hash corpus totals, per-doc
+    # dup counts — is one numpy pass in one task, skipping the spread
+    # exchange, the explode, and both aggregation shuffles. Identical
+    # integers (window multiset and corpus totals are the same sets) and
+    # the identical double division; tests/test_dedup.py pins
+    # fused ≡ distributed bit-equality.
+    if _small_scan(df):
+        return _substring_dup_direct(df, id_col, text_col, k)
+
     sh = shingle_hashes_pandas(k, distinct=False)
     wins = spread(df).select(
         F.col(id_col), F.explode(sh(F.col(text_col))).alias("_h")
@@ -1794,6 +1830,69 @@ def substring_dup_report(
         F.col("n_dup_windows"),
         (F.col("n_dup_windows").cast("double") / F.col("n_windows")).alias("dup_frac"),
     )
+
+
+def _substring_dup_direct(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Small-input fused twin of :func:`substring_dup_report` (see the
+    gate comment there): window hashing, corpus-wide per-hash totals and
+    the per-doc dup re-aggregation all inside ONE task."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from ..functions.hashing import shingle_flat
+
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField(id_col, id_type),
+            StructField("n_windows", LongType()),
+            StructField("n_dup_windows", LongType()),
+            StructField("dup_frac", DoubleType()),
+        ]
+    )
+
+    def solve_iter(batches):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {id_col: [], "n_windows": [], "n_dup_windows": [], "dup_frac": []}
+        )
+        pdfs = list(batches)
+        if not pdfs:
+            yield empty
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        # position multiplicity kept (distinct=False), exactly like the
+        # distributed explode
+        sh, sh_row, _n = shingle_flat(pdf[text_col], k, distinct=False)
+        if sh.size == 0:
+            yield empty
+            return
+        # duplicate ids merge like the distributed groupBy(id, _h)
+        codes, uniq = pd.factorize(pdf[id_col], sort=False)
+        doc_of_win = codes[sh_row]
+        # corpus-wide per-hash totals: a window is duplicated iff its
+        # hash occurs >= 2 times anywhere (same doc included)
+        _, inv, tot = np.unique(sh, return_inverse=True, return_counts=True)
+        dup = tot[inv] >= 2
+        n_windows = np.bincount(doc_of_win, minlength=len(uniq))
+        n_dup = np.bincount(doc_of_win[dup], minlength=len(uniq))
+        # docs with < k tokens have no windows and are absent, as in the
+        # distributed report
+        has = n_windows > 0
+        yield pd.DataFrame(
+            {
+                id_col: np.asarray(uniq)[has],
+                "n_windows": n_windows[has].astype(np.int64),
+                "n_dup_windows": n_dup[has].astype(np.int64),
+                "dup_frac": n_dup[has].astype(np.float64)
+                / n_windows[has].astype(np.float64),
+            }
+        )
+
+    return df.select(id_col, text_col).coalesce(1).mapInPandas(solve_iter, out_schema)
 
 
 # ------------------------------------------- fuzzy record linkage (#104)

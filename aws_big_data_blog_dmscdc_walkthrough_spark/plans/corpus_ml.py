@@ -1081,7 +1081,21 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions 38 s → 32 spread partitions 10.8 s; adaptive, so small
     inputs skip the shuffle).
     """
-    from ..operators.dedup import spread
+    from ..operators.dedup import _small_scan, spread
+
+    # Small-input fused twin (round 15, guide §4.3): below the byte gate
+    # the 153 DECIMAL(30,10) aggregates are one numpy pass in one task.
+    # The kernel replicates the distributed arithmetic EXACTLY: each
+    # double is quantized to the decimal's HALF_UP 10th digit via a
+    # Dekker two-product (the rounding decision is made on the exact
+    # a·10¹⁰ value, not the rounded float), the quantized units sum as
+    # int64 (exact), sums convert through Fraction (correctly rounded,
+    # = BigDecimal.doubleValue), and the cov/corr chains run the same
+    # float64 ops in the same order. tests/test_corpus_card.py pins
+    # fused ≡ forced-distributed bit-equality.
+    emb_raw = load_table(spark, sf_dir, "embeddings")
+    if _small_scan(emb_raw):
+        return _emb_covariance_direct(emb_raw)
 
     # The whole chain is built from SQL STRINGS (selectExpr / F.expr),
     # not Column-object chains: the Column API costs several py4j
@@ -1094,7 +1108,7 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expensive PER ROW, so even the sub-4MB bench file ran it in one
     # task (1.3 s single-task vs 0.35 s for the spread exchange;
     # 2.3 → 1.8 s A/B). At sf1+ the adaptive gate spread anyway.
-    emb = spread(load_table(spark, sf_dir, "embeddings"), min_bytes=0)
+    emb = spread(emb_raw, min_bytes=0)
     base = emb.selectExpr(
         *[
             f"cast(element_at(embedding, {i + 1}) as double) as _x{i}"
@@ -1139,6 +1153,115 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(i, COV_DIMS)
     )
     return covd.selectExpr(f"inline(array({terms}))")
+
+
+def _quant_halfup_1e10(v):
+    """Exact HALF_UP quantization of float64 ``v`` at scale 10 — the
+    integer ``round_half_away_from_zero(v * 10^10)`` computed on the
+    EXACT product, bit-for-bit what ``cast(v as decimal(30,10))``
+    produces (BigDecimal HALF_UP on the double's exact binary value).
+
+    ``|v| * 1e10`` needs up to 87 mantissa bits, so the rounded float64
+    product alone can misplace the .5 boundary. A Dekker two-product
+    recovers the exact residual (1e10 and the 2^27+1 splitter are
+    exactly representable; the four partial products are exact by
+    construction), and the boundary test runs on (rounded ± residual).
+    """
+    import numpy as np
+
+    C = np.float64(1e10)
+    SPLIT = np.float64(134217729.0)  # 2^27 + 1 (Dekker splitter)
+    a = np.abs(v)
+    p = a * C
+    t = a * SPLIT
+    ah = t - (t - a)
+    al = a - ah
+    tc = C * SPLIT
+    ch = tc - (tc - C)
+    cl = C - ch
+    err = ((ah * ch - p) + ah * cl + al * ch) + al * cl  # a*C == p + err
+    q = np.floor(p + np.float64(0.5))
+    # exact remainder of (a*C + 0.5 - q): d = p - q is exact (Sterbenz
+    # for p >= 0.5; below that q == 0 and d == p)
+    d = p - q
+    r = (d + np.float64(0.5)) + err
+    q = np.where(r < 0, q - 1, q)
+    q = np.where(r >= 1, q + 1, q)
+    return np.where(v < 0, -q, q).astype(np.int64)
+
+
+def _emb_covariance_direct(emb) -> DataFrame:
+    """Small-input fused twin of :func:`emb_covariance` (see the gate
+    comment there): the 1 + 16 + 136 DECIMAL aggregates and the
+    cov/corr double chains in one numpy pass in one task."""
+    from fractions import Fraction
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    d = COV_DIMS
+    out_schema = StructType(
+        [
+            StructField("i", IntegerType()),
+            StructField("j", IntegerType()),
+            StructField("cov", DoubleType()),
+            StructField("corr", DoubleType()),
+        ]
+    )
+
+    def solve_iter(batches):
+        import numpy as np
+        import pandas as pd
+
+        cols = {"i": [], "j": [], "cov": [], "corr": []}
+        pdfs = list(batches)
+        if not pdfs:
+            yield pd.DataFrame(cols)
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        n = len(pdf)
+        if n == 0:
+            yield pd.DataFrame(cols)
+            return
+        X = np.stack(pdf["embedding"].to_numpy())[:, :d].astype(np.float64)
+        # sums: quantize each dim once; products: the double product
+        # x_i * x_j FIRST (the distributed plan casts the double
+        # product), then quantize
+        pairs = [(i, j) for i in range(d) for j in range(i, d)]
+        Q = _quant_halfup_1e10(X)
+        P = _quant_halfup_1e10(
+            np.stack([X[:, i] * X[:, j] for i, j in pairs], axis=1)
+        )
+        # int64 sums are exact while n * max|q| stays far under 2^63 —
+        # guaranteed by the byte gate; the object-dtype fallback would
+        # be exact but row-at-a-time slow
+        s = Q.sum(axis=0, dtype=np.int64)
+        ps = P.sum(axis=0, dtype=np.int64)
+        # decimal -> double: correctly rounded value of the exact
+        # rational (what BigDecimal.doubleValue does); int64 -> float64
+        # then / 1e10 would round twice
+        SCALE = 10**10
+        N = float(n)
+        S = [float(Fraction(int(v), SCALE)) / N for v in s]
+        cov = {}
+        for (i, j), v in zip(pairs, ps):
+            cov[(i, j)] = float(Fraction(int(v), SCALE)) / N - S[i] * S[j]
+        for i, j in pairs:
+            cols["i"].append(i)
+            cols["j"].append(j)
+            cols["cov"].append(cov[(i, j)])
+            cols["corr"].append(
+                cov[(i, j)] / (np.sqrt(cov[(i, i)]) * np.sqrt(cov[(j, j)]))
+            )
+        yield pd.DataFrame(cols)
+
+    return (
+        emb.select("embedding").coalesce(1).mapInPandas(solve_iter, out_schema)
+    )
 
 
 def _cov_sql() -> str:
@@ -1823,8 +1946,18 @@ def corpus_ingest_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     birthday-collide from ~3e4 shingles).
     """
     from ..functions import hashing
+    from ..operators.dedup import _small_scan
 
     docs = load_table(spark, sf_dir, "documents")
+    # Small-input fused twin (round 15, guide §4.3): below the byte gate
+    # the max-id probe, trigram hashing, (batch, trigram) dedup and both
+    # tiny aggregations are one numpy pass in one task — no broadcast
+    # join, no explode, no distinct/min-batch shuffles. Identical
+    # integers (same wide-hash arithmetic via shingle_wide_flat, same
+    # floor divisions) and the identical double division;
+    # tests/test_corpus_card.py pins fused ≡ distributed bit-equality.
+    if _small_scan(docs):
+        return _ingest_novelty_direct(docs)
     max_id = docs.agg(F.max("doc_id").alias("_m"))
     sh = hashing.shingle_hashes_wide_pandas(3)
     # integer width w = max_id div K + 1; batch = doc_id div w in 0..K-1
@@ -1853,6 +1986,83 @@ def corpus_ingest_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_trigrams").cast("double")
             ).alias("new_share"),
         )
+    )
+
+
+def _ingest_novelty_direct(docs) -> DataFrame:
+    """Small-input fused twin of :func:`corpus_ingest_novelty` (see the
+    gate comment there): one task computes max-id, per-batch distinct
+    trigrams and first-seen batches with the identical arithmetic."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from ..functions.hashing import shingle_wide_flat
+
+    out_schema = StructType(
+        [
+            StructField("batch", LongType()),
+            StructField("n_trigrams", LongType()),
+            StructField("n_new", LongType()),
+            StructField("new_share", DoubleType()),
+        ]
+    )
+
+    def solve_iter(batches):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"batch": [], "n_trigrams": [], "n_new": [], "new_share": []}
+        )
+        pdfs = list(batches)
+        if not pdfs:
+            yield empty
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        if ids.size == 0:
+            yield empty
+            return
+        # integer width w = max_id div K + 1; batch = doc_id div w —
+        # the same non-negative floor divisions as the distributed plan
+        w = ids.max() // NOVELTY_BATCHES + 1
+        sh, sh_doc, _n = shingle_wide_flat(pdf["text"], 3)
+        if sh.size == 0:
+            yield empty
+            return
+        batch_of = ids[sh_doc] // w
+        # distinct (batch, trigram): trigrams are already distinct per
+        # doc, so dedupe across the docs of each batch
+        bt = np.stack([batch_of, sh], axis=1)
+        bt = np.unique(bt, axis=0)
+        b, tg = bt[:, 0], bt[:, 1]
+        n_trigrams = np.bincount(b, minlength=NOVELTY_BATCHES)
+        # per-trigram min batch: rows are sorted by (batch, trigram), so
+        # the FIRST occurrence of each trigram in trigram-sorted order
+        # carries its min batch
+        order = np.argsort(tg, kind="stable")
+        tg_s, b_s = tg[order], b[order]
+        first_mask = np.ones(tg_s.size, dtype=bool)
+        first_mask[1:] = tg_s[1:] != tg_s[:-1]
+        # stable sort keeps ascending batch within equal trigrams only
+        # if input was batch-sorted — np.unique(axis=0) sorts rows
+        # lexicographically by (batch, trigram), so after the stable
+        # trigram sort, equal-trigram runs remain batch-ascending
+        n_new = np.bincount(b_s[first_mask], minlength=NOVELTY_BATCHES)
+        has = n_trigrams > 0
+        batches_out = np.arange(NOVELTY_BATCHES, dtype=np.int64)[has]
+        nt = n_trigrams[has].astype(np.int64)
+        nn = n_new[has].astype(np.int64)
+        yield pd.DataFrame(
+            {
+                "batch": batches_out,
+                "n_trigrams": nt,
+                "n_new": nn,
+                "new_share": nn.astype(np.float64) / nt.astype(np.float64),
+            }
+        )
+
+    return docs.select("doc_id", "text").coalesce(1).mapInPandas(
+        solve_iter, out_schema
     )
 
 

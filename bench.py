@@ -118,6 +118,14 @@ def main() -> None:
         timings[name] = round(min(runs), 2)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Distributed-truth probe (round 15): SPARK_GRAFT_FORCE_DISTRIBUTED=1
+    # routes every size-gated operator through its distributed plan (see
+    # operators/dedup.scan_bytes), so this run measures the shapes a
+    # large input would take. It records into its OWN sidecar/baseline
+    # namespace — the committed small-input record stays the driver's
+    # comparison base, and a probe run can never clobber it.
+    forced = os.environ.get("SPARK_GRAFT_FORCE_DISTRIBUTED", "") not in ("", "0")
+    side_tag = f"{sf}.distributed" if forced else sf
     # Targeted drift retry (round-11, bench-of-record hygiene): the
     # round-10 driver record ran in an evening load spike and carried
     # per-query deltas up to 1.98x over the same code's quiet-window
@@ -127,7 +135,7 @@ def main() -> None:
     # instead of poisoning the round's number. Identical plans retried
     # under the same load just reproduce the time — bounded waste.
     try:
-        _, pre_deltas, pre_base = _baseline_deltas(timings, sf)
+        _, pre_deltas, pre_base = _baseline_deltas(timings, sf, file_tag=side_tag)
     except Exception:  # noqa: BLE001 - retry pass is best-effort
         pre_deltas, pre_base = {}, {}
     drifted = [
@@ -169,7 +177,7 @@ def main() -> None:
     # Delta computation is decoration; it must never be able to destroy
     # the timing record it decorates (round 4 died exactly this way).
     try:
-        baseline_file, deltas, _ = _baseline_deltas(timings, sf)
+        baseline_file, deltas, _ = _baseline_deltas(timings, sf, file_tag=side_tag)
     except Exception as exc:  # noqa: BLE001 - diagnostics only
         print(f"[bench] baseline delta computation failed: {exc!r}", file=sys.stderr)
         baseline_file, deltas = None, {}
@@ -221,7 +229,7 @@ def main() -> None:
         # queries as the existing record — a 3-query probe can't
         # overwrite the committed 76-query run, but the scale-curve
         # sidecars (born from curated subsets) stay refreshable.
-        name = f"BENCH_LOCAL_sf{sf}.json"
+        name = f"BENCH_LOCAL_sf{side_tag}.json"
         dest = os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
         prev_n = 0
         if subset and os.path.exists(dest):
@@ -239,7 +247,12 @@ def main() -> None:
     spark.stop()
 
 
-def _baseline_deltas(timings: dict[str, float], sf: str, bench_dir: str | None = None):
+def _baseline_deltas(
+    timings: dict[str, float],
+    sf: str,
+    bench_dir: str | None = None,
+    file_tag: str | None = None,
+):
     """Per-query time ratio vs the committed same-SF record.
 
     Preference order (round-12 verdict): the COMMITTED full-precision
@@ -255,9 +268,17 @@ def _baseline_deltas(timings: dict[str, float], sf: str, bench_dir: str | None =
     import glob
 
     here = bench_dir or os.path.dirname(os.path.abspath(__file__))
-    sidecar = os.path.join(here, f"BENCH_LOCAL_sf{sf}.json")
-    candidates = ([sidecar] if os.path.exists(sidecar) else []) + sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True
+    # file_tag separates the distributed-truth probe's record namespace
+    # (BENCH_LOCAL_sf{sf}.distributed.json) from the standard one; a
+    # probe run never compares against (or retries toward) the
+    # small-input record, and vice versa. Driver BENCH_r*.json records
+    # are standard-mode only, so they are skipped for tagged runs.
+    tag = file_tag or sf
+    sidecar = os.path.join(here, f"BENCH_LOCAL_sf{tag}.json")
+    candidates = ([sidecar] if os.path.exists(sidecar) else []) + (
+        sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True)
+        if tag == sf
+        else []
     )
     for path in candidates:
         try:

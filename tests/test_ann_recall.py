@@ -43,6 +43,7 @@ def _recall(spark, emb, Xn, ids, run):
     return float(np.mean(recs))
 
 
+@pytest.mark.slow
 def test_ivf_recall_floors_and_spill_assignment(spark, corpus):
     emb, Xn, ids = corpus
     cents = sim.ivf_fit_centroids(emb, "embedding", 16)
@@ -94,6 +95,7 @@ def test_lsh_multiprobe_improves_recall(spark, corpus):
     assert multi >= 0.15, f"multi-probe LSH recall {multi}"
 
 
+@pytest.mark.slow
 def test_lsh_query_directed_probing_beats_blanket_and_reaches_midtier(
     spark, corpus
 ):
@@ -119,6 +121,7 @@ def test_lsh_query_directed_probing_beats_blanket_and_reaches_midtier(
     assert midtier >= 0.5, f"query-directed probe_t=64 recall {midtier}"
 
 
+@pytest.mark.slow
 def test_pq_adc_recall_and_rerank_floor(spark, corpus):
     """PQ (#87) quality on the same hard corpus, against exact
     squared-L2 truth (PQ's own metric): trained m=8/k=256 codebooks
@@ -210,6 +213,7 @@ def _clustered_corpus(spark, n=2000, n_clusters=16, dim=64, noise=0.08, seed=7):
     return emb, Xn, np.arange(n)
 
 
+@pytest.mark.slow
 def test_residual_ivfpq_beats_raw_at_tight_code_budget(spark):
     """#182: the textbook IVFADC claim (Jégou 2011 — quantize the
     residual, not the raw vector) measured where it bites: on a
@@ -255,6 +259,7 @@ def test_residual_ivfpq_beats_raw_at_tight_code_budget(spark):
     assert res >= raw + 0.15, f"residual {res} must clearly beat raw {raw}"
 
 
+@pytest.mark.slow
 def test_residual_ivfpq_equal_budget_floor(spark, corpus):
     """#182 at the committed #179 configuration (m=8/k=256, spill
     assign_m=2, nprobe=6, rerank=100) on the hard weakly-clustered

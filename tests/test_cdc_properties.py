@@ -10,6 +10,7 @@ to hit the interesting overlaps (small key space → frequent multi-op
 keys and change-vs-target collisions).
 """
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -54,6 +55,7 @@ def model_merge(target: dict[int, int], batch, soft=False):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(batch=batches(), target_keys=st.sets(KEYS, max_size=8))
+@pytest.mark.slow
 def test_apply_changes_matches_model(spark, batch, target_keys):
     target = spark.createDataFrame(
         [(k, 1000 + k) for k in sorted(target_keys)] or [(99, 0)], "pk int, v int"
@@ -77,6 +79,7 @@ def test_apply_changes_matches_model(spark, batch, target_keys):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(batch=batches(), target_keys=st.sets(KEYS, max_size=8))
+@pytest.mark.slow
 def test_soft_delete_keeps_tombstones(spark, batch, target_keys):
     target = spark.createDataFrame(
         [(k, 1000 + k) for k in sorted(target_keys)] or [(99, 0)], "pk int, v int"
@@ -104,6 +107,7 @@ def test_soft_delete_keeps_tombstones(spark, batch, target_keys):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(batch=batches(), target_keys=st.sets(KEYS, max_size=8))
+@pytest.mark.slow
 def test_scd2_versions_match_model(spark, batch, target_keys):
     """SCD2 over an arbitrary op soup: versions = target rows + every
     non-D change; each version's valid_to is the NEXT seq on its key;
@@ -147,6 +151,7 @@ def test_scd2_versions_match_model(spark, batch, target_keys):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(batch=batches(), target_keys=st.sets(KEYS, max_size=8), split=st.integers(0, 12))
+@pytest.mark.slow
 def test_scd2_fold_equals_one_shot_at_any_split(spark, batch, target_keys, split):
     """Folding the change log in two arbitrary (seq-ordered) pieces is
     identical to one-shot history — for ANY split point."""
@@ -181,6 +186,7 @@ def test_scd2_fold_equals_one_shot_at_any_split(spark, batch, target_keys, split
     old_rows=st.dictionaries(KEYS, st.integers(0, 100), max_size=8),
     new_rows=st.dictionaries(KEYS, st.integers(0, 100), max_size=8),
 )
+@pytest.mark.slow
 def test_snapshot_diff_round_trips(spark, old_rows, new_rows):
     """apply_changes(old, snapshot_diff(old, new)) == new, for ANY pair
     of snapshots."""
@@ -213,6 +219,7 @@ def test_snapshot_diff_round_trips(spark, old_rows, new_rows):
     base_rows=st.dictionaries(KEYS, st.integers(0, 100), min_size=1, max_size=8),
     batch=batches(),
 )
+@pytest.mark.slow
 def test_incremental_agg_equals_recompute(spark, base_rows, batch):
     """Maintained grouped state == from-scratch recompute over the
     merged table, for arbitrary change batches (groups = v % 3 so
@@ -255,6 +262,7 @@ def test_incremental_agg_equals_recompute(spark, base_rows, batch):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(batch=batches(), split=st.integers(0, 12))
+@pytest.mark.slow
 def test_scd2_merge_on_read_equals_one_shot(spark, tmp_path, batch, split):
     """The incremental MOR history writer (DV + append + manifest
     commit per fold) must land EXACTLY the one-shot scd2_history rows
@@ -344,6 +352,7 @@ def test_scd2_merge_on_read_bucket_count_guards(spark, tmp_path):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(batch=batches(), split=st.integers(0, 12))
+@pytest.mark.slow
 def test_scd2_merge_on_read_monotonic_equals_one_shot(spark, tmp_path, batch, split):
     """seq_monotonic folds (global-hwm guard, no history guard scan)
     must land exactly the one-shot rows when batches really are

@@ -67,3 +67,55 @@ def test_corpus_card_tokenizes_once(spark):
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert "InMemoryRelation" in plan, name
     release_persisted()
+
+
+def test_ingest_novelty_fused_and_distributed_paths_agree(spark):
+    """The small-input fused novelty solver (one numpy pass in one task)
+    and the distributed explode/distinct/min-batch plan emit the same
+    per-batch rows with bit-identical new-share doubles."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import dedup as dd
+
+    def run():
+        release_persisted()
+        return sorted(
+            (r.batch, r.n_trigrams, r.n_new, r.new_share)
+            for r in corpus_ml.corpus_ingest_novelty(
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        )
+
+    fused = run()  # small scan -> fused path
+    orig = dd._scan_sizes
+    dd._scan_sizes = lambda df: [10**9]  # force the distributed path
+    try:
+        dist = run()
+    finally:
+        dd._scan_sizes = orig
+    assert fused and fused == dist
+    release_persisted()
+
+
+def test_emb_covariance_fused_and_distributed_paths_agree(spark):
+    """The fused covariance kernel (Dekker HALF_UP quantization + int64
+    sums + Fraction->double) and the distributed 153-DECIMAL-aggregate
+    plan emit bit-identical cov/corr doubles."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import dedup as dd
+
+    def run():
+        release_persisted()
+        return sorted(
+            (r.i, r.j, r.cov, r.corr)
+            for r in corpus_ml.emb_covariance(
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        )
+
+    fused = run()  # small scan -> fused path
+    orig = dd._scan_sizes
+    dd._scan_sizes = lambda df: [10**9]  # force the distributed path
+    try:
+        dist = run()
+    finally:
+        dd._scan_sizes = orig
+    assert fused and fused == dist
+    release_persisted()

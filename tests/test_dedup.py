@@ -1,5 +1,6 @@
 """Dedup operator semantics on planted fixtures."""
 
+import pytest
 from aws_big_data_blog_dmscdc_walkthrough_spark.operators import dedup
 
 DOCS = [
@@ -163,6 +164,7 @@ def test_release_persisted_drains_all_caches(spark):
         dedup._scan_sizes = orig
 
 
+@pytest.mark.slow
 def test_decontaminate_flags_eval_overlap(spark):
     from aws_big_data_blog_dmscdc_walkthrough_spark.operators.dedup import decontaminate
 
@@ -216,6 +218,7 @@ def test_estimated_scan_partitions_tracks_spark_packing(spark, tmp_path):
     assert _estimated_scan_partitions(spark.range(10).toDF("x")) is None
 
 
+@pytest.mark.slow
 def test_signature_store_incremental_matching(spark, tmp_path):
     """The persistent signature store must give ingest-time dedup the
     same answers as the functional two-frame operator, and later
@@ -294,6 +297,7 @@ def test_split_minhash_pairs_matches_two_frame_form(spark):
     assert want  # fixture actually produces cross-side near-dups
 
 
+@pytest.mark.slow
 def test_minhash_fused_and_distributed_paths_agree(spark):
     """The small-input fused MinHash-LSH plan (one mapInPandas task)
     and the distributed banded-join plan emit the same pairs with
@@ -748,6 +752,7 @@ def test_containment_block_cap_omission_only(spark):
         assert exact[pair] == c
 
 
+@pytest.mark.slow
 def test_tf_cosine_exact_vs_bruteforce(spark):
     """The prefix-filtered plan must equal brute force exactly — it is
     an EXACT algorithm (no omission contract), including pairs whose
@@ -790,6 +795,7 @@ def test_tf_cosine_exact_vs_bruteforce(spark):
     assert got == want and want  # non-trivial: some pairs must exist
 
 
+@pytest.mark.slow
 def test_tf_cosine_prefix_filter_prunes_index(spark):
     """At a high threshold the suffix-norm bound must index strictly
     fewer postings than the full tf frame (the pruning that makes the
@@ -852,6 +858,7 @@ def test_bag_of_words_dedup_merges_token_permutations(spark, tmp_path):
     assert got[4] == (4, 1)
 
 
+@pytest.mark.slow
 def test_tf_cosine_ngram_terms_match_bruteforce(spark):
     """ngram=3 shifts the TERM DOMAIN only — exactness must hold
     against a python brute force over trigram-shingle tf vectors."""
@@ -891,3 +898,29 @@ def test_tf_cosine_ngram_terms_match_bruteforce(spark):
         if c >= 0.5:
             want[(min(ia, ib), max(ia, ib))] = round(c, 9)
     assert got == want and want
+
+
+def test_substring_fused_and_distributed_paths_agree(spark):
+    """The small-input fused substring-dup report (one numpy pass in one
+    task) and the distributed explode + hash-window plan emit the same
+    per-doc rows with bit-identical dup fractions."""
+    from aws_big_data_blog_dmscdc_walkthrough_spark.operators import dedup as dd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def run():
+        dd.release_persisted()
+        return sorted(
+            (r.doc_id, r.n_windows, r.n_dup_windows, r.dup_frac)
+            for r in dd.substring_dup_report(docs, "doc_id", "text", k=8).collect()
+        )
+
+    fused = run()  # small scan -> fused path
+    orig = dd._scan_sizes
+    dd._scan_sizes = lambda df: [10**9]  # force the distributed path
+    try:
+        dist = run()
+    finally:
+        dd._scan_sizes = orig
+    assert fused and fused == dist
+    dd.release_persisted()

@@ -1,5 +1,6 @@
 """DMS Kinesis/Kafka JSON envelope source: parse + streamed merge."""
 
+import pytest
 import json
 import os
 
@@ -49,6 +50,7 @@ def test_parse_envelopes_stays_codegen(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+@pytest.mark.slow
 def test_envelope_stream_merges(spark, tmp_path):
     src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
     os.makedirs(src)
@@ -81,6 +83,7 @@ def test_envelope_stream_merges(spark, tmp_path):
     assert {r.id: r.name for r in spark.read.parquet(out).collect()} == got
 
 
+@pytest.mark.slow
 def test_envelope_stream_dedups_redeliveries(spark, tmp_path):
     """At-least-once redelivery: the same envelope appears in two shard
     files; watermarked dedup state drops the replay before the merge."""

@@ -1,5 +1,6 @@
 """Classification report (#105) on a hand-checked confusion matrix."""
 
+import pytest
 from aws_big_data_blog_dmscdc_walkthrough_spark.operators import evaluation
 
 
@@ -65,6 +66,7 @@ def _brute_auc(scores_labels):
     return wins / (len(pos) * len(neg))
 
 
+@pytest.mark.slow
 def test_auc_matches_bruteforce_pairwise(spark, tmp_path, monkeypatch):
     """The counts-of-counts U statistic must equal the O(n^2) pairwise
     definition on adversarial tie patterns (all-ties, one-off, mixed)."""

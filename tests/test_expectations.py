@@ -1,5 +1,6 @@
 """Data-quality expectations (#100): report counts + quarantine split."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from aws_big_data_blog_dmscdc_walkthrough_spark.operators import expectations
@@ -87,6 +88,7 @@ def test_profile_columns_counts(spark):
     assert len(sub) == 1 and sub[0].col_name == "s"
 
 
+@pytest.mark.slow
 def test_profile_columns_wide_table_batches(spark):
     """A 200-column table profiles in one call: the internal batching
     caps each pass's expand factor, and the unioned output matches a

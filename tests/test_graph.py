@@ -1,5 +1,6 @@
 """Connected components: hand-built graphs + random graphs vs union-find."""
 
+import pytest
 import random
 
 from pyspark.sql import functions as F
@@ -127,6 +128,7 @@ def test_star_matches_label_on_random_graph(spark):
     assert _run(spark, nodes, edges, algorithm="star") == want
 
 
+@pytest.mark.slow
 def test_star_handles_deep_chain_within_log_rounds(spark):
     """The deep-graph insurance: a 1,000-node chain has diameter 999 —
     label propagation needs ~999 rounds, large/small-star alternation
@@ -186,6 +188,7 @@ def test_distributed_path_medium_random_graph(spark):
     assert _run(spark, nodes, edges, local_solve_edges=0, max_iter=40) == want
 
 
+@pytest.mark.slow
 def test_label_propagation_falls_back_to_star_on_deep_chain(spark):
     """A chain deeper than the propagation budget (2 hops x max_iter)
     must still resolve EXACTLY — the non-converged propagation contracts

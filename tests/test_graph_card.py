@@ -7,6 +7,7 @@ redundant pair joins (every panel reads the substrate only: zero direct
 lineitem parquet leaves in a fused run).
 """
 
+import pytest
 import os
 import sys
 
@@ -24,6 +25,7 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+@pytest.mark.slow
 def test_graph_card_panels_match_standalone(spark):
     release_persisted()
     fused = analytics.graph_card_frames(spark, SF)

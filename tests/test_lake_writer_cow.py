@@ -3,6 +3,7 @@ merge_incremental (reference parity: DMSCDC_LoadIncremental.py:64-87
 rewrites only impacted files; PK-join discovery catches partition moves
 and full-partition deletes)."""
 
+import pytest
 import glob
 import os
 
@@ -23,6 +24,7 @@ def _file_bytes(path_glob):
     }
 
 
+@pytest.mark.slow
 def test_unpartitioned_cow_touches_only_impacted_files(spark, tmp_path):
     out = str(tmp_path / "t")
     # three separate files, 10 rows each
@@ -268,6 +270,7 @@ def test_compact_preserves_change_feed_sidecar(spark, tmp_path):
     assert {r.batch for r in lake_writer.read_change_feed(spark, out).collect()} == {1, 2, 3}
 
 
+@pytest.mark.slow
 def test_vacuum_change_feed_retention(spark, tmp_path):
     import pytest
 

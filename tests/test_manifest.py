@@ -236,6 +236,7 @@ def test_partitioned_merge_drops_emptied_partition(spark, tmp_path):
     assert not os.path.isdir(f"{out}/dept=a")
 
 
+@pytest.mark.slow
 def test_partitioned_compact_through_manifest(spark, tmp_path):
     out = str(tmp_path / "t")
     _pinit(spark, out)
@@ -378,6 +379,7 @@ def _init_ranged(spark, path):
         )
 
 
+@pytest.mark.slow
 def test_stats_recorded_per_file(spark, tmp_path):
     out = str(tmp_path / "t")
     _init_ranged(spark, out)
@@ -388,6 +390,7 @@ def test_stats_recorded_per_file(spark, tmp_path):
     assert ranges == [(0, 9), (100, 109), (200, 209)]
 
 
+@pytest.mark.slow
 def test_predicate_prunes_files_and_matches_full_scan(spark, tmp_path):
     out = str(tmp_path / "t")
     _init_ranged(spark, out)
@@ -414,6 +417,7 @@ def test_predicate_without_stats_reads_everything(spark, tmp_path):
     assert [r.id for r in df.collect()] == [1]
 
 
+@pytest.mark.slow
 def test_stats_survive_cow_merge(spark, tmp_path):
     out = str(tmp_path / "t")
     _init_ranged(spark, out)
@@ -435,6 +439,7 @@ def test_stats_survive_cow_merge(spark, tmp_path):
 
 # ------------------------------------------------------- clustered compaction
 
+@pytest.mark.slow
 def test_compact_through_manifest_clusters_and_skips(spark, tmp_path):
     out = str(tmp_path / "t")
     # interleaved ids across commits -> every file spans the full range,
@@ -471,6 +476,7 @@ def test_compact_through_manifest_clusters_and_skips(spark, tmp_path):
     assert set(manifest.list_data_files(spark, out)) == set(man["files"])
 
 
+@pytest.mark.slow
 def test_compact_manifest_retain_history_time_travels(spark, tmp_path):
     out = str(tmp_path / "t")
     _init_ranged(spark, out)

@@ -56,6 +56,7 @@ def _write_incremental(spark, env, name="20240101-000000001.parquet"):
     shutil.rmtree(f"{env['landing']}/sampledb/product/_tmp2")
 
 
+@pytest.mark.slow
 def test_discovery_classifies_files(spark, env):
     _write_initial(spark, env)
     _write_incremental(spark, env)
@@ -74,6 +75,7 @@ def test_inactive_table_skipped(spark, env):
     assert not os.path.exists(f"{env['lake']}/sampledb/product")
 
 
+@pytest.mark.slow
 def test_full_flow_initial_then_incremental(spark, env):
     _write_initial(spark, env)
     store = JsonStateStore(env["state"])
@@ -104,6 +106,7 @@ def test_full_flow_initial_then_incremental(spark, env):
     assert spark.read.parquet(f"{env['lake']}/sampledb/product").count() == 3
 
 
+@pytest.mark.slow
 def test_full_flow_with_manifest_and_feed_via_state_flags(spark, env):
     """Per-table lake options flow from the state record (the
     DynamoDB-shaped `extra` map) through the controller: a table flagged
@@ -148,6 +151,7 @@ def test_full_flow_with_manifest_and_feed_via_state_flags(spark, env):
     }
 
 
+@pytest.mark.slow
 def test_partitioned_cow_only_touches_impacted_partitions(spark, env):
     _write_initial(spark, env)
     store = JsonStateStore(env["state"])
@@ -188,6 +192,7 @@ def test_partitioned_cow_only_touches_impacted_partitions(spark, env):
     assert got == {(1001, "tools"), (1003, "tools"), (1004, "toys")}
 
 
+@pytest.mark.slow
 def test_multiple_incremental_files_ordered(spark, env):
     _write_initial(spark, env)
     store = JsonStateStore(env["state"])
@@ -434,6 +439,7 @@ def test_json_landing_full_flow(spark, env):
     assert rows[1001].name == "widget-x"
 
 
+@pytest.mark.slow
 def test_orc_landing_full_flow(spark, env):
     """ORC landing folders (Hive/Trino producers in a mixed lake) read
     through the same self-describing path as parquet — no DDL needed;
@@ -473,6 +479,7 @@ def test_orc_landing_full_flow(spark, env):
     assert rows[1001].name == "widget-x"
 
 
+@pytest.mark.slow
 def test_catalog_registration_enables_sql_by_name(spark, env):
     """The reference's crawler/Athena consumer step: after run_once, SQL
     users query the lake table by NAME, no path knowledge needed."""
@@ -609,6 +616,7 @@ def _write_table(spark, env, schema, table, rows, ddl, name):
     shutil.rmtree(tmp)
 
 
+@pytest.mark.slow
 def test_consistent_cut_applies_both_tables_to_same_barrier(spark, env):
     """upto_file is a cross-table point-in-time cut (#158): files past
     the barrier stay pending in EVERY table, and a later pass with a

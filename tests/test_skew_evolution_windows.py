@@ -101,6 +101,7 @@ def _write_events(spark, rows, src_dir, name):
     shutil.rmtree(tmp)
 
 
+@pytest.mark.slow
 def test_streaming_tumbling_watermark(spark, tmp_path):
     src, ckpt = str(tmp_path / "src"), str(tmp_path / "ck")
     _write_events(
@@ -127,6 +128,7 @@ def test_streaming_tumbling_watermark(spark, tmp_path):
     assert got == {(1, "click"): (2, 3.0), (2, "view"): (1, 3.0)}
 
 
+@pytest.mark.slow
 def test_streaming_sliding_late_row_dropped(spark, tmp_path):
     import time
 
@@ -161,6 +163,7 @@ def test_streaming_sliding_late_row_dropped(spark, tmp_path):
 # ------------------------------------- stateful streaming sessionization
 
 
+@pytest.mark.slow
 def test_streaming_sessionize_gap_and_timeout(spark, tmp_path):
     import time
 
@@ -224,6 +227,7 @@ def test_skew_report_flags_hot_key(spark):
 # ------------------------------------ stateful streaming TTL dedup (#166)
 
 
+@pytest.mark.slow
 def test_streaming_dedup_ttl_first_suppress_expire(spark, tmp_path):
     """First sighting emits immediately; in-TTL re-sightings suppress
     and count; the expiry summary carries the total duplicates; a
@@ -282,6 +286,7 @@ def test_streaming_dedup_ttl_first_suppress_expire(spark, tmp_path):
     assert b_exp and b_exp[0][4] == 0               # B saw no dups
 
 
+@pytest.mark.slow
 def test_burst_screen_flags_and_summarizes(spark, tmp_path):
     """Streaming burst screen (#186's twin): user A fires 5 events
     inside one hour (threshold 5) -> exactly ONE 'flag' row at the

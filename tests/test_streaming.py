@@ -1,5 +1,6 @@
 """Streaming CDC: file-source backlog drain + checkpointed idempotency."""
 
+import pytest
 import glob
 import os
 import shutil
@@ -39,6 +40,7 @@ def _run_stream(spark, src, out, ckpt):
     q.awaitTermination(120)
 
 
+@pytest.mark.slow
 def test_stream_merges_batches(spark, tmp_path):
     src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
     _drop_file(spark, [("I", 1, "a"), ("I", 2, "b")], src, "20240101-01.parquet")
@@ -60,6 +62,7 @@ def test_stream_restart_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(out).count() == 1
 
 
+@pytest.mark.slow
 def test_stream_merge_on_read_mode(spark, tmp_path):
     """MOR streaming: same merge semantics through DVs+appends, one
     compaction on schedule, read via the manifest."""
@@ -93,6 +96,7 @@ def test_stream_merge_on_read_mode(spark, tmp_path):
     assert manifest.read_manifest(spark, out).get("delete_files")
 
 
+@pytest.mark.slow
 def test_merge_on_read_replay_is_idempotent(spark, tmp_path):
     """A replayed MOR batch supersedes the copy its first attempt
     appended — exactly one live row per key either way."""
@@ -122,6 +126,7 @@ def test_merge_on_read_replay_is_idempotent(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_stream_multi_op_within_batch(spark, tmp_path):
     src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
     _drop_file(spark, [("I", 1, "a")], src, "20240101-01.parquet")
@@ -185,6 +190,7 @@ def test_streaming_tumbling_equals_batch_on_events_table(spark, tmp_path):
         assert abs(gs - s) <= 1e-9 * max(abs(s), 1.0)  # double sum order
 
 
+@pytest.mark.slow
 def test_stream_interval_join_equals_batch(spark, tmp_path):
     """Stream-stream interval join, drained with availableNow, must
     produce exactly the batch join's rows: same keys, same pairs."""
@@ -237,6 +243,7 @@ def test_stream_interval_join_equals_batch(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_stream_scd2_history_mode(spark, tmp_path):
     """History mode: versions accumulate with validity intervals; a
     replayed batch (fresh checkpoint over the same files) is a no-op.
@@ -287,6 +294,7 @@ def test_stream_scd2_history_mode(spark, tmp_path):
     assert sorted(map(tuple, h3.collect())) == sorted(map(tuple, h2.collect()))
 
 
+@pytest.mark.slow
 def test_stream_scd2_history_bucketed_with_compaction(spark, tmp_path):
     """Bucketed history: same fold results, `pk_bucket=` partition
     directories on disk, and the scheduled compaction materializes the
@@ -319,6 +327,7 @@ def test_stream_scd2_history_bucketed_with_compaction(spark, tmp_path):
     assert not manifest.read_manifest(spark, out).get("delete_files")
 
 
+@pytest.mark.slow
 def test_scd2_merge_on_read_equals_one_shot(spark, tmp_path):
     """Folding batches through scd2_merge_on_read must equal the
     one-shot scd2_history over the concatenated change log — at every

@@ -1,5 +1,6 @@
 """Text operator semantics: known-value fingerprints and counts."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from aws_big_data_blog_dmscdc_walkthrough_spark.operators import text
@@ -542,6 +543,7 @@ def test_heavy_hitters_bounded_summary_forces_prune(spark, tmp_path):
     assert 1600 * 50 > n_total
 
 
+@pytest.mark.slow
 def test_fold_heavy_hitters_bounds_and_superset(spark, tmp_path):
     """MG invariants across a two-batch fold: every stored counter is a
     lower bound on the true all-time count with undercount <= total/(k+1);
@@ -593,6 +595,7 @@ def test_fold_heavy_hitters_bounds_and_superset(spark, tmp_path):
             assert w in true_hitters  # certified rows are proven
 
 
+@pytest.mark.slow
 def test_fold_heavy_hitters_k_mismatch_and_query_guard(spark, tmp_path):
     from aws_big_data_blog_dmscdc_walkthrough_spark.operators import text as text_ops
 
@@ -622,6 +625,7 @@ def test_fold_heavy_hitters_k_mismatch_and_query_guard(spark, tmp_path):
         text_ops.heavy_hitter_state_candidates(spark, alien, 4)
 
 
+@pytest.mark.slow
 def test_heavy_hitter_stream_drains_and_matches_fold(spark, tmp_path):
     """The streaming twin over a 3-file landing folder produces the
     same state as sequential folds of the same batches."""

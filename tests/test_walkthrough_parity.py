@@ -7,6 +7,7 @@ orders rows. This drives the controller over the same three tables and
 pins the lake state the reference's walkthrough produces.
 """
 
+import pytest
 import os
 import datetime as dt
 from decimal import Decimal
@@ -27,6 +28,7 @@ def _land(spark, df, path, name):
     shutil.rmtree(tmp)
 
 
+@pytest.mark.slow
 def test_sampledb_walkthrough(spark, tmp_path):
     landing, lake = str(tmp_path / "landing"), str(tmp_path / "lake")
     store_p = f"{landing}/sampledb/store"
