@@ -33,15 +33,15 @@ AUDITED = [
     ("ann_batch_topk", "bucket equi-join, never |corpus|x|queries|"),
     ("dedup_keep_best", "CC + quality + rank composite: no extra scans vs parts"),
     ("dedup_semantic", "centroid assign map-only; prune is one grouped Arrow stage"),
-    ("dedup_substring", "one hash-keyed shuffle; single lineage (no UDF re-eval)"),
+    ("dedup_substring", "fused single-task report under the gate; distributed: one hash-keyed shuffle"),
     ("text_quality_classifier", "map-only Arrow pass: zero exchanges"),
     ("ann_pq_topk", "encode+ADC map-only; only the top-k reduce shuffles"),
     ("cdc_scd2", "one union + one PK window shuffle (merge footprint)"),
-    ("cdc_snapshot_diff", "one full outer join on PK; no pairwise compare"),
+    ("cdc_snapshot_diff", "impacted-vs-survivors outer join (batch-sized, r15); no pairwise compare"),
     ("text_surprisal", "one word-count shuffle + token-keyed join; total broadcast"),
     ("q_lineitem_bloom_semi", "bitmap probe map-side; join sees thinned input"),
-    ("cdc_incremental_agg", "delta union batch-sized; one group-key outer join"),
-    ("q_events_funnel", "staged first-event aggs; user-key joins only"),
+    ("cdc_incremental_agg", "delta from merge_parts frames (r15); one group-key outer join"),
+    ("q_events_funnel", "one user-keyed window pass + per-user agg (r15); no events joins"),
     ("q_events_retention", "two user aggs + one join; distinct on bounded out"),
     ("emb_hard_negatives", "anchors broadcast; corpus map-only; bounded window"),
     ("lake_expectations", "one table pass; key-shaped joins only"),
@@ -81,7 +81,7 @@ AUDITED = [
     ("lake_key_profile", "counts-of-counts p99: nothing key-scale sorted on one task (r12)"),
     ("q_orders_percentile", "segment-partitioned rank window; no self-join"),
     ("q_orders_mad_outliers", "two grouped exact medians + broadcast-anchored count"),
-    ("q_events_funnel_windowed", "per-step user aggs + bounded user joins; no window over events"),
+    ("q_events_funnel_windowed", "one user-keyed window pass + per-user agg (r15); steps from one global agg"),
     ("q_events_peak_concurrency", "two-level sweep: (day,chunk) windows + broadcast offsets (r12)"),
     ("q_orders_mom_growth", "window AFTER agg: |months|-row single-partition sort only"),
     ("dedup_tf_cosine", "prefix joins prefix + PPJoin+ suffix bound (r12); exact re-score pair-keyed"),
