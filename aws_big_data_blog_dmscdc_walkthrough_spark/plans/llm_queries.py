@@ -8,7 +8,7 @@ coefficients, shingle size, band layout, and thresholds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup, graph, similarity
@@ -859,20 +859,31 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = docs.withColumn(
         "quality_score", text_ops.quality_score_col("text")
     ).where(F.col("quality_score") >= CURATE_QUALITY_THRESHOLD)
-    exact = dedup.exact_dedup(quality, "doc_id", "text")
+    # exact-canonical survivors WITHOUT the self-join (round 15, guide
+    # §2.4): the canonical id is a window minimum over the normalized-
+    # text key, so filtering doc_id == min(doc_id) inline keeps every
+    # quality column in one pass — the r14 shape joined quality back to
+    # exact_dedup's 3-column output, evaluating the regex+tokenize
+    # quality chain on BOTH join inputs when the persist materialized.
+    # Same rows by construction (exact_dedup's canonical is the same
+    # window minimum over the same key).
+    exact_key = dedup.normalize_text(F.col("text"))
+    exact_w = Window.partitionBy(exact_key)
     # persist: canonical feeds BOTH the near-dup pair stage and the
     # final anti-join — without the cache the quality gate and the
     # exact-dedup window (a full shuffle at scale) evaluate twice
     canonical = dedup._track(
-        quality.join(
-            exact.where(F.col("doc_id") == F.col("canonical_id")).select("doc_id"),
-            "doc_id",
-        ).persist()
+        quality.withColumn("_canon", F.min("doc_id").over(exact_w))
+        .where(F.col("doc_id") == F.col("_canon"))
+        .drop("_canon")
+        .persist()
     )
     pairs = dedup.ngram_jaccard_pairs(
         canonical, "doc_id", "text", ["source"], NGRAM_JACCARD_THRESHOLD
     )
-    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    # no .distinct(): the anti-join is duplicate-insensitive, so the
+    # distinct added a shuffle + two aggregate passes for nothing
+    drop = pairs.select(F.col("id_b").alias("doc_id"))
     return (
         canonical.join(drop, "doc_id", "left_anti")
         .select("doc_id", "source", "quality_score")
